@@ -1,0 +1,581 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/**
+ * The driver-facing query catalog: every operator from SURVEY.md §2 plus the
+ * training-data-pipeline extension surface, each as a (SparkSession, sfDir) =>
+ * DataFrame paired with DuckDB oracle SQL over the same parquet tables.
+ *
+ * Cross-engine determinism conventions (every oracle must hash-match):
+ *  - timestamps are emitted as TIMESTAMP_NTZ (session TZ is UTC, so values
+ *    are unchanged; parquet then round-trips as naive timestamps, matching
+ *    DuckDB's output dtype);
+ *  - double sums go through DECIMAL(18,2) and back to double — exact and
+ *    summation-order-independent, so Spark's parallel partial aggregation
+ *    and DuckDB's serial scan agree bit-for-bit;
+ *  - integer sums are cast to bigint on both sides (DuckDB sums to HUGEINT);
+ *  - hashes are md5-derived (identical in both engines), never engine-native;
+ *  - every ORDER BY ... LIMIT has a unique tie-break key;
+ *  - DuckDB `len()`/`hour()` results are cast to int to match Spark's
+ *    IntegerType, and `//` (truncating division) mirrors Java/Spark long
+ *    division semantics.
+ */
+object Queries {
+
+  private def ntz(c: Column): Column = c.cast("timestamp_ntz")
+
+  /** Exact, order-independent double sum: through decimal(18,scale).
+    * The scale must cover the value's exact decimal width (2 for raw money
+    * columns, 4 for price*(1-disc), 6 for price*(1-disc)*(1+tax)) so the
+    * double→decimal rounding never lands on a tie — Spark rounds HALF_UP,
+    * DuckDB half-even, and only ties expose the difference. */
+  private def sumDec(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  // ==========================================================================
+  // Flight-event surface (reference parity, SURVEY §2 P1-P3/K1-K3/W1-W3/A1-A3)
+  //
+  // The testdata has no flight table, so we synthesize the reference's JSON
+  // wire format deterministically from `events` (every field a pure function
+  // of event columns), then run the *real* parse/aggregate operators on it.
+  // The oracle computes the same end state directly — so the whole
+  // from_json → derive → window → aggregate path is what's being verified.
+  // ==========================================================================
+
+  /** Deterministic flight-event JSON off the events table. Even event_ids use
+    * the boolean `delayed` union branch, odd ids the string `status` branch
+    * (with mixed case, exercising the case-insensitive compare). */
+  def wireFlightJson(ev: DataFrame): DataFrame = {
+    val tsSec = date_trunc("second", col("ts"))
+    val delayMin = (floor(col("value")).cast("long") - 50).as("dm")
+    ev.select(tsSec.as("ts_sec"), col("event_id"), col("user_id"),
+        col("event_type"), col("value"), delayMin)
+      .select(to_json(struct(
+        concat(lit("F"), col("event_id").cast("string")).as("flightId"),
+        concat(upper(col("event_type")), lit("-"),
+          (col("event_id") % 1000).cast("string")).as("flightNumber"),
+        col("event_type").as("airline"),
+        concat(lit("O"), (col("user_id") % 10).cast("string")).as("origin"),
+        concat(lit("D"), (col("event_id") % 7).cast("string")).as("destination"),
+        date_format(col("ts_sec"), "yyyy-MM-dd'T'HH:mm:ss").as("scheduledArrival"),
+        date_format(timestamp_seconds(unix_timestamp(col("ts_sec")) + col("dm") * 60),
+          "yyyy-MM-dd'T'HH:mm:ss").as("actualArrival"),
+        when(col("event_id") % 2 === 0, col("value") > 75).as("delayed"),
+        when(col("event_id") % 2 =!= 0,
+          when(col("value") > 75, lit("Delayed")).otherwise(lit("ON_TIME"))).as("status"),
+        concat(lit("u"), col("user_id").cast("string")).as("userId")
+      )).as("value"))
+  }
+
+  def parsedFlights(spark: SparkSession, dir: String): DataFrame =
+    FlightOps.parseFlightEvents(wireFlightJson(Tables.events(spark, dir)))
+
+  /** DuckDB CTE computing the same parsed-flight frame directly. */
+  private val flightCte =
+    """WITH flights AS (
+      |  SELECT 'F' || event_id AS flight_id,
+      |         upper(event_type) || '-' || (event_id % 1000) AS flight_number,
+      |         event_type AS airline,
+      |         'O' || (user_id % 10) AS origin,
+      |         'D' || (event_id % 7) AS destination,
+      |         date_trunc('second', ts) AS scheduled_time,
+      |         date_trunc('second', ts) + to_minutes(floor(value)::bigint - 50) AS actual_time,
+      |         (CASE WHEN value > 75 THEN 1 ELSE 0 END)::int AS is_delayed,
+      |         'u' || user_id AS user_id,
+      |         floor(value)::bigint - 50 AS delay_minutes
+      |  FROM events)
+      |""".stripMargin
+
+  // ==========================================================================
+  // The catalog
+  // ==========================================================================
+
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // ---- P1: parse/project (JSON wire → typed event frame) ----------------
+    ("flight_parse",
+      (s: SparkSession, d: String) =>
+        parsedFlights(s, d)
+          .withColumn("scheduled_time", ntz(col("scheduled_time")))
+          .withColumn("actual_time", ntz(col("actual_time"))),
+      Some(flightCte + "SELECT * FROM flights")),
+
+    // ---- P2: predicate filter ---------------------------------------------
+    ("flight_delayed",
+      (s: SparkSession, d: String) =>
+        FlightOps.delayedOnly(parsedFlights(s, d))
+          .select(col("flight_id"), col("airline"), col("origin"),
+            col("destination"), col("delay_minutes")),
+      Some(flightCte +
+        """SELECT flight_id, airline, origin, destination, delay_minutes
+          |FROM flights WHERE is_delayed = 1""".stripMargin)),
+
+    // ---- P3: scalar projection / notification formatting ------------------
+    ("flight_notifications",
+      (s: SparkSession, d: String) =>
+        FlightOps.delayNotificationFields(parsedFlights(s, d)),
+      Some(flightCte +
+        """SELECT flight_id AS "flightId", user_id AS "userId",
+          |       flight_number AS "flightNumber", airline,
+          |       origin || '-' || destination AS route,
+          |       delay_minutes AS "delayMinutes",
+          |       printf('Your flight %s is delayed by %d minutes',
+          |              flight_number, delay_minutes) AS message
+          |FROM flights WHERE is_delayed = 1""".stripMargin)),
+
+    // ---- K1+W1+A1: per-airline windowed stats (2-minute tumbling) ---------
+    ("flight_airline_stats",
+      (s: SparkSession, d: String) =>
+        FlightOps.airlineStats(parsedFlights(s, d), col("scheduled_time"), "2 minutes")
+          .withColumn("window_start", ntz(col("window_start")))
+          .withColumn("window_end", ntz(col("window_end"))),
+      Some(flightCte +
+        """SELECT time_bucket(INTERVAL 2 MINUTES, scheduled_time) AS window_start,
+          |       time_bucket(INTERVAL 2 MINUTES, scheduled_time) + INTERVAL 2 MINUTES AS window_end,
+          |       airline,
+          |       count(*) AS total_flights,
+          |       cast(sum(is_delayed) AS bigint) AS delayed_flights,
+          |       avg(delay_minutes) AS avg_delay_minutes,
+          |       cast(sum(is_delayed) AS double) / count(*) * 100.0 AS delay_rate
+          |FROM flights GROUP BY 1, 2, 3""".stripMargin)),
+
+    // ---- K2+W2+A2: per-route windowed stats (3-minute tumbling) -----------
+    ("flight_route_stats",
+      (s: SparkSession, d: String) =>
+        FlightOps.routeStats(parsedFlights(s, d), col("scheduled_time"), "3 minutes")
+          .withColumn("window_start", ntz(col("window_start")))
+          .withColumn("window_end", ntz(col("window_end"))),
+      Some(flightCte +
+        """SELECT time_bucket(INTERVAL 3 MINUTES, scheduled_time) AS window_start,
+          |       time_bucket(INTERVAL 3 MINUTES, scheduled_time) + INTERVAL 3 MINUTES AS window_end,
+          |       origin || '-' || destination AS route, origin, destination,
+          |       count(*) AS total_flights,
+          |       avg(delay_minutes) AS avg_delay_minutes
+          |FROM flights GROUP BY 1, 2, 3, 4, 5""".stripMargin)),
+
+    // ---- K3+W3+A3: per-hour-of-day windowed stats (5-minute tumbling) -----
+    ("flight_hourly_stats",
+      (s: SparkSession, d: String) =>
+        FlightOps.hourlyStats(parsedFlights(s, d), col("scheduled_time"), "5 minutes")
+          .withColumn("window_start", ntz(col("window_start")))
+          .withColumn("window_end", ntz(col("window_end"))),
+      Some(flightCte +
+        """SELECT time_bucket(INTERVAL 5 MINUTES, scheduled_time) AS window_start,
+          |       time_bucket(INTERVAL 5 MINUTES, scheduled_time) + INTERVAL 5 MINUTES AS window_end,
+          |       cast(hour(scheduled_time) AS int) AS hour_of_day,
+          |       count(*) AS total_flights,
+          |       cast(sum(is_delayed) AS bigint) AS delayed_flights,
+          |       avg(delay_minutes) AS avg_delay_minutes
+          |FROM flights GROUP BY 1, 2, 3""".stripMargin)),
+
+    // ---- Generic windowed aggregation straight over the events table ------
+    ("events_window_stats",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(
+            count(lit(1)).as("total_events"),
+            sum(when(col("value") > 100, 1).otherwise(0)).cast("long").as("high_value_events"),
+            sumDec(col("value")).as("sum_value"))
+          .select(ntz(col("window.start")).as("window_start"),
+            ntz(col("window.end")).as("window_end"),
+            col("event_type"), col("total_events"), col("high_value_events"),
+            col("sum_value"),
+            (col("sum_value") / col("total_events")).as("avg_value"))
+      },
+      Some(
+        """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+          |       time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+          |       event_type,
+          |       count(*) AS total_events,
+          |       cast(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS bigint) AS high_value_events,
+          |       cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value,
+          |       cast(sum(cast(value AS decimal(18,2))) AS double) / count(*) AS avg_value
+          |FROM events GROUP BY 1, 2, 3""".stripMargin)),
+
+    // ---- Per-user aggregation (count distinct, min/max timestamps) --------
+    ("events_user_stats",
+      (s: SparkSession, d: String) =>
+        Tables.events(s, d).groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            countDistinct(col("event_type")).as("n_event_types"),
+            countDistinct(to_date(col("ts"))).as("n_active_days"),
+            sumDec(col("value")).as("total_value"),
+            ntz(min(col("ts"))).as("first_ts"),
+            ntz(max(col("ts"))).as("last_ts")),
+      Some(
+        """SELECT user_id, count(*) AS n_events,
+          |       cast(count(DISTINCT event_type) AS bigint) AS n_event_types,
+          |       cast(count(DISTINCT ts::date) AS bigint) AS n_active_days,
+          |       cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value,
+          |       min(ts) AS first_ts, max(ts) AS last_ts
+          |FROM events GROUP BY 1""".stripMargin)),
+
+    // ---- Semi-structured projection: JSON prop extraction ------------------
+    ("events_parse_props",
+      (s: SparkSession, d: String) =>
+        Tables.events(s, d)
+          .select(col("event_id"), col("event_type"),
+            get_json_object(col("props"), "$.k").cast("int").as("prop_k"),
+            floor(col("value") / 100).cast("int").as("value_bucket"))
+          .filter(col("prop_k") >= 90),
+      Some(
+        """SELECT event_id, event_type,
+          |       json_extract_string(props, '$.k')::int AS prop_k,
+          |       floor(value / 100)::int AS value_bucket
+          |FROM events WHERE json_extract_string(props, '$.k')::int >= 90""".stripMargin)),
+
+    // ---- First-occurrence dedup over an event stream ----------------------
+    ("events_dedup_first",
+      (s: SparkSession, d: String) =>
+        Tables.events(s, d).groupBy(col("user_id"), col("event_type"))
+          .agg(ntz(min(col("ts"))).as("first_ts"), count(lit(1)).as("n_occurrences")),
+      Some(
+        """SELECT user_id, event_type, min(ts) AS first_ts,
+          |       count(*) AS n_occurrences
+          |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // ==========================================================================
+    // TPC-H-style relational surface (joins / sort / top-k / grouped aggs)
+    // ==========================================================================
+
+    ("tpch_q1",
+      (s: SparkSession, d: String) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sumDec(col("l_quantity")).as("sum_qty"),
+            sumDec(col("l_extendedprice")).as("sum_base_price"),
+            sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+            sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+            count(lit(1)).as("count_order"))
+          .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+          .withColumn("avg_price", col("sum_base_price") / col("count_order")),
+      Some(
+        """SELECT l_returnflag, l_linestatus,
+          |       cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+          |       cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price,
+          |       cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS double) AS sum_disc_price,
+          |       cast(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS decimal(18,6))) AS double) AS sum_charge,
+          |       count(*) AS count_order,
+          |       cast(sum(cast(l_quantity AS decimal(18,2))) AS double) / count(*) AS avg_qty,
+          |       cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) / count(*) AS avg_price
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+          |GROUP BY 1, 2""".stripMargin)),
+
+    ("tpch_q3_topk",
+      (s: SparkSession, d: String) => {
+        val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val l = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), ntz(col("o_orderdate")).as("o_orderdate"), col("o_orderpriority"))
+          .agg(sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(
+        """SELECT l_orderkey, o_orderdate, o_orderpriority,
+          |       cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS double) AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1998-01-01'
+          |  AND l_shipdate > TIMESTAMP '1998-01-01'
+          |GROUP BY 1, 2, 3
+          |ORDER BY revenue DESC, l_orderkey
+          |LIMIT 10""".stripMargin)),
+
+    ("tpch_q5_region_revenue",
+      (s: SparkSession, d: String) => {
+        val l = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val su = Tables.supplier(s, d)
+        val n = broadcast(Tables.nation(s, d))
+        val r = broadcast(Tables.region(s, d))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(
+        """SELECT r_name, n_name,
+          |       cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS double) AS revenue,
+          |       count(*) AS n_items
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY 1, 2""".stripMargin)),
+
+    ("tpch_brand_topk",
+      (s: SparkSession, d: String) =>
+        Tables.lineitem(s, d)
+          .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+            sumDec(col("l_quantity")).as("total_qty"))
+          .orderBy(col("revenue").desc, col("p_brand"))
+          .limit(5),
+      Some(
+        """SELECT p_brand,
+          |       cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS double) AS revenue,
+          |       cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS total_qty
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |GROUP BY 1 ORDER BY revenue DESC, p_brand LIMIT 5""".stripMargin)),
+
+    ("tpch_order_priority",
+      (s: SparkSession, d: String) =>
+        Tables.orders(s, d).groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sumDec(col("o_totalprice")).as("total_price"))
+          .withColumn("avg_price", col("total_price") / col("n_orders")),
+      Some(
+        """SELECT o_orderpriority, count(*) AS n_orders,
+          |       cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total_price,
+          |       cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) / count(*) AS avg_price
+          |FROM orders GROUP BY 1""".stripMargin)),
+
+    // ---- OVER-window analytic: top-3 orders per customer ------------------
+    ("window_rank_orders",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("o_custkey"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+      },
+      Some(
+        """SELECT o_custkey, cast(rnk AS int) AS rnk, o_orderkey, o_totalprice
+          |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+          |             row_number() OVER (PARTITION BY o_custkey
+          |                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          |      FROM orders)
+          |WHERE rnk <= 3""".stripMargin)),
+
+    // ==========================================================================
+    // Training-data pipeline surface: dedup / text / similarity / multimodal
+    // ==========================================================================
+
+    ("dedup_exact",
+      (s: SparkSession, d: String) =>
+        Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id")),
+      Some(
+        """SELECT text, min(doc_id) AS canonical_id, count(*) AS n_copies
+          |FROM documents GROUP BY 1""".stripMargin)),
+
+    ("dedup_fingerprint",
+      (s: SparkSession, d: String) =>
+        Dedup.byFingerprint(Tables.documents(s, d), col("text"), col("doc_id")),
+      Some(
+        """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+          |       min(doc_id) AS canonical_id, count(*) AS n_copies
+          |FROM documents GROUP BY 1""".stripMargin)),
+
+    ("dedup_minhash_sigs",
+      (s: SparkSession, d: String) =>
+        Dedup.minhashSignatures(Tables.documents(s, d), col("text"), col("doc_id")),
+      Some(shingleCte +
+        """, perms AS (SELECT unnest(range(0, 16)) AS perm)
+          |SELECT doc_id, perm::int AS perm,
+          |       min(('0x' || substr(md5(perm || ':' || shingle), 1, 15))::bigint) AS minhash
+          |FROM shingle_rows CROSS JOIN perms
+          |GROUP BY 1, 2""".stripMargin)),
+
+    ("dedup_lsh_candidates",
+      (s: SparkSession, d: String) =>
+        Dedup.lshCandidates(Dedup.lshBuckets(
+          Dedup.minhashSignatures(Tables.documents(s, d), col("text"), col("doc_id")))),
+      Some(shingleCte +
+        """, perms AS (SELECT unnest(range(0, 16)) AS perm),
+          |sigs AS (
+          |  SELECT doc_id, perm::int AS perm,
+          |         min(('0x' || substr(md5(perm || ':' || shingle), 1, 15))::bigint) AS minhash
+          |  FROM shingle_rows CROSS JOIN perms GROUP BY 1, 2),
+          |buckets AS (
+          |  SELECT doc_id, perm // 4 AS band,
+          |         md5(string_agg(minhash::varchar, ',' ORDER BY perm)) AS bucket
+          |  FROM sigs GROUP BY 1, 2)
+          |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+          |FROM buckets l JOIN buckets r
+          |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""".stripMargin)),
+
+    ("dedup_simhash",
+      (s: SparkSession, d: String) =>
+        Dedup.simhash(Tables.documents(s, d), col("text"), col("doc_id")),
+      Some(
+        """WITH tok AS (
+          |  SELECT DISTINCT doc_id, t AS token
+          |  FROM (SELECT doc_id,
+          |               unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS t
+          |        FROM documents)),
+          |h AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::bigint AS h FROM tok),
+          |bits AS (
+          |  SELECT doc_id, b,
+          |         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+          |  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b) GROUP BY 1, 2)
+          |SELECT doc_id,
+          |       cast(sum(CASE WHEN votes > 0 THEN (1::bigint << b) ELSE 0 END) AS bigint) AS simhash
+          |FROM bits GROUP BY 1""".stripMargin)),
+
+    ("text_ngram_jaccard",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val ids = docs.select(col("doc_id"))
+        val pairs = ids.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+          .join(ids.select(col("doc_id").as("doc_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"))
+        Dedup.ngramJaccard(pairs, docs, col("text"), col("doc_id"))
+      },
+      Some(shingleCte +
+        """, ssets AS (SELECT doc_id, count(*) AS n FROM shingle_rows GROUP BY 1),
+          |pairs AS (
+          |  SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b
+          |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1),
+          |inter AS (
+          |  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+          |  FROM pairs p
+          |  JOIN shingle_rows a ON a.doc_id = p.doc_a
+          |  JOIN shingle_rows b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+          |  GROUP BY 1, 2)
+          |SELECT p.doc_a, p.doc_b,
+          |       coalesce(i.n_inter, 0) AS n_inter,
+          |       cast(sa.n AS int) AS n_a, cast(sb.n AS int) AS n_b,
+          |       cast(coalesce(i.n_inter, 0) AS double)
+          |         / (sa.n + sb.n - coalesce(i.n_inter, 0)) AS jaccard
+          |FROM pairs p
+          |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+          |JOIN ssets sa ON sa.doc_id = p.doc_a
+          |JOIN ssets sb ON sb.doc_id = p.doc_b""".stripMargin)),
+
+    ("text_stats",
+      (s: SparkSession, d: String) =>
+        TextOps.textStats(Tables.documents(s, d), col("text"), col("doc_id")),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+          |  FROM documents),
+          |tok AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM t)
+          |SELECT doc_id,
+          |       length(norm)::int AS n_chars,
+          |       len(toks)::int AS n_tokens,
+          |       len(list_distinct(toks))::int AS n_distinct_tokens,
+          |       len(list_filter(toks, x -> x IN ('the','a','of','and','is')))::int AS n_stopwords,
+          |       cast(length(norm) - (len(toks) - 1) AS double) / len(toks) AS avg_token_len,
+          |       cast(len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS double)
+          |         / len(toks) AS stopword_ratio,
+          |       cast(len(list_distinct(toks)) AS double) / len(toks) AS type_token_ratio,
+          |       cast(len(list_distinct(toks)) AS double) / len(toks) * 0.6
+          |         + least(len(toks) / 100.0, 1.0) * 0.3
+          |         + (1.0 - cast(len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS double)
+          |                    / len(toks)) * 0.1 AS quality_score
+          |FROM tok""".stripMargin)),
+
+    ("text_langid",
+      (s: SparkSession, d: String) =>
+        TextOps.langId(Tables.documents(s, d), col("text"), col("doc_id")),
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+          |  FROM documents),
+          |scored AS (
+          |  SELECT doc_id,
+          |         len(list_filter(toks, x -> x IN ('the','a')))::int AS score_en,
+          |         len(list_filter(toks, x -> x IN ('data','table')))::int AS score_es,
+          |         len(list_filter(toks, x -> x IN ('window','group')))::int AS score_de,
+          |         len(list_filter(toks, x -> x IN ('join','merge')))::int AS score_fr,
+          |         len(list_filter(toks, x -> x IN ('vector','batch')))::int AS score_zh
+          |  FROM tok)
+          |SELECT *,
+          |       CASE
+          |         WHEN greatest(score_en, score_es, score_de, score_fr, score_zh) = 0 THEN 'und'
+          |         WHEN score_en = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'en'
+          |         WHEN score_es = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'es'
+          |         WHEN score_de = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'de'
+          |         WHEN score_fr = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'fr'
+          |         ELSE 'zh'
+          |       END AS lang_pred
+          |FROM scored""".stripMargin)),
+
+    // ---- ANN: brute-force cosine top-5 for the first 10 vectors -----------
+    ("sim_topk",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.cosineTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5)
+          .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
+      },
+      Some(
+        """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS ve FROM embeddings),
+          |q AS (SELECT * FROM v WHERE vec_id < 10),
+          |s AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |         list_dot_product(q.ve, c.ve)
+          |           / (sqrt(list_dot_product(q.ve, q.ve)) * sqrt(list_dot_product(c.ve, c.ve))) AS cosine
+          |  FROM q CROSS JOIN v c WHERE q.vec_id != c.vec_id)
+          |SELECT query_id, cast("rank" AS int) AS "rank", neighbor_id
+          |FROM (SELECT query_id, neighbor_id,
+          |             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+          |      FROM s)
+          |WHERE "rank" <= 5""".stripMargin)),
+
+    // ---- Multimodal plumbing: binary payload → metadata + stub features ---
+    ("multimodal_features",
+      (s: SparkSession, d: String) => {
+        val withBin = Tables.documents(s, d).withColumn("bin", col("text").cast("binary"))
+        Multimodal.extractFeatures(withBin, col("doc_id"), col("bin"))
+          .select(col("media_id"), col("n_bytes"), col("content_hash"),
+            col("features")(0).as("feature_0"), col("features")(1).as("feature_1"),
+            col("features")(2).as("feature_2"), col("features")(3).as("feature_3"))
+      },
+      Some(
+        """SELECT doc_id AS media_id,
+          |       length(text)::int AS n_bytes,
+          |       md5(text) AS content_hash,
+          |       ('0x' || substr(md5('0:' || md5(text)), 1, 15))::bigint / 1.152921504606846976e18 AS feature_0,
+          |       ('0x' || substr(md5('1:' || md5(text)), 1, 15))::bigint / 1.152921504606846976e18 AS feature_1,
+          |       ('0x' || substr(md5('2:' || md5(text)), 1, 15))::bigint / 1.152921504606846976e18 AS feature_2,
+          |       ('0x' || substr(md5('3:' || md5(text)), 1, 15))::bigint / 1.152921504606846976e18 AS feature_3
+          |FROM documents""".stripMargin))
+  )
+
+  /** Shared DuckDB CTE: distinct 3-gram word shingles per document, matching
+    * [[TextOps.shingles]] exactly (incl. the short-document whole-text case). */
+  private lazy val shingleCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |shingle_rows AS (
+      |  SELECT DISTINCT doc_id, shingle
+      |  FROM (SELECT doc_id,
+      |               unnest(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+      |                      ELSE list_transform(range(0, len(toks) - 2),
+      |                                          i -> array_to_string(toks[i + 1:i + 3], ' ')) END) AS shingle
+      |        FROM toks))
+      |""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalog.map { case (n, f, _) => n -> f }.toMap
+
+  def oracleSql: Map[String, String] =
+    catalog.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+}

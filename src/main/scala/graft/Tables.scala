@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Loaders for the driver-generated parquet tables (TESTDATA.md).
+ *
+ * One quirk: `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark
+ * does not read natively (PARQUET_TYPE_ILLEGAL). We read it as a raw long via
+ * `spark.sql.legacy.parquet.nanosAsLong` and convert to a microsecond
+ * timestamp with truncation — exactly what DuckDB does when it reads the same
+ * file (ns → µs truncation), so engine and oracle see identical values.
+ */
+object Tables {
+
+  /** Runtime-settable; called defensively before any events read. */
+  private def enableNanosAsLong(spark: SparkSession): Unit =
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events with `ts` converted ns→µs (truncating, DuckDB-identical). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    enableNanosAsLong(spark)
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+}

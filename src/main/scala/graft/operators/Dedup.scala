@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines, from exact to
+ * approximate:
+ *
+ *  - exact duplicate grouping (hash groupBy — one shuffle on the content key)
+ *  - normalized-fingerprint dedup (md5 of canonicalized text)
+ *  - MinHash signatures + LSH banding + candidate pairs + verified Jaccard
+ *  - SimHash fingerprints + near-dup pairs by Hamming distance
+ *  - n-gram Jaccard similarity between explicit pairs
+ *
+ * Scale design: every step is a hash-shuffle on a key whose cardinality grows
+ * with the corpus (shingle, band bucket), never a cross join. The LSH
+ * candidate step bounds pair generation to same-bucket collisions, which is
+ * what makes near-dedup feasible at 100 TB — the exact-Jaccard verify runs
+ * only on candidates. Hashes are md5-derived ([[TextOps.portableHash]]) so
+ * results are engine-independent and oracle-verifiable; swap
+ * [[TextOps.fastHash]] in for raw throughput.
+ */
+object Dedup {
+
+  /** Exact dedup: group identical texts, keep the smallest id as canonical. */
+  def exact(docs: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    docs.groupBy(textCol.as("text"))
+      .agg(min(idCol).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Fingerprint dedup: like [[exact]] but robust to case/whitespace noise. */
+  def byFingerprint(docs: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    docs.groupBy(TextOps.fingerprint(textCol).as("fingerprint"))
+      .agg(min(idCol).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /**
+   * MinHash signatures in long format: (doc_id, perm, minhash).
+   * One row per document per permutation. `numPerms` salted hash families;
+   * min over the document's distinct shingles.
+   *
+   * Plan shape: explode(shingles) → explode(perms) → partial min → shuffle on
+   * (doc_id) → final min. The partial aggregation collapses the shingle
+   * dimension map-side, so the shuffle carries numPerms rows per doc.
+   */
+  def minhashSignatures(
+      docs: DataFrame, textCol: Column, idCol: Column,
+      shingleSize: Int = 3, numPerms: Int = 16): DataFrame = {
+    docs.select(idCol.as("doc_id"), explode(TextOps.shingles(textCol, shingleSize)).as("shingle"))
+      .select(col("doc_id"), col("shingle"),
+        explode(sequence(lit(0), lit(numPerms - 1))).as("perm"))
+      .groupBy(col("doc_id"), col("perm"))
+      .agg(min(TextOps.portableHash(col("shingle"), col("perm"))).as("minhash"))
+  }
+
+  /**
+   * LSH banding over [[minhashSignatures]]: group each doc's signature into
+   * bands of `rowsPerBand` permutations; bucket key = md5 of the band's
+   * concatenated minhash values. Docs sharing a (band, bucket) are candidates.
+   */
+  def lshBuckets(signatures: DataFrame, rowsPerBand: Int = 4): DataFrame =
+    signatures
+      .withColumn("band", (col("perm") / rowsPerBand).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      // array_sort(collect_list) = values in perm order, deterministically:
+      // perm is unique within (doc, band) so sorting (perm, minhash) pairs by
+      // perm is stable. We sort the struct to be order-independent.
+      .agg(sort_array(collect_list(struct(col("perm"), col("minhash")))).as("sig"))
+      .select(col("doc_id"), col("band"),
+        md5(concat_ws(",", transform(col("sig"), s => s("minhash").cast("string")))
+          .cast("binary")).as("bucket"))
+
+  /** Candidate near-dup pairs: distinct (a < b) sharing any LSH bucket.
+    * The join key (band, bucket) bounds the blow-up to intra-bucket pairs. */
+  def lshCandidates(buckets: DataFrame): DataFrame = {
+    val l = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val r = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /**
+   * Exact Jaccard similarity over word-shingle sets for an explicit pair
+   * frame (doc_a, doc_b). Integer intersection/union counts → the similarity
+   * double is bit-exact across engines.
+   */
+  def ngramJaccard(
+      pairs: DataFrame, docs: DataFrame, textCol: Column, idCol: Column,
+      shingleSize: Int = 3): DataFrame = {
+    val sh = docs.select(idCol.as("id"), TextOps.shingles(textCol, shingleSize).as("sh"))
+    val exploded = sh.select(col("id"), explode(col("sh")).as("shingle"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val a = exploded.select(col("id").as("doc_a"), col("shingle"))
+    val b = exploded.select(col("id").as("doc_b"), col("shingle"))
+    val interCnt = pairs.join(a, "doc_a").join(b, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(interCnt, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0, Seq("n_inter"))
+      .join(sizes.select(col("id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+  }
+
+  /**
+   * SimHash fingerprint (60-bit, portable): per token-hash bit j, vote
+   * +1/-1; fingerprint bit j set iff the vote sum is positive. Returned as a
+   * long. One explode over (token × bit) with map-side partial sums.
+   */
+  def simhash(docs: DataFrame, textCol: Column, idCol: Column, bits: Int = 60): DataFrame = {
+    val toks = docs.select(idCol.as("doc_id"),
+      explode(array_distinct(TextOps.tokens(TextOps.normalize(textCol)))).as("token"))
+      .withColumn("h", TextOps.portableHash(col("token")))
+    toks
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(bits - 1))).as("bit"))
+      // shiftright/shiftleft with a *column* shift amount need the SQL form
+      // (the Scala functions.shiftright only takes a literal Int)
+      .withColumn("vote",
+        when(expr("shiftright(h, bit)").bitwiseAND(1) === 1, 1).otherwise(-1))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("vote")).as("votes"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("votes") > 0, expr("shiftleft(1L, bit)")).otherwise(0L))
+        .as("simhash"))
+  }
+}

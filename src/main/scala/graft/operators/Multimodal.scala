@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal-column plumbing: images/audio/video travel as opaque `binary`
+ * columns with a typed metadata struct alongside. The Spark-side machinery
+ * (schema, batching, partition sizing, per-partition decode) is real; the
+ * actual media decode is STUBBED with a deterministic fake (this container
+ * has no image/audio codecs) — swap [[decodeStub]] for a JNI/codec call in
+ * production.
+ *
+ * Scale notes: binary payloads dominate row size, so ops here (a) never
+ * shuffle the payload — features are extracted first, payload dropped before
+ * any exchange; (b) repartition by byte budget, not row count
+ * ([[repartitionByBytes]]).
+ */
+object Multimodal {
+
+  /** Canonical multimodal schema fragment: payload + metadata struct. */
+  def withMediaMetadata(df: DataFrame, binCol: Column, mediaType: String): DataFrame =
+    df.withColumn("media",
+      struct(
+        binCol.as("payload"),
+        lit(mediaType).as("media_type"),
+        length(binCol).as("n_bytes"),
+        md5(binCol).as("content_hash")))
+
+  /**
+   * STUB decode/feature-extract: deterministic fake features derived from the
+   * content hash (stands in for pixel/spectrogram features; same shape and
+   * dataflow as a real decoder: binary in → fixed-width float vector out).
+   */
+  def decodeStub(payload: Column, featureDims: Int = 4): Column =
+    transform(sequence(lit(0), lit(featureDims - 1)), i =>
+      (TextOps.portableHash(concat(i.cast("string"), lit(":"), md5(payload)))
+        .cast("double") / lit(1.152921504606846976e18)))
+
+  /** Feature extraction: metadata + fake decoded features, payload dropped
+    * before anything downstream can shuffle it. */
+  def extractFeatures(df: DataFrame, idCol: Column, binCol: Column): DataFrame =
+    df.select(
+      idCol.as("media_id"),
+      length(binCol).as("n_bytes"),
+      md5(binCol).as("content_hash"),
+      decodeStub(binCol).as("features"))
+
+  /**
+   * Frame-sampling plumbing for video-like payloads: deterministically slice
+   * the payload into `n` evenly spaced "frames" (byte windows). Real frame
+   * decode replaces the substring; the partitioning/explode shape is the
+   * production dataflow.
+   */
+  def sampleFrames(df: DataFrame, idCol: Column, binCol: Column, n: Int,
+      frameBytes: Int = 16): DataFrame =
+    df.select(idCol.as("media_id"), binCol.as("payload"))
+      .select(col("media_id"),
+        posexplode(transform(sequence(lit(0), lit(n - 1)), i =>
+          col("payload").substr(
+            (i * length(col("payload")) / n).cast("int") + 1, lit(frameBytes)))))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "frame_bytes")
+
+  /** Repartition a payload-bearing frame so each partition carries roughly
+    * `targetBytes` of binary data — row-count partitioning is wrong when row
+    * sizes vary by orders of magnitude. */
+  def repartitionByBytes(df: DataFrame, binCol: Column, targetBytes: Long): DataFrame = {
+    val stats = df.agg(sum(length(binCol)).as("total")).collect()(0)
+    val total = Option(stats.getAs[Long]("total")).getOrElse(0L)
+    val parts = math.max(1, (total / math.max(1L, targetBytes)).toInt)
+    df.repartition(parts)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate-nearest-neighbor operators over an embedding column
+ * (`array<float>`), pure Catalyst expressions throughout.
+ *
+ * Baseline: brute-force cosine top-k — a broadcast join of the (small) query
+ * set against the corpus, so the corpus is scanned once with no shuffle of
+ * the big side. Scale path: bucketed search (norm-range or LSH bucket id)
+ * joining only same-bucket rows; see [[bucketedTopK]].
+ *
+ * All arithmetic is done in double after an explicit element cast, folding
+ * left-to-right ([[functions.aggregate]]), which makes results reproducible
+ * across engines for oracle verification.
+ */
+object Similarity {
+
+  /** Elementwise dot product of two array<double> columns (sequential fold —
+    * deterministic summation order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def asDouble(a: Column): Column = transform(a, _.cast("double"))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Brute-force cosine top-k: for every query vector, the k nearest corpus
+   * vectors (excluding self), ranked by similarity desc with id tie-break.
+   *
+   * The query side is broadcast — the corpus side never shuffles until the
+   * final (tiny) rank partitioning on query_id. Norms are precomputed on
+   * both sides so each pair costs one dot product.
+   */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")).withColumn("qn", norm(col("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv")).withColumn("cn", norm(col("cv")))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /**
+   * Scale path: LSH-bucketed top-k. Bucket id = sign bits of `nPlanes`
+   * pseudo-random hyperplanes whose coefficients derive deterministically
+   * from md5 (portable). Query joins only its own bucket — at 100 TB this
+   * turns an O(N·Q) scan into O(N·Q / 2^nPlanes) with recall traded for
+   * speed; callers probe multiple buckets for higher recall.
+   *
+   * Plane coefficient for (plane p, dim d): portableHash("p:d") scaled to
+   * [-1, 1] — deterministic, engine-independent, no stored model.
+   */
+  def planeCoeff(p: Column, d: Column): Column =
+    (TextOps.portableHash(concat(p.cast("string"), lit(":"), d.cast("string")))
+      .cast("double") / lit(1.152921504606846976e18) /* 2^60 */) * 2.0 - 1.0
+
+  def lshBucket(vec: Column, nPlanes: Int): Column = {
+    val bits = transform(sequence(lit(0), lit(nPlanes - 1)), p => {
+      val s = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x * planeCoeff(p, d)),
+        lit(0.0), (acc, x) => acc + x)
+      when(s >= 0, pow(lit(2.0), p).cast("long")).otherwise(lit(0L))
+    })
+    aggregate(bits, lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Bucketed ANN top-k: same contract as [[cosineTopK]] but joins on the
+    * LSH bucket, so each query only scores its bucket's corpus rows. */
+  def bucketedTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nPlanes: Int = 8): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("bucket", lshBucket(col("qv"), nPlanes))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .withColumn("bucket", lshBucket(col("cv"), nPlanes))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+}

