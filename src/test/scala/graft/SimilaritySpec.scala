@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, Similarity}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Float])*) = rows.toDF("vec_id", "embedding")
+
+  test("cosineTopK ranks by cosine similarity with id tie-break") {
+    val corpus = vecs(
+      (0L, Seq(1f, 0f)), // query
+      (1L, Seq(1f, 0.01f)), // nearly parallel → rank 1
+      (2L, Seq(1f, 1f)), // 45° → rank 2
+      (3L, Seq(0f, 1f)), // orthogonal → rank 3
+      (4L, Seq(-1f, 0f))) // opposite → rank 4
+    val got = Similarity.cosineTopK(corpus.filter(col("vec_id") === 0), corpus,
+      "vec_id", "embedding", 4)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("cosine of identical vectors is 1.0") {
+    val corpus = vecs((0L, Seq(3f, 4f)), (1L, Seq(3f, 4f)))
+    val sim = Similarity.cosineTopK(corpus.filter(col("vec_id") === 0), corpus,
+      "vec_id", "embedding", 1).select("cosine").as[Double].collect()(0)
+    assert(math.abs(sim - 1.0) < 1e-12)
+  }
+
+  test("bucketedTopK: identical vectors land in the same bucket and are found") {
+    val corpus = vecs(
+      (0L, Seq(1f, 2f, 3f, 4f)),
+      (1L, Seq(1f, 2f, 3f, 4f)),
+      (2L, Seq(-4f, 3f, -2f, 1f)))
+    val got = Similarity.bucketedTopK(corpus.filter(col("vec_id") === 0), corpus,
+      "vec_id", "embedding", k = 3, nPlanes = 4)
+    val neighbors = got.select("neighbor_id").as[Long].collect().toSet
+    assert(neighbors.contains(1L)) // same bucket guaranteed for identical vectors
+  }
+
+  test("multimodal: features deterministic, payload dropped, frames sliced") {
+    val df = Seq((1L, "some binary payload content here")).toDF("id", "txt")
+      .withColumn("bin", col("txt").cast("binary"))
+    val feats = Multimodal.extractFeatures(df, col("id"), col("bin"))
+    val r = feats.collect()(0)
+    assert(r.getAs[Int]("n_bytes") == 32)
+    assert(!feats.columns.contains("bin") && !feats.columns.contains("payload"))
+    val f = r.getAs[scala.collection.Seq[Double]]("features").toSeq
+    assert(f.length == 4 && f.forall(x => x >= 0.0 && x <= 1.0))
+    // determinism
+    val again = Multimodal.extractFeatures(df, col("id"), col("bin"))
+      .collect()(0).getAs[scala.collection.Seq[Double]]("features").toSeq
+    assert(f == again)
+
+    val frames = Multimodal.sampleFrames(df, col("id"), col("bin"), n = 4)
+    assert(frames.count() == 4)
+    assert(frames.select(max(col("frame_idx"))).as[Int].collect()(0) == 3)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.sinks.EventSink
+import graft.sources.EventSource
+import graft.streaming.FlightStreamJob
+import graft.streaming.FlightStreamJob.TimeMode
+
+/** End-to-end Structured Streaming: MemoryStream JSON → full topology →
+  * memory sinks, in deterministic event-time mode (SURVEY §5.4). */
+class StreamingSpec extends SparkSpec {
+
+  private def ev(id: String, airline: String, sched: String, act: String,
+      delayed: Boolean) =
+    s"""{"flightId":"$id","flightNumber":"$airline-9","airline":"$airline",
+       |"origin":"AAA","destination":"BBB","scheduledArrival":"$sched",
+       |"actualArrival":"$act","delayed":$delayed,"userId":"u-$id"}"""
+      .stripMargin.replace("\n", "")
+
+  test("five-branch topology end-to-end over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    val cp = Files.createTempDirectory("graft-stream-cp").toString
+
+    val branches = FlightStreamJob.start(
+      spark,
+      EventSource.Existing(input.toDF()),
+      TimeMode.Event("scheduled_time"),
+      cp,
+      _ => EventSink.Memory())
+
+    try {
+      input.addData(
+        ev("1", "AA", "2024-01-01T10:00:10", "2024-01-01T10:20:10", true),
+        ev("2", "AA", "2024-01-01T10:00:50", "2024-01-01T10:10:50", false),
+        ev("3", "BB", "2024-01-01T10:01:10", "2024-01-01T09:51:10", false))
+      Seq(branches.notifications, branches.airlineStats, branches.routeStats,
+        branches.hourlyStats, branches.rawEvents).foreach(_.processAllAvailable())
+
+      // Raw passthrough and stateless notification branches emit immediately.
+      assert(spark.table("raw_events").count() == 3)
+      val notes = spark.table("notifications").as[String].collect()
+      assert(notes.length == 1 && notes(0).contains(""""flightId":"1""""))
+
+      // Watermarked windows emit once the watermark passes the window end —
+      // push a much later sentinel event to close the 10:00 windows.
+      input.addData(ev("99", "ZZ", "2024-01-01T12:00:00", "2024-01-01T12:00:00", false))
+      Seq(branches.airlineStats, branches.routeStats, branches.hourlyStats)
+        .foreach(_.processAllAvailable())
+
+      val airline = spark.table("airline_stats")
+        .filter(col("airline") === "AA").collect()(0)
+      assert(airline.getAs[Long]("total_flights") == 2L)
+      assert(airline.getAs[Long]("delayed_flights") == 1L)
+      assert(math.abs(airline.getAs[Double]("avg_delay_minutes") - 15.0) < 1e-12)
+      assert(math.abs(airline.getAs[Double]("delay_rate") - 50.0) < 1e-12)
+
+      val route = spark.table("route_stats").filter(col("route") === "AAA-BBB")
+      assert(route.count() >= 1) // both airlines share the route; 3-min windows
+      val hourly = spark.table("hourly_stats").filter(col("hour_of_day") === 10)
+      assert(hourly.select(sum("total_flights")).as[Long].collect()(0) == 3L)
+    } finally {
+      Seq(branches.notifications, branches.airlineStats, branches.routeStats,
+        branches.hourlyStats, branches.rawEvents).foreach(_.stop())
+    }
+  }
+
+  test("JDBC sink writes micro-batches to an embedded Derby table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    val cp = Files.createTempDirectory("graft-jdbc-cp").toString
+    val db = Files.createTempDirectory("graft-derby").toString + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+
+    val parsed = graft.operators.FlightOps.parseFlightEvents(input.toDF())
+    val q = EventSink.Jdbc(url, "flights_raw").start(parsed, cp, "jdbc_raw")
+    try {
+      input.addData(ev("1", "AA", "2024-01-01T10:00:10", "2024-01-01T10:20:10", true))
+      q.processAllAvailable()
+      input.addData(ev("2", "BB", "2024-01-01T11:00:10", "2024-01-01T11:05:10", false))
+      q.processAllAvailable()
+      val back = spark.read.jdbc(url, "flights_raw", new java.util.Properties())
+      assert(back.count() == 2)
+      assert(back.filter(col("IS_DELAYED") === 1).count() == 1)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextOps}
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("normalize: lowercase, trim, collapse whitespace") {
+    val got = docs((1L, "  Hello   WORLD  "))
+      .select(TextOps.normalize(col("text"))).as[String].collect()(0)
+    assert(got == "hello world")
+  }
+
+  test("shingles: n-grams, distinct, short-doc fallback") {
+    val got = docs((1L, "a b c d"))
+      .select(TextOps.shingles(col("text"), 3)).as[Seq[String]].collect()(0)
+    assert(got == Seq("a b c", "b c d"))
+    val short = docs((1L, "a b"))
+      .select(TextOps.shingles(col("text"), 3)).as[Seq[String]].collect()(0)
+    assert(short == Seq("a b"))
+    val dup = docs((1L, "x y x y x y"))
+      .select(TextOps.shingles(col("text"), 3)).as[Seq[String]].collect()(0)
+    assert(dup == Seq("x y x", "y x y")) // distinct
+  }
+
+  test("exact dedup groups identical texts and keeps min id") {
+    val r = Dedup.exact(docs((5L, "same"), (2L, "same"), (9L, "other")),
+      col("text"), col("doc_id"))
+      .filter(col("text") === "same").collect()(0)
+    assert(r.getAs[Long]("canonical_id") == 2L)
+    assert(r.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("fingerprint dedup is whitespace/case-insensitive") {
+    val r = Dedup.byFingerprint(
+      docs((1L, "Hello  World"), (2L, "hello world "), (3L, "different")),
+      col("text"), col("doc_id"))
+    assert(r.count() == 2)
+    assert(r.filter(col("n_copies") === 2).select("canonical_id").as[Long].collect()(0) == 1L)
+  }
+
+  test("identical docs share a full minhash signature; near-dups collide in LSH") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup
+      (3L, "the quick brown fox jumps over the lazy dog again and again tomorrow"), // near dup
+      (4L, "completely unrelated text about spark catalyst optimizer internals here"))
+    val sigs = Dedup.minhashSignatures(d, col("text"), col("doc_id"))
+    assert(sigs.count() == 4 * 16)
+    // identical docs → identical signatures
+    val s1 = sigs.filter(col("doc_id") === 1).orderBy("perm").select("minhash").as[Long].collect()
+    val s2 = sigs.filter(col("doc_id") === 2).orderBy("perm").select("minhash").as[Long].collect()
+    assert(s1.toSeq == s2.toSeq)
+    val cands = Dedup.lshCandidates(Dedup.lshBuckets(sigs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L))) // exact dup always collides
+    assert(!cands.exists { case (a, b) => b == 4L || a == 4L }) // unrelated never does
+  }
+
+  test("ngramJaccard: exact dup = 1.0, disjoint = 0.0") {
+    val d = docs(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val r = Dedup.ngramJaccard(pairs, d, col("text"), col("doc_id"))
+      .collect().map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b"),
+        x.getAs[Double]("jaccard"))).toSet
+    assert(r == Set((1L, 2L, 1.0), (1L, 3L, 0.0)))
+  }
+
+  test("simhash: identical docs equal; similar docs closer than dissimilar") {
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val d = docs(
+      (1L, "spark catalyst optimizer rewrites logical plans into physical plans"),
+      (2L, "spark catalyst optimizer rewrites logical plans into physical plans"),
+      (3L, "spark catalyst optimizer rewrites logical trees into physical trees"),
+      (4L, "bananas oranges apples grapes melons pears plums cherries"))
+    val m = Dedup.simhash(d, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+    assert(m(1L) == m(2L))
+    assert(hamming(m(1L), m(3L)) < hamming(m(1L), m(4L)))
+  }
+
+  test("textStats computes exact counts and ratios") {
+    val r = TextOps.textStats(docs((1L, "the cat and the hat")), col("text"), col("doc_id"))
+      .collect()(0)
+    assert(r.getAs[Int]("n_tokens") == 5)
+    assert(r.getAs[Int]("n_chars") == 19)
+    assert(r.getAs[Int]("n_distinct_tokens") == 4)
+    assert(r.getAs[Int]("n_stopwords") == 3) // the, and, the
+    assert(r.getAs[Double]("stopword_ratio") == 0.6)
+  }
+
+  test("langId picks the language with most marker hits, deterministic ties") {
+    val r = TextOps.langId(docs(
+      (1L, "the a the data"), // en 3, es 1 → en
+      (2L, "vector batch vector"), // zh
+      (3L, "nothing matching here")), col("text"), col("doc_id"))
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(r(1L) == "en")
+    assert(r(2L) == "zh")
+    assert(r(3L) == "und")
+  }
+}
