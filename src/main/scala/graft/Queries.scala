@@ -554,7 +554,183 @@ object Queries {
           |       ('0x' || substr(md5('1:' || md5(text)), 1, 15))::bigint / 1.152921504606846976e18 AS feature_1,
           |       ('0x' || substr(md5('2:' || md5(text)), 1, 15))::bigint / 1.152921504606846976e18 AS feature_2,
           |       ('0x' || substr(md5('3:' || md5(text)), 1, 15))::bigint / 1.152921504606846976e18 AS feature_3
-          |FROM documents""".stripMargin))
+          |FROM documents""".stripMargin)),
+
+    // ==========================================================================
+    // Window-shape coverage beyond the reference: sliding + session windows
+    // ==========================================================================
+
+    // Sliding window: 10-minute windows every 5 minutes — each event lands in
+    // exactly two windows (duration/slide = 2).
+    ("events_sliding_stats",
+      (s: SparkSession, d: String) =>
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), sumDec(col("value")).as("sum_value"))
+          .select(ntz(col("window.start")).as("window_start"),
+            ntz(col("window.end")).as("window_end"),
+            col("event_type"), col("n_events"), col("sum_value")),
+      Some(
+        """SELECT time_bucket(INTERVAL 5 MINUTES, ts) - to_minutes(k * 5) AS window_start,
+          |       time_bucket(INTERVAL 5 MINUTES, ts) - to_minutes(k * 5) + INTERVAL 10 MINUTES AS window_end,
+          |       event_type, count(*) AS n_events,
+          |       cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
+          |FROM events CROSS JOIN (SELECT unnest(range(0, 2)) AS k)
+          |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // Session window: 30-minute inactivity gap per user; session end = last
+    // event + gap (Spark session_window semantics, reproduced via a
+    // lag/cumsum session id in the oracle).
+    ("events_session_windows",
+      (s: SparkSession, d: String) =>
+        Tables.events(s, d)
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"), sumDec(col("value")).as("sum_value"))
+          .select(col("user_id"),
+            ntz(col("session_window.start")).as("session_start"),
+            ntz(col("session_window.end")).as("session_end"),
+            col("n_events"), col("sum_value")),
+      Some(
+        """WITH o AS (
+          |  SELECT user_id, ts, value,
+          |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+          |                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTES
+          |              THEN 1 ELSE 0 END AS new_s
+          |  FROM events),
+          |s AS (
+          |  SELECT user_id, ts, value,
+          |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM o)
+          |SELECT user_id, min(ts) AS session_start,
+          |       max(ts) + INTERVAL 30 MINUTES AS session_end,
+          |       count(*) AS n_events,
+          |       cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
+          |FROM s GROUP BY user_id, sid""".stripMargin)),
+
+    // ==========================================================================
+    // Relational breadth: rollup, pivot, semi/anti joins, set ops, as-of join
+    // ==========================================================================
+
+    ("events_rollup",
+      (s: SparkSession, d: String) =>
+        Tables.events(s, d)
+          .select(col("event_type"), hour(col("ts")).as("hr"), col("value"))
+          .rollup(col("event_type"), col("hr"))
+          .agg(count(lit(1)).as("n_events"), sumDec(col("value")).as("sum_value"),
+            grouping(col("event_type")).as("g1"), grouping(col("hr")).as("g2"))
+          .select(
+            when(col("g1") === 1, lit("(all)")).otherwise(col("event_type")).as("event_type"),
+            when(col("g2") === 1, lit(-1)).otherwise(col("hr")).cast("int").as("hr"),
+            col("n_events"), col("sum_value")),
+      Some(
+        """SELECT CASE WHEN GROUPING(event_type) = 1 THEN '(all)' ELSE event_type END AS event_type,
+          |       (CASE WHEN GROUPING(hr) = 1 THEN -1 ELSE hr END)::int AS hr,
+          |       count(*) AS n_events,
+          |       cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
+          |FROM (SELECT event_type, hour(ts) AS hr, value FROM events)
+          |GROUP BY ROLLUP (event_type, hr)""".stripMargin)),
+
+    ("events_pivot",
+      (s: SparkSession, d: String) =>
+        Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .count()
+          .na.fill(0L),
+      Some(
+        """SELECT user_id,
+          |       count(*) FILTER (WHERE event_type = 'click') AS click,
+          |       count(*) FILTER (WHERE event_type = 'error') AS error,
+          |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+          |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+          |       count(*) FILTER (WHERE event_type = 'view') AS view
+          |FROM events GROUP BY 1""".stripMargin)),
+
+    // Anti join: customers having no order above 450k (≈1/3 of customers at
+    // every SF since orders-per-customer is SF-invariant).
+    ("anti_join_customers",
+      (s: SparkSession, d: String) => {
+        val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+        Tables.customer(s, d)
+          .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      },
+      Some(
+        """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+          |WHERE NOT EXISTS (SELECT 1 FROM orders o
+          |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)""".stripMargin)),
+
+    ("semi_join_customers",
+      (s: SparkSession, d: String) => {
+        val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+        Tables.customer(s, d)
+          .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_acctbal"))
+      },
+      Some(
+        """SELECT c_custkey, c_acctbal FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)""".stripMargin)),
+
+    // Set operations over (user, day) activity pairs.
+    ("setops_purchase_no_error_days",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        def pairs(t: String) = ev.filter(col("event_type") === t)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        pairs("purchase").except(pairs("error"))
+      },
+      Some(
+        """SELECT DISTINCT user_id, ts::date AS day FROM events WHERE event_type = 'purchase'
+          |EXCEPT
+          |SELECT DISTINCT user_id, ts::date FROM events WHERE event_type = 'error'""".stripMargin)),
+
+    ("setops_purchase_and_error_days",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        def pairs(t: String) = ev.filter(col("event_type") === t)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        pairs("purchase").intersect(pairs("error"))
+      },
+      Some(
+        """SELECT DISTINCT user_id, ts::date AS day FROM events WHERE event_type = 'purchase'
+          |INTERSECT
+          |SELECT DISTINCT user_id, ts::date FROM events WHERE event_type = 'error'""".stripMargin)),
+
+    // As-of join: each error event picks up the latest purchase (id + value)
+    // of the same user at-or-before it. Oracle = DuckDB's native ASOF JOIN —
+    // a genuinely independent implementation of the same semantics.
+    ("asof_purchase_before_error",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+        AsofJoin.asofLast(errors, purchases, Seq("user_id"), "ts", "ts",
+            Seq("purchase_id", "purchase_value"))
+          .select(col("event_id"), col("user_id"), ntz(col("ts")).as("ts"),
+            col("asof_purchase_id"), col("asof_purchase_value"))
+      },
+      Some(
+        """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+          |p AS (SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+          |      FROM events WHERE event_type = 'purchase')
+          |SELECT e.event_id, e.user_id, e.ts,
+          |       p.purchase_id AS asof_purchase_id,
+          |       p.purchase_value AS asof_purchase_value
+          |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin)),
+
+    // Sketch aggregation: HLL++ approximate distinct — engine-specific sketch,
+    // so no cross-engine oracle (driver records the weaker rows-only check);
+    // the ScalaTest suite bounds it against the exact count instead.
+    ("approx_distinct_users",
+      (s: SparkSession, d: String) =>
+        Tables.events(s, d).groupBy(col("event_type"))
+          .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+            countDistinct(col("user_id")).as("exact_users")),
+      None)
   )
 
   /** Shared DuckDB CTE: distinct 3-gram word shingles per document, matching

