@@ -393,23 +393,14 @@ object Queries {
     ("dedup_minhash_sigs",
       (s: SparkSession, d: String) =>
         Dedup.minhashSignatures(Tables.documents(s, d), col("text"), col("doc_id")),
-      Some(shingleCte +
-        """, perms AS (SELECT unnest(range(0, 16)) AS perm)
-          |SELECT doc_id, perm::int AS perm,
-          |       min(('0x' || substr(md5(perm || ':' || shingle), 1, 15))::bigint) AS minhash
-          |FROM shingle_rows CROSS JOIN perms
-          |GROUP BY 1, 2""".stripMargin)),
+      Some(shingleCte + minhashSigsSql)),
 
     ("dedup_lsh_candidates",
       (s: SparkSession, d: String) =>
         Dedup.lshCandidates(Dedup.lshBuckets(
           Dedup.minhashSignatures(Tables.documents(s, d), col("text"), col("doc_id")))),
       Some(shingleCte +
-        """, perms AS (SELECT unnest(range(0, 16)) AS perm),
-          |sigs AS (
-          |  SELECT doc_id, perm::int AS perm,
-          |         min(('0x' || substr(md5(perm || ':' || shingle), 1, 15))::bigint) AS minhash
-          |  FROM shingle_rows CROSS JOIN perms GROUP BY 1, 2),
+        s""", sigs AS ($minhashSigsSql),
           |buckets AS (
           |  SELECT doc_id, perm // 4 AS band,
           |         md5(string_agg(minhash::varchar, ',' ORDER BY perm)) AS bucket
@@ -732,6 +723,20 @@ object Queries {
             countDistinct(col("user_id")).as("exact_users")),
       None)
   )
+
+  /** DuckDB MinHash signature SQL generated from the SAME (a,b) constants as
+    * [[Dedup.minhashSignatures]] — single source of truth for the family. */
+  private lazy val minhashSigsSql: String = {
+    val aList = Dedup.minhashPerms.map(_._1).mkString("[", ", ", "]")
+    val bList = Dedup.minhashPerms.map(_._2).mkString("[", ", ", "]")
+    s"""SELECT doc_id, perm::int AS perm,
+       |       min(($aList[perm + 1] * h + $bList[perm + 1]) % ${Dedup.MinhashPrime}) AS minhash
+       |FROM (SELECT doc_id,
+       |             ('0x' || substr(md5(shingle), 1, 15))::bigint % ${Dedup.MinhashPrime} AS h
+       |      FROM shingle_rows)
+       |CROSS JOIN (SELECT unnest(range(0, 16)) AS perm)
+       |GROUP BY 1, 2""".stripMargin
+  }
 
   /** Shared DuckDB CTE: distinct 3-gram word shingles per document, matching
     * [[TextOps.shingles]] exactly (incl. the short-document whole-text case). */

@@ -14,6 +14,7 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); read as long + convert
       // (see graft.Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.optimizer.enableJsonExpressionOptimization", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
