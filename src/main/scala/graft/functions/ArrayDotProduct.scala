@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/**
+ * Native codegen'd dot product over two `array<double>` columns.
+ *
+ * Why a custom Expression (SURVEY §7.5 preference order: built-ins → custom
+ * Expression → custom plan): the built-in formulation
+ * `aggregate(zip_with(a, b, _*_), 0d, _+_)` allocates an intermediate array
+ * per row and evaluates two lambda closures per element through
+ * HigherOrderFunction interpretation. This expression is one fused loop in
+ * generated Java — no allocation, no virtual calls — and keeps the exact
+ * left-to-right summation order of the built-in chain (and of DuckDB's
+ * list_dot_product), so results stay bit-identical for oracle verification.
+ *
+ * Inner-loop cost matters here: similarity search evaluates it
+ * |queries|×|corpus| times.
+ */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"array_dot requires (array<double>, array<double>), got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+  import org.apache.spark.sql.graft.bridge
+
+  /** Column-level API (classic-backend column from a catalyst expression). */
+  def array_dot(a: Column, b: Column): Column =
+    bridge.column(ArrayDotProduct(bridge.expression(a), bridge.expression(b)))
+}

@@ -1,0 +1,26 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.ArrayDotProduct
+
+/**
+ * Session extensions: expose graft's native expressions to SQL.
+ *
+ *   spark.sql.extensions=graft.plans.GraftExtensions
+ *
+ * makes `SELECT array_dot(a, b)` resolvable in plain SQL alongside the
+ * Column API in [[graft.functions.GraftFunctions]]. This is the
+ * SparkSessionExtensions injection point custom Rules/Strategies would also
+ * hang off — none are needed for current semantics (every operator resolves
+ * to built-in plans; see SURVEY §4 "custom work required").
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
+      (children: Seq[Expression]) => ArrayDotProduct(children.head, children(1))))
+  }
+}
