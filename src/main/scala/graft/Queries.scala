@@ -713,6 +713,37 @@ object Queries {
           |       p.purchase_value AS asof_purchase_value
           |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin)),
 
+    // SimHash near-dup endpoint: Hamming distance between consecutive docs'
+    // fingerprints (bit_count of xor — identical in both engines).
+    ("dedup_simhash_pairs",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val ids = docs.select(col("doc_id"))
+        val pairs = ids.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+          .join(ids.select(col("doc_id").as("doc_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"))
+        Dedup.simhashPairs(pairs, Dedup.simhash(docs, col("text"), col("doc_id")))
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT DISTINCT doc_id, t AS token
+          |  FROM (SELECT doc_id,
+          |               unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS t
+          |        FROM documents)),
+          |h AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::bigint AS h FROM tok),
+          |bits AS (
+          |  SELECT doc_id, b,
+          |         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+          |  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b) GROUP BY 1, 2),
+          |sh AS (
+          |  SELECT doc_id,
+          |         cast(sum(CASE WHEN votes > 0 THEN (1::bigint << b) ELSE 0 END) AS bigint) AS simhash
+          |  FROM bits GROUP BY 1)
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |       bit_count(xor(a.simhash, b.simhash))::int AS hamming,
+          |       (CASE WHEN bit_count(xor(a.simhash, b.simhash)) <= 12 THEN 1 ELSE 0 END)::int AS near_dup
+          |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin)),
+
     // Sketch aggregation: HLL++ approximate distinct — engine-specific sketch,
     // so no cross-engine oracle (driver records the weaker rows-only check);
     // the ScalaTest suite bounds it against the exact count instead.

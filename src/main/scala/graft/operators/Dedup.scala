@@ -125,6 +125,18 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
   }
 
+  /** Near-dup detection over SimHash fingerprints for an explicit pair
+    * frame: Hamming distance via bit_count(xor). */
+  def simhashPairs(pairs: DataFrame, fingerprints: DataFrame,
+      maxHamming: Int = 12): DataFrame = {
+    val fa = fingerprints.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val fb = fingerprints.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    pairs.join(fa, "doc_a").join(fb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .withColumn("near_dup", (col("hamming") <= maxHamming).cast("int"))
+  }
+
   /**
    * SimHash fingerprint (60-bit, portable): per token-hash bit j, vote
    * +1/-1; fingerprint bit j set iff the vote sum is positive. Returned as a
