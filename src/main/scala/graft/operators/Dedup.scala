@@ -91,14 +91,19 @@ object Dedup {
           .cast("binary")).as("bucket"))
 
   /** Candidate near-dup pairs: distinct (a < b) sharing any LSH bucket.
-    * The join key (band, bucket) bounds the blow-up to intra-bucket pairs. */
-  def lshCandidates(buckets: DataFrame): DataFrame = {
-    val l = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
-    val r = buckets.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-  }
+    * Implemented as groupBy(bucket) + in-bucket pair expansion rather than a
+    * self-join — the upstream signature pipeline is computed ONCE (a
+    * self-join would run it twice absent exchange reuse), and the (band,
+    * bucket) key bounds the pair blow-up to intra-bucket combinations. */
+  def lshCandidates(buckets: DataFrame): DataFrame =
+    buckets.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y ->
+          |    struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b")).distinct()
 
   /**
    * Exact Jaccard similarity over word-shingle sets for an explicit pair
