@@ -470,6 +470,7 @@ object Queries {
           |       len(toks)::int AS n_tokens,
           |       len(list_distinct(toks))::int AS n_distinct_tokens,
           |       len(list_filter(toks, x -> x IN ('the','a','of','and','is')))::int AS n_stopwords,
+          |       len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::int AS n_subtokens,
           |       cast(length(norm) - (len(toks) - 1) AS double) / len(toks) AS avg_token_len,
           |       cast(len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS double)
           |         / len(toks) AS stopword_ratio,
@@ -743,6 +744,47 @@ object Queries {
           |       bit_count(xor(a.simhash, b.simhash))::int AS hamming,
           |       (CASE WHEN bit_count(xor(a.simhash, b.simhash)) <= 12 THEN 1 ELSE 0 END)::int AS near_dup
           |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin)),
+
+    // Embedding-cosine near-dup pairs (brute-force exact baseline; the scale
+    // path is LSH-bucketed — see Similarity.bucketedTopK).
+    ("dedup_embedding_near",
+      (s: SparkSession, d: String) =>
+        Dedup.embeddingNearDup(Tables.embeddings(s, d), col("vec_id"),
+          col("embedding"), 0.35),
+      Some(
+        """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS ve
+          |           FROM embeddings),
+          |n AS (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nn FROM v)
+          |SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+          |       list_dot_product(a.ve, b.ve) / (a.nn * b.nn) AS cosine
+          |FROM n a JOIN n b ON a.vec_id < b.vec_id
+          |WHERE list_dot_product(a.ve, b.ve) / (a.nn * b.nn) >= 0.35""".stripMargin)),
+
+    // Exact order statistics without interpolation ambiguity: the value at
+    // rank ceil(p*n) per group (deterministic in any engine).
+    ("events_value_percentiles",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        val ranked = Tables.events(s, d)
+          .select(col("event_type"), col("value"), col("event_id"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        def pick(p: Double, pct: Int) = ranked
+          .filter(col("rn") === greatest(ceil(col("n") * p), lit(1L)))
+          .select(col("event_type"), lit(pct).as("pct"), col("value"))
+        pick(0.5, 50).unionAll(pick(0.9, 90))
+      },
+      Some(
+        """WITH r AS (
+          |  SELECT event_type, value,
+          |         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+          |         count(*) OVER (PARTITION BY event_type) AS n
+          |  FROM events)
+          |SELECT event_type, 50 AS pct, value FROM r WHERE rn = greatest(ceil(n * 0.5), 1)
+          |UNION ALL
+          |SELECT event_type, 90 AS pct, value FROM r WHERE rn = greatest(ceil(n * 0.9), 1)""".stripMargin)),
 
     // Sketch aggregation: HLL++ approximate distinct — engine-specific sketch,
     // so no cross-engine oracle (driver records the weaker rows-only check);

@@ -130,6 +130,24 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
   }
 
+  /**
+   * Embedding-cosine near-dup pairs: all (a < b) with cosine ≥ threshold.
+   * This is the brute-force O(N²/2) baseline — correct and exact; at corpus
+   * scale use [[Similarity.bucketedTopK]]'s LSH bucketing to bound the pair
+   * space and run this verification only within buckets.
+   */
+  def embeddingNearDup(embeddings: DataFrame, idCol: Column, vecCol: Column,
+      threshold: Double): DataFrame = {
+    val v = embeddings.select(idCol.as("id"), Similarity.asDouble(vecCol).as("v"))
+      .withColumn("n", Similarity.norm(col("v")))
+    val a = v.select(col("id").as("doc_a"), col("v").as("va"), col("n").as("na"))
+    val b = v.select(col("id").as("doc_b"), col("v").as("vb"), col("n").as("nb"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Near-dup detection over SimHash fingerprints for an explicit pair
     * frame: Hamming distance via bit_count(xor). */
   def simhashPairs(pairs: DataFrame, fingerprints: DataFrame,

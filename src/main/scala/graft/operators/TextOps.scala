@@ -71,7 +71,11 @@ object TextOps {
       length(norm).as("n_chars"),
       size(t).as("n_tokens"),
       size(array_distinct(t)).as("n_distinct_tokens"),
-      size(filter(t, x => x.isInCollection(stopwords))).as("n_stopwords")
+      size(filter(t, x => x.isInCollection(stopwords))).as("n_stopwords"),
+      // BPE-ish subtoken count: alpha runs, digit runs, and single
+      // non-alphanumeric marks — the pre-merge segmentation a byte-pair
+      // tokenizer starts from.
+      regexp_count(norm, lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("n_subtokens")
     ).withColumn("avg_token_len",
       (col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
       .withColumn("stopword_ratio",
