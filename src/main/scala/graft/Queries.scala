@@ -745,6 +745,28 @@ object Queries {
           |       (CASE WHEN bit_count(xor(a.simhash, b.simhash)) <= 12 THEN 1 ELSE 0 END)::int AS near_dup
           |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin)),
 
+    // Winnowing rolling-hash fingerprints (k=8 char-grams, window w=4).
+    ("text_winnow_fingerprints",
+      (s: SparkSession, d: String) =>
+        TextOps.winnowFingerprints(Tables.documents(s, d), col("text"), col("doc_id")),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+          |  FROM documents),
+          |g AS (
+          |  SELECT doc_id, pos,
+          |         ('0x' || substr(md5(substr(norm, pos::int, 8)), 1, 15))::bigint AS h,
+          |         length(norm) - 7 AS n_pos
+          |  FROM t CROSS JOIN LATERAL (SELECT unnest(range(1, length(norm) - 6)) AS pos)
+          |  WHERE length(norm) >= 8),
+          |w AS (
+          |  SELECT doc_id, pos, n_pos,
+          |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+          |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min
+          |  FROM g)
+          |SELECT DISTINCT doc_id, win_min AS fingerprint
+          |FROM w WHERE pos <= n_pos - 3""".stripMargin)),
+
     // Embedding-cosine near-dup pairs (brute-force exact baseline; the scale
     // path is LSH-bucketed — see Similarity.bucketedTopK).
     ("dedup_embedding_near",

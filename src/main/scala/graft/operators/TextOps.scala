@@ -91,6 +91,44 @@ object TextOps {
   }
 
   /**
+   * Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's rolling-hash
+   * scheme): hash every char k-gram, slide a window of `w` consecutive
+   * positions, keep each window's minimum hash — the classic
+   * plagiarism/near-dup fingerprint set with guaranteed match coverage for
+   * overlaps ≥ w+k-1 chars.
+   *
+   * Dataflow: explode positions (one row per k-gram), windowed min over
+   * position order per doc, distinct. O(doc length) rows through one
+   * per-doc-partitioned window — no joins, scales linearly.
+   */
+  def winnowFingerprints(docs: DataFrame, textCol: Column, idCol: Column,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = normalize(textCol)
+    val grams = docs.select(idCol.as("doc_id"), norm.as("norm"))
+      .filter(length(col("norm")) >= k)
+      .select(col("doc_id"),
+        posexplode(sequence(lit(1), length(col("norm")) - (k - 1))).as(Seq("ord", "pos")),
+        col("norm"))
+      .select(col("doc_id"), col("pos"),
+        portableHash(substring_with_col(col("norm"), col("pos"), k)).as("h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    grams
+      .withColumn("win_min", min(col("h")).over(win))
+      // a position's window is complete only while w k-grams remain
+      .withColumn("n_pos", max(col("pos")).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("pos") <= col("n_pos") - (w - 1))
+      .select(col("doc_id"), col("win_min").as("fingerprint"))
+      .distinct()
+  }
+
+  /** substring with a column start index (the built-in `substring` only takes
+    * literal positions). */
+  private def substring_with_col(s: Column, pos: Column, len: Int): Column =
+    s.substr(pos, lit(len))
+
+  /**
    * Marker-token language ID. On natural text the markers would be per-language
    * function words; the heuristic structure (count marker hits per language,
    * argmax with deterministic tie-break order) is the real n-gram-profile

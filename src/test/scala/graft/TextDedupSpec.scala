@@ -83,6 +83,22 @@ class TextDedupSpec extends SparkSpec {
     assert(hamming(m(1L), m(3L)) < hamming(m(1L), m(4L)))
   }
 
+  test("winnowing: identical docs share all fingerprints, overlaps share some") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "PREFIX padding the quick brown fox jumps over the lazy dog"),
+      (4L, "zz"), // shorter than k → no fingerprints, must not crash
+      (5L, "totally different content with no shared substrings at all"))
+    val fp = TextOps.winnowFingerprints(d, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(fp(1L) == fp(2L))
+    assert((fp(1L) & fp(3L)).nonEmpty) // guaranteed coverage of long overlap
+    assert(!fp.contains(4L))
+    assert((fp(1L) & fp(5L)).isEmpty)
+  }
+
   test("textStats computes exact counts and ratios") {
     val r = TextOps.textStats(docs((1L, "the cat and the hat")), col("text"), col("doc_id"))
       .collect()(0)
