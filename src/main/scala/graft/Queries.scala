@@ -103,6 +103,31 @@ object Queries {
           .withColumn("actual_time", ntz(col("actual_time"))),
       Some(flightCte + "SELECT * FROM flights")),
 
+    // ---- P1b: strict-field rejection (dead-letter observability) ----------
+    // The reference NPEs the whole job on a missing required field; we drop
+    // the record into a rejected view instead. Corrupt every 97th record
+    // (flightId removed) and check both sides of the split.
+    ("flight_reject_stats",
+      (s: SparkSession, d: String) => {
+        val corrupt = {
+          val ev = Tables.events(s, d)
+          // same wire as wireFlightJson, but flightId nulled for %97 == 0
+          wireFlightJson(ev.withColumn("event_id",
+            when(col("event_id") % 97 === 0, lit(null).cast("long"))
+              .otherwise(col("event_id"))))
+        }
+        val parsed = FlightOps.parseFlightEvents(corrupt)
+          .select(lit("parsed").as("kind"))
+        val rejected = FlightOps.rejectedFlightEvents(corrupt)
+          .select(lit("rejected").as("kind"))
+        parsed.unionAll(rejected).groupBy(col("kind")).agg(count(lit(1)).as("n"))
+      },
+      Some(
+        """SELECT kind, count(*) AS n FROM (
+          |  SELECT CASE WHEN event_id % 97 = 0 THEN 'rejected' ELSE 'parsed' END AS kind
+          |  FROM events)
+          |GROUP BY 1""".stripMargin)),
+
     // ---- P2: predicate filter ---------------------------------------------
     ("flight_delayed",
       (s: SparkSession, d: String) =>

@@ -60,6 +60,58 @@ object FlightStreamJob {
   }
 
   /**
+   * The 100 TB variant (SURVEY §7.3 option b): ONE StreamingQuery whose
+   * foreachBatch persists each parsed micro-batch and fans out to all five
+   * destinations — the source is read once per trigger regardless of branch
+   * count, which is the property that matters when the source is 100 TB of
+   * Kafka backlog.
+   *
+   * Semantics difference vs [[start]] (documented, inherent to the shape):
+   * the three stats branches emit *per-batch partial* window aggregates —
+   * each trigger appends that batch's contribution to every window it
+   * touches. Downstream stores merge partials (sum counts, sum delay
+   * totals), which is why `avg` is decomposed into `delay_minutes_total` —
+   * averages of averages don't merge, sums do. This mirrors how the
+   * reference's ClickHouse tables would be declared as SummingMergeTree.
+   */
+  def startFused(
+      spark: SparkSession,
+      source: EventSource,
+      timeCol: Column,
+      checkpoint: String,
+      writeBranch: (String, DataFrame) => Unit): StreamingQuery = {
+    val parsed = FlightOps.parseFlightEvents(source.load(spark))
+    parsed.writeStream
+      .queryName("flight_fused")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          writeBranch("raw_events", batch)
+          writeBranch("notifications", FlightOps.delayNotifications(batch))
+          def partial(keys: Seq[(String, Column)], dur: String) =
+            batch.groupBy((window(timeCol, dur) +: keys.map { case (n, c) => c.as(n) }): _*)
+              .agg(count(lit(1)).as("total_flights"),
+                sum(col("is_delayed")).cast("long").as("delayed_flights"),
+                sum(col("delay_minutes")).as("delay_minutes_total"))
+              .select((col("window.start").as("window_start") +:
+                col("window.end").as("window_end") +:
+                keys.map { case (n, _) => col(n) } :+ col("total_flights") :+
+                col("delayed_flights") :+ col("delay_minutes_total")): _*)
+          writeBranch("airline_stats",
+            partial(Seq("airline" -> col("airline")), "2 minutes"))
+          writeBranch("route_stats", partial(Seq(
+            "route" -> concat_ws("-", col("origin"), col("destination")),
+            "origin" -> col("origin"), "destination" -> col("destination")), "3 minutes"))
+          writeBranch("hourly_stats",
+            partial(Seq("hour_of_day" -> hour(col("scheduled_time"))), "5 minutes"))
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /**
    * Wire and start all five branches. `sinkFor` maps branch name →
    * sink ("notifications", "airline_stats", "route_stats", "hourly_stats",
    * "raw_events"), so tests plug Memory sinks where production plugs

@@ -68,6 +68,59 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("fused single-query topology: one read, five branches, mergeable partials") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[String]
+    val cp = Files.createTempDirectory("graft-fused-cp").toString
+    val out = scala.collection.mutable.Map[String, Seq[org.apache.spark.sql.Row]]()
+      .withDefaultValue(Seq.empty)
+
+    val q = FlightStreamJob.startFused(spark, EventSource.Existing(input.toDF()),
+      col("scheduled_time"), cp,
+      (name, df) => out.synchronized { out(name) = out(name) ++ df.collect().toSeq })
+    try {
+      // two micro-batches touching the SAME 2-minute window
+      input.addData(ev("1", "AA", "2024-01-01T10:00:10", "2024-01-01T10:20:10", true))
+      q.processAllAvailable()
+      input.addData(ev("2", "AA", "2024-01-01T10:00:50", "2024-01-01T10:10:50", false))
+      q.processAllAvailable()
+
+      assert(out("raw_events").size == 2)
+      assert(out("notifications").size == 1)
+      // per-batch partials: two rows for the same (window, AA) that MERGE by
+      // summation to the true totals
+      val aa = out("airline_stats").filter(_.getAs[String]("airline") == "AA")
+      assert(aa.size == 2)
+      assert(aa.map(_.getAs[Long]("total_flights")).sum == 2L)
+      assert(aa.map(_.getAs[Long]("delayed_flights")).sum == 1L)
+      assert(aa.map(_.getAs[Long]("delay_minutes_total")).sum == 30L)
+    } finally q.stop()
+  }
+
+  test("processing-time mode runs the topology (stateless branches emit)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    val cp = Files.createTempDirectory("graft-proc-cp").toString
+    val branches = FlightStreamJob.start(spark, EventSource.Existing(input.toDF()),
+      TimeMode.Processing, cp, _ => EventSink.Memory())
+    try {
+      input.addData(ev("P1", "AA", "2024-01-01T10:00:10", "2024-01-01T10:20:10", true))
+      Seq(branches.notifications, branches.airlineStats, branches.routeStats,
+        branches.hourlyStats, branches.rawEvents).foreach(_.processAllAvailable())
+      // stateless branches emit immediately; windowed branches hold state
+      // until their wall-clock windows close (not awaited here)
+      assert(spark.table("raw_events").count() == 1)
+      assert(spark.table("notifications").count() == 1)
+      assert(Seq(branches.airlineStats, branches.routeStats, branches.hourlyStats)
+        .forall(_.isActive))
+    } finally
+      Seq(branches.notifications, branches.airlineStats, branches.routeStats,
+        branches.hourlyStats, branches.rawEvents).foreach(_.stop())
+  }
+
   test("JDBC sink writes micro-batches to an embedded Derby table") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
