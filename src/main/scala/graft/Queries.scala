@@ -365,6 +365,66 @@ object Queries {
           |FROM lineitem JOIN part ON l_partkey = p_partkey
           |GROUP BY 1 ORDER BY revenue DESC, p_brand LIMIT 5""".stripMargin)),
 
+    // Single-scan filter-aggregate (TPC-H Q6 shape — pure pushdown demo).
+    ("tpch_q6_revenue",
+      (s: SparkSession, d: String) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24)
+          .agg(sumDec(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+            count(lit(1)).as("n_items")),
+      Some(
+        """SELECT cast(sum(cast(l_extendedprice * l_discount AS decimal(18,4))) AS double) AS revenue,
+          |       count(*) AS n_items
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin)),
+
+    // Group-HAVING + join-back (TPC-H Q18 shape): orders whose total
+    // lineitem quantity exceeds a threshold.
+    ("tpch_q18_big_orders",
+      (s: SparkSession, d: String) => {
+        val big = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+          .agg(sumDec(col("l_quantity")).as("total_qty"))
+          .filter(col("total_qty") > 150)
+        Tables.orders(s, d)
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey"), ntz(col("o_orderdate")).as("o_orderdate"),
+            col("o_totalprice"), col("total_qty"))
+      },
+      Some(
+        """SELECT o_orderkey, o_orderdate, o_totalprice, total_qty
+          |FROM orders
+          |JOIN (SELECT l_orderkey,
+          |             cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS total_qty
+          |      FROM lineitem GROUP BY 1
+          |      HAVING cast(sum(cast(l_quantity AS decimal(18,2))) AS double) > 150) b
+          |  ON o_orderkey = b.l_orderkey""".stripMargin)),
+
+    // Correlated-subquery shape (customers above their nation's average
+    // balance) — decorrelated to a window average, the scalable plan.
+    ("above_avg_customers",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("c_nationkey"))
+        Tables.customer(s, d)
+          .withColumn("nation_n", count(lit(1)).over(w))
+          .withColumn("nation_avg",
+            sum(col("c_acctbal").cast("decimal(18,2)")).over(w).cast("double") / col("nation_n"))
+          .filter(col("c_acctbal") > col("nation_avg"))
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"), col("nation_avg"))
+      },
+      Some(
+        """WITH a AS (
+          |  SELECT c_custkey, c_nationkey, c_acctbal,
+          |         cast(sum(cast(c_acctbal AS decimal(18,2))) OVER (PARTITION BY c_nationkey) AS double)
+          |           / count(*) OVER (PARTITION BY c_nationkey) AS nation_avg
+          |  FROM customer)
+          |SELECT c_custkey, c_nationkey, c_acctbal, nation_avg
+          |FROM a WHERE c_acctbal > nation_avg""".stripMargin)),
+
     ("tpch_order_priority",
       (s: SparkSession, d: String) =>
         Tables.orders(s, d).groupBy(col("o_orderpriority"))

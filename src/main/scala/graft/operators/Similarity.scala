@@ -80,6 +80,46 @@ object Similarity {
     aggregate(bits, lit(0L), (acc, x) => acc + x)
   }
 
+  /**
+   * IVF-flat ANN: coarse-quantize the corpus into `nCells` inverted lists
+   * (centroids = the nCells lowest-id corpus vectors — deterministic,
+   * training-free; swap in k-means centroids offline for better cells),
+   * assign every vector to its nearest centroid in one broadcast pass, then
+   * answer each query by scoring only its `nProbe` nearest cells.
+   * Cost: O(N·nCells) assignment + O(Q·N·nProbe/nCells) search instead of
+   * O(Q·N) — the classic recall/speed dial for corpus-scale ANN.
+   */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cell_id"), asDouble(col(vecCol)).as("cellv"))
+    def nearestCells(df: DataFrame, side: String, n: Int) = {
+      val v = df.select(col(idCol).as(s"${side}_id"), asDouble(col(vecCol)).as(s"${side}v"))
+      val w = Window.partitionBy(col(s"${side}_id"))
+        .orderBy(col("cell_cos").desc, col("cell_id"))
+      v.join(broadcast(centroids), lit(true))
+        .withColumn("cell_cos",
+          dot(col(s"${side}v"), col("cellv")) / (norm(col(s"${side}v")) * norm(col("cellv"))))
+        .withColumn("cell_rank", row_number().over(w))
+        .filter(col("cell_rank") <= n)
+        .drop("cellv", "cell_cos", "cell_rank")
+    }
+    val assigned = nearestCells(corpus, "corpus", 1)
+      .withColumn("cn", norm(col("corpusv")))
+    val probes = nearestCells(queries, "query", nProbe)
+      .withColumn("qn", norm(col("queryv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    probes.join(assigned, Seq("cell_id"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id").as("neighbor_id"),
+        (dot(col("queryv"), col("corpusv")) / (col("qn") * col("cn"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Bucketed ANN top-k: same contract as [[cosineTopK]] but joins on the
     * LSH bucket, so each query only scores its bucket's corpus rows. */
   def bucketedTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,

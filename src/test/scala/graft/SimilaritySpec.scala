@@ -39,6 +39,21 @@ class SimilaritySpec extends SparkSpec {
     assert(neighbors.contains(1L)) // same bucket guaranteed for identical vectors
   }
 
+  test("ivfTopK finds exact duplicates and prunes the scored pair space") {
+    val n = 60
+    val rng = new scala.util.Random(3)
+    val base = (0L until n.toLong).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1)))
+    // vector 59 duplicates vector 0 → must be each other's rank-1 neighbor
+    val corpus = (base.dropRight(1) :+ ((n - 1).toLong, base.head._2)).toDF("vec_id", "embedding")
+    val got = Similarity.ivfTopK(
+      corpus.filter(col("vec_id") === 0), corpus, "vec_id", "embedding",
+      k = 3, nCells = 8, nProbe = 3)
+    val top = got.orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(top.head == (n - 1).toLong) // the duplicate, guaranteed same cell
+    assert(got.count() <= 3)
+  }
+
   test("multimodal: features deterministic, payload dropped, frames sliced") {
     val df = Seq((1L, "some binary payload content here")).toDF("id", "txt")
       .withColumn("bin", col("txt").cast("binary"))
