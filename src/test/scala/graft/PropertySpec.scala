@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.model.FlightEvent
+import graft.operators.{Dedup, FlightOps, TextOps}
+
+/** Property-based invariants (SURVEY §5.2). Spark jobs per check are
+  * expensive, so properties run on a reduced number of generated cases. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic-seed sampling harness (the scalatest/scalacheck bridge
+    * artifact is not in the offline cache; raw Gen sampling is equivalent
+    * for these invariants). */
+  private def forSamples[A](gen: Gen[A], n: Int = 5)(f: A => Unit): Unit = {
+    var seed = org.scalacheck.rng.Seed(42L)
+    val params = Gen.Parameters.default.withSize(30)
+    (1 to n).foreach { _ =>
+      gen.apply(params, seed).foreach(f)
+      seed = seed.next
+    }
+  }
+
+  private val eventGen: Gen[FlightEvent] = for {
+    id <- Gen.uuid
+    airline <- Gen.oneOf("AA", "BB", "CC")
+    hour <- Gen.choose(0, 23)
+    min <- Gen.choose(0, 59)
+    delay <- Gen.choose(-60L, 300L)
+    delayed <- Gen.oneOf(0, 1)
+  } yield {
+    val sched = java.sql.Timestamp.valueOf(f"2024-01-01 $hour%02d:$min%02d:00")
+    FlightEvent(id.toString, "FN", airline, "A", "B", sched,
+      new java.sql.Timestamp(sched.getTime + delay * 60000), delayed, "u", delay)
+  }
+
+  test("airlineStats invariants: 0<=rate<=100, delayed<=total, counts add up") {
+    forSamples(Gen.listOfN(60, eventGen)) { events =>
+      {
+        val stats = FlightOps.airlineStats(events.toDF(), col("scheduled_time"), "2 minutes")
+          .collect()
+        assert(stats.forall { r =>
+          val rate = r.getAs[Double]("delay_rate")
+          rate >= 0.0 && rate <= 100.0 &&
+            r.getAs[Long]("delayed_flights") <= r.getAs[Long]("total_flights")
+        })
+        // window-partitioned totals must equal the global total
+        assert(stats.map(_.getAs[Long]("total_flights")).sum == events.size)
+        assert(stats.map(_.getAs[Long]("delayed_flights")).sum ==
+          events.count(_.is_delayed == 1))
+      }
+    }
+  }
+
+  test("windowed mean is a weighted combination of per-window means") {
+    forSamples(Gen.listOfN(40, eventGen)) { events =>
+      {
+        val stats = FlightOps.airlineStats(events.toDF(), col("scheduled_time"), "1 hour")
+          .collect()
+        val weighted = stats.map(r =>
+          r.getAs[Double]("avg_delay_minutes") * r.getAs[Long]("total_flights")).sum
+        val direct = events.map(_.delay_minutes.toDouble).sum
+        assert(math.abs(weighted - direct) < 1e-6 * math.max(1.0, math.abs(direct)))
+      }
+    }
+  }
+
+  private val textGen: Gen[String] = Gen.chooseNum(1, 30).flatMap(n =>
+    Gen.listOfN(n, Gen.oneOf("the", "fast", "spark", "data", "join", "row",
+      "batch", "sort", "key", "merge")).map(_.mkString(" ")))
+
+  test("jaccard is 1 on self, symmetric, and within [0,1]") {
+    forSamples(Gen.listOfN(6, textGen)) { texts =>
+      {
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val ids = texts.indices.map(_.toLong)
+        val pairs = (ids.map(i => (i, i)) ++
+          (for (a <- ids; b <- ids if a < b) yield Seq((a, b), (b, a))).flatten)
+          .toDF("doc_a", "doc_b")
+        val j = Dedup.ngramJaccard(pairs, docs, col("text"), col("doc_id"))
+          .collect()
+          .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+            r.getAs[Double]("jaccard")).toMap
+        assert(ids.forall(i => j((i, i)) == 1.0))
+        assert(j.forall { case ((a, b), v) => v >= 0.0 && v <= 1.0 && v == j((b, a)) })
+      }
+    }
+  }
+
+  test("minhash signature of a union is the elementwise min of the parts") {
+    // ≥3 tokens each: for shorter docs the whole-text fallback shingle is
+    // (correctly) not a member of the concatenation's shingle set, so the
+    // superset property only applies to full n-gram docs
+    val longTextGen = Gen.chooseNum(3, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("the", "fast", "spark", "data", "join", "row",
+        "batch", "sort", "key", "merge")).map(_.mkString(" ")))
+    forSamples(Gen.zip(longTextGen, longTextGen)) { case (t1, t2) =>
+      val docs = Seq((1L, t1), (2L, t2), (3L, s"$t1 $t2")).toDF("doc_id", "text")
+      // shingle set of doc3 ⊇ doc1's, so each of doc3's minhashes can only
+      // be <= doc1's (monotonicity of min over a superset)
+      val sigs = Dedup.minhashSignatures(docs, col("text"), col("doc_id"), 3, 8)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("perm")) ->
+          r.getAs[Long]("minhash")).toMap
+      assert((0 until 8).forall(p => sigs((3L, p)) <= sigs((1L, p))))
+    }
+  }
+}
