@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.sources.EventSource
+import graft.operators.FlightOps
+
+/**
+ * Streaming throughput micro-benchmark: rate source → flight-event JSON →
+ * full parse → 2-minute windowed aggregation → noop sink, measured from the
+ * engine's own StreamingQueryProgress. Prints one JSON line with sustained
+ * rows/sec.
+ *
+ * (For context: the reference runs the same logical pipeline at parallelism
+ * 1 with ≥3 log lines per record and single-row JDBC inserts — this exists
+ * to show the Spark pipeline's single-node headroom, not for the driver
+ * gate.)
+ */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val seconds = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "30").toInt
+    val rate = sys.env.getOrElse("SPARK_GRAFT_STREAM_RATE", "200000").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.optimizer.enableJsonExpressionOptimization", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val parsed = FlightOps.parseFlightEvents(
+      EventSource.Rate(rowsPerSecond = rate).load(spark))
+    val agged = parsed
+      .withWatermark("scheduled_time", "10 minutes")
+      .groupBy(window(col("scheduled_time"), "2 minutes"), col("airline"))
+      .agg(count(lit(1)).as("total_flights"),
+        sum(col("is_delayed")).as("delayed"),
+        avg(col("delay_minutes")).as("avg_delay"))
+
+    val q = agged.writeStream
+      .option("checkpointLocation", Files.createTempDirectory("sb-cp").toString)
+      .outputMode("update")
+      .format("noop")
+      .start()
+
+    Thread.sleep(seconds * 1000L)
+    q.stop()
+    // engine-reported input rows/sec, excluding the first (cold) batch
+    val progresses = q.recentProgress.drop(1)
+    val rows = progresses.map(_.numInputRows).sum
+    val secs = progresses.map(_.batchDuration).sum / 1000.0
+    val rps = if (secs > 0) rows / secs else 0.0
+    println(f"""{"metric":"stream_rows_per_sec","value":$rps%.0f,"unit":"rows/sec","rows":$rows,"busy_secs":$secs%.1f,"batches":${progresses.length},"offered_rate":$rate}""")
+    spark.stop()
+  }
+}
