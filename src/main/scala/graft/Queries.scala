@@ -254,6 +254,67 @@ object Queries {
           |       floor(value / 100)::int AS value_bucket
           |FROM events WHERE json_extract_string(props, '$.k')::int >= 90""".stripMargin)),
 
+    // ---- arg-extremum aggregates (max_by/min_by ≙ arg_max/arg_min) --------
+    ("events_minmax_by",
+      (s: SparkSession, d: String) =>
+        Tables.events(s, d).groupBy(col("event_type"))
+          .agg(
+            // unique scalar ordering key: value is 2-decimal, so
+            // round(value*100) is exact; append event_id as tie-break
+            // (duplicate values would otherwise make arg-extrema
+            // engine-dependent)
+            max_by(col("event_id"),
+              round(col("value") * 100).cast("long") * lit(1000000000000L) + col("event_id"))
+              .as("top_value_event"),
+            min_by(col("event_id"),
+              round(col("value") * 100).cast("long") * lit(1000000000000L) + col("event_id"))
+              .as("bottom_value_event"),
+            max_by(col("user_id"), col("ts")).as("latest_user"),
+            max(col("value")).as("max_value"),
+            min(col("value")).as("min_value")),
+      Some(
+        """SELECT event_type,
+          |       arg_max(event_id, round(value * 100)::bigint * 1000000000000 + event_id) AS top_value_event,
+          |       arg_min(event_id, round(value * 100)::bigint * 1000000000000 + event_id) AS bottom_value_event,
+          |       arg_max(user_id, ts) AS latest_user,
+          |       max(value) AS max_value, min(value) AS min_value
+          |FROM events GROUP BY 1""".stripMargin)),
+
+    // ---- scalar-function battery (string/conditional/math parity) ---------
+    ("scalar_functions",
+      (s: SparkSession, d: String) =>
+        Tables.events(s, d).select(
+          col("event_id"),
+          upper(col("event_type")).as("s_upper"),
+          lpad(col("event_type"), 10, "_").as("s_lpad"),
+          substring(col("event_type"), 2, 3).as("s_substr"),
+          regexp_replace(col("event_type"), "[aeiou]", "*").as("s_regex"),
+          reverse(col("event_type")).as("s_reverse"),
+          length(col("event_type")).as("s_len"),
+          concat_ws("|", col("event_type"), col("user_id").cast("string")).as("s_concat"),
+          coalesce(nullif(col("event_type"), lit("error")), lit("(err)")).as("s_nullif"),
+          greatest(col("value"), lit(100.0)).as("s_greatest"),
+          least(col("user_id"), col("event_id")).as("s_least"),
+          abs(col("value") - 250).as("s_abs"),
+          floor(col("value") / 7).cast("long").as("s_floor"),
+          pow(lit(2.0), col("user_id") % 10).as("s_pow")),
+      Some(
+        """SELECT event_id,
+          |       upper(event_type) AS s_upper,
+          |       lpad(event_type, 10, '_') AS s_lpad,
+          |       substr(event_type, 2, 3) AS s_substr,
+          |       regexp_replace(event_type, '[aeiou]', '*', 'g') AS s_regex,
+          |       reverse(event_type) AS s_reverse,
+          |       length(event_type)::int AS s_len,
+          |       concat_ws('|', event_type, user_id) AS s_concat,
+          |       coalesce(nullif(event_type, 'error'), '(err)') AS s_nullif,
+          |       greatest(value, 100.0) AS s_greatest,
+          |       least(user_id, event_id) AS s_least,
+          |       abs(value - 250) AS s_abs,
+          |       floor(value / 7)::bigint AS s_floor,
+          |       pow(2.0, user_id % 10) AS s_pow
+          |FROM events""".stripMargin)),
+
     // ---- First-occurrence dedup over an event stream ----------------------
     ("events_dedup_first",
       (s: SparkSession, d: String) =>
