@@ -315,6 +315,60 @@ object Queries {
           |       pow(2.0, user_id % 10) AS s_pow
           |FROM events""".stripMargin)),
 
+    // ---- datetime-function battery ----------------------------------------
+    ("datetime_functions",
+      (s: SparkSession, d: String) =>
+        Tables.events(s, d).select(
+          col("event_id"),
+          year(col("ts")).as("t_year"),
+          quarter(col("ts")).as("t_quarter"),
+          month(col("ts")).as("t_month"),
+          dayofmonth(col("ts")).as("t_day"),
+          dayofyear(col("ts")).as("t_doy"),
+          hour(col("ts")).as("t_hour"),
+          minute(col("ts")).as("t_minute"),
+          second(col("ts")).as("t_second"),
+          ntz(date_trunc("day", col("ts"))).as("t_day_start"),
+          ntz(date_trunc("month", col("ts"))).as("t_month_start"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("t_days_since"),
+          date_add(to_date(col("ts")), 7).as("t_plus_week")),
+      Some(
+        """SELECT event_id,
+          |       year(ts)::int AS t_year, quarter(ts)::int AS t_quarter,
+          |       month(ts)::int AS t_month, day(ts)::int AS t_day,
+          |       dayofyear(ts)::int AS t_doy, hour(ts)::int AS t_hour,
+          |       minute(ts)::int AS t_minute, second(ts)::int AS t_second,
+          |       date_trunc('day', ts) AS t_day_start,
+          |       date_trunc('month', ts) AS t_month_start,
+          |       date_diff('day', DATE '2024-01-01', ts::date)::int AS t_days_since,
+          |       ts::date + 7 AS t_plus_week
+          |FROM events""".stripMargin)),
+
+    // ---- array-function battery (scalar outputs for dtype-safe compare) ---
+    ("array_functions",
+      (s: SparkSession, d: String) => {
+        val v = transform(col("embedding"), x => x.cast("double"))
+        Tables.embeddings(s, d).select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          v(0).as("first_elem"),
+          element_at(v, -1).as("last_elem"),
+          array_max(v).as("max_elem"),
+          array_min(v).as("min_elem"),
+          element_at(array_sort(v), 5).as("fifth_smallest"),
+          size(filter(v, x => x > 0)).as("n_positive"))
+      },
+      Some(
+        """SELECT vec_id,
+          |       len(embedding)::int AS dim,
+          |       embedding[1]::double AS first_elem,
+          |       embedding[-1]::double AS last_elem,
+          |       list_aggregate(list_transform(embedding, x -> x::double), 'max') AS max_elem,
+          |       list_aggregate(list_transform(embedding, x -> x::double), 'min') AS min_elem,
+          |       list_sort(list_transform(embedding, x -> x::double))[5] AS fifth_smallest,
+          |       len(list_filter(embedding, x -> x > 0))::int AS n_positive
+          |FROM embeddings""".stripMargin)),
+
     // ---- First-occurrence dedup over an event stream ----------------------
     ("events_dedup_first",
       (s: SparkSession, d: String) =>
