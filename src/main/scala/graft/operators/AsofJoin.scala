@@ -46,7 +46,7 @@ object AsofJoin {
         leftCols.filterNot(keys.contains)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
-    val u = l.select(r.columns.map(col): _*).unionByName(r)
+    val u = l.select(r.columns.toIndexedSeq.map(col): _*).unionByName(r)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
