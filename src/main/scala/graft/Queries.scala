@@ -369,6 +369,119 @@ object Queries {
           |       len(list_filter(embedding, x -> x > 0))::int AS n_positive
           |FROM embeddings""".stripMargin)),
 
+    // ---- CUBE (full grouping-set lattice) ---------------------------------
+    ("events_cube",
+      (s: SparkSession, d: String) =>
+        Tables.events(s, d)
+          .select(col("event_type"), (col("user_id") % 5).as("user_bucket"), col("value"))
+          .cube(col("event_type"), col("user_bucket"))
+          .agg(count(lit(1)).as("n_events"), sumDec(col("value")).as("sum_value"),
+            grouping(col("event_type")).as("g1"), grouping(col("user_bucket")).as("g2"))
+          .select(
+            when(col("g1") === 1, lit("(all)")).otherwise(col("event_type")).as("event_type"),
+            when(col("g2") === 1, lit(-1)).otherwise(col("user_bucket")).cast("long").as("user_bucket"),
+            col("n_events"), col("sum_value")),
+      Some(
+        """SELECT CASE WHEN GROUPING(event_type) = 1 THEN '(all)' ELSE event_type END AS event_type,
+          |       (CASE WHEN GROUPING(user_bucket) = 1 THEN -1 ELSE user_bucket END)::bigint AS user_bucket,
+          |       count(*) AS n_events,
+          |       cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
+          |FROM (SELECT event_type, user_id % 5 AS user_bucket, value FROM events)
+          |GROUP BY CUBE (event_type, user_bucket)""".stripMargin)),
+
+    // ---- unpivot / melt ----------------------------------------------------
+    ("lineitem_unpivot",
+      (s: SparkSession, d: String) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_orderkey") <= 100)
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+            "metric", "val"),
+      Some(
+        """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+          |FROM lineitem WHERE l_orderkey <= 100
+          |UNION ALL
+          |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+          |FROM lineitem WHERE l_orderkey <= 100
+          |UNION ALL
+          |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+          |FROM lineitem WHERE l_orderkey <= 100""".stripMargin)),
+
+    // ---- edit-distance near-dup (Levenshtein on normalized prefixes) ------
+    ("text_edit_distance",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), substring(TextOps.normalize(col("text")), 1, 60).as("prefix"))
+        val a = docs.select(col("doc_id").as("doc_a"), col("prefix").as("pa"))
+        val b = docs.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"),
+          col("prefix").as("pb"))
+        a.join(b, "doc_a")
+          .select(col("doc_a"), col("doc_b"),
+            levenshtein(col("pa"), col("pb")).as("edit_distance"),
+            (lit(1.0) - levenshtein(col("pa"), col("pb")).cast("double") /
+              greatest(length(col("pa")), length(col("pb")))).as("similarity"))
+      },
+      Some(
+        """WITH p AS (
+          |  SELECT doc_id,
+          |         substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 60) AS prefix
+          |  FROM documents)
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |       levenshtein(a.prefix, b.prefix)::int AS edit_distance,
+          |       1.0 - levenshtein(a.prefix, b.prefix)::double
+          |             / greatest(length(a.prefix), length(b.prefix)) AS similarity
+          |FROM p a JOIN p b ON b.doc_id = a.doc_id + 1""".stripMargin)),
+
+    // ---- analytic window battery: lag/lead/running sums/ranks -------------
+    ("events_user_journey",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d).select(
+          col("user_id"), col("event_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          row_number().over(w).as("step"),
+          sum(col("value").cast("decimal(18,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_value"),
+          first(col("event_type")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_type"))
+      },
+      Some(
+        """SELECT user_id, event_id, event_type,
+          |       lag(event_type, 1) OVER w AS prev_type,
+          |       lead(event_type, 1) OVER w AS next_type,
+          |       (row_number() OVER w)::int AS step,
+          |       cast(sum(cast(value AS decimal(18,2)))
+          |            OVER (w ROWS UNBOUNDED PRECEDING) AS double) AS running_value,
+          |       first_value(event_type) OVER (w ROWS UNBOUNDED PRECEDING) AS first_type
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
+
+    // ---- full outer join with null-side indicators ------------------------
+    ("join_full_outer",
+      (s: SparkSession, d: String) => {
+        val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big_orders"))
+        val richCust = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+          .select(col("c_custkey"), col("c_acctbal"))
+        richCust.join(bigOrders, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            when(col("c_custkey").isNotNull, 1).otherwise(0).as("is_rich"),
+            coalesce(col("n_big_orders"), lit(0L)).as("n_big_orders"))
+      },
+      Some(
+        """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+          |       CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS is_rich,
+          |       coalesce(o.n_big_orders, 0) AS n_big_orders
+          |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000) c
+          |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_big_orders
+          |                 FROM orders WHERE o_totalprice > 450000 GROUP BY 1) o
+          |  ON c.c_custkey = o.o_custkey""".stripMargin)),
+
     // ---- First-occurrence dedup over an event stream ----------------------
     ("events_dedup_first",
       (s: SparkSession, d: String) =>
