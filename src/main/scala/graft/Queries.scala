@@ -482,6 +482,128 @@ object Queries {
           |                 FROM orders WHERE o_totalprice > 450000 GROUP BY 1) o
           |  ON c.c_custkey = o.o_custkey""".stripMargin)),
 
+    // ---- ranking-function battery (rank families + distribution) ----------
+    ("events_window_ranks",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        // duplicate ordering values via value_bucket so rank vs dense_rank
+        // actually diverge
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(floor(col("value") / 50).as("vb"), col("event_id"))
+        val wDup = Window.partitionBy(col("event_type"))
+          .orderBy(floor(col("value") / 50))
+        Tables.events(s, d).select(
+          col("event_type"), col("event_id"),
+          floor(col("value") / 50).cast("long").as("value_bucket"),
+          row_number().over(w).as("rn"),
+          rank().over(wDup).as("rnk"),
+          dense_rank().over(wDup).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(wDup).as("pct_rank"),
+          cume_dist().over(wDup).as("cume"))
+      },
+      Some(
+        """SELECT event_type, event_id,
+          |       floor(value / 50)::bigint AS value_bucket,
+          |       (row_number() OVER w)::int AS rn,
+          |       (rank() OVER wd)::int AS rnk,
+          |       (dense_rank() OVER wd)::int AS drnk,
+          |       (ntile(4) OVER w)::int AS quartile,
+          |       percent_rank() OVER wd AS pct_rank,
+          |       cume_dist() OVER wd AS cume
+          |FROM events
+          |WINDOW w AS (PARTITION BY event_type ORDER BY floor(value / 50), event_id),
+          |       wd AS (PARTITION BY event_type ORDER BY floor(value / 50))""".stripMargin)),
+
+    // ---- conditional / boolean aggregates ---------------------------------
+    ("events_conditional_aggs",
+      (s: SparkSession, d: String) =>
+        Tables.events(s, d).groupBy(col("event_type"))
+          .agg(
+            count_if(col("value") > 250).as("n_high"),
+            bool_or(col("value") > 450).as("any_very_high"),
+            bool_and(col("value") > 0).as("all_positive"),
+            sum(when(col("value") > 250, col("value").cast("decimal(18,2)")))
+              .cast("double").as("sum_high"),
+            count(when(col("user_id") % 2 === 0, 1)).as("n_even_users")),
+      Some(
+        """SELECT event_type,
+          |       count(*) FILTER (WHERE value > 250) AS n_high,
+          |       bool_or(value > 450) AS any_very_high,
+          |       bool_and(value > 0) AS all_positive,
+          |       cast(sum(cast(value AS decimal(18,2))) FILTER (WHERE value > 250) AS double) AS sum_high,
+          |       count(*) FILTER (WHERE user_id % 2 = 0) AS n_even_users
+          |FROM events GROUP BY 1""".stripMargin)),
+
+    // ---- null-semantics battery (null-safe equality, coalescing, NaN) -----
+    ("events_null_semantics",
+      (s: SparkSession, d: String) => {
+        val nulled = Tables.events(s, d).select(
+          col("event_id"),
+          nullif(col("event_type"), lit("error")).as("maybe_type"),
+          when(col("value") > 400, col("value")).as("maybe_value"))
+        nulled.select(
+          col("event_id"),
+          col("maybe_type"),
+          coalesce(col("maybe_type"), lit("(redacted)")).as("filled_type"),
+          col("maybe_type").eqNullSafe(lit("click")).as("is_click_nullsafe"),
+          col("maybe_type").isNull.as("was_error"),
+          coalesce(col("maybe_value"), lit(-1.0)).as("value_or_default"))
+      },
+      Some(
+        """WITH n AS (
+          |  SELECT event_id,
+          |         nullif(event_type, 'error') AS maybe_type,
+          |         CASE WHEN value > 400 THEN value END AS maybe_value
+          |  FROM events)
+          |SELECT event_id, maybe_type,
+          |       coalesce(maybe_type, '(redacted)') AS filled_type,
+          |       maybe_type IS NOT DISTINCT FROM 'click' AS is_click_nullsafe,
+          |       maybe_type IS NULL AS was_error,
+          |       coalesce(maybe_value, -1.0) AS value_or_default
+          |FROM n""".stripMargin)),
+
+    // ---- distribution shape: orders-per-customer histogram (Q13-like) -----
+    ("orders_per_customer_histogram",
+      (s: SparkSession, d: String) => {
+        val counts = Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"))
+        counts.groupBy(col("n_orders"))
+          .agg(count(lit(1)).as("n_customers"))
+      },
+      Some(
+        """SELECT n_orders, count(*) AS n_customers
+          |FROM (SELECT c_custkey, count(o_orderkey) AS n_orders
+          |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          |      GROUP BY 1)
+          |GROUP BY 1""".stripMargin)),
+
+    // ---- single-pass data-quality profile ---------------------------------
+    ("events_profile",
+      (s: SparkSession, d: String) =>
+        Profile.columnProfile(Tables.events(s, d)),
+      Some(
+        """SELECT column_name, count(*) AS n_rows,
+          |       sum(is_null)::bigint AS n_nulls,
+          |       cast(count(DISTINCT v) AS bigint) AS n_distinct,
+          |       cast(sum(is_null) AS double) / count(*) AS null_ratio
+          |FROM (
+          |  SELECT 'event_id' AS column_name, event_id::varchar AS v,
+          |         CASE WHEN event_id IS NULL THEN 1 ELSE 0 END AS is_null FROM events
+          |  UNION ALL SELECT 'ts', epoch_ns(ts)::varchar,
+          |         CASE WHEN ts IS NULL THEN 1 ELSE 0 END FROM events
+          |  UNION ALL SELECT 'user_id', user_id::varchar,
+          |         CASE WHEN user_id IS NULL THEN 1 ELSE 0 END FROM events
+          |  UNION ALL SELECT 'event_type', event_type,
+          |         CASE WHEN event_type IS NULL THEN 1 ELSE 0 END FROM events
+          |  UNION ALL SELECT 'value', value::varchar,
+          |         CASE WHEN value IS NULL THEN 1 ELSE 0 END FROM events
+          |  UNION ALL SELECT 'props', props,
+          |         CASE WHEN props IS NULL THEN 1 ELSE 0 END FROM events)
+          |GROUP BY 1""".stripMargin)),
+
     // ---- First-occurrence dedup over an event stream ----------------------
     ("events_dedup_first",
       (s: SparkSession, d: String) =>
