@@ -604,6 +604,21 @@ object Queries {
           |         CASE WHEN props IS NULL THEN 1 ELSE 0 END FROM events)
           |GROUP BY 1""".stripMargin)),
 
+    // ---- corpus vocabulary: token frequencies (explode-aggregate) ---------
+    ("word_counts",
+      (s: SparkSession, d: String) =>
+        Tables.documents(s, d)
+          .select(explode(TextOps.tokens(TextOps.normalize(col("text")))).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(20),
+      Some(
+        """SELECT token, count(*) AS n
+          |FROM (SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS token
+          |      FROM documents)
+          |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin)),
+
     // ---- First-occurrence dedup over an event stream ----------------------
     ("events_dedup_first",
       (s: SparkSession, d: String) =>
