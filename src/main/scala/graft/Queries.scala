@@ -979,6 +979,25 @@ object Queries {
           |      FROM s)
           |WHERE "rank" <= 5""".stripMargin)),
 
+    // ---- ANN scale path: hyperplane-LSH bucket assignment -----------------
+    // Bucket id = sign bits of 8 md5-derived pseudo-random hyperplane
+    // projections. Deterministic across engines: coefficients come from the
+    // portable hash and both sides fold the projection sum left-to-right.
+    ("sim_lsh_buckets",
+      (s: SparkSession, d: String) =>
+        Tables.embeddings(s, d).select(col("vec_id"),
+          Similarity.lshBucket(Similarity.asDouble(col("embedding")), 8).as("bucket")),
+      Some(
+        """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS ve
+          |           FROM embeddings)
+          |SELECT vec_id,
+          |       list_sum(list_transform(generate_series(0, 7), p ->
+          |         CASE WHEN list_sum(list_transform(generate_series(0, 63), d ->
+          |                ve[d + 1] * ((('0x' || substr(md5(p || ':' || d), 1, 15))::bigint
+          |                              / 1.152921504606846976e18) * 2 - 1))) >= 0
+          |              THEN cast(pow(2.0, p) AS bigint) ELSE 0 END))::bigint AS bucket
+          |FROM v""".stripMargin)),
+
     // ---- Multimodal plumbing: binary payload → metadata + stub features ---
     ("multimodal_features",
       (s: SparkSession, d: String) => {
