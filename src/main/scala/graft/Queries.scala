@@ -849,15 +849,41 @@ object Queries {
       (s: SparkSession, d: String) =>
         Dedup.lshCandidates(Dedup.lshBuckets(
           Dedup.minhashSignatures(Tables.documents(s, d), col("text"), col("doc_id")))),
-      Some(shingleCte +
-        s""", sigs AS ($minhashSigsSql),
-          |buckets AS (
-          |  SELECT doc_id, perm // 4 AS band,
-          |         md5(string_agg(minhash::varchar, ',' ORDER BY perm)) AS bucket
-          |  FROM sigs GROUP BY 1, 2)
-          |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-          |FROM buckets l JOIN buckets r
-          |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""".stripMargin)),
+      Some(lshCandCtes + "SELECT doc_a, doc_b FROM cand")),
+
+    // ---- End-to-end near-dup pipeline: the thing a user actually runs -----
+    // LSH candidates → exact n-gram-Jaccard verification → keep/drop verdict.
+    // Everything upstream (signatures, banding, candidate bounding) feeds
+    // this; the oracle recomputes the full chain in DuckDB.
+    ("dedup_near_end2end",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val cands = Dedup.lshCandidates(Dedup.lshBuckets(
+          Dedup.minhashSignatures(docs, col("text"), col("doc_id"))))
+        Dedup.ngramJaccard(cands, docs, col("text"), col("doc_id"))
+          .withColumn("is_dup", (col("jaccard") >= 0.8).cast("int"))
+      },
+      Some(lshCandCtes + nearDupVerifyCtes +
+        """SELECT doc_a, doc_b, n_inter, n_a, n_b, jaccard,
+          |       (CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END)::int AS is_dup
+          |FROM verified""".stripMargin)),
+
+    // The dedup *output*: documents surviving near-dedup (drop any doc that
+    // is a verified near-duplicate of a smaller-id doc).
+    ("dedup_near_keep",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val cands = Dedup.lshCandidates(Dedup.lshBuckets(
+          Dedup.minhashSignatures(docs, col("text"), col("doc_id"))))
+        val drops = Dedup.ngramJaccard(cands, docs, col("text"), col("doc_id"))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("doc_b").as("doc_id"))
+        docs.join(drops, Seq("doc_id"), "left_anti").select(col("doc_id"))
+      },
+      Some(lshCandCtes + nearDupVerifyCtes +
+        """SELECT d.doc_id FROM documents d
+          |WHERE NOT EXISTS (SELECT 1 FROM verified v
+          |                  WHERE v.doc_b = d.doc_id AND v.jaccard >= 0.8)""".stripMargin)),
 
     ("dedup_simhash",
       (s: SparkSession, d: String) =>
@@ -997,6 +1023,123 @@ object Queries {
           |                              / 1.152921504606846976e18) * 2 - 1))) >= 0
           |              THEN cast(pow(2.0, p) AS bigint) ELSE 0 END))::bigint AS bucket
           |FROM v""".stripMargin)),
+
+    // ---- ANN recall gates: approx top-k vs brute force, per query ---------
+    // Both sides are deterministic (md5-derived planes/centroids, unique-id
+    // tie-breaks), so recall itself is oracle-checkable: the DuckDB oracle
+    // recomputes the approximate AND exact top-k and must land on the exact
+    // same per-query hit counts.
+    ("sim_recall_lsh",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") < 10)
+        val brute = Similarity.cosineTopK(q, emb, "vec_id", "embedding", 5)
+        val approx = Similarity.bucketedTopK(q, emb, "vec_id", "embedding", 5, nPlanes = 8)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        brute.select(col("query_id"), col("neighbor_id"))
+          .join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+          .withColumn("recall", col("n_hit").cast("double") / col("n_true"))
+      },
+      Some(
+        s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS ve
+          |           FROM embeddings),
+          |bk AS (
+          |  SELECT vec_id,
+          |         list_sum(list_transform(generate_series(0, 7), p ->
+          |           CASE WHEN list_sum(list_transform(generate_series(0, len(ve) - 1), d ->
+          |                  ve[d + 1] * ((('0x' || substr(md5(p || ':' || d), 1, 15))::bigint
+          |                                / 1.152921504606846976e18) * 2 - 1))) >= 0
+          |                THEN cast(pow(2.0, p) AS bigint) ELSE 0 END))::bigint AS bucket
+          |  FROM v),
+          |q AS (SELECT * FROM v WHERE vec_id < 10),
+          |brute AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+          |             list_dot_product(q.ve, c.ve)
+          |               / (sqrt(list_dot_product(q.ve, q.ve)) * sqrt(list_dot_product(c.ve, c.ve))) DESC,
+          |             c.vec_id) AS rnk
+          |    FROM q CROSS JOIN v c WHERE q.vec_id != c.vec_id)
+          |  WHERE rnk <= 5),
+          |approx AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+          |             list_dot_product(q.ve, c.ve)
+          |               / (sqrt(list_dot_product(q.ve, q.ve)) * sqrt(list_dot_product(c.ve, c.ve))) DESC,
+          |             c.vec_id) AS rnk
+          |    FROM q
+          |    JOIN bk qb ON qb.vec_id = q.vec_id
+          |    JOIN bk cb ON cb.bucket = qb.bucket AND cb.vec_id != q.vec_id
+          |    JOIN v c ON c.vec_id = cb.vec_id)
+          |  WHERE rnk <= 5)
+          |SELECT b.query_id,
+          |       count(*) AS n_true,
+          |       cast(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_hit,
+          |       cast(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS double)
+          |         / count(*) AS recall
+          |FROM brute b
+          |LEFT JOIN approx a ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+          |GROUP BY 1""".stripMargin)),
+
+    ("sim_recall_ivf",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") < 10)
+        val brute = Similarity.cosineTopK(q, emb, "vec_id", "embedding", 5)
+        val approx = Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5,
+            nCells = 16, nProbe = 4)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        brute.select(col("query_id"), col("neighbor_id"))
+          .join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+          .withColumn("recall", col("n_hit").cast("double") / col("n_true"))
+      },
+      Some(
+        """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS ve
+          |           FROM embeddings),
+          |cent AS (SELECT vec_id AS cell_id, ve AS cellv FROM v ORDER BY vec_id LIMIT 16),
+          |ranked AS (
+          |  SELECT v.vec_id, v.ve, c.cell_id,
+          |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+          |           list_dot_product(v.ve, c.cellv)
+          |             / (sqrt(list_dot_product(v.ve, v.ve)) * sqrt(list_dot_product(c.cellv, c.cellv))) DESC,
+          |           c.cell_id) AS cell_rank
+          |  FROM v CROSS JOIN cent c),
+          |assigned AS (SELECT vec_id, ve, cell_id FROM ranked WHERE cell_rank = 1),
+          |probes AS (SELECT vec_id, ve, cell_id FROM ranked WHERE cell_rank <= 4 AND vec_id < 10),
+          |q AS (SELECT * FROM v WHERE vec_id < 10),
+          |brute AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+          |             list_dot_product(q.ve, c.ve)
+          |               / (sqrt(list_dot_product(q.ve, q.ve)) * sqrt(list_dot_product(c.ve, c.ve))) DESC,
+          |             c.vec_id) AS rnk
+          |    FROM q CROSS JOIN v c WHERE q.vec_id != c.vec_id)
+          |  WHERE rnk <= 5),
+          |approx AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+          |           row_number() OVER (PARTITION BY p.vec_id ORDER BY
+          |             list_dot_product(p.ve, a.ve)
+          |               / (sqrt(list_dot_product(p.ve, p.ve)) * sqrt(list_dot_product(a.ve, a.ve))) DESC,
+          |             a.vec_id) AS rnk
+          |    FROM probes p JOIN assigned a ON a.cell_id = p.cell_id AND a.vec_id != p.vec_id)
+          |  WHERE rnk <= 5)
+          |SELECT b.query_id,
+          |       count(*) AS n_true,
+          |       cast(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_hit,
+          |       cast(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS double)
+          |         / count(*) AS recall
+          |FROM brute b
+          |LEFT JOIN approx a ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+          |GROUP BY 1""".stripMargin)),
 
     // ---- Multimodal plumbing: binary payload → metadata + stub features ---
     ("multimodal_features",
@@ -1236,19 +1379,32 @@ object Queries {
           |SELECT DISTINCT doc_id, win_min AS fingerprint
           |FROM w WHERE pos <= n_pos - 3""".stripMargin)),
 
-    // Embedding-cosine near-dup pairs (brute-force exact baseline; the scale
-    // path is LSH-bucketed — see Similarity.bucketedTopK).
+    // Embedding-cosine near-dup pairs, the corpus-scale shape: banded
+    // hyperplane-LSH candidates (equi-join on (band, bucket) — a hash
+    // shuffle, never a nested loop) with exact in-bucket cosine verification.
+    // The oracle replicates the SAME banding, so the gate verifies the
+    // bucketed implementation exactly; recall vs the brute-force baseline is
+    // measured separately in SimilaritySpec (LSH prunes cross-bucket pairs —
+    // see Dedup.embeddingNearDupBucketed's recall contract).
     ("dedup_embedding_near",
       (s: SparkSession, d: String) =>
-        Dedup.embeddingNearDup(Tables.embeddings(s, d), col("vec_id"),
-          col("embedding"), 0.35),
+        Dedup.embeddingNearDupBucketed(Tables.embeddings(s, d), col("vec_id"),
+          col("embedding"), 0.35, nBands = 4, rowsPerBand = 2),
       Some(
         """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS ve
           |           FROM embeddings),
-          |n AS (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nn FROM v)
-          |SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+          |n AS (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nn FROM v),
+          |bb AS (
+          |  SELECT vec_id, ve, nn, band,
+          |         list_sum(list_transform(generate_series(0, 1), j ->
+          |           CASE WHEN list_sum(list_transform(generate_series(0, len(ve) - 1), d ->
+          |                  ve[d + 1] * ((('0x' || substr(md5((band * 2 + j) || ':' || d), 1, 15))::bigint
+          |                                / 1.152921504606846976e18) * 2 - 1))) >= 0
+          |                THEN cast(pow(2.0, j) AS bigint) ELSE 0 END))::bigint AS bucket
+          |  FROM n CROSS JOIN (SELECT unnest(range(0, 4)) AS band))
+          |SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b,
           |       list_dot_product(a.ve, b.ve) / (a.nn * b.nn) AS cosine
-          |FROM n a JOIN n b ON a.vec_id < b.vec_id
+          |FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
           |WHERE list_dot_product(a.ve, b.ve) / (a.nn * b.nn) >= 0.35""".stripMargin)),
 
     // Exact order statistics without interpolation ambiguity: the value at
@@ -1301,6 +1457,44 @@ object Queries {
        |CROSS JOIN (SELECT unnest(range(0, 16)) AS perm)
        |GROUP BY 1, 2""".stripMargin
   }
+
+  /** DuckDB CTE chain shingles → MinHash sigs → LSH bands → candidate pairs,
+    * mirroring [[Dedup.lshCandidates]]'s clique semantics (the testdata's
+    * buckets are far below the hot-bucket cap, where clique == capped). */
+  private lazy val lshCandCtes: String =
+    shingleCte +
+      s""", sigs AS ($minhashSigsSql),
+        |buckets AS (
+        |  SELECT doc_id, perm // 4 AS band,
+        |         md5(string_agg(minhash::varchar, ',' ORDER BY perm)) AS bucket
+        |  FROM sigs GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        |  FROM buckets l JOIN buckets r
+        |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+        |""".stripMargin
+
+  /** DuckDB CTEs verifying candidate pairs with exact n-gram Jaccard,
+    * mirroring [[Dedup.ngramJaccard]] fed by `cand`. */
+  private lazy val nearDupVerifyCtes: String =
+    """, ssets AS (SELECT doc_id, count(*) AS n FROM shingle_rows GROUP BY 1),
+      |inter AS (
+      |  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+      |  FROM cand p
+      |  JOIN shingle_rows a ON a.doc_id = p.doc_a
+      |  JOIN shingle_rows b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      |  GROUP BY 1, 2),
+      |verified AS (
+      |  SELECT p.doc_a, p.doc_b,
+      |         coalesce(i.n_inter, 0) AS n_inter,
+      |         cast(sa.n AS int) AS n_a, cast(sb.n AS int) AS n_b,
+      |         cast(coalesce(i.n_inter, 0) AS double)
+      |           / (sa.n + sb.n - coalesce(i.n_inter, 0)) AS jaccard
+      |  FROM cand p
+      |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+      |  JOIN ssets sa ON sa.doc_id = p.doc_a
+      |  JOIN ssets sb ON sb.doc_id = p.doc_b)
+      |""".stripMargin
 
   /** Shared DuckDB CTE: distinct 3-gram word shingles per document, matching
     * [[TextOps.shingles]] exactly (incl. the short-document whole-text case). */

@@ -54,23 +54,28 @@ object Dedup {
    * minhash_i = min over shingles of (a_i * (H(s) mod p) + b_i) mod p with
    * H = the portable md5-derived hash.
    *
-   * Plan shape: explode(shingles) → hash once → explode(perms) → partial min
-   * map-side → shuffle carrying only numPerms rows per doc → final min.
+   * Plan shape: explode(shingles) → hash once → ONE aggregation computing all
+   * numPerms mins as columns (each permutation is pure arithmetic evaluated
+   * into its own min buffer) → unpivot to long format *after* the aggregate.
+   * Map-side volume is one row per (doc, shingle); the shuffle carries one
+   * row per doc with numPerms columns. The former perm-explode formulation
+   * pushed numPerms× the rows through the partial aggregate for the same
+   * result.
    */
   def minhashSignatures(
       docs: DataFrame, textCol: Column, idCol: Column,
       shingleSize: Int = 3, numPerms: Int = 16): DataFrame = {
     require(numPerms <= minhashPerms.length)
-    val aArr = array(minhashPerms.take(numPerms).map(p => lit(p._1)): _*)
-    val bArr = array(minhashPerms.take(numPerms).map(p => lit(p._2)): _*)
+    val mins = minhashPerms.take(numPerms).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % MinhashPrime).as(s"m$i")
+    }
     docs.select(idCol.as("doc_id"), explode(TextOps.shingles(textCol, shingleSize)).as("shingle"))
-      .withColumn("h", TextOps.portableHash(col("shingle")) % MinhashPrime)
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(numPerms - 1))).as("perm"))
-      .groupBy(col("doc_id"), col("perm"))
-      .agg(min(
-        (element_at(aArr, col("perm") + 1) * col("h") + element_at(bArr, col("perm") + 1))
-          % MinhashPrime).as("minhash"))
+      .select(col("doc_id"), (TextOps.portableHash(col("shingle")) % MinhashPrime).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until numPerms).map(i => col(s"m$i")): _*))
+          .as(Seq("perm", "minhash")))
   }
 
   /**
@@ -94,16 +99,38 @@ object Dedup {
     * Implemented as groupBy(bucket) + in-bucket pair expansion rather than a
     * self-join — the upstream signature pipeline is computed ONCE (a
     * self-join would run it twice absent exchange reuse), and the (band,
-    * bucket) key bounds the pair blow-up to intra-bucket combinations. */
-  def lshCandidates(buckets: DataFrame): DataFrame =
-    buckets.groupBy(col("band"), col("bucket"))
+    * bucket) key bounds the pair blow-up to intra-bucket combinations.
+    *
+    * Hot-bucket bound: web-scale corpora have degenerate buckets (empty docs,
+    * boilerplate) holding O(corpus) members; an uncapped clique there buffers
+    * O(corpus) ids in one aggregation and emits O(b²) pairs from one task.
+    * Buckets larger than `maxBucketSize` therefore degrade to a STAR around
+    * the bucket's min doc_id — O(b) pairs, produced by a spillable window +
+    * projection with no list buffer at all. The star preserves exactly the
+    * connectivity a dedup pass needs (every member remains joined to the
+    * group's canonical representative, so connected components — and thus the
+    * final keep/drop sets — are unchanged); only redundant within-group edges
+    * are dropped. Both branches reuse one exchange on (band, bucket). */
+  def lshCandidates(buckets: DataFrame, maxBucketSize: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byBucket = Window.partitionBy(col("band"), col("bucket"))
+    val sized = buckets
+      .withColumn("bsize", count(lit(1)).over(byBucket))
+      .withColumn("anchor", min(col("doc_id")).over(byBucket))
+      .filter(col("bsize") > 1)
+    val clique = sized.filter(col("bsize") <= maxBucketSize)
+      .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
       .select(explode(expr(
         """flatten(transform(ds, (x, i) ->
           |  transform(slice(ds, i + 2, size(ds)), y ->
           |    struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b")).distinct()
+      .select(col("p.doc_a"), col("p.doc_b"))
+    val star = sized
+      .filter(col("bsize") > maxBucketSize && col("doc_id") =!= col("anchor"))
+      .select(col("anchor").as("doc_a"), col("doc_id").as("doc_b"))
+    clique.unionByName(star).distinct()
+  }
 
   /**
    * Exact Jaccard similarity over word-shingle sets for an explicit pair
@@ -131,10 +158,43 @@ object Dedup {
   }
 
   /**
+   * Scale path for embedding near-dup: banded hyperplane-LSH candidates with
+   * in-bucket exact cosine verification. Each vector lands in `nBands`
+   * (band, bucket) cells ([[Similarity.lshBandBuckets]]); the self-join is a
+   * pure equi-join on those keys — a hash shuffle, never a nested-loop — so
+   * the pair space is bounded by bucket co-residency instead of N²/2.
+   *
+   * Recall contract: LSH prunes, so pairs above the threshold whose vectors
+   * collide in no band are MISSED — recall is 1-(1-p^r)^b per the banding
+   * math, measured empirically in `DedupSpec`/`SimilaritySpec` against
+   * [[embeddingNearDup]]. Precision is exact (every emitted pair's cosine is
+   * recomputed and thresholded). Tune nBands up / rowsPerBand down for
+   * recall, the reverse for cost.
+   */
+  def embeddingNearDupBucketed(embeddings: DataFrame, idCol: Column, vecCol: Column,
+      threshold: Double, nBands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val v = embeddings.select(idCol.as("id"), Similarity.asDouble(vecCol).as("v"))
+      .withColumn("n", Similarity.norm(col("v")))
+      .select(col("id"), col("v"), col("n"),
+        posexplode(Similarity.lshBandBuckets(col("v"), nBands, rowsPerBand))
+          .as(Seq("band", "bucket")))
+    val a = v.select(col("band"), col("bucket"),
+      col("id").as("doc_a"), col("v").as("va"), col("n").as("na"))
+    val b = v.select(col("band"), col("bucket"),
+      col("id").as("doc_b"), col("v").as("vb"), col("n").as("nb"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+  }
+
+  /**
    * Embedding-cosine near-dup pairs: all (a < b) with cosine ≥ threshold.
-   * This is the brute-force O(N²/2) baseline — correct and exact; at corpus
-   * scale use [[Similarity.bucketedTopK]]'s LSH bucketing to bound the pair
-   * space and run this verification only within buckets.
+   * This is the brute-force O(N²/2) baseline — correct and exact, and the
+   * recall oracle for [[embeddingNearDupBucketed]], which is what belongs in
+   * a corpus-scale pipeline.
    */
   def embeddingNearDup(embeddings: DataFrame, idCol: Column, vecCol: Column,
       threshold: Double): DataFrame = {
@@ -163,23 +223,28 @@ object Dedup {
   /**
    * SimHash fingerprint (60-bit, portable): per token-hash bit j, vote
    * +1/-1; fingerprint bit j set iff the vote sum is positive. Returned as a
-   * long. One explode over (token × bit) with map-side partial sums.
+   * long.
+   *
+   * Plan shape: one row per (doc, distinct token), ONE aggregation with
+   * `bits` vote-sum buffers (each bit's ±1 vote is arithmetic on the token
+   * hash), fingerprint assembled from the vote columns in the same
+   * projection. The former bit-explode formulation pushed bits× the rows
+   * through the partial aggregate — and a second shuffle — for the same
+   * result.
    */
   def simhash(docs: DataFrame, textCol: Column, idCol: Column, bits: Int = 60): DataFrame = {
-    val toks = docs.select(idCol.as("doc_id"),
-      explode(array_distinct(TextOps.tokens(TextOps.normalize(textCol)))).as("token"))
-      .withColumn("h", TextOps.portableHash(col("token")))
-    toks
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(bits - 1))).as("bit"))
-      // shiftright/shiftleft with a *column* shift amount need the SQL form
-      // (the Scala functions.shiftright only takes a literal Int)
-      .withColumn("vote",
-        when(expr("shiftright(h, bit)").bitwiseAND(1) === 1, 1).otherwise(-1))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("vote")).as("votes"))
+    val votes = (0 until bits).map { j =>
+      sum(when(expr(s"shiftright(h, $j)").bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v$j")
+    }
+    val fingerprint = (0 until bits)
+      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    docs.select(idCol.as("doc_id"),
+        explode(array_distinct(TextOps.tokens(TextOps.normalize(textCol)))).as("token"))
+      .select(col("doc_id"), TextOps.portableHash(col("token")).as("h"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("votes") > 0, expr("shiftleft(1L, bit)")).otherwise(0L))
-        .as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fingerprint.as("simhash"))
   }
 }

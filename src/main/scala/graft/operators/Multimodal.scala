@@ -64,11 +64,22 @@ object Multimodal {
 
   /** Repartition a payload-bearing frame so each partition carries roughly
     * `targetBytes` of binary data — row-count partitioning is wrong when row
-    * sizes vary by orders of magnitude. */
-  def repartitionByBytes(df: DataFrame, binCol: Column, targetBytes: Long): DataFrame = {
-    val stats = df.agg(sum(length(binCol)).as("total")).collect()(0)
-    val total = Option(stats.getAs[Long]("total")).getOrElse(0L)
-    val parts = math.max(1, (total / math.max(1L, targetBytes)).toInt)
+    * sizes vary by orders of magnitude.
+    *
+    * `totalBytes` comes from the caller (catalog statistics, file-listing
+    * sizes, or an explicit [[measureTotalBytes]] pass) — the operator itself
+    * is lazy and composes into any plan, including streaming, with no hidden
+    * eager action. */
+  def repartitionByBytes(df: DataFrame, totalBytes: Long, targetBytes: Long): DataFrame = {
+    val parts = math.max(1, (totalBytes / math.max(1L, targetBytes)).toInt)
     df.repartition(parts)
+  }
+
+  /** Explicitly-eager helper for callers without catalog stats: scans `df`
+    * once to sum the payload column's bytes. Batch-only (runs an action);
+    * pair with [[repartitionByBytes]] when a two-pass plan is acceptable. */
+  def measureTotalBytes(df: DataFrame, binCol: Column): Long = {
+    val row = df.agg(sum(length(binCol)).as("total")).collect()(0)
+    if (row.isNullAt(0)) 0L else row.getLong(0)
   }
 }

@@ -81,6 +81,28 @@ object Similarity {
   }
 
   /**
+   * Banded hyperplane buckets, the cosine analogue of MinHash LSH banding:
+   * `nBands` independent buckets per vector, band k derived from planes
+   * [k·rowsPerBand, (k+1)·rowsPerBand). Two vectors are candidates if they
+   * collide in ANY band — collision probability 1-(1-p^r)^b for per-plane
+   * agreement p, the standard recall/cost dial (more bands → higher recall,
+   * more rows per vector; more rows-per-band → smaller buckets, lower
+   * recall). Returns an array of per-band bucket ids to posexplode into
+   * (band, bucket) join keys.
+   */
+  def lshBandBuckets(vec: Column, nBands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(nBands - 1)), band => {
+      val bits = transform(sequence(lit(0), lit(rowsPerBand - 1)), j => {
+        val s = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, d) => x * planeCoeff(band * rowsPerBand + j, d)),
+          lit(0.0), (acc, x) => acc + x)
+        when(s >= 0, pow(lit(2.0), j).cast("long")).otherwise(lit(0L))
+      })
+      aggregate(bits, lit(0L), (acc, x) => acc + x)
+    })
+
+  /**
    * IVF-flat ANN: coarse-quantize the corpus into `nCells` inverted lists
    * (centroids = the nCells lowest-id corpus vectors — deterministic,
    * training-free; swap in k-means centroids offline for better cells),

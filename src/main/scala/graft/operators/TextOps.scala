@@ -109,15 +109,17 @@ object TextOps {
       .filter(length(col("norm")) >= k)
       .select(col("doc_id"),
         posexplode(sequence(lit(1), length(col("norm")) - (k - 1))).as(Seq("ord", "pos")),
+        // last k-gram position is a pure function of the doc length — carry
+        // it through rather than recomputing it as a whole-partition max
+        (length(col("norm")) - (k - 1)).as("n_pos"),
         col("norm"))
-      .select(col("doc_id"), col("pos"),
+      .select(col("doc_id"), col("pos"), col("n_pos"),
         portableHash(substring_with_col(col("norm"), col("pos"), k)).as("h"))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(0, w - 1)
     grams
       .withColumn("win_min", min(col("h")).over(win))
       // a position's window is complete only while w k-grams remain
-      .withColumn("n_pos", max(col("pos")).over(Window.partitionBy(col("doc_id"))))
       .filter(col("pos") <= col("n_pos") - (w - 1))
       .select(col("doc_id"), col("win_min").as("fingerprint"))
       .distinct()

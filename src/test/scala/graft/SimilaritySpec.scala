@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
 
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
@@ -52,6 +52,40 @@ class SimilaritySpec extends SparkSpec {
     val top = got.orderBy("rank").select("neighbor_id").as[Long].collect()
     assert(top.head == (n - 1).toLong) // the duplicate, guaranteed same cell
     assert(got.count() <= 3)
+  }
+
+  test("embeddingNearDupBucketed: exact precision, no nested-loop join, measured recall") {
+    val rng = new scala.util.Random(7)
+    val base = (0L until 80L).map(i => (i, Seq.fill(16)(rng.nextFloat() * 2 - 1)))
+    // two exact duplicates — identical vectors agree with every hyperplane,
+    // so they collide in every band and can never be pruned
+    val corpus = (base :+ (80L, base.head._2) :+ (81L, base(1)._2))
+      .toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDup(corpus, col("vec_id"), col("embedding"), 0.35)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val bucketedDf = Dedup.embeddingNearDupBucketed(
+      corpus, col("vec_id"), col("embedding"), 0.35)
+    val plan = bucketedDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "bucketed near-dup must be a pure equi-join")
+    val bucketed = bucketedDf.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // precision is exact: LSH only prunes, every surviving pair is re-verified
+    assert(bucketed.subsetOf(exact))
+    assert(bucketed.contains((0L, 80L)) && bucketed.contains((1L, 81L)))
+    // recall contract: 1-(1-p^r)^b over the banding; measured here so a
+    // parameter regression (fewer bands, wider rows) fails loudly
+    val recall = bucketed.size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall below the banding-math floor")
+  }
+
+  test("repartitionByBytes sizes partitions from caller stats, lazily") {
+    val df = Seq.tabulate(64)(i => (i.toLong, "x" * 1024)).toDF("id", "txt")
+      .withColumn("bin", col("txt").cast("binary"))
+    val total = Multimodal.measureTotalBytes(df, col("bin"))
+    assert(total == 64L * 1024)
+    val rp = Multimodal.repartitionByBytes(df, total, targetBytes = 8 * 1024)
+    assert(rp.rdd.getNumPartitions == 8)
+    assert(Multimodal.measureTotalBytes(df.filter(col("id") < 0), col("bin")) == 0L)
   }
 
   test("multimodal: features deterministic, payload dropped, frames sliced") {

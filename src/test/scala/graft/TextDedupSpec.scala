@@ -60,6 +60,32 @@ class TextDedupSpec extends SparkSpec {
     assert(!cands.exists { case (a, b) => b == 4L || a == 4L }) // unrelated never does
   }
 
+  test("lshCandidates: degenerate corpus (1000 identical docs) stays bounded") {
+    // Web-scale worst case: boilerplate hashing every doc into the same
+    // buckets. With the cap, each oversized (band, bucket) emits an O(b)
+    // star around the min id — not an O(b²) clique from one task.
+    val d = docs((1L to 1000L).map(i =>
+      (i, "identical boilerplate text repeated across the whole corpus verbatim")): _*)
+    val buckets = Dedup.lshBuckets(
+      Dedup.minhashSignatures(d, col("text"), col("doc_id")))
+    val star = Dedup.lshCandidates(buckets, maxBucketSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(star.length == 999) // anchor star: every doc paired with doc 1 only
+    assert(star.forall(_._1 == 1L))
+    // connectivity is what dedup needs, and the star preserves it exactly:
+    // all 1000 docs remain in one connected component
+    val members = star.flatMap { case (a, b) => Seq(a, b) }.toSet
+    assert(members == (1L to 1000L).toSet)
+  }
+
+  test("lshCandidates: buckets at-or-below the cap still emit the full clique") {
+    val d = docs((1L to 30L).map(i =>
+      (i, "identical boilerplate text repeated across the whole corpus verbatim")): _*)
+    val buckets = Dedup.lshBuckets(
+      Dedup.minhashSignatures(d, col("text"), col("doc_id")))
+    assert(Dedup.lshCandidates(buckets, maxBucketSize = 30).count() == 30L * 29 / 2)
+  }
+
   test("ngramJaccard: exact dup = 1.0, disjoint = 0.0") {
     val d = docs(
       (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
