@@ -73,6 +73,35 @@ object Queries {
   def parsedFlights(spark: SparkSession, dir: String): DataFrame =
     FlightOps.parseFlightEvents(wireFlightJson(Tables.events(spark, dir)))
 
+  /** Deterministic users dimension off `events` user ids, shaped like the
+    * reference DDL's `users` table (readme.txt: user_id, email, phone,
+    * notify_email, notify_sms, preferred_channel, opt_in). Every attribute is
+    * a pure function of the numeric id, so the DuckDB oracle reproduces it
+    * and the id-mod patterns exercise every branch of the routing rule. */
+  def syntheticUsers(ev: DataFrame): DataFrame =
+    ev.select(col("user_id").as("uid")).distinct()
+      .select(
+        concat(lit("u"), col("uid").cast("string")).as("user_id"),
+        concat(lit("user"), col("uid").cast("string"), lit("@example.com")).as("email"),
+        concat(lit("+1555"), lpad(col("uid").cast("string"), 7, "0")).as("phone"),
+        (col("uid") % 2).cast("int").as("notify_email"),
+        when(col("uid") % 3 === 0, 1).otherwise(0).as("notify_sms"),
+        when(col("uid") % 5 < 3, lit("email")).otherwise(lit("sms")).as("preferred_channel"),
+        when(col("uid") % 10 =!= 0, 1).otherwise(0).as("opt_in"))
+
+  /** DuckDB mirror of [[syntheticUsers]]. */
+  private val usersCte =
+    """, users AS (
+      |  SELECT 'u' || uid AS user_id,
+      |         'user' || uid || '@example.com' AS email,
+      |         '+1555' || lpad(uid::varchar, 7, '0') AS phone,
+      |         (uid % 2)::int AS notify_email,
+      |         (CASE WHEN uid % 3 = 0 THEN 1 ELSE 0 END)::int AS notify_sms,
+      |         CASE WHEN uid % 5 < 3 THEN 'email' ELSE 'sms' END AS preferred_channel,
+      |         (CASE WHEN uid % 10 <> 0 THEN 1 ELSE 0 END)::int AS opt_in
+      |  FROM (SELECT DISTINCT user_id AS uid FROM events))
+      |""".stripMargin
+
   /** DuckDB CTE computing the same parsed-flight frame directly. */
   private val flightCte =
     """WITH flights AS (
@@ -150,6 +179,33 @@ object Queries {
           |       printf('Your flight %s is delayed by %d minutes',
           |              flight_number, delay_minutes) AS message
           |FROM flights WHERE is_delayed = 1""".stripMargin)),
+
+    // ---- Notification delivery routing (reference DDL's users table) ------
+    // Stream-static enrichment join: delay notifications × user contact
+    // preferences → channel + contact per the deterministic routing rule in
+    // graft.operators.Notify (opt-in gate, preferred-channel-if-enabled,
+    // email-then-sms fallback).
+    ("notify_routing",
+      (s: SparkSession, d: String) =>
+        Notify.route(
+          FlightOps.delayNotificationFields(parsedFlights(s, d)),
+          syntheticUsers(Tables.events(s, d))),
+      Some(flightCte + usersCte +
+        """, routed AS (
+          |  SELECT f.flight_id, u.user_id, u.email, u.phone,
+          |         printf('Your flight %s is delayed by %d minutes',
+          |                f.flight_number, f.delay_minutes) AS message,
+          |         CASE WHEN u.preferred_channel = 'email' AND u.notify_email = 1 THEN 'email'
+          |              WHEN u.preferred_channel = 'sms' AND u.notify_sms = 1 THEN 'sms'
+          |              WHEN u.notify_email = 1 THEN 'email'
+          |              WHEN u.notify_sms = 1 THEN 'sms' END AS channel
+          |  FROM flights f JOIN users u ON u.user_id = f.user_id
+          |  WHERE f.is_delayed = 1 AND u.opt_in = 1)
+          |SELECT md5(flight_id || ':' || user_id || ':' || channel) AS notification_id,
+          |       user_id, flight_id, channel,
+          |       CASE WHEN channel = 'email' THEN email ELSE phone END AS contact,
+          |       message, 'pending' AS status
+          |FROM routed WHERE channel IS NOT NULL""".stripMargin)),
 
     // ---- K1+W1+A1: per-airline windowed stats (2-minute tumbling) ---------
     ("flight_airline_stats",

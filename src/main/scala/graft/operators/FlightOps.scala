@@ -25,7 +25,8 @@ import graft.model.FlightEvent
  * windows on it, while tests/oracles window on the deterministic event field.
  * Window bounds emitted are Spark's true `window.start/end` — a documented
  * improvement over the reference's per-row `now()-N min` approximation
- * (FlightEventAggregator.java:103-104).
+ * (FlightEventAggregator.java:103-104); [[compatSinkBounds]] is the opt-in
+ * knob reproducing the reference's approximation byte-for-byte at the sink.
  */
 object FlightOps {
 
@@ -148,6 +149,24 @@ object FlightOps {
           col("total_flights") :+ col("delayed_flights") :+ col("avg_delay_minutes")): _*
       )
   }
+
+  /**
+   * Reference-compat sink bounds (SURVEY §2 J1-J3, §7.4): the reference does
+   * NOT emit true window bounds — its JDBC statement builders stamp
+   * `window_start = now()-N` and `window_end = now()` per row at sink time
+   * (FlightEventAggregator.java:103-104, 126-127, 148-149). This library's
+   * default is the strictly-better TRUE bounds from `window().start/end`;
+   * this opt-in transform reproduces the reference's approximation where
+   * byte-fidelity against an existing ClickHouse table matters.
+   * `current_timestamp()` is fixed per query execution — per micro-batch in
+   * streaming, the closest Spark analogue of the reference's per-row sink
+   * time — and `window_start` is back-derived by subtracting the window size,
+   * exactly as the reference subtracts its window's minutes from now().
+   */
+  def compatSinkBounds(stats: DataFrame, windowDuration: String): DataFrame =
+    stats
+      .withColumn("window_end", current_timestamp())
+      .withColumn("window_start", col("window_end") - expr(s"INTERVAL $windowDuration"))
 
   /** A1 — per-airline delay stats incl. delay rate (FlightEventAggregator.java:219-248). */
   def airlineStats(events: DataFrame, timeCol: Column, windowDuration: String = "2 minutes"): DataFrame =

@@ -28,13 +28,19 @@ object EventSink {
       .trigger(Trigger.ProcessingTime("0 seconds"))
 
   /** Kafka topic sink (expects a `value` string column). Needs the
-    * spark-sql-kafka connector (production only; absent in this container). */
+    * spark-sql-kafka connector (production only; absent in this container —
+    * the option map is pinned by `KafkaContractSpec` against the reference's
+    * producer contract, KafkaUtils.java:30-38). */
   final case class Kafka(bootstrapServers: String, topic: String) extends EventSink {
+    /** Exact `writeStream.format("kafka")` option map (value-only string
+      * serialization is Spark's default for a single `value` column). */
+    def writerOptions: Map[String, String] = Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "topic" -> topic)
     def start(df: DataFrame, checkpoint: String, queryName: String): StreamingQuery =
       base(df, checkpoint, queryName)
         .format("kafka")
-        .option("kafka.bootstrap.servers", bootstrapServers)
-        .option("topic", topic)
+        .options(writerOptions)
         .start()
   }
 

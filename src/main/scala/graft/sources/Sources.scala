@@ -25,19 +25,37 @@ sealed trait EventSource {
 object EventSource {
 
   /** Kafka topic → `value: string`. Requires the spark-sql-kafka connector on
-    * the classpath (not present in this offline test container — the code
-    * path is exercised in production deployments only). */
+    * the classpath (not present in this offline test container — the option
+    * map and value-cast contract are pinned by `KafkaContractSpec` so a
+    * production deployment can't silently drift from KafkaUtils.java:15-28
+    * semantics). */
   final case class Kafka(
       bootstrapServers: String = "kafka:9092",
       topic: String = "flight-events",
       startingOffsets: String = "latest") extends EventSource {
+    /** The exact `readStream.format("kafka")` option map. Reference mapping
+      * (KafkaUtils.java:15-28): bootstrap `kafka:9092`, topic
+      * `flight-events`, `auto.offset.reset=latest` → `startingOffsets=
+      * latest`. The reference's throwaway `flight-consumer-<epochMillis>`
+      * group id is deliberately NOT mapped: Spark's Kafka source manages its
+      * own unique group ids and replaces "start from now, never resume" with
+      * checkpointed exactly-once resume (latest offsets + a fresh checkpoint
+      * dir reproduces the reference behavior when wanted). */
+    def readerOptions: Map[String, String] = Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets)
     def load(spark: SparkSession): DataFrame =
-      spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrapServers)
-        .option("subscribe", topic)
-        .option("startingOffsets", startingOffsets)
-        .load()
-        .select(col("value").cast("string").as("value"))
+      Kafka.valueAsString(
+        spark.readStream.format("kafka").options(readerOptions).load())
+  }
+
+  object Kafka {
+    /** Kafka wire rows carry binary key/value plus metadata; the pipeline
+      * contract is ONE string `value` column — the reference's value-only
+      * `SimpleStringSchema` deserialization (KafkaUtils.java:26). */
+    def valueAsString(df: DataFrame): DataFrame =
+      df.select(col("value").cast("string").as("value"))
   }
 
   /** Newline-delimited JSON files appearing in a directory. */

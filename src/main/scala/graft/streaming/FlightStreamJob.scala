@@ -122,22 +122,27 @@ object FlightStreamJob {
       source: EventSource,
       mode: TimeMode,
       checkpointRoot: String,
-      sinkFor: String => EventSink): Branches = {
+      sinkFor: String => EventSink,
+      compatBounds: Boolean = false): Branches = {
     val (parsed, timeCol) = parsedStream(spark, source, mode)
 
     def cp(name: String) = s"$checkpointRoot/$name"
+    // compatBounds reproduces the reference's now()-derived sink bounds
+    // (FlightOps.compatSinkBounds); default = true window bounds.
+    def bounds(stats: DataFrame, dur: String) =
+      if (compatBounds) FlightOps.compatSinkBounds(stats, dur) else stats
 
     Branches(
       notifications = sinkFor("notifications").start(
         FlightOps.delayNotifications(parsed), cp("notifications"), "notifications"),
       airlineStats = sinkFor("airline_stats").start(
-        FlightOps.airlineStats(parsed, timeCol, "2 minutes"),
+        bounds(FlightOps.airlineStats(parsed, timeCol, "2 minutes"), "2 minutes"),
         cp("airline_stats"), "airline_stats"),
       routeStats = sinkFor("route_stats").start(
-        FlightOps.routeStats(parsed, timeCol, "3 minutes"),
+        bounds(FlightOps.routeStats(parsed, timeCol, "3 minutes"), "3 minutes"),
         cp("route_stats"), "route_stats"),
       hourlyStats = sinkFor("hourly_stats").start(
-        FlightOps.hourlyStats(parsed, timeCol, "5 minutes"),
+        bounds(FlightOps.hourlyStats(parsed, timeCol, "5 minutes"), "5 minutes"),
         cp("hourly_stats"), "hourly_stats"),
       rawEvents = sinkFor("raw_events").start(
         parsed, cp("raw_events"), "raw_events"))

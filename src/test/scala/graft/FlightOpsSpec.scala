@@ -105,4 +105,25 @@ class FlightOpsSpec extends SparkSpec {
       col("scheduled_time"), "5 minutes").collect()(0)
     assert(r.getAs[Int]("hour_of_day") == 10)
   }
+
+  test("compatSinkBounds reproduces the reference's now()-derived bounds; default stays true bounds") {
+    val stats = FlightOps.airlineStats(
+      FlightOps.parseFlightEvents(raw(okEvent)), col("scheduled_time"), "2 minutes")
+    // default mode: TRUE window bounds (event-derived, not wall clock)
+    val trueRow = stats.collect()(0)
+    assert(trueRow.getAs[java.sql.Timestamp]("window_start").toString == "2024-01-01 10:00:00.0")
+    // compat mode: window_end = now() per query execution, start = end - 2 min
+    // (FlightEventAggregator.java:103-104 stamps exactly this at the sink)
+    val t0 = System.currentTimeMillis()
+    val compatRow = FlightOps.compatSinkBounds(stats, "2 minutes").collect()(0)
+    val t1 = System.currentTimeMillis()
+    val start = compatRow.getAs[java.sql.Timestamp]("window_start").getTime
+    val end = compatRow.getAs[java.sql.Timestamp]("window_end").getTime
+    assert(end - start == 2 * 60 * 1000L)
+    assert(end >= t0 - 1000 && end <= t1 + 1000, s"window_end $end not within [$t0,$t1]")
+    // all non-bounds columns are untouched, column order preserved
+    assert(compatRow.getAs[Long]("total_flights") == trueRow.getAs[Long]("total_flights"))
+    assert(stats.columns.toSeq ==
+      FlightOps.compatSinkBounds(stats, "2 minutes").columns.toSeq)
+  }
 }

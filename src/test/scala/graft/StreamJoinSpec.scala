@@ -41,6 +41,38 @@ class StreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("notification routing runs as a stream-static join over a users dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    val users = Seq(
+      ("u-1", "u1@example.com", "+1-1", 1, 0, "email", 1), // email-routed
+      ("u-2", "u2@example.com", "+1-2", 0, 1, "email", 1), // sms fallback
+      ("u-3", "u3@example.com", "+1-3", 1, 1, "email", 0)) // opted out
+      .toDF("user_id", "email", "phone", "notify_email", "notify_sms",
+        "preferred_channel", "opt_in")
+    val routed = graft.operators.Notify.route(
+      FlightOps.delayNotificationFields(FlightOps.parseFlightEvents(input.toDF())),
+      broadcast(users))
+    val q = routed.writeStream.format("memory").queryName("notify_out")
+      .option("checkpointLocation", Files.createTempDirectory("nr-cp").toString)
+      .start()
+    try {
+      input.addData(
+        ev("1", "AA", "2024-01-01T10:00:00", "2024-01-01T10:30:00", true),
+        ev("2", "AA", "2024-01-01T10:00:00", "2024-01-01T10:30:00", true),
+        ev("3", "AA", "2024-01-01T10:00:00", "2024-01-01T10:30:00", true),
+        ev("4", "AA", "2024-01-01T10:00:00", "2024-01-01T10:00:00", false)) // not delayed
+      q.processAllAvailable()
+      val got = spark.table("notify_out")
+        .select("user_id", "channel", "contact").as[(String, String, String)]
+        .collect().toSet
+      assert(got == Set(
+        ("u-1", "email", "u1@example.com"),
+        ("u-2", "sms", "+1-2")))
+    } finally q.stop()
+  }
+
   test("watermarked stream-stream interval join pairs delays with later arrivals") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -121,6 +121,33 @@ class StreamingSpec extends SparkSpec {
         branches.hourlyStats, branches.rawEvents).foreach(_.stop())
   }
 
+  test("compatBounds=true streams reference-style now()-derived bounds to the stats sinks") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    val cp = Files.createTempDirectory("graft-compat-cp").toString
+    val branches = FlightStreamJob.start(spark, EventSource.Existing(input.toDF()),
+      TimeMode.Event("scheduled_time"), cp, _ => EventSink.Memory(),
+      compatBounds = true)
+    try {
+      val t0 = System.currentTimeMillis()
+      input.addData(
+        ev("C1", "AA", "2024-01-01T10:00:10", "2024-01-01T10:20:10", true),
+        ev("C2", "ZZ", "2024-01-01T12:00:00", "2024-01-01T12:00:00", false))
+      Seq(branches.airlineStats, branches.routeStats, branches.hourlyStats)
+        .foreach(_.processAllAvailable())
+      val t1 = System.currentTimeMillis()
+      val r = spark.table("airline_stats").filter(col("airline") === "AA").collect()(0)
+      val start = r.getAs[java.sql.Timestamp]("window_start").getTime
+      val end = r.getAs[java.sql.Timestamp]("window_end").getTime
+      // bounds are the micro-batch's wall clock, not the 2024 event times
+      assert(end - start == 2 * 60 * 1000L)
+      assert(end >= t0 - 1000 && end <= t1 + 1000)
+    } finally
+      Seq(branches.notifications, branches.airlineStats, branches.routeStats,
+        branches.hourlyStats, branches.rawEvents).foreach(_.stop())
+  }
+
   test("JDBC sink writes micro-batches to an embedded Derby table") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
