@@ -1445,7 +1445,7 @@ object Queries {
     ("dedup_embedding_near",
       (s: SparkSession, d: String) =>
         Dedup.embeddingNearDupBucketed(Tables.embeddings(s, d), col("vec_id"),
-          col("embedding"), 0.35, nBands = 4, rowsPerBand = 2),
+          col("embedding"), 0.35, nBands = 4, rowsPerBand = 2, dim = 64),
       Some(
         """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS ve
           |           FROM embeddings),

@@ -172,12 +172,17 @@ object Dedup {
    * recall, the reverse for cost.
    */
   def embeddingNearDupBucketed(embeddings: DataFrame, idCol: Column, vecCol: Column,
-      threshold: Double, nBands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+      threshold: Double, nBands: Int = 4, rowsPerBand: Int = 2, dim: Int = -1): DataFrame = {
+    // dim known → plane coefficients fold to literals and each projection is
+    // one codegen'd dot (Similarity.lshBandBucketsFast); dim unknown → the
+    // dynamic (per-row md5) variant. Same bucket ids either way.
+    val bandBuckets =
+      if (dim > 0) Similarity.lshBandBucketsFast(col("v"), nBands, rowsPerBand, dim)
+      else Similarity.lshBandBuckets(col("v"), nBands, rowsPerBand)
     val v = embeddings.select(idCol.as("id"), Similarity.asDouble(vecCol).as("v"))
       .withColumn("n", Similarity.norm(col("v")))
       .select(col("id"), col("v"), col("n"),
-        posexplode(Similarity.lshBandBuckets(col("v"), nBands, rowsPerBand))
-          .as(Seq("band", "bucket")))
+        posexplode(bandBuckets).as(Seq("band", "bucket")))
     val a = v.select(col("band"), col("bucket"),
       col("id").as("doc_a"), col("v").as("va"), col("n").as("na"))
     val b = v.select(col("band"), col("bucket"),

@@ -102,6 +102,33 @@ object Similarity {
       aggregate(bits, lit(0L), (acc, x) => acc + x)
     })
 
+  /** Driver-side constant replica of [[planeCoeff]]: same md5 derivation,
+    * same arithmetic order, evaluated ONCE at plan-build time. The per-row
+    * column version computes nPlanes×dim md5 digests per row — for constant
+    * (plane, dim) inputs that work belongs in the plan, not the data path. */
+  def planeCoeffConst(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      .toDouble / 1.152921504606846976e18 * 2.0 - 1.0
+  }
+
+  /**
+   * [[lshBandBuckets]] with the plane coefficients folded to literal arrays
+   * (requires the embedding dimension up front). Each band bit is one native
+   * codegen'd [[dot]] against a constant array — identical left-to-right
+   * summation order, so bucket ids are bit-identical to the dynamic version
+   * (equivalence spec-checked) at a fraction of the per-row cost.
+   */
+  def lshBandBucketsFast(vec: Column, nBands: Int, rowsPerBand: Int, dim: Int): Column =
+    array((0 until nBands).map { band =>
+      (0 until rowsPerBand).map { j =>
+        val p = band * rowsPerBand + j
+        val coeffs = array((0 until dim).map(dd => lit(planeCoeffConst(p, dd))): _*)
+        when(dot(vec, coeffs) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+
   /**
    * IVF-flat ANN: coarse-quantize the corpus into `nCells` inverted lists
    * (centroids = the nCells lowest-id corpus vectors — deterministic,

@@ -78,6 +78,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall below the banding-math floor")
   }
 
+  test("lshBandBucketsFast is bit-identical to the dynamic per-row-md5 variant") {
+    val rng = new scala.util.Random(11)
+    val corpus = (0L until 50L).map(i => (i, Seq.fill(16)(rng.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val both = corpus.select(col("vec_id"),
+      Similarity.lshBandBuckets(col("v"), 4, 2).as("dyn"),
+      Similarity.lshBandBucketsFast(col("v"), 4, 2, 16).as("fast"))
+    assert(both.filter(col("dyn") =!= col("fast")).count() == 0)
+    // and the constant itself replicates the column derivation
+    val colCoeff = spark.range(1).select(
+      Similarity.planeCoeff(lit(3), lit(7)).as("c")).as[Double].collect()(0)
+    assert(colCoeff == Similarity.planeCoeffConst(3, 7))
+  }
+
   test("repartitionByBytes sizes partitions from caller stats, lazily") {
     val df = Seq.tabulate(64)(i => (i.toLong, "x" * 1024)).toDF("id", "txt")
       .withColumn("bin", col("txt").cast("binary"))
