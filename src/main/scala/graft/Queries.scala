@@ -924,6 +924,34 @@ object Queries {
           |       (CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END)::int AS is_dup
           |FROM verified""".stripMargin)),
 
+    // Transitive canonicalization: connected components over the verified
+    // near-dup graph — (A,B), (B,C) collapse into one group even though
+    // (A,C) was never compared. Oracle = a recursive CTE computing min
+    // reachable id, a genuinely independent evaluation strategy.
+    ("dedup_components",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val cands = Dedup.lshCandidates(Dedup.lshBuckets(
+          Dedup.minhashSignatures(docs, col("text"), col("doc_id"))))
+        val dupPairs = Dedup.ngramJaccard(cands, docs, col("text"), col("doc_id"))
+          .filter(col("jaccard") >= 0.8).select(col("doc_a"), col("doc_b"))
+        Dedup.connectedComponents(docs.select(col("doc_id").as("id")), dupPairs)
+          .select(col("id").as("doc_id"), col("component"))
+      },
+      Some(lshCandCtes + nearDupVerifyCtes +
+        """SELECT id AS doc_id, min(lbl) AS component
+          |FROM (
+          |  WITH RECURSIVE r(id, lbl) AS (
+          |    SELECT doc_id, doc_id FROM documents
+          |    UNION
+          |    SELECT e.src, r.lbl
+          |    FROM (SELECT doc_a AS src, doc_b AS dst FROM verified WHERE jaccard >= 0.8
+          |          UNION ALL
+          |          SELECT doc_b AS src, doc_a AS dst FROM verified WHERE jaccard >= 0.8) e
+          |    JOIN r ON r.id = e.dst)
+          |  SELECT id, lbl FROM r)
+          |GROUP BY 1""".stripMargin)),
+
     // The dedup *output*: documents surviving near-dedup (drop any doc that
     // is a verified near-duplicate of a smaller-id doc).
     ("dedup_near_keep",
@@ -1039,6 +1067,57 @@ object Queries {
           |         ELSE 'zh'
           |       END AS lang_pred
           |FROM scored""".stripMargin)),
+
+    // ---- Training-set assembly: split / stratified sample / redaction -----
+    // Hash-split: reproducible, engine-independent, stable under data growth
+    // (a doc's split never changes when the corpus grows) — rand() has none
+    // of those properties. Pure projection, zero shuffle.
+    ("split_train_val_test",
+      (s: SparkSession, d: String) =>
+        Sampling.hashSplit(Tables.documents(s, d), col("doc_id"),
+            Seq("train" -> 80, "val" -> 10, "test" -> 10))
+          .select(col("doc_id"), col("split")),
+      Some(
+        """SELECT doc_id,
+          |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+          |FROM (SELECT doc_id,
+          |             ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint % 100 AS b
+          |      FROM documents)""".stripMargin)),
+
+    // Stratified quota: at most 100 events per type, drawn in deterministic
+    // hash order — the "cap boilerplate domains / balance classes" primitive.
+    ("sample_stratified",
+      (s: SparkSession, d: String) =>
+        Sampling.quotaPerGroup(Tables.events(s, d),
+            Seq(col("event_type")), col("event_id"), 100)
+          .select(col("event_type"), col("event_id"), col("user_id")),
+      Some(
+        """SELECT event_type, event_id, user_id FROM (
+          |  SELECT event_type, event_id, user_id,
+          |         row_number() OVER (
+          |           PARTITION BY event_type
+          |           ORDER BY ('0x' || substr(md5(event_id::varchar), 1, 15))::bigint,
+          |                    event_id) AS rn
+          |  FROM events)
+          |WHERE rn <= 100""".stripMargin)),
+
+    // PII-ish redaction stats: emails and long digit runs masked; counts and
+    // the redacted length verify the transform end-to-end.
+    ("text_redact_stats",
+      (s: SparkSession, d: String) =>
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          regexp_count(col("text"), lit(TextOps.emailPattern)).as("n_emails"),
+          regexp_count(col("text"), lit(TextOps.longNumberPattern)).as("n_long_numbers"),
+          length(TextOps.redactPii(col("text"))).as("redacted_len")),
+      Some(
+        s"""SELECT doc_id,
+          |       len(regexp_extract_all(text, '${TextOps.emailPattern}'))::int AS n_emails,
+          |       len(regexp_extract_all(text, '${TextOps.longNumberPattern}'))::int AS n_long_numbers,
+          |       length(regexp_replace(
+          |                regexp_replace(text, '${TextOps.emailPattern}', '<EMAIL>', 'g'),
+          |                '${TextOps.longNumberPattern}', '<NUM>', 'g'))::int AS redacted_len
+          |FROM documents""".stripMargin)),
 
     // ---- ANN: brute-force cosine top-5 for the first 10 vectors -----------
     ("sim_topk",

@@ -213,6 +213,44 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /**
+   * Connected components over an undirected pair list — the transitive
+   * canonicalization step of near-dedup: verified pairs (A,B), (B,C) must
+   * collapse A, B and C into ONE group even though (A,C) was never compared.
+   * Returns (id, component) with component = the minimum id reachable.
+   *
+   * Algorithm: min-label propagation to fixpoint — every iteration each node
+   * takes the min of its own label and its neighbors' labels; converges in
+   * O(diameter) rounds (near-dup components are shallow: dup clusters are
+   * near-cliques, so 2-4 rounds in practice). Each round is one equi-join +
+   * one aggregation — all-distributed, no driver-side data; the driver only
+   * runs the (bounded) loop and the scalar convergence check, the standard
+   * Spark shape for iterative graph algorithms. Labels are localCheckpointed
+   * every round to truncate the growing lineage.
+   */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = nodes.select(col("id"), col("id").as("component")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("component").as("ncomp")), "dst")
+        .groupBy(col("src")).agg(min(col("ncomp")).as("nmin"))
+      val updated = labels
+        .join(neighborMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .localCheckpoint()
+      converged = updated.join(labels.withColumnRenamed("component", "prev"), "id")
+        .filter(col("component") =!= col("prev")).isEmpty
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
   /** Near-dup detection over SimHash fingerprints for an explicit pair
     * frame: Hamming distance via bit_count(xor). */
   def simhashPairs(pairs: DataFrame, fingerprints: DataFrame,

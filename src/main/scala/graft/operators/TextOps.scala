@@ -130,6 +130,17 @@ object TextOps {
   private def substring_with_col(s: Column, pos: Column, len: Int): Column =
     s.substr(pos, lit(len))
 
+  /** PII-ish redaction: mask email addresses and long digit runs. The regex
+    * subset used is identical under Java regex and RE2/DuckDB, keeping the
+    * transform oracle-verifiable; extend the pattern list per policy. */
+  val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"
+  val longNumberPattern = "[0-9]{4,}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      longNumberPattern, "<NUM>")
+
   /**
    * Marker-token language ID. On natural text the markers would be per-language
    * function words; the heuristic structure (count marker hits per language,

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** Deterministic split/sample semantics — the properties rand() lacks. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit: reproducible, roughly proportional, stable under growth") {
+    val small = (1L to 500L).toDF("id")
+    val big = (1L to 1000L).toDF("id")
+    val fr = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    val a = Sampling.hashSplit(small, col("id"), fr)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    // deterministic: a second run assigns identically
+    val b = Sampling.hashSplit(small, col("id"), fr)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a == b)
+    // stable under growth: ids keep their split when the corpus doubles
+    val grown = Sampling.hashSplit(big, col("id"), fr)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a.forall { case (id, s) => grown(id) == s })
+    // roughly proportional (hash uniformity, generous tolerance)
+    val counts = grown.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 800) < 80, counts.toString)
+    assert(math.abs(counts("val") - 100) < 50, counts.toString)
+  }
+
+  test("hashSplit rejects percents that do not sum to 100") {
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit((1L to 3L).toDF("id"), col("id"), Seq("a" -> 50, "b" -> 40))
+    }
+  }
+
+  test("quotaPerGroup caps each group at k with a deterministic draw") {
+    val df = (1L to 300L).map(i => (i, if (i % 3 == 0) "big" else "huge"))
+      .toDF("id", "grp")
+    val sampled = Sampling.quotaPerGroup(df, Seq(col("grp")), col("id"), 25)
+    val byGroup = sampled.groupBy("grp").count()
+      .as[(String, Long)].collect().toMap
+    assert(byGroup == Map("big" -> 25L, "huge" -> 25L))
+    // deterministic: same draw twice
+    val again = Sampling.quotaPerGroup(df, Seq(col("grp")), col("id"), 25)
+    assert(sampled.select("id").as[Long].collect().sorted.toSeq ==
+      again.select("id").as[Long].collect().sorted.toSeq)
+    // a group smaller than k survives whole
+    val tiny = Sampling.quotaPerGroup(
+      Seq((1L, "t"), (2L, "t")).toDF("id", "grp"), Seq(col("grp")), col("id"), 25)
+    assert(tiny.count() == 2)
+  }
+}

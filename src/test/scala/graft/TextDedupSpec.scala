@@ -125,6 +125,30 @@ class TextDedupSpec extends SparkSpec {
     assert((fp(1L) & fp(5L)).isEmpty)
   }
 
+  test("connectedComponents collapses transitive chains that pairs alone miss") {
+    val nodes = (1L to 7L).toDF("id")
+    // chain 1-2-3 (1,3 never directly compared), pair 4-5, singletons 6, 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 7L))
+  }
+
+  test("connectedComponents converges on a long path within the iteration bound") {
+    // a 12-node path needs ~log-diameter rounds of min propagation
+    val nodes = (1L to 12L).toDF("id")
+    val pairs = (1L to 11L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(nodes, pairs)
+      .select("component").distinct().as[Long].collect().toSeq
+    assert(comp == Seq(1L))
+  }
+
+  test("redactPii masks emails and long digit runs, leaves the rest") {
+    val got = docs((1L, "mail a.user@example.com or call 55512345 ext 12"))
+      .select(TextOps.redactPii(col("text"))).as[String].collect()(0)
+    assert(got == "mail <EMAIL> or call <NUM> ext 12")
+  }
+
   test("textStats computes exact counts and ratios") {
     val r = TextOps.textStats(docs((1L, "the cat and the hat")), col("text"), col("doc_id"))
       .collect()(0)
