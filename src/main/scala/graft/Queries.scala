@@ -1119,6 +1119,70 @@ object Queries {
           |                '${TextOps.longNumberPattern}', '<NUM>', 'g'))::int AS redacted_len
           |FROM documents""".stripMargin)),
 
+    // Gopher-style quality battery: every rule's metric + verdict per doc.
+    ("text_quality_filter",
+      (s: SparkSession, d: String) =>
+        TextOps.qualityFilter(Tables.documents(s, d), col("text"))
+          .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
+            col("symbol_ratio"), col("digit_token_ratio"), col("n_stopwords"),
+            col("ok_token_count"), col("ok_token_len"), col("ok_symbol_ratio"),
+            col("ok_digit_ratio"), col("ok_stopword"), col("quality_keep")),
+      Some(qualityMetricsCtes("documents") +
+        """SELECT doc_id, n_tokens, avg_token_len, symbol_ratio, digit_token_ratio,
+          |       n_stopwords,
+          |       (CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1 ELSE 0 END)::int AS ok_token_count,
+          |       (CASE WHEN avg_token_len BETWEEN 3.0 AND 8.0 THEN 1 ELSE 0 END)::int AS ok_token_len,
+          |       (CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END)::int AS ok_symbol_ratio,
+          |       (CASE WHEN digit_token_ratio <= 0.2 THEN 1 ELSE 0 END)::int AS ok_digit_ratio,
+          |       (CASE WHEN n_stopwords >= 1 THEN 1 ELSE 0 END)::int AS ok_stopword,
+          |       (CASE WHEN n_tokens BETWEEN 20 AND 80 AND avg_token_len BETWEEN 3.0 AND 8.0
+          |             AND symbol_ratio <= 0.1 AND digit_token_ratio <= 0.2
+          |             AND n_stopwords >= 1 THEN 1 ELSE 0 END)::int AS quality_keep
+          |FROM qmetrics""".stripMargin)),
+
+    // ---- The flagship training-data pipeline, end to end ------------------
+    // near-dedup (LSH candidates → verified Jaccard → drop) → quality filter
+    // → PII redaction → train/val/test hash-split. This is the composed job a
+    // corpus builder actually runs; the oracle recomputes the whole chain.
+    ("corpus_pipeline",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val cands = Dedup.lshCandidates(Dedup.lshBuckets(
+          Dedup.minhashSignatures(docs, col("text"), col("doc_id"))))
+        val drops = Dedup.ngramJaccard(cands, docs, col("text"), col("doc_id"))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("doc_b").as("doc_id"))
+        val kept = docs.join(drops, Seq("doc_id"), "left_anti")
+        val quality = TextOps.qualityFilter(kept, col("text"))
+          .filter(col("quality_keep") === 1)
+        Sampling.hashSplit(
+            quality.withColumn("clean_len", length(TextOps.redactPii(col("text")))),
+            col("doc_id"), Seq("train" -> 80, "val" -> 10, "test" -> 10))
+          .select(col("doc_id"), col("split"), col("n_tokens"), col("clean_len"))
+      },
+      Some(lshCandCtes + nearDupVerifyCtes +
+        """, kept AS (
+          |  SELECT d.doc_id, d.text FROM documents d
+          |  WHERE NOT EXISTS (SELECT 1 FROM verified v
+          |                    WHERE v.doc_b = d.doc_id AND v.jaccard >= 0.8))
+          |""".stripMargin +
+        qualityMetricsCtes("kept").replaceFirst("^WITH ", ", ") +
+        s""", qkeep AS (
+          |  SELECT m.doc_id, m.n_tokens, k.text
+          |  FROM qmetrics m JOIN kept k ON k.doc_id = m.doc_id
+          |  WHERE m.n_tokens BETWEEN 20 AND 80 AND m.avg_token_len BETWEEN 3.0 AND 8.0
+          |    AND m.symbol_ratio <= 0.1 AND m.digit_token_ratio <= 0.2
+          |    AND m.n_stopwords >= 1)
+          |SELECT doc_id,
+          |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+          |       n_tokens,
+          |       length(regexp_replace(
+          |                regexp_replace(text, '${TextOps.emailPattern}', '<EMAIL>', 'g'),
+          |                '${TextOps.longNumberPattern}', '<NUM>', 'g'))::int AS clean_len
+          |FROM (SELECT doc_id, n_tokens, text,
+          |             ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint % 100 AS b
+          |      FROM qkeep)""".stripMargin)),
+
     // ---- ANN: brute-force cosine top-5 for the first 10 vectors -----------
     ("sim_topk",
       (s: SparkSession, d: String) => {
@@ -1629,6 +1693,26 @@ object Queries {
       |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
       |  JOIN ssets sa ON sa.doc_id = p.doc_a
       |  JOIN ssets sb ON sb.doc_id = p.doc_b)
+      |""".stripMargin
+
+  /** DuckDB CTE chain computing [[TextOps.qualityFilter]]'s metrics over
+    * `table` (which must expose doc_id, text); terminal CTE is `qmetrics`.
+    * Thresholds live in the caller's SQL so they stay visibly in sync with
+    * the Scala defaults. */
+  private def qualityMetricsCtes(table: String): String =
+    s"""WITH qn AS (
+      |  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+      |  FROM $table),
+      |qt AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM qn),
+      |qmetrics AS (
+      |  SELECT doc_id,
+      |         len(toks)::int AS n_tokens,
+      |         cast(length(norm) - (len(toks) - 1) AS double) / len(toks) AS avg_token_len,
+      |         cast(len(regexp_extract_all(norm, '[^a-z0-9 ]')) AS double) / len(toks) AS symbol_ratio,
+      |         cast(len(list_filter(toks, x -> regexp_matches(x, '[0-9]'))) AS double)
+      |           / len(toks) AS digit_token_ratio,
+      |         len(list_filter(toks, x -> x IN ('the','a','of','and','is')))::int AS n_stopwords
+      |  FROM qt)
       |""".stripMargin
 
   /** Shared DuckDB CTE: distinct 3-gram word shingles per document, matching

@@ -231,7 +231,14 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    var labels = nodes.select(col("id"), col("id").as("component")).localCheckpoint()
+      .localCheckpoint()
+    // Only nodes with at least one edge can change label — iterate over that
+    // (typically tiny) frontier and union the untouched singletons back in at
+    // the end. In a near-dup corpus the dup graph is a small fraction of the
+    // corpus, so this keeps every iteration's shuffles proportional to the
+    // number of duplicates, not the corpus size.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -248,7 +255,9 @@ object Dedup {
       labels = updated
       iter += 1
     }
-    labels
+    nodes.select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
   /** Near-dup detection over SimHash fingerprints for an explicit pair

@@ -142,6 +142,50 @@ object TextOps {
       longNumberPattern, "<NUM>")
 
   /**
+   * Gopher-style heuristic quality filter: per-document metrics plus pass/fail
+   * flags and an overall `quality_keep` verdict. The rule set is the standard
+   * web-corpus battery (token-count bounds, mean token length bounds,
+   * symbol-to-token ratio, digit-token ratio, stopword presence) with
+   * thresholds as parameters; every metric is integer-derived arithmetic so
+   * the verdicts are bit-exact across engines (oracle-verifiable).
+   *
+   * Appends columns to the input frame (rather than projecting them out) so
+   * it composes mid-pipeline: dedup → qualityFilter → filter(quality_keep) →
+   * redact → split. Pure projection — no shuffle, whole-stage codegen.
+   */
+  def qualityFilter(docs: DataFrame,
+      textCol: Column,
+      minTokens: Int = 20, maxTokens: Int = 80,
+      minAvgTokenLen: Double = 3.0, maxAvgTokenLen: Double = 8.0,
+      maxSymbolRatio: Double = 0.1, maxDigitTokenRatio: Double = 0.2): DataFrame = {
+    val stopwords = Seq("the", "a", "of", "and", "is")
+    docs
+      .withColumn("q_norm", normalize(textCol))
+      .withColumn("q_toks", tokens(col("q_norm")))
+      .withColumn("n_tokens", size(col("q_toks")))
+      .withColumn("avg_token_len",
+        (length(col("q_norm")) - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      .withColumn("symbol_ratio",
+        regexp_count(col("q_norm"), lit("[^a-z0-9 ]")).cast("double") / col("n_tokens"))
+      .withColumn("digit_token_ratio",
+        size(filter(col("q_toks"), x => x.rlike("[0-9]"))).cast("double") / col("n_tokens"))
+      .withColumn("n_stopwords",
+        size(filter(col("q_toks"), x => x.isInCollection(stopwords))))
+      .withColumn("ok_token_count",
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens).cast("int"))
+      .withColumn("ok_token_len",
+        (col("avg_token_len") >= minAvgTokenLen && col("avg_token_len") <= maxAvgTokenLen).cast("int"))
+      .withColumn("ok_symbol_ratio", (col("symbol_ratio") <= maxSymbolRatio).cast("int"))
+      .withColumn("ok_digit_ratio", (col("digit_token_ratio") <= maxDigitTokenRatio).cast("int"))
+      .withColumn("ok_stopword", (col("n_stopwords") >= 1).cast("int"))
+      .withColumn("quality_keep",
+        (col("ok_token_count") === 1 && col("ok_token_len") === 1 &&
+          col("ok_symbol_ratio") === 1 && col("ok_digit_ratio") === 1 &&
+          col("ok_stopword") === 1).cast("int"))
+      .drop("q_norm", "q_toks")
+  }
+
+  /**
    * Marker-token language ID. On natural text the markers would be per-language
    * function words; the heuristic structure (count marker hits per language,
    * argmax with deterministic tie-break order) is the real n-gram-profile

@@ -149,6 +149,28 @@ class TextDedupSpec extends SparkSpec {
     assert(got == "mail <EMAIL> or call <NUM> ext 12")
   }
 
+  test("qualityFilter flags each rule independently and keep requires all") {
+    val goodText = ("the quick brown token run " * 5).trim // 25 tokens, has stopword
+    val d = docs(
+      (1L, goodText),                                   // passes everything
+      (2L, "too short doc here now"),                   // 5 tokens < 20
+      (3L, ("num 1234 9 88 732 " * 5).trim),            // digit-heavy
+      (4L, ("the $$ %% !! ?? && " * 5).trim),           // symbol-heavy
+      (5L, ("quick brown token run five " * 5).trim),   // no stopword
+      (6L, ("extraordinarily incomprehensible " * 13).trim)) // avg len > 8
+    val r = TextOps.qualityFilter(d, col("text"))
+      .select("doc_id", "ok_token_count", "ok_token_len", "ok_symbol_ratio",
+        "ok_digit_ratio", "ok_stopword", "quality_keep")
+      .collect().map(x => x.getLong(0) ->
+        (x.getInt(1), x.getInt(2), x.getInt(3), x.getInt(4), x.getInt(5), x.getInt(6))).toMap
+    assert(r(1L) == (1, 1, 1, 1, 1, 1))
+    assert(r(2L)._1 == 0 && r(2L)._6 == 0)
+    assert(r(3L)._4 == 0 && r(3L)._6 == 0)
+    assert(r(4L)._3 == 0 && r(4L)._6 == 0)
+    assert(r(5L)._5 == 0 && r(5L)._6 == 0)
+    assert(r(6L)._2 == 0 && r(6L)._6 == 0)
+  }
+
   test("textStats computes exact counts and ratios") {
     val r = TextOps.textStats(docs((1L, "the cat and the hat")), col("text"), col("doc_id"))
       .collect()(0)
