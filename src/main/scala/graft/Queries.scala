@@ -1204,6 +1204,81 @@ object Queries {
           |      FROM s)
           |WHERE "rank" <= 5""".stripMargin)),
 
+    // ---- Embedding transforms: normalize / quantize / project -------------
+    // Array columns stay internal; the oracle compares scalar derivations
+    // (norms, first elements, integer checksums) — all bit-exact because both
+    // engines fold the same doubles in the same left-to-right order.
+    ("emb_normalize",
+      (s: SparkSession, d: String) =>
+        Embeddings.normalized(Tables.embeddings(s, d), col("vec_id"), col("embedding"))
+          .select(col("vec_id"), col("norm"),
+            element_at(col("unit"), 1).as("unit0"),
+            Similarity.norm(col("unit")).as("unit_norm")),
+      Some(
+        """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS ve
+          |           FROM embeddings),
+          |n AS (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS norm FROM v),
+          |u AS (SELECT vec_id, norm, list_transform(ve, x -> x / norm) AS ue FROM n)
+          |SELECT vec_id, norm, ue[1] AS unit0, sqrt(list_dot_product(ue, ue)) AS unit_norm
+          |FROM u""".stripMargin)),
+
+    // int8 quantization: the 4x storage lever for vector corpora. The integer
+    // checksum (q_sum) verifies every element's level exactly.
+    ("emb_quantize",
+      (s: SparkSession, d: String) =>
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+          .withColumn("vmin", array_min(col("v")))
+          .withColumn("vmax", array_max(col("v")))
+          .withColumn("q", Embeddings.quantizeInt8(col("v"), col("vmin"), col("vmax")))
+          .select(col("vec_id"), col("vmin"), col("vmax"),
+            element_at(col("q"), 1).as("q0"),
+            aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+            array_min(col("q")).as("q_min"),
+            array_max(col("q")).as("q_max")),
+      Some(
+        """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS ve
+          |           FROM embeddings),
+          |m AS (SELECT vec_id, ve,
+          |             list_aggregate(ve, 'min') AS vmin,
+          |             list_aggregate(ve, 'max') AS vmax
+          |      FROM v),
+          |q AS (SELECT vec_id, vmin, vmax,
+          |             list_transform(ve, x -> CASE WHEN vmax = vmin THEN 0
+          |               ELSE round((x - vmin) / ((vmax - vmin) / 255.0))::int - 128 END) AS qe
+          |      FROM m)
+          |SELECT vec_id, vmin, vmax, qe[1]::int AS q0,
+          |       list_sum(qe)::bigint AS q_sum,
+          |       list_aggregate(qe, 'min')::int AS q_min,
+          |       list_aggregate(qe, 'max')::int AS q_max
+          |FROM q""".stripMargin)),
+
+    // Johnson-Lindenstrauss random projection 64 -> 4 dims; each output dim is
+    // one codegen'd dot product against a plan-time constant direction. The
+    // oracle interpolates the SAME constants (Double.toString round-trips).
+    ("emb_project",
+      (s: SparkSession, d: String) => {
+        val p = Embeddings.randomProject(Similarity.asDouble(col("embedding")), 4, 64)
+        Tables.embeddings(s, d).select(col("vec_id"),
+          element_at(p, 1).as("p0"), element_at(p, 2).as("p1"),
+          element_at(p, 3).as("p2"), element_at(p, 4).as("p3"))
+      },
+      Some {
+        // scientific notation → DuckDB parses as DOUBLE (a bare decimal
+        // literal would parse as DECIMAL and truncate the mantissa)
+        val dims = (0 until 4).map { o =>
+          val coeffs = (0 until 64)
+            .map(dd => "%.17e".format(Embeddings.projCoeffConst(o, dd)))
+            .mkString("[", ", ", "]")
+          s"list_dot_product(ve, $coeffs) AS p$o"
+        }.mkString(",\n       ")
+        s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS ve
+           |           FROM embeddings)
+           |SELECT vec_id,
+           |       $dims
+           |FROM v""".stripMargin
+      }),
+
     // ---- ANN scale path: hyperplane-LSH bucket assignment -----------------
     // Bucket id = sign bits of 8 md5-derived pseudo-random hyperplane
     // projections. Deterministic across engines: coefficients come from the
