@@ -1415,6 +1415,66 @@ object Queries {
           |LEFT JOIN approx a ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
           |GROUP BY 1""".stripMargin)),
 
+    // ---- IVF cell training: deterministic spherical k-means ---------------
+    // Two fixed Lloyd iterations from lowest-id seeds; centroid means are
+    // decimal-routed (order-independent), so the trained cells and the final
+    // assignment are bit-exact reproducible — the DuckDB oracle unrolls the
+    // same two iterations.
+    ("sim_ivf_kmeans_cells",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        val cent = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8, 2)
+        Similarity.assignCells(emb, cent, "vec_id", "embedding")
+          .select(col("vec_id"), col("cell_id"))
+      },
+      Some {
+        def assign(cents: String, out: String) =
+          s"""$out AS (SELECT vec_id, ve, cell_id FROM (
+             |  SELECT v.vec_id, v.ve, c.cell_id,
+             |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             |           list_dot_product(v.ve, c.cellv)
+             |             / (sqrt(list_dot_product(v.ve, v.ve)) * sqrt(list_dot_product(c.cellv, c.cellv))) DESC,
+             |           c.cell_id) AS rn
+             |  FROM v CROSS JOIN $cents c) WHERE rn = 1)"""
+        def update(from: String, out: String) =
+          s"""$out AS (
+             |  SELECT cell_id, list(cx ORDER BY dim) AS cellv FROM (
+             |    SELECT cell_id, d AS dim,
+             |           cast(sum(cast(ve[d + 1] AS decimal(30,15))) AS double) / count(*) AS cx
+             |    FROM $from CROSS JOIN (SELECT unnest(range(0, 64)) AS d)
+             |    GROUP BY 1, 2)
+             |  GROUP BY 1)"""
+        s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS ve
+           |           FROM embeddings),
+           |c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::int AS cell_id, ve AS cellv
+           |       FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)),
+           |${assign("c0", "a0")},
+           |${update("a0", "c1")},
+           |${assign("c1", "a1")},
+           |${update("a1", "c2")},
+           |${assign("c2", "a2")}
+           |SELECT vec_id, cell_id FROM a2""".stripMargin
+      }),
+
+    // Frame sampling: n evenly spaced byte windows per payload — the video
+    // keyframe-extraction dataflow with the codec swapped for a byte slice.
+    // Payload is ASCII-safe test data, so DuckDB verifies via substring.
+    ("multimodal_frames",
+      (s: SparkSession, d: String) => {
+        val withBin = Tables.documents(s, d).withColumn("bin", col("text").cast("binary"))
+        Multimodal.sampleFrames(withBin, col("doc_id"), col("bin"), n = 4)
+          .select(col("media_id"), col("frame_idx"),
+            length(col("frame_bytes")).as("frame_len"),
+            md5(col("frame_bytes")).as("frame_hash"))
+      },
+      Some(
+        """SELECT doc_id AS media_id, i::int AS frame_idx,
+          |       length(f)::int AS frame_len,
+          |       md5(f) AS frame_hash
+          |FROM (SELECT doc_id, i,
+          |             substring(text, ((i * length(text)) // 4 + 1)::int, 16) AS f
+          |      FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS i))""".stripMargin)),
+
     // ---- Multimodal plumbing: binary payload → metadata + stub features ---
     ("multimodal_features",
       (s: SparkSession, d: String) => {

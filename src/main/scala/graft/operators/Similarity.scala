@@ -139,10 +139,11 @@ object Similarity {
    * O(Q·N) — the classic recall/speed dial for corpus-scale ANN.
    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+      k: Int, nCells: Int = 16, nProbe: Int = 4,
+      trained: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = corpus.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).as("cell_id"), asDouble(col(vecCol)).as("cellv"))
+    val centroids = trained.getOrElse(corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cell_id"), asDouble(col(vecCol)).as("cellv")))
     def nearestCells(df: DataFrame, side: String, n: Int) = {
       val v = df.select(col(idCol).as(s"${side}_id"), asDouble(col(vecCol)).as(s"${side}v"))
       val w = Window.partitionBy(col(s"${side}_id"))
@@ -167,6 +168,60 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /**
+   * Assign every vector to its nearest centroid by cosine (deterministic
+   * tie-break on cell_id). `centroids` must have (cell_id, cellv) and is
+   * broadcast — one pass over the corpus, no corpus shuffle before the
+   * per-vector rank (which partitions by vec_id).
+   */
+  def assignCells(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("ve"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cell_cos").desc, col("cell_id"))
+    v.join(broadcast(centroids), lit(true))
+      .withColumn("cell_cos",
+        dot(col("ve"), col("cellv")) / (norm(col("ve")) * norm(col("cellv"))))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell_id"), col("ve"))
+  }
+
+  /**
+   * Deterministic spherical k-means (Lloyd) for IVF cell training. Init: the
+   * k lowest-id vectors (cell_id = seed rank). Each of the `iters` fixed
+   * iterations assigns by cosine and recomputes centroids as per-dimension
+   * means. The mean's sum is routed through decimal so it is order-independent
+   * — bit-exact under any partitioning, which makes the trained cells (and
+   * the assignment built on them) oracle-verifiable cross-engine.
+   *
+   * Scale shape: assignment is one broadcast pass (O(N·k) dots, no corpus
+   * shuffle); the update shuffles N·dim (cell, dim, x) rows to k·dim groups
+   * with map-side partial aggregation. The driver never holds data — only
+   * the loop counter; lineage is truncated per iteration.
+   */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("ve"))
+    val seeds = v.orderBy(col("vec_id")).limit(k)
+    var cent = seeds
+      .withColumn("cell_id", row_number().over(Window.orderBy(col("vec_id"))) - 1)
+      .select(col("cell_id"), col("ve").as("cellv"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      cent = assignCells(v, cent, "vec_id", "ve")
+        .select(col("cell_id"), posexplode(col("ve")).as(Seq("dim", "x")))
+        .groupBy(col("cell_id"), col("dim"))
+        .agg((sum(col("x").cast("decimal(30,15)")).cast("double") / count(lit(1))).as("cx"))
+        .groupBy(col("cell_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim").as("dim"), col("cx").as("cx")))),
+          s => s.getField("cx")).as("cellv"))
+        .localCheckpoint()
+    }
+    cent
   }
 
   /** Bucketed ANN top-k: same contract as [[cosineTopK]] but joins on the

@@ -93,6 +93,46 @@ class SimilaritySpec extends SparkSpec {
     assert(colCoeff == Similarity.planeCoeffConst(3, 7))
   }
 
+  test("kmeansCentroids recovers two well-separated clusters exactly") {
+    // seeds (two lowest ids) start one per cluster; Lloyd converges in one
+    // iteration and the decimal-routed means are exact cluster means
+    val corpus = vecs(
+      (0L, Seq(10f, 0f)), (2L, Seq(12f, 1f)), (4L, Seq(9f, -1f)),
+      (1L, Seq(0f, 10f)), (3L, Seq(1f, 12f)), (5L, Seq(-1f, 9f)))
+    val cent = Similarity.kmeansCentroids(corpus, "vec_id", "embedding", 2, 2)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(cent(0).zip(Seq(31.0 / 3, 0.0)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    assert(cent(1).zip(Seq(0.0, 31.0 / 3)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    val assigned = Similarity.assignCells(corpus,
+        Similarity.kmeansCentroids(corpus, "vec_id", "embedding", 2, 2),
+        "vec_id", "embedding")
+      .select("vec_id", "cell_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(Seq(0L, 2L, 4L).map(assigned).distinct.size == 1)
+    assert(Seq(1L, 3L, 5L).map(assigned).distinct.size == 1)
+    assert(assigned(0L) != assigned(1L))
+  }
+
+  test("kmeans training escapes a degenerate seed choice") {
+    // both seeds (ids 0,1) sit in cluster A; Lloyd must still pull one
+    // centroid across to cluster B within a few iterations
+    val a = Seq((0L, Seq(10f, 0f)), (1L, Seq(11f, 0.5f)), (2L, Seq(9f, -0.5f)))
+    val b = Seq((10L, Seq(0f, 10f)), (11L, Seq(0.5f, 11f)), (12L, Seq(-0.5f, 9f)))
+    val corpus = vecs((a ++ b): _*)
+    val cent = Similarity.kmeansCentroids(corpus, "vec_id", "embedding", 2, 4)
+    val assigned = Similarity.assignCells(corpus, cent, "vec_id", "embedding")
+      .select("vec_id", "cell_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a.map(x => assigned(x._1)).distinct.size == 1)
+    assert(b.map(x => assigned(x._1)).distinct.size == 1)
+    assert(assigned(0L) != assigned(10L))
+    // trained cells feed ivfTopK: in-cluster neighbors found with nProbe=1
+    val got = Similarity.ivfTopK(corpus.filter(col("vec_id") === 0), corpus,
+        "vec_id", "embedding", 2, nCells = 2, nProbe = 1, trained = Some(cent))
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L))
+  }
+
   test("repartitionByBytes sizes partitions from caller stats, lazily") {
     val df = Seq.tabulate(64)(i => (i.toLong, "x" * 1024)).toDF("id", "txt")
       .withColumn("bin", col("txt").cast("binary"))
