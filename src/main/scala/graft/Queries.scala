@@ -858,6 +858,97 @@ object Queries {
           |       cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) / count(*) AS avg_price
           |FROM orders GROUP BY 1""".stripMargin)),
 
+    // Q4 shape: EXISTS decorrelated to a left-semi join, grouped counts.
+    ("tpch_q4_exists",
+      (s: SparkSession, d: String) => {
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        val returned = Tables.lineitem(s, d)
+          .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+        o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some(
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+          |GROUP BY 1""".stripMargin)),
+
+    // Q7 shape: five-table join with a symmetric two-nation predicate and
+    // per-year revenue. Nations broadcast; fact tables shuffle on join keys.
+    ("tpch_q7_nation_volume",
+      (s: SparkSession, d: String) => {
+        val n1 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          // literal Q7 fixes one nation pair; generalized to every
+          // cross-nation pair so the query is populated at all test scales
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      },
+      Some(
+        """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          |       year(l_shipdate)::int AS l_year,
+          |       cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS double) AS revenue
+          |FROM lineitem
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          |WHERE n1.n_name != n2.n_name
+          |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // Q16 shape: distinct-aggregate (supplier variety per brand/type) — the
+    // two-phase expand plan Catalyst builds for COUNT(DISTINCT).
+    ("tpch_q16_supplier_variety",
+      (s: SparkSession, d: String) =>
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .filter(col("p_size") <= 10)
+          .groupBy(col("p_brand"), col("p_type"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt")),
+      Some(
+        """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE p_size <= 10
+          |GROUP BY 1, 2""".stripMargin)),
+
+    // Q19 shape: disjunction of conjunctive range predicates across the join
+    // — exercises OR-predicate pushdown and join-then-filter planning.
+    ("tpch_q19_disjunctive",
+      (s: SparkSession, d: String) =>
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_size").between(1, 15) && col("l_quantity").between(20, 30)))
+          .agg(sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+            count(lit(1)).as("n_items")),
+      Some(
+        """SELECT cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS double) AS revenue,
+          |       count(*) AS n_items
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+          |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+          |   OR (p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
     // ---- OVER-window analytic: top-3 orders per customer ------------------
     ("window_rank_orders",
       (s: SparkSession, d: String) => {
