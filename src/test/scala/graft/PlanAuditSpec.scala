@@ -1,0 +1,48 @@
+package graft
+
+/**
+ * Catalog-wide physical-plan audit: the 100 TB discipline checks. Every
+ * catalog query is planned against the sf0.001 tables and its physical plan
+ * is asserted free of unbounded-pair-space operators — CartesianProduct
+ * always, BroadcastNestedLoopJoin except where a provably tiny broadcast side
+ * makes it the intended shape (brute-force ANN scoring against a handful of
+ * query vectors / k centroids).
+ */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // Deliberate nested-loop joins: the broadcast side is O(10) query vectors
+  // or O(k) centroids, so pair space is corpus-linear by construction.
+  private val nestedLoopExempt = Set(
+    "sim_topk", "sim_recall_lsh", "sim_recall_ivf", "sim_ivf_kmeans_cells",
+    "multimodal_frames")
+
+  test("no catalog query plans a CartesianProduct") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+    }
+  }
+
+  test("BroadcastNestedLoopJoin appears only where the broadcast side is tiny") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      if (!nestedLoopExempt.contains(name)) {
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unexpected nested-loop join:\n$plan")
+      }
+    }
+  }
+
+  test("filters reach the parquet scan (pushdown) on the canonical scan query") {
+    val plan = SparkEntry.queries("tpch_q6_revenue")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // (the plan string truncates long filter lists — match the stable prefix)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"expected shipdate pushdown in:\n$plan")
+    // column pruning: the scan must not read the full 11-column lineitem
+    assert(plan.contains("ReadSchema") && !plan.contains("l_orderkey"),
+      s"expected pruned read schema in:\n$plan")
+  }
+}
