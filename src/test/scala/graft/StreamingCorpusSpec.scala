@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.operators.{Sampling, TextOps}
+
+/**
+ * The corpus-cleaning surface as a STREAMING job: documents arrive on a
+ * stream, are fingerprint-deduped with bounded state, quality-filtered,
+ * redacted, and split — the same operators as the batch corpus_pipeline
+ * (stateless projections stream as-is; exact dedup swaps the groupBy for
+ * watermarked dropDuplicates state). Asserts stream results equal the batch
+ * run of the same operators on the same rows.
+ */
+class StreamingCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val goodText = ("the quick brown token run " * 5).trim
+
+  test("streaming corpus pipeline matches the batch operators row for row") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)] // (doc_id, text, event_time)
+
+    def pipeline(df: org.apache.spark.sql.DataFrame) = {
+      val quality = TextOps.qualityFilter(df, col("text"))
+        .filter(col("quality_keep") === 1)
+      Sampling.hashSplit(
+          quality.withColumn("clean_len", length(TextOps.redactPii(col("text")))),
+          col("doc_id"), Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select(col("doc_id"), col("split"), col("n_tokens"), col("clean_len"))
+    }
+
+    val streamed = pipeline(
+      input.toDF().toDF("doc_id", "text", "ts_s")
+        .withColumn("ts", col("ts_s").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates("doc_id"))
+
+    val q = streamed.writeStream.format("memory").queryName("corpus_out")
+      .option("checkpointLocation", Files.createTempDirectory("corpus-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (1L, goodText, "2024-01-01 10:00:00"),
+        (2L, "too short", "2024-01-01 10:00:10"))
+      q.processAllAvailable()
+      input.addData(
+        (1L, goodText, "2024-01-01 10:00:20"), // re-delivery: deduped
+        (3L, goodText + " extra", "2024-01-01 10:00:30"))
+      q.processAllAvailable()
+
+      val got = spark.table("corpus_out")
+        .as[(Long, String, Int, Int)].collect().toSet
+      val batch = pipeline(
+        Seq((1L, goodText), (2L, "too short"), (3L, goodText + " extra"))
+          .toDF("doc_id", "text"))
+        .as[(Long, String, Int, Int)].collect().toSet
+      assert(got == batch)
+      assert(got.map(_._1) == Set(1L, 3L)) // doc 2 quality-dropped, doc 1 deduped
+    } finally q.stop()
+  }
+
+  test("streaming fingerprint dedup drops whitespace/case near-copies") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val deduped = input.toDF().toDF("doc_id", "text", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+      .withColumn("fingerprint", TextOps.fingerprint(col("text")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("fingerprint")
+    val q = deduped.writeStream.format("memory").queryName("fp_out")
+      .option("checkpointLocation", Files.createTempDirectory("fp-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (1L, "Hello  World", "2024-01-01 10:00:00"),
+        (2L, "hello world", "2024-01-01 10:00:05"), // same fingerprint as 1
+        (3L, "different", "2024-01-01 10:00:06"))
+      q.processAllAvailable()
+      val kept = spark.table("fp_out").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 3L))
+    } finally q.stop()
+  }
+}
