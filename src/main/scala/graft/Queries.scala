@@ -1210,6 +1210,25 @@ object Queries {
           |                '${TextOps.longNumberPattern}', '<NUM>', 'g'))::int AS redacted_len
           |FROM documents""".stripMargin)),
 
+    // Corpus-relative rarity: mean document-frequency of each doc's distinct
+    // tokens — the boilerplate-vs-novelty signal, integer-derived throughout.
+    ("text_token_rarity",
+      (s: SparkSession, d: String) =>
+        TextOps.docRarity(Tables.documents(s, d), col("text"), col("doc_id")),
+      Some(
+        """WITH tok AS (
+          |  SELECT DISTINCT doc_id, t AS token
+          |  FROM (SELECT doc_id,
+          |               unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS t
+          |        FROM documents)),
+          |dfreq AS (SELECT token, count(*) AS df FROM tok GROUP BY 1)
+          |SELECT doc_id,
+          |       count(*) AS n_distinct_tokens,
+          |       sum(df)::bigint AS sum_df,
+          |       cast(sum(df) AS double) / count(*) AS mean_token_df
+          |FROM tok JOIN dfreq USING (token)
+          |GROUP BY 1""".stripMargin)),
+
     // Gopher-style quality battery: every rule's metric + verdict per doc.
     ("text_quality_filter",
       (s: SparkSession, d: String) =>

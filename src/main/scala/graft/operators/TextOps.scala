@@ -142,6 +142,28 @@ object TextOps {
       longNumberPattern, "<NUM>")
 
   /**
+   * Corpus-relative token rarity: per-document mean document-frequency of its
+   * distinct tokens — the TF-IDF-shaped signal for spotting boilerplate
+   * (high mean df) vs novel text (low), with all arithmetic integer-derived
+   * (no log) so scores are bit-exact cross-engine.
+   *
+   * Scale shape: one shuffle on token to build the document-frequency table,
+   * one shuffle back on doc_id for the per-doc mean — both with map-side
+   * partial aggregation. The df table is corpus-vocabulary sized; at web
+   * scale it stays distributed (no broadcast assumed).
+   */
+  def docRarity(docs: DataFrame, textCol: Column, idCol: Column): DataFrame = {
+    val tok = docs
+      .select(idCol.as("doc_id"), explode(array_distinct(tokens(normalize(textCol)))).as("token"))
+    val df = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tok.join(df, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_tokens"),
+        sum(col("df")).as("sum_df"))
+      .withColumn("mean_token_df", col("sum_df").cast("double") / col("n_distinct_tokens"))
+  }
+
+  /**
    * Gopher-style heuristic quality filter: per-document metrics plus pass/fail
    * flags and an overall `quality_keep` verdict. The rule set is the standard
    * web-corpus battery (token-count bounds, mean token length bounds,
