@@ -1210,6 +1210,78 @@ object Queries {
           |                '${TextOps.longNumberPattern}', '<NUM>', 'g'))::int AS redacted_len
           |FROM documents""".stripMargin)),
 
+    // Salted skew-join: the hot-key mitigation produces EXACTLY the plain
+    // join's rows (the oracle is the unsalted join) while spreading each key
+    // over saltFactor reducers.
+    ("events_salted_join",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        val dim = ev.select(col("event_type")).distinct()
+          .withColumn("type_label", upper(col("event_type")))
+        Skew.saltedJoin(ev, dim, "event_type", col("event_id"), 8)
+          .select(col("event_id"), col("event_type"), col("type_label"))
+      },
+      Some(
+        """SELECT event_id, e.event_type, upper(e.event_type) AS type_label
+          |FROM events e
+          |JOIN (SELECT DISTINCT event_type FROM events) d
+          |  ON e.event_type = d.event_type""".stripMargin)),
+
+    // Funnel analysis: per-user view → purchase conversion within one hour —
+    // the behavioral-sequence query shape (interval self-join + flag).
+    ("events_funnel",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("view_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_uid"), col("ts").as("purchase_ts"))
+        val converted = views.join(purchases,
+            col("user_id") === col("p_uid") &&
+              col("purchase_ts") >= col("view_ts") &&
+              col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+          .select(col("user_id")).distinct()
+          .withColumn("conv", lit(1))
+        ev.groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_views"),
+            sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchases"))
+          .join(converted, Seq("user_id"), "left")
+          .withColumn("converted", coalesce(col("conv"), lit(0)))
+          .drop("conv")
+      },
+      Some(
+        """WITH vv AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+          |pp AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+          |conv AS (SELECT DISTINCT vv.user_id FROM vv JOIN pp
+          |         ON pp.user_id = vv.user_id
+          |        AND pp.ts >= vv.ts AND pp.ts <= vv.ts + INTERVAL 1 HOUR)
+          |SELECT e.user_id,
+          |       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::bigint AS n_views,
+          |       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::bigint AS n_purchases,
+          |       (CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)::int AS converted
+          |FROM events e LEFT JOIN conv c ON c.user_id = e.user_id
+          |GROUP BY 1, 4""".stripMargin)),
+
+    // Z-order layout key: Morton interleave of two bucketized filter columns
+    // — sort-before-write so min/max stats prune scans on either axis.
+    ("events_zorder_key",
+      (s: SparkSession, d: String) => {
+        val x = pmod(col("user_id").cast("long"), lit(256L))
+        val y = pmod(abs(floor(col("value"))).cast("long"), lit(256L))
+        Tables.events(s, d).select(col("event_id"),
+          x.as("zx"), y.as("zy"), Layout.zValue(x, y, 8).as("z"))
+      },
+      Some {
+        val terms = (0 until 8).map { b =>
+          s"((zx >> $b) & 1) * ${1L << (2 * b)} + ((zy >> $b) & 1) * ${1L << (2 * b + 1)}"
+        }.mkString(" + ")
+        s"""SELECT event_id, zx, zy, ($terms)::bigint AS z
+           |FROM (SELECT event_id,
+           |             user_id % 256 AS zx,
+           |             (abs(floor(value))::bigint) % 256 AS zy
+           |      FROM events)""".stripMargin
+      }),
+
     // Corpus-relative rarity: mean document-frequency of each doc's distinct
     // tokens — the boilerplate-vs-novelty signal, integer-derived throughout.
     ("text_token_rarity",

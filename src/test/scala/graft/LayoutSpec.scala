@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Layout
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue: quadrants occupy disjoint contiguous ranges") {
+    val grid = (for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val z = grid.select(col("x"), col("y"),
+        Layout.zValue(col("x"), col("y"), 4).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(z.map(_._3).distinct.length == 256) // bijective on the grid
+    def range(p: ((Long, Long, Long)) => Boolean) = {
+      val zs = z.filter(p).map(_._3); (zs.min, zs.max)
+    }
+    assert(range(t => t._1 < 8 && t._2 < 8) == (0L, 63L))
+    assert(range(t => t._1 >= 8 && t._2 < 8) == (64L, 127L))
+    assert(range(t => t._1 < 8 && t._2 >= 8) == (128L, 191L))
+    assert(range(t => t._1 >= 8 && t._2 >= 8) == (192L, 255L))
+  }
+
+  test("clusterByZ groups both axes: leading rows are exactly the low quadrant") {
+    val grid = (for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val sorted = Layout.clusterByZ(grid, col("x"), col("y"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // after z-sort, the first 64 rows are precisely the (x<8, y<8) quadrant —
+    // a linear sort that a single-column order cannot achieve for both axes
+    assert(sorted.take(64).forall { case (x, y) => x < 8 && y < 8 })
+    assert(sorted.takeRight(64).forall { case (x, y) => x >= 8 && y >= 8 })
+  }
+}
