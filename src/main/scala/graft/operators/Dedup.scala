@@ -79,6 +79,37 @@ object Dedup {
   }
 
   /**
+   * MinHash signature as ONE pure projection (array expression): identical
+   * values to [[minhashSignatures]] (same hash family, same modulus, same
+   * shingling) but computed per row with no shuffle at all — the form
+   * streaming pipelines and map-only batch stages use. Equivalence to the
+   * aggregated form is spec-checked. Cost trade: the aggregated form
+   * deduplicates shingle hashing across the corpus via the exchange; this
+   * form is O(shingles × numPerms) arithmetic per row but exchange-free.
+   */
+  def minhashSignatureArray(textCol: Column, shingleSize: Int = 3,
+      numPerms: Int = 16): Column = {
+    require(numPerms <= minhashPerms.length)
+    val hashes = transform(TextOps.shingles(textCol, shingleSize),
+      s => TextOps.portableHash(s) % MinhashPrime)
+    array(minhashPerms.take(numPerms).map { case (a, b) =>
+      array_min(transform(hashes, h => (lit(a) * h + lit(b)) % MinhashPrime))
+    }: _*)
+  }
+
+  /** Per-band LSH bucket ids for a [[minhashSignatureArray]] signature —
+    * the same md5-of-joined-values derivation as [[lshBuckets]], as a
+    * projection. Index k of the result is band k's bucket. */
+  def bandBucketArray(sig: Column, rowsPerBand: Int = 4,
+      numPerms: Int = 16): Column =
+    array((0 until numPerms / rowsPerBand).map { k =>
+      md5(concat_ws(",",
+        (0 until rowsPerBand).map(j =>
+          element_at(sig, k * rowsPerBand + j + 1).cast("string")): _*)
+        .cast("binary"))
+    }: _*)
+
+  /**
    * LSH banding over [[minhashSignatures]]: group each doc's signature into
    * bands of `rowsPerBand` permutations; bucket key = md5 of the band's
    * concatenated minhash values. Docs sharing a (band, bucket) are candidates.

@@ -72,6 +72,68 @@ object StatefulOps {
       }
   }
 
+  final case class BucketMember(doc_id: Long, sig: Seq[Long])
+  final case class BucketState(members: List[BucketMember])
+  final case class NearDupHit(doc_a: Long, doc_b: Long, est_jaccard: Double)
+
+  /**
+   * Streaming near-duplicate detection — continuous-ingest dedup, the thing
+   * batch LSH cannot give you without recomputing the corpus: each arriving
+   * document is checked against previously seen documents IN ITS LSH BUCKETS
+   * and collision pairs are emitted immediately, across micro-batch
+   * boundaries.
+   *
+   * Dataflow: per-row MinHash signature ([[graft.operators.Dedup
+   * .minhashSignatureArray]], a pure projection — no aggregation, so it
+   * composes into an append stream) → posexplode per-band buckets → group by
+   * (band, bucket) → flatMapGroupsWithState holding the bucket's members.
+   * Similarity is estimated from signature agreement (the MinHash estimator);
+   * verify exact Jaccard downstream if needed.
+   *
+   * State is bounded per bucket by `maxPerBucket` (the hot-bucket cap, same
+   * rationale as the batch [[graft.operators.Dedup.lshCandidates]] bound):
+   * overflow docs are still compared against the anchor set but not added,
+   * preserving connectivity to the earliest members. The same pair can emit
+   * from multiple bands — run `dropDuplicates("doc_a","doc_b")` downstream
+   * if exact-once pairs matter.
+   */
+  def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
+      minEstJaccard: Double = 0.5, maxPerBucket: Int = 64): Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    val banded = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.operators.Dedup.minhashSignatureArray(col(textCol)).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(graft.operators.Dedup.bandBucketArray(col("sig")))
+          .as(Seq("band", "bucket")))
+      .select(concat_ws(":", col("band"), col("bucket")).as("bkey"),
+        col("doc_id"), col("sig"))
+      .as[(String, Long, Seq[Long])]
+    banded.groupByKey(_._1)
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, Long, Seq[Long])], state: GroupState[BucketState]) =>
+          var members = state.getOption.getOrElse(BucketState(Nil)).members
+          val out = List.newBuilder[NearDupHit]
+          // deterministic processing order within the micro-batch
+          rows.toSeq.sortBy(_._2).foreach { case (_, docId, sig) =>
+            if (!members.exists(_.doc_id == docId)) {
+              members.foreach { m =>
+                val agree = m.sig.zip(sig).count { case (x, y) => x == y }
+                val est = agree.toDouble / m.sig.length
+                if (est >= minEstJaccard) {
+                  out += (if (m.doc_id < docId) NearDupHit(m.doc_id, docId, est)
+                          else NearDupHit(docId, m.doc_id, est))
+                }
+              }
+              if (members.size < maxPerBucket) members = BucketMember(docId, sig) :: members
+            }
+          }
+          state.update(BucketState(members))
+          out.result().iterator
+      }
+  }
+
   /** Typed view of the parsed stream for the stateful operators. */
   def typed(parsed: DataFrame): Dataset[FlightEvent] = {
     import parsed.sparkSession.implicits._

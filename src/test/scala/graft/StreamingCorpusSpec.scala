@@ -5,6 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.operators.{Sampling, TextOps}
+import graft.streaming.StatefulOps
 
 /**
  * The corpus-cleaning surface as a STREAMING job: documents arrive on a
@@ -59,6 +60,36 @@ class StreamingCorpusSpec extends SparkSpec {
         .as[(Long, String, Int, Int)].collect().toSet
       assert(got == batch)
       assert(got.map(_._1) == Set(1L, 3L)) // doc 2 quality-dropped, doc 1 deduped
+    } finally q.stop()
+  }
+
+  test("nearDupStream flags near-duplicates across micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val base = "the quick brown fox jumps over the lazy dog near the river"
+    val hits = StatefulOps.nearDupStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = hits.writeStream.format("memory").queryName("neardup_out")
+      .option("checkpointLocation", Files.createTempDirectory("nd-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, base + " bank"),
+        (2L, "completely different content with no overlap whatsoever here"))
+      q.processAllAvailable()
+      assert(spark.table("neardup_out").isEmpty) // nothing similar yet
+      // a near-copy of doc 1 arrives TWO batches later — batch dedup would
+      // need a full recompute; the bucket state catches it immediately
+      input.addData((3L, "unrelated filler row to advance the stream alone"))
+      q.processAllAvailable()
+      input.addData((4L, base + " bend"))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_out")
+        .select("doc_a", "doc_b").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 4L)))
+      val est = spark.table("neardup_out").select(max(col("est_jaccard")))
+        .as[Double].collect()(0)
+      assert(est >= 0.5 && est <= 1.0)
     } finally q.stop()
   }
 

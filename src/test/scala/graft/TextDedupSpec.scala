@@ -125,6 +125,27 @@ class TextDedupSpec extends SparkSpec {
     assert((fp(1L) & fp(5L)).isEmpty)
   }
 
+  test("projection-form minhash and band buckets equal the aggregated forms") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bend"),
+      (3L, "completely different content with no overlap whatsoever here"))
+    val agg = Dedup.minhashSignatures(d, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val proj = d.select(col("doc_id"),
+        Dedup.minhashSignatureArray(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    for (id <- Seq(1L, 2L, 3L); p <- 0 until 16)
+      assert(agg((id, p)) == proj(id)(p), s"doc $id perm $p")
+    val aggBuckets = Dedup.lshBuckets(Dedup.minhashSignatures(d, col("text"), col("doc_id")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    val projBuckets = d.select(col("doc_id"),
+        posexplode(Dedup.bandBucketArray(Dedup.minhashSignatureArray(col("text"))))
+          .as(Seq("band", "bucket")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(aggBuckets == projBuckets)
+  }
+
   test("connectedComponents collapses transitive chains that pairs alone miss") {
     val nodes = (1L to 7L).toDF("id")
     // chain 1-2-3 (1,3 never directly compared), pair 4-5, singletons 6, 7
