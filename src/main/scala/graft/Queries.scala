@@ -1282,6 +1282,30 @@ object Queries {
            |      FROM events)""".stripMargin
       }),
 
+    // BPE training, first iteration: corpus-wide counts of adjacent character
+    // pairs within tokens — the merge-candidate table a byte-pair tokenizer
+    // trains from. Top-20 with deterministic tie-break.
+    ("text_bpe_pairs",
+      (s: SparkSession, d: String) =>
+        Tables.documents(s, d)
+          .select(explode(TextOps.tokens(TextOps.normalize(col("text")))).as("token"))
+          .filter(length(col("token")) >= 2)
+          .select(explode(transform(
+            sequence(lit(1), length(col("token")) - 1),
+            i => col("token").substr(i, lit(2)))).as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair")).limit(20),
+      Some(
+        """WITH tok AS (
+          |  SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS token
+          |  FROM documents),
+          |pairs AS (
+          |  SELECT unnest(list_transform(range(1, length(token)), i -> substring(token, i::int, 2))) AS pair
+          |  FROM tok WHERE length(token) >= 2)
+          |SELECT pair, count(*)::bigint AS n
+          |FROM pairs GROUP BY 1
+          |ORDER BY n DESC, pair LIMIT 20""".stripMargin)),
+
     // Corpus-relative rarity: mean document-frequency of each doc's distinct
     // tokens — the boilerplate-vs-novelty signal, integer-derived throughout.
     ("text_token_rarity",

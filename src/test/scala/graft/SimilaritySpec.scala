@@ -133,6 +133,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Set(1L, 2L))
   }
 
+  test("trained IVF cells keep recall on the real embedding fixtures") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.cosineTopK(q, emb, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"))
+    def recall(approx: org.apache.spark.sql.DataFrame): Double = {
+      val hit = brute.join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+      hit.toDouble / brute.count()
+    }
+    val untrained = recall(Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5,
+      nCells = 8, nProbe = 4))
+    val cent = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8, 2)
+    val trained = recall(Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5,
+      nCells = 8, nProbe = 4, trained = Some(cent)))
+    info(s"recall@5 nProbe=4/8 cells: untrained=$untrained trained=$trained")
+    assert(trained >= untrained - 0.1) // training must not degrade cells
+    assert(trained >= 0.5) // and must stay useful in absolute terms
+  }
+
   test("repartitionByBytes sizes partitions from caller stats, lazily") {
     val df = Seq.tabulate(64)(i => (i.toLong, "x" * 1024)).toDF("id", "txt")
       .withColumn("bin", col("txt").cast("binary"))
