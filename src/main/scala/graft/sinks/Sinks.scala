@@ -53,6 +53,42 @@ object EventSink {
       }.start()
   }
 
+  /**
+   * Idempotent JDBC sink: per-micro-batch exactly-once under retries. Rows
+   * carry the epoch id; a re-delivered epoch (restart after a mid-write
+   * failure) first deletes its own rows, then re-appends — so the table
+   * converges to exactly one copy of every batch regardless of how many
+   * times foreachBatch ran. The delete+append per epoch is the standard
+   * transactional-outbox bridge for stores without streaming transactions.
+   *
+   * ClickHouse note: classic DELETE is async there — production CH
+   * deployments get the same property from ReplacingMergeTree keyed on
+   * (batch_id, row key) instead; this delete-based variant is exercised
+   * against Derby offline.
+   */
+  final case class JdbcIdempotent(url: String, table: String,
+      properties: java.util.Properties = new java.util.Properties()) extends EventSink {
+
+    /** The foreachBatch body, exposed so tests can replay an epoch. */
+    def writeEpoch(batch: DataFrame, epochId: Long): Unit = {
+      // Spark's JDBC writer creates columns with dialect-quoted (exact-case)
+      // names, so the delete must quote the same way
+      val col = JdbcDialects.get(url).quoteIdentifier("batch_id")
+      val conn = java.sql.DriverManager.getConnection(url, properties)
+      try {
+        val st = conn.createStatement()
+        try st.executeUpdate(s"DELETE FROM $table WHERE $col = $epochId")
+        catch { case _: java.sql.SQLException => () } // first epoch: table absent
+        finally st.close()
+      } finally conn.close()
+      batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(epochId))
+        .write.mode(SaveMode.Append).jdbc(url, table, properties)
+    }
+
+    def start(df: DataFrame, checkpoint: String, queryName: String): StreamingQuery =
+      base(df, checkpoint, queryName).foreachBatch(writeEpoch _).start()
+  }
+
   /** Parquet append sink (the offline stand-in for the raw-persist branch). */
   final case class Parquet(path: String) extends EventSink {
     def start(df: DataFrame, checkpoint: String, queryName: String): StreamingQuery =

@@ -168,4 +168,35 @@ class StreamingSpec extends SparkSpec {
       assert(back.filter(col("IS_DELAYED") === 1).count() == 1)
     } finally q.stop()
   }
+
+  test("idempotent JDBC sink: a replayed epoch leaves exactly one copy") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    val cp = Files.createTempDirectory("graft-jdbc-idem-cp").toString
+    val db = Files.createTempDirectory("graft-derby-idem").toString + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+
+    val sink = EventSink.JdbcIdempotent(url, "flights_idem")
+    val parsed = graft.operators.FlightOps.parseFlightEvents(input.toDF())
+    val q = sink.start(parsed, cp, "jdbc_idem")
+    try {
+      input.addData(ev("1", "AA", "2024-01-01T10:00:10", "2024-01-01T10:20:10", true))
+      q.processAllAvailable()
+      input.addData(ev("2", "BB", "2024-01-01T11:00:10", "2024-01-01T11:05:10", false))
+      q.processAllAvailable()
+      val props = new java.util.Properties()
+      assert(spark.read.jdbc(url, "flights_idem", props).count() == 2)
+      // simulate a restart re-delivering one epoch: three deliveries of the
+      // same (epoch, batch) must leave exactly one copy of its rows
+      val replayBatch = graft.operators.FlightOps.parseFlightEvents(
+        Seq(ev("3", "CC", "2024-01-01T12:00:10", "2024-01-01T12:05:10", false)).toDF("value"))
+      sink.writeEpoch(replayBatch, 100L)
+      sink.writeEpoch(replayBatch, 100L)
+      sink.writeEpoch(replayBatch, 100L)
+      val back = spark.read.jdbc(url, "flights_idem", props)
+      assert(back.count() == 3, "replayed epoch duplicated rows")
+      assert(back.filter(col("BATCH_ID") === 100).count() == 1)
+    } finally q.stop()
+  }
 }
