@@ -27,4 +27,28 @@ object Layout {
     * you run before writing files so both columns' min/max stats prune. */
   def clusterByZ(df: DataFrame, x: Column, y: Column, bits: Int): DataFrame =
     df.orderBy(zValue(x, y, bits))
+
+  /** On-disk size of a path from the filesystem metadata — NO data scan, the
+    * sizing pass a compaction job can afford at 100 TB. */
+  def dirBytes(spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.getContentSummary(path).getLength
+  }
+
+  /**
+   * Small-file compaction: rewrite a parquet directory into
+   * ceil(bytes/targetBytes) right-sized files. Streaming sinks and
+   * fine-grained partitioned writes accumulate small files that poison scan
+   * planning (one task per file, footer overhead); periodic compaction is
+   * routine table maintenance. Sizing comes from file metadata, so the only
+   * data pass is the rewrite itself.
+   */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+      inDir: String, outDir: String, targetBytes: Long): Int = {
+    val parts = math.max(1L, (dirBytes(spark, inDir) + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir).repartition(parts)
+      .write.mode("overwrite").parquet(outDir)
+    parts
+  }
 }

@@ -22,6 +22,23 @@ class LayoutSpec extends SparkSpec {
     assert(range(t => t._1 >= 8 && t._2 >= 8) == (192L, 255L))
   }
 
+  test("compactParquet rewrites a splintered directory into right-sized files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    (1L to 10000L).toDF("id").withColumn("payload", lpad(col("id").cast("string"), 64, "x"))
+      .repartition(64).write.parquet(s"$dir/in") // 64 splinter files
+    def parquetFiles(d: String) =
+      new java.io.File(d).listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$dir/in") == 64)
+    val inBytes = Layout.dirBytes(spark, s"$dir/in")
+    val parts = Layout.compactParquet(spark, s"$dir/in", s"$dir/out", targetBytes = inBytes / 4)
+    assert(parts >= 4 && parts <= 5)
+    assert(parquetFiles(s"$dir/out") == parts)
+    // data survives byte-for-byte
+    val a = spark.read.parquet(s"$dir/in").orderBy("id").collect()
+    val b = spark.read.parquet(s"$dir/out").orderBy("id").collect()
+    assert(a.sameElements(b))
+  }
+
   test("clusterByZ groups both axes: leading rows are exactly the low quadrant") {
     val grid = (for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong))
       .toDF("x", "y")
