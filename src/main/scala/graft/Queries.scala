@@ -1210,6 +1210,27 @@ object Queries {
           |                '${TextOps.longNumberPattern}', '<NUM>', 'g'))::int AS redacted_len
           |FROM documents""".stripMargin)),
 
+    // Native bounded top-k aggregate: per-key top-3 via a size-k heap carried
+    // through partial/final aggregation — O(keys·k) through the shuffle where
+    // the window formulation sorts every key's full row set. Same rows as the
+    // row_number() oracle.
+    ("events_topk_native",
+      (s: SparkSession, d: String) =>
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(graft.functions.GraftFunctions.topk_by(
+            struct(col("value"), col("event_id")), 3).as("top"))
+          .select(col("event_type"), posexplode(col("top")).as(Seq("r0", "t")))
+          .select(col("event_type"), (col("r0") + 1).cast("int").as("rnk"),
+            col("t.value").as("value"), col("t.event_id").as("event_id")),
+      Some(
+        """SELECT event_type, cast(rnk AS int) AS rnk, value, event_id
+          |FROM (SELECT event_type, value, event_id,
+          |             row_number() OVER (PARTITION BY event_type
+          |                                ORDER BY value DESC, event_id DESC) AS rnk
+          |      FROM events)
+          |WHERE rnk <= 3""".stripMargin)),
+
     // Salted skew-join: the hot-key mitigation produces EXACTLY the plain
     // join's rows (the oracle is the unsalted join) while spreading each key
     // over saltFactor reducers.

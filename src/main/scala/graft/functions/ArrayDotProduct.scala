@@ -74,4 +74,10 @@ object GraftFunctions {
   /** Column-level API (classic-backend column from a catalyst expression). */
   def array_dot(a: Column, b: Column): Column =
     bridge.column(ArrayDotProduct(bridge.expression(a), bridge.expression(b)))
+
+  /** Aggregate: the k largest values of `sortKey` (struct for multi-key
+    * ordering) as a descending array — O(keys·k) through the shuffle instead
+    * of a per-key sort. */
+  def topk_by(sortKey: Column, k: Int): Column =
+    bridge.column(BoundedTopK(bridge.expression(sortKey), k).toAggregateExpression())
 }

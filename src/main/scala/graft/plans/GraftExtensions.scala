@@ -22,5 +22,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
       (children: Seq[Expression]) => ArrayDotProduct(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("topk_by"),
+      new ExpressionInfo(classOf[graft.functions.BoundedTopK].getName, "topk_by"),
+      (children: Seq[Expression]) => graft.functions.BoundedTopK(
+        children.head,
+        children(1).eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(s"topk_by k must be an int literal, got $other")
+        }).toAggregateExpression()))
   }
 }

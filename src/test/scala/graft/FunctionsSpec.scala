@@ -25,6 +25,32 @@ class FunctionsSpec extends SparkSpec {
     assert(native == builtin) // incl. bit-exact sum and null propagation
   }
 
+  test("topk_by keeps the k largest with struct ordering, across partitions") {
+    val df = (1L to 1000L).map(i => (i % 7, (i * 37 % 1000).toDouble, i))
+      .toDF("key", "value", "id").repartition(8) // force partial/final + serde
+    val got = df.groupBy("key")
+      .agg(GraftFunctions.topk_by(struct(col("value"), col("id")), 5).as("top"))
+      .select(col("key"), explode(col("top")).as("t"))
+      .select(col("key"), col("t.value"), col("t.id"))
+      .as[(Long, Double, Long)].collect().toSet
+    import org.apache.spark.sql.expressions.Window
+    val expected = df.withColumn("rn", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("value").desc, col("id").desc)))
+      .filter(col("rn") <= 5).select("key", "value", "id")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(got == expected)
+    // descending order within each key's array
+    val ordered = df.groupBy("key")
+      .agg(GraftFunctions.topk_by(struct(col("value"), col("id")), 5).as("top"))
+      .select(col("top.value")).as[Seq[Double]].collect()
+    ordered.foreach(vs => assert(vs == vs.sorted.reverse))
+    // k larger than the group returns the whole group
+    val small = Seq((1L, 2.0, 10L), (1L, 1.0, 11L)).toDF("key", "value", "id")
+      .groupBy("key").agg(GraftFunctions.topk_by(struct(col("value"), col("id")), 5).as("top"))
+      .select(size(col("top"))).as[Int].collect()(0)
+    assert(small == 2)
+  }
+
   test("array_dot is SQL-resolvable when GraftExtensions is installed") {
     // The shared test session was not built with the extension; register via
     // a child session with the extensions class applied would require a new
