@@ -31,8 +31,19 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val parsed = FlightOps.parseFlightEvents(
-      EventSource.Rate(rowsPerSecond = rate).load(spark))
+    // SPARK_GRAFT_STREAM_SOURCE=flight-gen drives the DataSource V2
+    // connector (wire-format JSON generated connector-side) instead of the
+    // rate source's driver-side synthesis.
+    val raw = sys.env.getOrElse("SPARK_GRAFT_STREAM_SOURCE", "rate") match {
+      case "flight-gen" =>
+        spark.readStream.format("flight-gen")
+          .option("numRows", Long.MaxValue)
+          .option("rowsPerBatch", rate)
+          .option("numPartitions", cpus.toInt)
+          .load()
+      case _ => EventSource.Rate(rowsPerSecond = rate).load(spark)
+    }
+    val parsed = FlightOps.parseFlightEvents(raw)
     val agged = parsed
       .withWatermark("scheduled_time", "10 minutes")
       .groupBy(window(col("scheduled_time"), "2 minutes"), col("airline"))
