@@ -51,17 +51,31 @@ class FunctionsSpec extends SparkSpec {
     assert(small == 2)
   }
 
-  test("array_dot is SQL-resolvable when GraftExtensions is installed") {
-    // The shared test session was not built with the extension; register via
-    // a child session with the extensions class applied would require a new
-    // context, so exercise the injection path directly instead.
-    val ext = new org.apache.spark.sql.SparkSessionExtensions
-    new graft.plans.GraftExtensions().apply(ext)
-    // and the expression itself resolves through the FunctionRegistry when
-    // injected at session build (covered by the builder contract); here we
-    // assert the Column API at least round-trips through codegen:
-    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0))).toDF("a", "b")
-    assert(df.select(GraftFunctions.array_dot(col("a"), col("b")))
-      .as[Double].collect()(0) == 0.0)
+  test("array_dot and topk_by resolve in plain SQL with GraftExtensions installed") {
+    import org.apache.spark.sql.SparkSession
+    // build a sibling session over the SAME SparkContext with the extensions
+    // applied (clear the cached sessions so getOrCreate actually builds one)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val extSpark = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.plans.GraftExtensions())
+        .getOrCreate()
+      extSpark.range(0, 10).selectExpr("id % 2 AS k", "cast(id AS double) AS v")
+        .createOrReplaceTempView("ext_t")
+      val dot = extSpark.sql("SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .collect()(0).getDouble(0)
+      assert(dot == 11.0)
+      val top = extSpark.sql(
+        "SELECT k, topk_by(v, 2) AS top FROM ext_t GROUP BY k ORDER BY k")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+      assert(top == Map(0L -> Seq(8.0, 6.0), 1L -> Seq(9.0, 7.0)))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
   }
 }
