@@ -1248,6 +1248,17 @@ object Queries {
           |JOIN (SELECT DISTINCT event_type FROM events) d
           |  ON e.event_type = d.event_type""".stripMargin)),
 
+    // Two-stage salted aggregation: partial on (key, salt), final on key —
+    // identical counts to the direct groupBy (the oracle), with hot-key
+    // combiner state spread over the salt space.
+    ("events_salted_counts",
+      (s: SparkSession, d: String) =>
+        Skew.saltedCount(Tables.events(s, d), col("event_type"), col("event_id"), 8)
+          .select(col("key").as("event_type"), col("n")),
+      Some(
+        """SELECT event_type, count(*)::bigint AS n
+          |FROM events GROUP BY 1""".stripMargin)),
+
     // Funnel analysis: per-user view → purchase conversion within one hour —
     // the behavioral-sequence query shape (interval self-join + flag).
     ("events_funnel",
@@ -1492,10 +1503,12 @@ object Queries {
       },
       Some {
         // scientific notation → DuckDB parses as DOUBLE (a bare decimal
-        // literal would parse as DECIMAL and truncate the mantissa)
+        // literal would parse as DECIMAL and truncate the mantissa);
+        // Locale.ROOT so a comma-decimal default locale can't corrupt the SQL
         val dims = (0 until 4).map { o =>
           val coeffs = (0 until 64)
-            .map(dd => "%.17e".format(Embeddings.projCoeffConst(o, dd)))
+            .map(dd => String.format(java.util.Locale.ROOT, "%.17e",
+              Double.box(Embeddings.projCoeffConst(o, dd))))
             .mkString("[", ", ", "]")
           s"list_dot_product(ve, $coeffs) AS p$o"
         }.mkString(",\n       ")

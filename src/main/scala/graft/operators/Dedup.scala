@@ -137,11 +137,17 @@ object Dedup {
     * O(corpus) ids in one aggregation and emits O(b²) pairs from one task.
     * Buckets larger than `maxBucketSize` therefore degrade to a STAR around
     * the bucket's min doc_id — O(b) pairs, produced by a spillable window +
-    * projection with no list buffer at all. The star preserves exactly the
-    * connectivity a dedup pass needs (every member remains joined to the
-    * group's canonical representative, so connected components — and thus the
-    * final keep/drop sets — are unchanged); only redundant within-group edges
-    * are dropped. Both branches reuse one exchange on (band, bucket). */
+    * projection with no list buffer at all.
+    *
+    * Contract of the star fallback: connectivity of the CANDIDATE graph is
+    * preserved (every member stays connected to the bucket's anchor). If a
+    * downstream verifier then FILTERS edges (ngramJaccard >= θ), two members
+    * whose pair would have passed but whose anchor edges both fail can land
+    * in separate verified components — the standard recall trade of capping
+    * a degenerate bucket, whose members are near-identical so anchor edges
+    * pass in practice. Raise `maxBucketSize` (or sub-bucket by a secondary
+    * hash) where that recall matters more than the O(b²) bound. Both
+    * branches reuse one exchange on (band, bucket). */
   def lshCandidates(buckets: DataFrame, maxBucketSize: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byBucket = Window.partitionBy(col("band"), col("bucket"))
@@ -286,6 +292,11 @@ object Dedup {
       labels = updated
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations — " +
+          "the graph has a component with diameter > maxIter; raise maxIter " +
+          "(returning partial labels would silently split real components)")
     nodes.select(col("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))

@@ -15,15 +15,10 @@ import org.apache.spark.sql.functions._
 object Embeddings {
 
   /** Deterministic projection coefficient for (output dim o, input dim d):
-    * same md5 derivation as [[Similarity.planeCoeffConst]] but under a
-    * distinct "proj" tag so projection directions are independent of the LSH
-    * plane family. Evaluated once at plan-build time. */
-  def projCoeffConst(o: Int, d: Int): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"proj:$o:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
-      .toDouble / 1.152921504606846976e18 * 2.0 - 1.0
-  }
+    * the shared md5 derivation ([[Similarity.coeffConst]]) under a distinct
+    * "proj" tag so projection directions are independent of the LSH plane
+    * family. Evaluated once at plan-build time. */
+  def projCoeffConst(o: Int, d: Int): Double = Similarity.coeffConst(s"proj:$o:$d")
 
   /** vec scaled to unit L2 norm, given its precomputed norm (pass
     * [[Similarity.norm]] of the same column — computing it inside the lambda

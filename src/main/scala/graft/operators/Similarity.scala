@@ -102,16 +102,23 @@ object Similarity {
       aggregate(bits, lit(0L), (acc, x) => acc + x)
     })
 
-  /** Driver-side constant replica of [[planeCoeff]]: same md5 derivation,
-    * same arithmetic order, evaluated ONCE at plan-build time. The per-row
-    * column version computes nPlanes×dim md5 digests per row — for constant
-    * (plane, dim) inputs that work belongs in the plan, not the data path. */
-  def planeCoeffConst(p: Int, d: Int): Double = {
+  /** Driver-side md5-derived coefficient in [-1, 1] for an arbitrary key —
+    * the single source of the portable-hash → double derivation shared by
+    * every plan-time constant family (LSH planes here, projection directions
+    * in [[Embeddings]]). Must stay bit-identical to the per-row column
+    * version ([[planeCoeff]]) for oracle verification. */
+  def coeffConst(key: String): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val hex = md.digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
       .toDouble / 1.152921504606846976e18 * 2.0 - 1.0
   }
+
+  /** Constant replica of [[planeCoeff]]: same md5 derivation, same
+    * arithmetic order, evaluated ONCE at plan-build time. The per-row column
+    * version computes nPlanes×dim md5 digests per row — for constant
+    * (plane, dim) inputs that work belongs in the plan, not the data path. */
+  def planeCoeffConst(p: Int, d: Int): Double = coeffConst(s"$p:$d")
 
   /**
    * [[lshBandBuckets]] with the plane coefficients folded to literal arrays
@@ -145,20 +152,22 @@ object Similarity {
     val centroids = trained.getOrElse(corpus.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cell_id"), asDouble(col(vecCol)).as("cellv")))
     def nearestCells(df: DataFrame, side: String, n: Int) = {
+      // hoist both norms out of the cross product (N + k reductions, not N·k)
       val v = df.select(col(idCol).as(s"${side}_id"), asDouble(col(vecCol)).as(s"${side}v"))
+        .withColumn(s"${side}_norm", norm(col(s"${side}v")))
       val w = Window.partitionBy(col(s"${side}_id"))
         .orderBy(col("cell_cos").desc, col("cell_id"))
-      v.join(broadcast(centroids), lit(true))
+      v.join(broadcast(centroids.withColumn("cell_norm", norm(col("cellv")))), lit(true))
         .withColumn("cell_cos",
-          dot(col(s"${side}v"), col("cellv")) / (norm(col(s"${side}v")) * norm(col("cellv"))))
+          dot(col(s"${side}v"), col("cellv")) / (col(s"${side}_norm") * col("cell_norm")))
         .withColumn("cell_rank", row_number().over(w))
         .filter(col("cell_rank") <= n)
-        .drop("cellv", "cell_cos", "cell_rank")
+        .drop("cellv", "cell_cos", "cell_rank", "cell_norm")
     }
     val assigned = nearestCells(corpus, "corpus", 1)
-      .withColumn("cn", norm(col("corpusv")))
+      .withColumnRenamed("corpus_norm", "cn")
     val probes = nearestCells(queries, "query", nProbe)
-      .withColumn("qn", norm(col("queryv")))
+      .withColumnRenamed("query_norm", "qn")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     probes.join(assigned, Seq("cell_id"))
@@ -179,11 +188,15 @@ object Similarity {
   def assignCells(corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // hoist both norms out of the cross product: N + k reductions instead of
+    // recomputing norm(ve) per centroid and norm(cellv) per corpus row
     val v = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("ve"))
+      .withColumn("vnorm", norm(col("ve")))
+    val c = centroids.withColumn("cnorm", norm(col("cellv")))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cell_cos").desc, col("cell_id"))
-    v.join(broadcast(centroids), lit(true))
+    v.join(broadcast(c), lit(true))
       .withColumn("cell_cos",
-        dot(col("ve"), col("cellv")) / (norm(col("ve")) * norm(col("cellv"))))
+        dot(col("ve"), col("cellv")) / (col("vnorm") * col("cnorm")))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("vec_id"), col("cell_id"), col("ve"))
   }

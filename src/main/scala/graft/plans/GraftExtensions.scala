@@ -25,12 +25,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("topk_by"),
       new ExpressionInfo(classOf[graft.functions.BoundedTopK].getName, "topk_by"),
-      (children: Seq[Expression]) => graft.functions.BoundedTopK(
-        children.head,
-        children(1).eval(null) match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(s"topk_by k must be an int literal, got $other")
-        }).toAggregateExpression()))
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "topk_by(sortKey, k) takes exactly two arguments")
+        if (!children(1).foldable)
+          throw new IllegalArgumentException("topk_by k must be an int literal")
+        graft.functions.BoundedTopK(
+          children.head,
+          children(1).eval(null) match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"topk_by k must be an int literal, got $other")
+          }).toAggregateExpression()
+      }))
   }
 }

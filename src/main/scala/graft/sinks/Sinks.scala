@@ -76,10 +76,20 @@ object EventSink {
       val col = JdbcDialects.get(url).quoteIdentifier("batch_id")
       val conn = java.sql.DriverManager.getConnection(url, properties)
       try {
-        val st = conn.createStatement()
-        try st.executeUpdate(s"DELETE FROM $table WHERE $col = $epochId")
-        catch { case _: java.sql.SQLException => () } // first epoch: table absent
-        finally st.close()
+        // probe table existence via metadata (identifier case differs by
+        // database) so ONLY the legitimate first-epoch absence skips the
+        // delete — any real DELETE failure (lock timeout, connection drop)
+        // must propagate, or a replay would silently duplicate the epoch
+        val meta = conn.getMetaData
+        val exists = Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
+          val rs = meta.getTables(null, null, t, null)
+          try rs.next() finally rs.close()
+        }
+        if (exists) {
+          val st = conn.createStatement()
+          try st.executeUpdate(s"DELETE FROM $table WHERE $col = $epochId")
+          finally st.close()
+        }
       } finally conn.close()
       batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(epochId))
         .write.mode(SaveMode.Append).jdbc(url, table, properties)

@@ -90,15 +90,21 @@ object StatefulOps {
    * Similarity is estimated from signature agreement (the MinHash estimator);
    * verify exact Jaccard downstream if needed.
    *
-   * State is bounded per bucket by `maxPerBucket` (the hot-bucket cap, same
-   * rationale as the batch [[graft.operators.Dedup.lshCandidates]] bound):
-   * overflow docs are still compared against the anchor set but not added,
-   * preserving connectivity to the earliest members. The same pair can emit
-   * from multiple bands — run `dropDuplicates("doc_a","doc_b")` downstream
-   * if exact-once pairs matter.
+   * State sizing: per bucket, at most `maxPerBucket` members (the hot-bucket
+   * cap — overflow docs are still compared against the resident set but not
+   * added); across buckets, total state = live bucket keys × that bound,
+   * which grows with distinct content unless `timeout` is set. Pass a
+   * processing-time `timeout` in production so idle buckets age out
+   * (documents stop colliding with content older than the horizon — the
+   * streaming analogue of a dedup lookback window); deterministic test
+   * harnesses leave it None because a processing-time timeout schedules
+   * no-data batches and never quiesces. The same pair can emit from multiple
+   * bands — run `dropDuplicates("doc_a","doc_b")` downstream if exact-once
+   * pairs matter.
    */
   def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
-      minEstJaccard: Double = 0.5, maxPerBucket: Int = 64): Dataset[NearDupHit] = {
+      minEstJaccard: Double = 0.5, maxPerBucket: Int = 64,
+      timeout: Option[String] = None): Dataset[NearDupHit] = {
     import docs.sparkSession.implicits._
     val banded = docs
       .select(col(idCol).cast("long").as("doc_id"),
@@ -109,28 +115,35 @@ object StatefulOps {
       .select(concat_ws(":", col("band"), col("bucket")).as("bkey"),
         col("doc_id"), col("sig"))
       .as[(String, Long, Seq[Long])]
+    val mode = if (timeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+               else GroupStateTimeout.NoTimeout
     banded.groupByKey(_._1)
-      .flatMapGroupsWithState[BucketState, NearDupHit](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[BucketState, NearDupHit](OutputMode.Append, mode) {
         (_: String, rows: Iterator[(String, Long, Seq[Long])], state: GroupState[BucketState]) =>
-          var members = state.getOption.getOrElse(BucketState(Nil)).members
-          val out = List.newBuilder[NearDupHit]
-          // deterministic processing order within the micro-batch
-          rows.toSeq.sortBy(_._2).foreach { case (_, docId, sig) =>
-            if (!members.exists(_.doc_id == docId)) {
-              members.foreach { m =>
-                val agree = m.sig.zip(sig).count { case (x, y) => x == y }
-                val est = agree.toDouble / m.sig.length
-                if (est >= minEstJaccard) {
-                  out += (if (m.doc_id < docId) NearDupHit(m.doc_id, docId, est)
-                          else NearDupHit(docId, m.doc_id, est))
+          if (state.hasTimedOut) {
+            state.remove() // idle bucket ages out of the store
+            Iterator.empty
+          } else {
+            var members = state.getOption.getOrElse(BucketState(Nil)).members
+            val out = List.newBuilder[NearDupHit]
+            // deterministic processing order within the micro-batch
+            rows.toSeq.sortBy(_._2).foreach { case (_, docId, sig) =>
+              if (!members.exists(_.doc_id == docId)) {
+                members.foreach { m =>
+                  val agree = m.sig.zip(sig).count { case (x, y) => x == y }
+                  val est = agree.toDouble / m.sig.length
+                  if (est >= minEstJaccard) {
+                    out += (if (m.doc_id < docId) NearDupHit(m.doc_id, docId, est)
+                            else NearDupHit(docId, m.doc_id, est))
+                  }
                 }
+                if (members.size < maxPerBucket) members = BucketMember(docId, sig) :: members
               }
-              if (members.size < maxPerBucket) members = BucketMember(docId, sig) :: members
             }
+            state.update(BucketState(members))
+            timeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          state.update(BucketState(members))
-          out.result().iterator
       }
   }
 

@@ -33,11 +33,14 @@ class StreamingCorpusSpec extends SparkSpec {
         .select(col("doc_id"), col("split"), col("n_tokens"), col("clean_len"))
     }
 
+    // dropDuplicatesWithinWatermark (NOT plain dropDuplicates("doc_id"),
+    // whose state is never evicted when the event-time column is absent from
+    // the key): doc_id dedup state ages out past the watermark horizon
     val streamed = pipeline(
       input.toDF().toDF("doc_id", "text", "ts_s")
         .withColumn("ts", col("ts_s").cast("timestamp"))
         .withWatermark("ts", "10 minutes")
-        .dropDuplicates("doc_id"))
+        .dropDuplicatesWithinWatermark("doc_id"))
 
     val q = streamed.writeStream.format("memory").queryName("corpus_out")
       .option("checkpointLocation", Files.createTempDirectory("corpus-cp").toString)
@@ -100,7 +103,7 @@ class StreamingCorpusSpec extends SparkSpec {
       .withColumn("ts", col("ts_s").cast("timestamp"))
       .withColumn("fingerprint", TextOps.fingerprint(col("text")))
       .withWatermark("ts", "10 minutes")
-      .dropDuplicates("fingerprint")
+      .dropDuplicatesWithinWatermark("fingerprint")
     val q = deduped.writeStream.format("memory").queryName("fp_out")
       .option("checkpointLocation", Files.createTempDirectory("fp-cp").toString)
       .outputMode(OutputMode.Append).start()
