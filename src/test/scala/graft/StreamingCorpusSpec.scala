@@ -96,6 +96,27 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupStream bucket cap: overflow docs still match the anchor set") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val base = "the quick brown fox jumps over the lazy dog near the river"
+    val hits = StatefulOps.nearDupStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", maxPerBucket = 1)
+    val q = hits.writeStream.format("memory").queryName("ndcap_out")
+      .option("checkpointLocation", Files.createTempDirectory("ndc-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, base)); q.processAllAvailable()
+      input.addData((2L, base)); q.processAllAvailable() // hit vs 1, NOT added
+      input.addData((3L, base)); q.processAllAvailable() // hit vs 1 only
+      val pairs = spark.table("ndcap_out").select("doc_a", "doc_b").distinct()
+        .as[(Long, Long)].collect().toSet
+      // every overflow doc stays connected to the resident anchor; the
+      // (2,3) edge is the capped recall trade
+      assert(pairs == Set((1L, 2L), (1L, 3L)))
+    } finally q.stop()
+  }
+
   test("streaming fingerprint dedup drops whitespace/case near-copies") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, String)]

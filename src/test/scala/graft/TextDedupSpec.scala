@@ -164,6 +164,15 @@ class TextDedupSpec extends SparkSpec {
     assert(comp == Seq(1L))
   }
 
+  test("connectedComponents refuses to return partial labels past maxIter") {
+    val nodes = (1L to 30L).toDF("id")
+    val pairs = (1L to 29L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, pairs, maxIter = 5).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("redactPii masks emails and long digit runs, leaves the rest") {
     val got = docs((1L, "mail a.user@example.com or call 55512345 ext 12"))
       .select(TextOps.redactPii(col("text"))).as[String].collect()(0)
