@@ -949,6 +949,29 @@ object Queries {
           |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
           |   OR (p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
 
+    // Q15 shape: scalar-subquery max with join-back — the top-revenue
+    // supplier(s). Exercises Catalyst's scalar-subquery planning.
+    ("tpch_q15_top_supplier",
+      (s: SparkSession, d: String) => {
+        val rev = Tables.lineitem(s, d).groupBy(col("l_suppkey"))
+          .agg(sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("total_revenue"))
+        val best = rev.agg(max(col("total_revenue")).as("best"))
+        Tables.supplier(s, d)
+          .join(rev, col("s_suppkey") === col("l_suppkey"))
+          .join(broadcast(best), col("total_revenue") === col("best"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      },
+      Some(
+        """WITH rev AS (
+          |  SELECT l_suppkey,
+          |         cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS double)
+          |           AS total_revenue
+          |  FROM lineitem GROUP BY 1)
+          |SELECT s_suppkey, s_name, total_revenue
+          |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+          |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin)),
+
     // ---- OVER-window analytic: top-3 orders per customer ------------------
     ("window_rank_orders",
       (s: SparkSession, d: String) => {
@@ -1755,6 +1778,58 @@ object Queries {
           |       cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
           |FROM events CROSS JOIN (SELECT unnest(range(0, 2)) AS k)
           |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // Arbitrary GROUPING SETS through the SQL frontend (the DataFrame API
+    // only exposes cube/rollup): per-type, per-(type, day), and grand total
+    // in one pass, with GROUPING() disambiguating the null-key rows.
+    ("events_grouping_sets",
+      (s: SparkSession, d: String) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_events_gs")
+        s.sql(
+          """SELECT event_type, date_trunc('DAY', ts) AS day,
+            |       grouping(event_type) AS g_type, grouping(date_trunc('DAY', ts)) AS g_day,
+            |       count(*) AS n, cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
+            |FROM graft_events_gs
+            |GROUP BY GROUPING SETS ((event_type), (event_type, date_trunc('DAY', ts)), ())
+            |""".stripMargin)
+          .withColumn("day", ntz(col("day")))
+          .withColumn("g_type", col("g_type").cast("int"))
+          .withColumn("g_day", col("g_day").cast("int"))
+      },
+      Some(
+        """SELECT event_type, date_trunc('DAY', ts) AS day,
+          |       grouping(event_type)::int AS g_type,
+          |       grouping(date_trunc('DAY', ts))::int AS g_day,
+          |       count(*) AS n, cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
+          |FROM events
+          |GROUP BY GROUPING SETS ((event_type), (event_type, date_trunc('DAY', ts)), ())""".stripMargin)),
+
+    // Time-range window frame: per-user trailing one-hour totals at every
+    // event — RANGE frames over event time (not row counts), the shape row
+    // frames cannot express when events are irregularly spaced.
+    ("events_trailing_hour",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        // frame boundaries in epoch MICROS on both engines: Spark reads the
+        // ns-precision parquet truncated to µs, so the oracle casts its
+        // TIMESTAMP_NS view down to µs too — otherwise a pair spaced within
+        // 1 µs of exactly one hour lands in different frames
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600L * 1000000L, 0L)
+        Tables.events(s, d).select(col("event_id"), col("user_id"),
+            ntz(col("ts")).as("ts"),
+            count(lit(1)).over(w).as("n_trailing_hour"),
+            sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+              .as("sum_trailing_hour"))
+      },
+      Some(
+        """SELECT event_id, user_id, ts,
+          |       count(*) OVER w AS n_trailing_hour,
+          |       cast(sum(cast(value AS decimal(18,2))) OVER w AS double) AS sum_trailing_hour
+          |FROM (SELECT event_id, user_id, ts::timestamp AS ts, value FROM events)
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin)),
 
     // Session window: 30-minute inactivity gap per user; session end = last
     // event + gap (Spark session_window semantics, reproduced via a
