@@ -310,6 +310,31 @@ object Queries {
           |       floor(value / 100)::int AS value_bucket
           |FROM events WHERE json_extract_string(props, '$.k')::int >= 90""".stripMargin)),
 
+    // Map-typed aggregation: per type, a bucket -> count map built with
+    // map_from_entries and read back with element_at/cardinality. The oracle
+    // verifies the same lookups relationally (DuckDB map extraction
+    // semantics differ, the VALUES must not).
+    ("events_bucket_map",
+      (s: SparkSession, d: String) =>
+        Tables.events(s, d)
+          .groupBy(col("event_type"), floor(col("value") / 100).cast("int").as("b"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("event_type"))
+          .agg(map_from_entries(array_sort(collect_list(struct(col("b"), col("n")))))
+            .as("m"))
+          .select(col("event_type"),
+            size(col("m")).as("n_buckets"),
+            element_at(col("m"), 0).as("n_bucket0"),
+            element_at(col("m"), 5).as("n_bucket5")),
+      Some(
+        """SELECT event_type,
+          |       count(*)::int AS n_buckets,
+          |       max(CASE WHEN b = 0 THEN n END)::bigint AS n_bucket0,
+          |       max(CASE WHEN b = 5 THEN n END)::bigint AS n_bucket5
+          |FROM (SELECT event_type, floor(value / 100)::int AS b, count(*) AS n
+          |      FROM events GROUP BY 1, 2)
+          |GROUP BY 1""".stripMargin)),
+
     // ---- arg-extremum aggregates (max_by/min_by ≙ arg_max/arg_min) --------
     ("events_minmax_by",
       (s: SparkSession, d: String) =>
