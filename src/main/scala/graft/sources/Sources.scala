@@ -88,6 +88,20 @@ object EventSource {
         )).as("value"))
   }
 
+  /** The deterministic DataSource V2 generator ([[FlightGenProvider]]):
+    * exact Kafka surface (value: string of the reference wire format),
+    * finite `numRows` paced `rowsPerBatch` per trigger — reproducible
+    * end-to-end job runs without Kafka. */
+  final case class FlightGen(numRows: Long, rowsPerBatch: Long = 1000L,
+      numPartitions: Int = 4) extends EventSource {
+    def load(spark: SparkSession): DataFrame =
+      spark.readStream.format("flight-gen")
+        .option("numRows", numRows)
+        .option("rowsPerBatch", rowsPerBatch)
+        .option("numPartitions", numPartitions)
+        .load()
+  }
+
   /** A pre-built streaming DataFrame (e.g. MemoryStream.toDF in tests). */
   final case class Existing(df: DataFrame) extends EventSource {
     def load(spark: SparkSession): DataFrame = df.select(col("value").cast("string").as("value"))

@@ -27,6 +27,30 @@ class FlightGenSourceSpec extends SparkSpec {
     assert(parsed.filter(col("delay_minutes") < 0).count() > 0) // early arrivals
   }
 
+  test("five-branch topology runs end-to-end from the DSv2 source") {
+    val cp = Files.createTempDirectory("fg-job-cp").toString
+    val branches = graft.streaming.FlightStreamJob.start(
+      spark,
+      graft.sources.EventSource.FlightGen(numRows = 600, rowsPerBatch = 200),
+      graft.streaming.FlightStreamJob.TimeMode.Event("scheduled_time"),
+      cp,
+      name => graft.sinks.EventSink.Memory(
+        if (name == "notifications" || name == "raw_events") "append" else "update"))
+    try {
+      Seq(branches.notifications, branches.airlineStats, branches.routeStats,
+        branches.hourlyStats, branches.rawEvents).foreach(_.processAllAvailable())
+      assert(spark.table("raw_events").count() == 600)
+      // generator delays: (i % 90) - 30 > 0, i.e. i % 90 in 31..89
+      val expectedDelayed = (0L until 600L).count(i => i % 90 > 30) // = 383
+      assert(spark.table("notifications").count() == expectedDelayed)
+      assert(spark.table("airline_stats").select("airline").distinct().count() == 8)
+      assert(spark.table("hourly_stats").count() > 0)
+      assert(spark.table("route_stats").count() > 0)
+    } finally
+      Seq(branches.notifications, branches.airlineStats, branches.routeStats,
+        branches.hourlyStats, branches.rawEvents).foreach(_.stop())
+  }
+
   test("micro-batch stream: finite row-count offsets drain in rowsPerBatch steps") {
     val df = spark.readStream.format("flight-gen")
       .option("numRows", 350).option("rowsPerBatch", 100).load()

@@ -35,6 +35,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("shuffle counts stay minimal: zero-shuffle projections and one-exchange aggs") {
+    def shuffles(name: String): Int = {
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+      Seq("Exchange hashpartitioning", "Exchange SinglePartition", "Exchange rangepartitioning")
+        .map(p => plan.sliding(p.length).count(_ == p)).sum
+    }
+    // pure projections must never grow a shuffle
+    Seq("split_train_val_test", "text_stats", "text_redact_stats", "flight_parse",
+      "flight_delayed", "emb_normalize", "emb_quantize", "emb_project",
+      "sim_lsh_buckets", "events_zorder_key", "multimodal_features",
+      "scalar_functions", "datetime_functions", "array_functions")
+      .foreach(q => assert(shuffles(q) == 0, s"$q should be shuffle-free"))
+    // single-aggregation queries: exactly one exchange (partial → final)
+    Seq("tpch_q1", "tpch_q6_revenue", "dedup_fingerprint", "dedup_exact")
+      .foreach(q => assert(shuffles(q) == 1, s"$q should have exactly 1 shuffle"))
+  }
+
   test("filters reach the parquet scan (pushdown) on the canonical scan query") {
     val plan = SparkEntry.queries("tpch_q6_revenue")(spark, sfDir)
       .queryExecution.executedPlan.toString
