@@ -1809,17 +1809,22 @@ object Queries {
     // in one pass, with GROUPING() disambiguating the null-key rows.
     ("events_grouping_sets",
       (s: SparkSession, d: String) => {
-        Tables.events(s, d).createOrReplaceTempView("graft_events_gs")
-        s.sql(
-          """SELECT event_type, date_trunc('DAY', ts) AS day,
-            |       grouping(event_type) AS g_type, grouping(date_trunc('DAY', ts)) AS g_day,
-            |       count(*) AS n, cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
-            |FROM graft_events_gs
-            |GROUP BY GROUPING SETS ((event_type), (event_type, date_trunc('DAY', ts)), ())
-            |""".stripMargin)
-          .withColumn("day", ntz(col("day")))
-          .withColumn("g_type", col("g_type").cast("int"))
-          .withColumn("g_day", col("g_day").cast("int"))
+        // unique per-call view name, dropped after the (eager) analysis binds
+        // the plan — no session-catalog leak, no cross-build race
+        val view = s"graft_events_gs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        Tables.events(s, d).createOrReplaceTempView(view)
+        try {
+          s.sql(
+            s"""SELECT event_type, date_trunc('DAY', ts) AS day,
+              |       grouping(event_type) AS g_type, grouping(date_trunc('DAY', ts)) AS g_day,
+              |       count(*) AS n, cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
+              |FROM $view
+              |GROUP BY GROUPING SETS ((event_type), (event_type, date_trunc('DAY', ts)), ())
+              |""".stripMargin)
+            .withColumn("day", ntz(col("day")))
+            .withColumn("g_type", col("g_type").cast("int"))
+            .withColumn("g_day", col("g_day").cast("int"))
+        } finally s.catalog.dropTempView(view)
       },
       Some(
         """SELECT event_type, date_trunc('DAY', ts) AS day,

@@ -34,15 +34,12 @@ object StreamBench {
     // SPARK_GRAFT_STREAM_SOURCE=flight-gen drives the DataSource V2
     // connector (wire-format JSON generated connector-side) instead of the
     // rate source's driver-side synthesis.
-    val raw = sys.env.getOrElse("SPARK_GRAFT_STREAM_SOURCE", "rate") match {
+    val raw = (sys.env.getOrElse("SPARK_GRAFT_STREAM_SOURCE", "rate") match {
       case "flight-gen" =>
-        spark.readStream.format("flight-gen")
-          .option("numRows", Long.MaxValue)
-          .option("rowsPerBatch", rate)
-          .option("numPartitions", cpus.toInt)
-          .load()
-      case _ => EventSource.Rate(rowsPerSecond = rate).load(spark)
-    }
+        EventSource.FlightGen(numRows = Long.MaxValue, rowsPerBatch = rate,
+          numPartitions = cpus.toInt)
+      case _ => EventSource.Rate(rowsPerSecond = rate)
+    }).load(spark)
     val parsed = FlightOps.parseFlightEvents(raw)
     val agged = parsed
       .withWatermark("scheduled_time", "10 minutes")
