@@ -1662,17 +1662,41 @@ object Queries {
             sum(coalesce(col("hit"), lit(0))).as("n_hit"))
           .withColumn("recall", col("n_hit").cast("double") / col("n_true"))
       },
-      Some(
-        """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS ve
+      // Oracle replicates ivfTopK's DEFAULT path: two unrolled k-means
+      // iterations (decimal-routed means, bit-exact) from the 16 lowest-id
+      // seeds, then probe/assign against the trained cells c2.
+      Some {
+        def assign(cents: String, out: String) =
+          s"""$out AS (SELECT vec_id, ve, cell_id FROM (
+             |  SELECT v.vec_id, v.ve, c.cell_id,
+             |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             |           list_dot_product(v.ve, c.cellv)
+             |             / (sqrt(list_dot_product(v.ve, v.ve)) * sqrt(list_dot_product(c.cellv, c.cellv))) DESC,
+             |           c.cell_id) AS rn
+             |  FROM v CROSS JOIN $cents c) WHERE rn = 1)"""
+        def update(from: String, out: String) =
+          s"""$out AS (
+             |  SELECT cell_id, list(cx ORDER BY dim) AS cellv FROM (
+             |    SELECT cell_id, d AS dim,
+             |           cast(sum(cast(ve[d + 1] AS decimal(30,15))) AS double) / count(*) AS cx
+             |    FROM $from CROSS JOIN (SELECT unnest(range(0, 64)) AS d)
+             |    GROUP BY 1, 2)
+             |  GROUP BY 1)"""
+        s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS ve
           |           FROM embeddings),
-          |cent AS (SELECT vec_id AS cell_id, ve AS cellv FROM v ORDER BY vec_id LIMIT 16),
+          |c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::int AS cell_id, ve AS cellv
+          |       FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16)),
+          |${assign("c0", "a0")},
+          |${update("a0", "c1")},
+          |${assign("c1", "a1")},
+          |${update("a1", "c2")},
           |ranked AS (
           |  SELECT v.vec_id, v.ve, c.cell_id,
           |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
           |           list_dot_product(v.ve, c.cellv)
           |             / (sqrt(list_dot_product(v.ve, v.ve)) * sqrt(list_dot_product(c.cellv, c.cellv))) DESC,
           |           c.cell_id) AS cell_rank
-          |  FROM v CROSS JOIN cent c),
+          |  FROM v CROSS JOIN c2 c),
           |assigned AS (SELECT vec_id, ve, cell_id FROM ranked WHERE cell_rank = 1),
           |probes AS (SELECT vec_id, ve, cell_id FROM ranked WHERE cell_rank <= 4 AND vec_id < 10),
           |q AS (SELECT * FROM v WHERE vec_id < 10),
@@ -1701,7 +1725,8 @@ object Queries {
           |         / count(*) AS recall
           |FROM brute b
           |LEFT JOIN approx a ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
-          |GROUP BY 1""".stripMargin)),
+          |GROUP BY 1""".stripMargin
+      }),
 
     // ---- IVF cell training: deterministic spherical k-means ---------------
     // Two fixed Lloyd iterations from lowest-id seeds; centroid means are

@@ -261,11 +261,18 @@ object Dedup {
    * O(diameter) rounds (near-dup components are shallow: dup clusters are
    * near-cliques, so 2-4 rounds in practice). Each round is one equi-join +
    * one aggregation — all-distributed, no driver-side data; the driver only
-   * runs the (bounded) loop and the scalar convergence check, the standard
-   * Spark shape for iterative graph algorithms. Labels are localCheckpointed
-   * every round to truncate the growing lineage.
+   * runs the (bounded) loop. Convergence detection is folded INTO the update:
+   * the same join that computes the new label also emits a changed flag
+   * (nmin < component), and the round's single action sums it — no second
+   * self-join, no extra isEmpty pass. Lineage is truncated by
+   * localCheckpointing every `checkpointEvery` rounds rather than every
+   * round; between checkpoints an action recomputes at most
+   * `checkpointEvery - 1` cheap join layers, which costs less than a full
+   * materialization per round.
    */
-  def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20,
+      checkpointEvery: Int = 3): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
@@ -282,14 +289,19 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("component").as("ncomp")), "dst")
         .groupBy(col("src")).agg(min(col("ncomp")).as("nmin"))
-      val updated = labels
+      val joined = labels
         .join(neighborMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
         .select(col("id"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
-        .localCheckpoint()
-      converged = updated.join(labels.withColumnRenamed("component", "prev"), "id")
-        .filter(col("component") =!= col("prev")).isEmpty
-      labels = updated
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"),
+          coalesce(col("nmin") < col("component"), lit(false)).cast("long").as("chg"))
+      val updated =
+        if ((iter + 1) % checkpointEvery == 0) joined.localCheckpoint() else joined
+      // The round's one action: count label changes. Over a checkpoint round
+      // the data is already materialized; otherwise this recomputes the few
+      // un-checkpointed layers.
+      val nChanged = updated.agg(coalesce(sum(col("chg")), lit(0L))).first().getLong(0)
+      converged = nChanged == 0L
+      labels = updated.drop("chg")
       iter += 1
     }
     if (!converged)

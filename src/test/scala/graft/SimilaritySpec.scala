@@ -144,10 +144,11 @@ class SimilaritySpec extends SparkSpec {
       hit.toDouble / brute.count()
     }
     val untrained = recall(Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5,
-      nCells = 8, nProbe = 4))
-    val cent = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8, 2)
+      nCells = 8, nProbe = 4, trainIters = 0))
+    // the DEFAULT path now trains (trainIters = 2) — this asserts callers
+    // get the trained recall figure without opting in
     val trained = recall(Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5,
-      nCells = 8, nProbe = 4, trained = Some(cent)))
+      nCells = 8, nProbe = 4))
     info(s"recall@5 nProbe=4/8 cells: untrained=$untrained trained=$trained")
     assert(trained >= untrained - 0.1) // training must not degrade cells
     assert(trained >= 0.5) // and must stay useful in absolute terms
