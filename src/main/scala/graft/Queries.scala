@@ -1108,6 +1108,38 @@ object Queries {
           |WHERE NOT EXISTS (SELECT 1 FROM verified v
           |                  WHERE v.doc_b = d.doc_id AND v.jaccard >= 0.8)""".stripMargin)),
 
+    // ---- Incremental near-dedup: the operational corpus-growth shape ------
+    // The lowest 4/5 of doc ids play the already-indexed corpus (deduped
+    // from scratch, signatures persisted); the top 1/5 is the new batch,
+    // admitted via Dedup.incrementalNearDup — zero-shuffle signing, candidates
+    // only against bucket collisions, old-old pairs never recomputed. The
+    // oracle is the FROM-SCRATCH near-keep SQL over the whole table: the
+    // incremental path must be indistinguishable from re-running everything.
+    ("dedup_incremental",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val cut = docs.agg(floor(max(col("doc_id")) * 4 / 5).cast("long").as("cut"))
+        val tagged = docs.crossJoin(broadcast(cut))
+        val oldDocs = tagged.filter(col("doc_id") < col("cut")).drop("cut")
+        val newDocs = tagged.filter(col("doc_id") >= col("cut")).drop("cut")
+        // the historical state: old corpus deduped from scratch, all old
+        // signatures (survivors AND dropped) in the index
+        val oldCands = Dedup.lshCandidates(Dedup.lshBuckets(
+          Dedup.minhashSignatures(oldDocs, col("text"), col("doc_id"))))
+        val oldDrops = Dedup.ngramJaccard(oldCands, oldDocs, col("text"), col("doc_id"))
+          .filter(col("jaccard") >= 0.8).select(col("doc_b").as("doc_id"))
+        val oldKeep = oldDocs.join(oldDrops, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"))
+        val index = Dedup.signatureIndex(oldDocs, col("text"), col("doc_id"))
+        val newKeep = Dedup.incrementalNearDup(
+          newDocs, docs, index, col("text"), col("doc_id"))
+        oldKeep.unionByName(newKeep)
+      },
+      Some(lshCandCtes + nearDupVerifyCtes +
+        """SELECT d.doc_id FROM documents d
+          |WHERE NOT EXISTS (SELECT 1 FROM verified v
+          |                  WHERE v.doc_b = d.doc_id AND v.jaccard >= 0.8)""".stripMargin)),
+
     ("dedup_simhash",
       (s: SparkSession, d: String) =>
         Dedup.simhash(Tables.documents(s, d), col("text"), col("doc_id")),

@@ -314,6 +314,126 @@ object Dedup {
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
+  // ------------------------------------------------------------------------
+  // Incremental near-dedup against a persisted signature index — the
+  // operational 100 TB shape: a new batch is admitted WITHOUT re-LSH-ing the
+  // corpus. The index is the (doc_id, band, bucket) output of the signature
+  // chain, persisted bucketed on `bucket` so each admission round computes
+  // index-side per-bucket stats and joins candidates with ZERO exchange on
+  // the index side; only the (small) new batch ever shuffles.
+  // ------------------------------------------------------------------------
+
+  /** Aggregated-form signature index rows (doc_id, band, bucket) for a
+    * corpus slice — what gets persisted via [[writeSignatureIndex]]. */
+  def signatureIndex(docs: DataFrame, textCol: Column, idCol: Column,
+      shingleSize: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    lshBuckets(minhashSignatures(docs, textCol, idCol, shingleSize, numPerms), rowsPerBand)
+
+  /** Projection-form signature entries for a NEW batch: bit-identical rows
+    * to [[signatureIndex]] (equivalence spec-checked via the shared
+    * [[minhashSignatureArray]]/[[bandBucketArray]] forms) computed with no
+    * shuffle at all — the admission path never aggregates the new batch to
+    * sign it. */
+  def signatureEntries(docs: DataFrame, textCol: Column, idCol: Column,
+      shingleSize: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    docs.select(idCol.as("doc_id"),
+      posexplode(bandBucketArray(
+        minhashSignatureArray(textCol, shingleSize, numPerms), rowsPerBand, numPerms))
+        .as(Seq("band", "bucket")))
+
+  /** Persist signature entries as a bucketed table (append-able per batch).
+    * Bucketing on `bucket` is what lets every later [[incrementalCandidates]]
+    * aggregate and join the index co-located — HashPartitioning(bucket)
+    * satisfies the (band, bucket) clustering requirement, so the planner
+    * inserts no index-side Exchange (asserted in IncrementalDedupSpec).
+    * Append ALL new entries after each admission, not just survivors:
+    * dropped docs stay in the index as attractors so a later near-dup of a
+    * dropped doc is itself dropped, exactly as a from-scratch run over the
+    * union would. */
+  def writeSignatureIndex(entries: DataFrame, table: String, nBuckets: Int = 64): Unit =
+    entries.write.bucketBy(nBuckets, "bucket").sortBy("bucket", "band")
+      .mode("append").saveAsTable(table)
+
+  /**
+   * Candidate pairs for admitting a new batch against an existing index:
+   * all (a < b) sharing a (band, bucket) where AT LEAST ONE side is new.
+   * Old-old pairs are excluded — they were adjudicated when the index was
+   * built, and their verdicts are already reflected in the surviving corpus.
+   *
+   * Equivalence contract (spec-checked, and the basis of the
+   * `dedup_incremental` oracle): provided (a) new-batch ids are greater than
+   * every indexed id — the natural append-only id discipline — and (b) no
+   * bucket crosses `maxBucketSize` between batches, the union of
+   * historically-emitted pairs and this frame equals [[lshCandidates]] run
+   * from scratch on the unioned corpus. A bucket that crosses the cap
+   * mid-history degrades per-batch (star around the combined anchor for new
+   * members only) — the same recall trade [[lshCandidates]] documents,
+   * applied incrementally.
+   *
+   * Exchange audit (the point of the design): index-side per-bucket stats
+   * aggregate WITHOUT an exchange on a bucketed index; the stats join
+   * shuffles only the new batch's per-bucket rows; the old×new pair
+   * expansion broadcasts the (tiny) per-bucket new-id arrays against one
+   * co-located stream of the index. The index is never re-partitioned.
+   */
+  def incrementalCandidates(index: DataFrame, newEntries: DataFrame,
+      maxBucketSize: Int = 1024): DataFrame = {
+    // one aggregation of the NEW batch only: per-bucket sorted id array
+    val newBy = newEntries.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("new_ds"))
+    // index-side per-bucket stats: exchange-free over a bucketed index
+    val oldBy = index.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n_old"), min(col("doc_id")).as("old_anchor"))
+    val buckets = newBy.join(oldBy, Seq("band", "bucket"), "left")
+      .select(col("band"), col("bucket"), col("new_ds"),
+        (coalesce(col("n_old"), lit(0L)) + size(col("new_ds"))).as("bsize"),
+        // least() ignores nulls: new-only buckets anchor at the new minimum
+        least(col("old_anchor"), element_at(col("new_ds"), 1)).as("anchor"))
+    val small = buckets.filter(col("bsize") <= maxBucketSize)
+    // new×new clique pairs straight from the arrays — no join at all
+    val newNew = small.filter(size(col("new_ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(new_ds, (x, i) ->
+          |  transform(slice(new_ds, i + 2, size(new_ds)), y ->
+          |    struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    // old×new pairs: ONE co-located pass over the index, new arrays broadcast
+    val crossPairs = index
+      .join(broadcast(small.select(col("band"), col("bucket"), col("new_ds"))),
+        Seq("band", "bucket"))
+      .select(col("doc_id").as("a"), explode(col("new_ds")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"))
+    // hot buckets: star around the combined anchor, new members only
+    val star = buckets.filter(col("bsize") > maxBucketSize)
+      .select(col("anchor").as("doc_a"), explode(col("new_ds")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    newNew.unionByName(crossPairs).unionByName(star).distinct()
+  }
+
+  /**
+   * Admit a new batch: sign it (zero-shuffle projection), find candidates
+   * against the index, verify with exact n-gram Jaccard, and return the new
+   * docs that SURVIVE (are not a verified near-dup of any smaller-id doc,
+   * indexed or in-batch). `corpus` must contain the text of both the indexed
+   * docs and the new batch — verification touches only candidate ids, so at
+   * scale this is an equi-join against the corpus-by-id table, not a scan.
+   * After admission, append [[signatureEntries]] of the WHOLE batch to the
+   * index (see [[writeSignatureIndex]]).
+   */
+  def incrementalNearDup(newDocs: DataFrame, corpus: DataFrame, index: DataFrame,
+      textCol: Column, idCol: Column, threshold: Double = 0.8,
+      shingleSize: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4,
+      maxBucketSize: Int = 1024): DataFrame = {
+    val entries = signatureEntries(newDocs, textCol, idCol, shingleSize, numPerms, rowsPerBand)
+    val cands = incrementalCandidates(index, entries, maxBucketSize)
+    val drops = ngramJaccard(cands, corpus, textCol, idCol, shingleSize)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_b").as("doc_id"))
+    newDocs.select(idCol.as("doc_id")).join(drops, Seq("doc_id"), "left_anti")
+  }
+
   /** Near-dup detection over SimHash fingerprints for an explicit pair
     * frame: Hamming distance via bit_count(xor). */
   def simhashPairs(pairs: DataFrame, fingerprints: DataFrame,
