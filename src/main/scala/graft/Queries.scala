@@ -1123,14 +1123,17 @@ object Queries {
         val oldDocs = tagged.filter(col("doc_id") < col("cut")).drop("cut")
         val newDocs = tagged.filter(col("doc_id") >= col("cut")).drop("cut")
         // the historical state: old corpus deduped from scratch, all old
-        // signatures (survivors AND dropped) in the index
-        val oldCands = Dedup.lshCandidates(Dedup.lshBuckets(
-          Dedup.minhashSignatures(oldDocs, col("text"), col("doc_id"))))
+        // signatures (survivors AND dropped) in the index. Materialized ONCE
+        // (the operational shape is a persisted bucketed table): the old-side
+        // candidate pass and incrementalNearDup's three index reads would
+        // otherwise each recompute the whole minhash chain.
+        val index = Dedup.signatureIndex(oldDocs, col("text"), col("doc_id"))
+          .localCheckpoint()
+        val oldCands = Dedup.lshCandidates(index)
         val oldDrops = Dedup.ngramJaccard(oldCands, oldDocs, col("text"), col("doc_id"))
           .filter(col("jaccard") >= 0.8).select(col("doc_b").as("doc_id"))
         val oldKeep = oldDocs.join(oldDrops, Seq("doc_id"), "left_anti")
           .select(col("doc_id"))
-        val index = Dedup.signatureIndex(oldDocs, col("text"), col("doc_id"))
         val newKeep = Dedup.incrementalNearDup(
           newDocs, docs, index, col("text"), col("doc_id"))
         oldKeep.unionByName(newKeep)
