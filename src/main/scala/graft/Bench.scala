@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every catalog query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line. A warmup pass (tiny action + one full run of the
   * first query) separates JVM/codegen startup from steady-state timings;
-  * each query is then timed on a single full execution (count action). */
+  * each query is then timed on a single full execution (count action).
+  * Optional args restrict the run to the named queries (dev loop). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -23,7 +24,10 @@ object Bench {
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

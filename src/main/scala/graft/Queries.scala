@@ -1118,24 +1118,33 @@ object Queries {
     ("dedup_incremental",
       (s: SparkSession, d: String) => {
         val docs = Tables.documents(s, d)
-        val cut = docs.agg(floor(max(col("doc_id")) * 4 / 5).cast("long").as("cut"))
-        val tagged = docs.crossJoin(broadcast(cut))
-        val oldDocs = tagged.filter(col("doc_id") < col("cut")).drop("cut")
-        val newDocs = tagged.filter(col("doc_id") >= col("cut")).drop("cut")
+        // The batch boundary is one tiny eager action (a scalar max), used as
+        // a literal below — attaching it via crossJoin(broadcast(...)) would
+        // plan a BroadcastNestedLoopJoin and, worse, re-run the agg inside
+        // every one of the dozen-plus plan branches that reference the split.
+        val cut = docs.agg(floor(max(col("doc_id")) * 4 / 5).cast("long"))
+          .head().getLong(0)
+        val oldDocs = docs.filter(col("doc_id") < cut)
+        val newDocs = docs.filter(col("doc_id") >= cut)
         // the historical state: old corpus deduped from scratch, all old
         // signatures (survivors AND dropped) in the index. Materialized ONCE
         // (the operational shape is a persisted bucketed table): the old-side
-        // candidate pass and incrementalNearDup's three index reads would
+        // candidate pass and incrementalNearDup's index reads would
         // otherwise each recompute the whole minhash chain.
         val index = Dedup.signatureIndex(oldDocs, col("text"), col("doc_id"))
           .localCheckpoint()
+        // one corpus shingling, shared by the old-side verify and the
+        // admission verify (operationally: a persisted column, not a rerun)
+        val shingles = Dedup.shingleSets(docs, col("text"), col("doc_id"))
+          .localCheckpoint()
         val oldCands = Dedup.lshCandidates(index)
-        val oldDrops = Dedup.ngramJaccard(oldCands, oldDocs, col("text"), col("doc_id"))
+        val oldDrops = Dedup.ngramJaccardOnShingles(oldCands, shingles)
           .filter(col("jaccard") >= 0.8).select(col("doc_b").as("doc_id"))
         val oldKeep = oldDocs.join(oldDrops, Seq("doc_id"), "left_anti")
           .select(col("doc_id"))
         val newKeep = Dedup.incrementalNearDup(
-          newDocs, docs, index, col("text"), col("doc_id"))
+          newDocs, docs, index, col("text"), col("doc_id"),
+          corpusShingles = Some(shingles))
         oldKeep.unionByName(newKeep)
       },
       Some(lshCandCtes + nearDupVerifyCtes +

@@ -78,6 +78,25 @@ object Dedup {
           .as(Seq("perm", "minhash")))
   }
 
+  /** Per-shingle portable hashes of a text, as one array column — the shared
+    * input of all [[minhashPerms]] permutation folds. Callers MUST stage this
+    * through its own projection (`.withColumn`/`.select`) before fanning out
+    * into the per-permutation mins: a bound column reference is cheap to
+    * repeat, whereas inlining this expression 16× re-runs the md5-per-shingle
+    * work 16× (higher-order functions get no codegen subexpression
+    * elimination — measured 2 orders of magnitude on the admission path). */
+  def minhashHashes(textCol: Column, shingleSize: Int = 3): Column =
+    transform(TextOps.shingles(textCol, shingleSize),
+      s => TextOps.portableHash(s) % MinhashPrime)
+
+  /** MinHash signature array over a pre-staged [[minhashHashes]] column. */
+  def minhashSignatureArrayOfHashes(hashes: Column, numPerms: Int = 16): Column = {
+    require(numPerms <= minhashPerms.length)
+    array(minhashPerms.take(numPerms).map { case (a, b) =>
+      array_min(transform(hashes, h => (lit(a) * h + lit(b)) % MinhashPrime))
+    }: _*)
+  }
+
   /**
    * MinHash signature as ONE pure projection (array expression): identical
    * values to [[minhashSignatures]] (same hash family, same modulus, same
@@ -86,16 +105,15 @@ object Dedup {
    * aggregated form is spec-checked. Cost trade: the aggregated form
    * deduplicates shingle hashing across the corpus via the exchange; this
    * form is O(shingles × numPerms) arithmetic per row but exchange-free.
+   *
+   * PERF: this single-expression convenience form inlines [[minhashHashes]]
+   * once per permutation. Hot paths must stage the levels as separate
+   * columns instead (see [[signatureEntries]]): hashes → signature → bands,
+   * each its own projection, so every level is computed once per row.
    */
   def minhashSignatureArray(textCol: Column, shingleSize: Int = 3,
-      numPerms: Int = 16): Column = {
-    require(numPerms <= minhashPerms.length)
-    val hashes = transform(TextOps.shingles(textCol, shingleSize),
-      s => TextOps.portableHash(s) % MinhashPrime)
-    array(minhashPerms.take(numPerms).map { case (a, b) =>
-      array_min(transform(hashes, h => (lit(a) * h + lit(b)) % MinhashPrime))
-    }: _*)
-  }
+      numPerms: Int = 16): Column =
+    minhashSignatureArrayOfHashes(minhashHashes(textCol, shingleSize), numPerms)
 
   /** Per-band LSH bucket ids for a [[minhashSignatureArray]] signature —
     * the same md5-of-joined-values derivation as [[lshBuckets]], as a
@@ -169,6 +187,15 @@ object Dedup {
     clique.unionByName(star).distinct()
   }
 
+  /** Per-document shingle-set frame (id, sh) — the verify-side input to
+    * [[ngramJaccardOnShingles]]. Pure projection; callers verifying more than
+    * one pair frame against the same corpus should compute this ONCE and
+    * `localCheckpoint()` it so the (expensive) shingling projection is not
+    * re-run per reference. */
+  def shingleSets(docs: DataFrame, textCol: Column, idCol: Column,
+      shingleSize: Int = 3): DataFrame =
+    docs.select(idCol.as("id"), TextOps.shingles(textCol, shingleSize).as("sh"))
+
   /**
    * Exact Jaccard similarity over word-shingle sets for an explicit pair
    * frame (doc_a, doc_b). Integer intersection/union counts → the similarity
@@ -176,23 +203,29 @@ object Dedup {
    */
   def ngramJaccard(
       pairs: DataFrame, docs: DataFrame, textCol: Column, idCol: Column,
-      shingleSize: Int = 3): DataFrame = {
-    val sh = docs.select(idCol.as("id"), TextOps.shingles(textCol, shingleSize).as("sh"))
-    val exploded = sh.select(col("id"), explode(col("sh")).as("shingle"))
-    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
-    val a = exploded.select(col("id").as("doc_a"), col("shingle"))
-    val b = exploded.select(col("id").as("doc_b"), col("shingle"))
-    val interCnt = pairs.join(a, "doc_a").join(b, Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+      shingleSize: Int = 3): DataFrame =
+    ngramJaccardOnShingles(pairs, shingleSets(docs, textCol, idCol, shingleSize))
+
+  /**
+   * [[ngramJaccard]] against a pre-built [[shingleSets]] frame. Shingle
+   * arrays are distinct by construction ([[TextOps.shingles]] wraps
+   * `array_distinct`), so `size(array_intersect(...))` IS the set
+   * intersection count — the whole verify is two equi-joins plus a codegen'd
+   * projection: no shingle explode, no per-pair aggregation, no extra
+   * shuffle beyond the joins. Shuffle volume is O(pairs × avg shingle-array
+   * bytes), bounded by the candidate generator upstream. `n_inter` coalesces
+   * to 0 for a null-text side, matching the historical left-join + fill(0)
+   * formulation bit-for-bit.
+   */
+  def ngramJaccardOnShingles(pairs: DataFrame, shingles: DataFrame): DataFrame =
     pairs
-      .join(interCnt, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0, Seq("n_inter"))
-      .join(sizes.select(col("id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(sizes.select(col("id").as("doc_b"), col("n").as("n_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
-        (col("n_inter").cast("double") /
-          (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
-  }
+      .join(shingles.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shingles.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(size(array_intersect(col("sh_a"), col("sh_b"))), lit(0)).as("n_inter"),
+        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
 
   /**
    * Scale path for embedding near-dup: banded hyperplane-LSH candidates with
@@ -273,8 +306,15 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20,
       checkpointEvery: Int = 3): DataFrame = {
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Symmetrize in ONE pass over `pairs` (explode of both directions) — a
+    // union of two selects references the pair plan twice, and when `pairs`
+    // is the tail of the whole LSH+verify chain the checkpoint action would
+    // run that chain twice for the same rows.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
     // Only nodes with at least one edge can change label — iterate over that
     // (typically tiny) frontier and union the untouched singletons back in at
@@ -331,15 +371,23 @@ object Dedup {
 
   /** Projection-form signature entries for a NEW batch: bit-identical rows
     * to [[signatureIndex]] (equivalence spec-checked via the shared
-    * [[minhashSignatureArray]]/[[bandBucketArray]] forms) computed with no
-    * shuffle at all — the admission path never aggregates the new batch to
-    * sign it. */
+    * [[minhashSignatureArrayOfHashes]]/[[bandBucketArray]] forms) computed
+    * with no shuffle at all — the admission path never aggregates the new
+    * batch to sign it.
+    *
+    * Each level (shingle hashes → signature → band buckets) is staged as its
+    * OWN projection: `bandBucketArray` references the signature 16× and the
+    * signature references the hash array 16×, and CollapseProject keeps
+    * non-cheap multiply-referenced projections apart, so staging caps the
+    * md5-per-shingle work at once per row instead of 256×. */
   def signatureEntries(docs: DataFrame, textCol: Column, idCol: Column,
       shingleSize: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4): DataFrame =
-    docs.select(idCol.as("doc_id"),
-      posexplode(bandBucketArray(
-        minhashSignatureArray(textCol, shingleSize, numPerms), rowsPerBand, numPerms))
-        .as(Seq("band", "bucket")))
+    docs
+      .select(idCol.as("doc_id"), minhashHashes(textCol, shingleSize).as("hs"))
+      .select(col("doc_id"), minhashSignatureArrayOfHashes(col("hs"), numPerms).as("sig"))
+      .select(col("doc_id"),
+        posexplode(bandBucketArray(col("sig"), rowsPerBand, numPerms))
+          .as(Seq("band", "bucket")))
 
   /** Persist signature entries as a bucketed table (append-able per batch).
     * Bucketing on `bucket` is what lets every later [[incrementalCandidates]]
@@ -421,14 +469,25 @@ object Dedup {
    * scale this is an equi-join against the corpus-by-id table, not a scan.
    * After admission, append [[signatureEntries]] of the WHOLE batch to the
    * index (see [[writeSignatureIndex]]).
+   *
+   * The new-batch signature entries fan out into all three branches of
+   * [[incrementalCandidates]] (new×new clique, old×new broadcast build, hot
+   * stars), so they are `localCheckpoint`ed here — the signing projection
+   * (16 minhash folds over the shingle array per row) runs ONCE per batch,
+   * not once per branch. That makes this call eager; the materialized frame
+   * is O(batch × bands), never corpus-sized. Callers that already hold a
+   * materialized corpus [[shingleSets]] frame should pass it as
+   * `corpusShingles` so the verify step reuses it instead of re-shingling.
    */
   def incrementalNearDup(newDocs: DataFrame, corpus: DataFrame, index: DataFrame,
       textCol: Column, idCol: Column, threshold: Double = 0.8,
       shingleSize: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4,
-      maxBucketSize: Int = 1024): DataFrame = {
+      maxBucketSize: Int = 1024, corpusShingles: Option[DataFrame] = None): DataFrame = {
     val entries = signatureEntries(newDocs, textCol, idCol, shingleSize, numPerms, rowsPerBand)
+      .localCheckpoint()
     val cands = incrementalCandidates(index, entries, maxBucketSize)
-    val drops = ngramJaccard(cands, corpus, textCol, idCol, shingleSize)
+    val sh = corpusShingles.getOrElse(shingleSets(corpus, textCol, idCol, shingleSize))
+    val drops = ngramJaccardOnShingles(cands, sh)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_b").as("doc_id"))
     newDocs.select(idCol.as("doc_id")).join(drops, Seq("doc_id"), "left_anti")

@@ -107,8 +107,13 @@ object StatefulOps {
       timeout: Option[String] = None): Dataset[NearDupHit] = {
     import docs.sparkSession.implicits._
     val banded = docs
+      // hashes and signature staged as separate projections: the signature
+      // folds reference the hash array numPerms times, and only a bound
+      // column reference is cheap to repeat (see Dedup.minhashHashes)
       .select(col(idCol).cast("long").as("doc_id"),
-        graft.operators.Dedup.minhashSignatureArray(col(textCol)).as("sig"))
+        graft.operators.Dedup.minhashHashes(col(textCol)).as("hs"))
+      .select(col("doc_id"),
+        graft.operators.Dedup.minhashSignatureArrayOfHashes(col("hs")).as("sig"))
       .select(col("doc_id"), col("sig"),
         posexplode(graft.operators.Dedup.bandBucketArray(col("sig")))
           .as(Seq("band", "bucket")))
