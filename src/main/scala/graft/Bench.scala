@@ -19,14 +19,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up JVM, codegen, parquet footer caches — not part of any timing.
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    SparkEntry.queries.headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    val unmatched = args.filterNot(SparkEntry.queries.contains)
+    if (unmatched.nonEmpty)
+      System.err.println(
+        s"[bench] WARNING: unmatched query names ignored: ${unmatched.mkString(", ")}")
+    // Warm up JVM, codegen, parquet footer caches — not part of any timing.
+    // Warmup runs the first SELECTED query so a restricted dev run still
+    // absorbs codegen/footer costs for the plans it actually times.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    selected.headOption.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1122,8 +1122,16 @@ object Queries {
         // a literal below — attaching it via crossJoin(broadcast(...)) would
         // plan a BroadcastNestedLoopJoin and, worse, re-run the agg inside
         // every one of the dozen-plus plan branches that reference the split.
-        val cut = docs.agg(floor(max(col("doc_id")) * 4 / 5).cast("long"))
-          .head().getLong(0)
+        // NOTE this makes the catalog entry eager at construction time (the
+        // head() plus the localCheckpoints below run Spark jobs before the
+        // frame is returned) — plan-only consumers pay that materialization.
+        // max() is null on an empty table: read boxed and short-circuit to
+        // the (empty) id projection instead of NPE-ing on getLong.
+        val cutBoxed = docs.agg(floor(max(col("doc_id")) * 4 / 5).cast("long"))
+          .head().getAs[java.lang.Long](0)
+        if (cutBoxed == null) docs.select(col("doc_id"))
+        else {
+        val cut = cutBoxed.longValue()
         val oldDocs = docs.filter(col("doc_id") < cut)
         val newDocs = docs.filter(col("doc_id") >= cut)
         // the historical state: old corpus deduped from scratch, all old
@@ -1146,6 +1154,7 @@ object Queries {
           newDocs, docs, index, col("text"), col("doc_id"),
           corpusShingles = Some(shingles))
         oldKeep.unionByName(newKeep)
+        }
       },
       Some(lshCandCtes + nearDupVerifyCtes +
         """SELECT d.doc_id FROM documents d

@@ -213,16 +213,24 @@ object Dedup {
    * intersection count — the whole verify is two equi-joins plus a codegen'd
    * projection: no shingle explode, no per-pair aggregation, no extra
    * shuffle beyond the joins. Shuffle volume is O(pairs × avg shingle-array
-   * bytes), bounded by the candidate generator upstream. `n_inter` coalesces
-   * to 0 for a null-text side, matching the historical left-join + fill(0)
-   * formulation bit-for-bit.
+   * bytes), bounded by the candidate generator upstream.
+   *
+   * Null contract: [[TextOps.shingles]] never yields a null array (null text
+   * shingles to `[""]`), so `sh` is non-null by construction for every frame
+   * this library builds. Because `size(null)` is -1 (not null) under the
+   * legacy non-ANSI sizeOfNull setting — which would make jaccard evaluate
+   * to 1.0 and silently DROP docs — a foreign frame with null `sh` is
+   * defended against explicitly: null-shingle sides are filtered out, so
+   * such pairs are simply not emitted (the doc is kept — the safe failure
+   * direction for a dedup verifier).
    */
   def ngramJaccardOnShingles(pairs: DataFrame, shingles: DataFrame): DataFrame =
     pairs
       .join(shingles.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shingles.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .filter(col("sh_a").isNotNull && col("sh_b").isNotNull)
       .select(col("doc_a"), col("doc_b"),
-        coalesce(size(array_intersect(col("sh_a"), col("sh_b"))), lit(0)).as("n_inter"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_inter"),
         size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
