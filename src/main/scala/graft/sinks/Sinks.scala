@@ -69,8 +69,18 @@ object EventSink {
   final case class JdbcIdempotent(url: String, table: String,
       properties: java.util.Properties = new java.util.Properties()) extends EventSink {
 
-    /** The foreachBatch body, exposed so tests can replay an epoch. */
+    /** The foreachBatch body, exposed so tests can replay an epoch. The two
+      * halves are individually exposed ([[deleteEpoch]] / [[appendEpoch]]) so
+      * the recovery spec can inject a crash at the exact point between them —
+      * the worst-case failure for a delete-then-append outbox. */
     def writeEpoch(batch: DataFrame, epochId: Long): Unit = {
+      deleteEpoch(epochId)
+      appendEpoch(batch, epochId)
+    }
+
+    /** Step 1: remove any rows a previous (crashed, partial, or duplicate)
+      * delivery of this epoch already wrote. */
+    def deleteEpoch(epochId: Long): Unit = {
       // Spark's JDBC writer creates columns with dialect-quoted (exact-case)
       // names, so the delete must quote the same way
       val col = JdbcDialects.get(url).quoteIdentifier("batch_id")
@@ -91,9 +101,12 @@ object EventSink {
           finally st.close()
         }
       } finally conn.close()
+    }
+
+    /** Step 2: append the epoch's rows, tagged with its id. */
+    def appendEpoch(batch: DataFrame, epochId: Long): Unit =
       batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(epochId))
         .write.mode(SaveMode.Append).jdbc(url, table, properties)
-    }
 
     def start(df: DataFrame, checkpoint: String, queryName: String): StreamingQuery =
       base(df, checkpoint, queryName).foreachBatch(writeEpoch _).start()

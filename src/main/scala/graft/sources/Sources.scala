@@ -32,19 +32,26 @@ object EventSource {
   final case class Kafka(
       bootstrapServers: String = "kafka:9092",
       topic: String = "flight-events",
-      startingOffsets: String = "latest") extends EventSource {
+      startingOffsets: String = "latest",
+      failOnDataLoss: Boolean = false) extends EventSource {
     /** The exact `readStream.format("kafka")` option map. Reference mapping
       * (KafkaUtils.java:15-28): bootstrap `kafka:9092`, topic
       * `flight-events`, `auto.offset.reset=latest` → `startingOffsets=
-      * latest`. The reference's throwaway `flight-consumer-<epochMillis>`
-      * group id is deliberately NOT mapped: Spark's Kafka source manages its
-      * own unique group ids and replaces "start from now, never resume" with
-      * checkpointed exactly-once resume (latest offsets + a fresh checkpoint
-      * dir reproduces the reference behavior when wanted). */
+      * latest`. `failOnDataLoss` defaults FALSE to match the reference's
+      * loss tolerance: its consumer sets `auto.offset.reset=latest` with a
+      * throwaway group id (KafkaUtils.java:17,23), so aged-out/compacted
+      * offsets silently reset instead of killing the job — Spark's default
+      * (true) would fail the query on the same condition. The reference's
+      * throwaway `flight-consumer-<epochMillis>` group id is deliberately
+      * NOT mapped: Spark's Kafka source manages its own unique group ids and
+      * replaces "start from now, never resume" with checkpointed
+      * exactly-once resume (latest offsets + a fresh checkpoint dir
+      * reproduces the reference behavior when wanted). */
     def readerOptions: Map[String, String] = Map(
       "kafka.bootstrap.servers" -> bootstrapServers,
       "subscribe" -> topic,
-      "startingOffsets" -> startingOffsets)
+      "startingOffsets" -> startingOffsets,
+      "failOnDataLoss" -> failOnDataLoss.toString)
     def load(spark: SparkSession): DataFrame =
       Kafka.valueAsString(
         spark.readStream.format("kafka").options(readerOptions).load())

@@ -58,4 +58,47 @@ class RecoverySpec extends SparkSpec {
     assert(r.getAs[Long]("n") == 3L, s"expected recovered count 3, got $r")
     assert(r.getAs[Long]("n_delayed") == 2L)
   }
+
+  test("crash mid-epoch (between delete and append) converges to one copy") {
+    // The replay test in StreamingSpec proves whole-epoch re-delivery is
+    // idempotent. The harder failure is a crash INSIDE writeEpoch: after
+    // deleteEpoch ran but before (or during) appendEpoch. On restart the
+    // streaming engine re-delivers the same epoch from its checkpoint; the
+    // delete-then-append must converge to exactly one copy from every
+    // intermediate state the crash can leave behind.
+    import spark.implicits._
+    val db = Files.createTempDirectory("graft-derby-crash").toString + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    val sink = graft.sinks.EventSink.JdbcIdempotent(url, "flights_crash")
+    val props = new java.util.Properties()
+    def rows = spark.read.jdbc(url, "flights_crash", props)
+
+    val epoch0 = FlightOps.parseFlightEvents(
+      Seq(ev("A1", "2024-01-01T09:00:00", false)).toDF("value"))
+    val batch = FlightOps.parseFlightEvents(Seq(
+      ev("F1", "2024-01-01T10:00:10", true),
+      ev("F2", "2024-01-01T10:00:20", false),
+      ev("F3", "2024-01-01T10:00:30", true)).toDF("value"))
+
+    sink.writeEpoch(epoch0, 0L) // an unrelated committed epoch that must survive
+    sink.writeEpoch(batch, 1L) // epoch 1 delivered cleanly once
+    assert(rows.count() == 4)
+
+    // crash point A: delete completed, append never started → epoch rows gone
+    sink.deleteEpoch(1L)
+    assert(rows.filter(col("BATCH_ID") === 1).count() == 0, "mid-crash state")
+    sink.writeEpoch(batch, 1L) // restart re-delivers
+    assert(rows.filter(col("BATCH_ID") === 1).count() == 3, "recovery after A")
+
+    // crash point B: delete completed, append died partway → a partial prefix
+    sink.deleteEpoch(1L)
+    sink.appendEpoch(batch.limit(1), 1L)
+    assert(rows.filter(col("BATCH_ID") === 1).count() == 1, "partial append")
+    sink.writeEpoch(batch, 1L) // restart: delete wipes the partial, append all
+    assert(rows.filter(col("BATCH_ID") === 1).count() == 3, "recovery after B")
+
+    // the unrelated epoch was never touched by any of it
+    assert(rows.filter(col("BATCH_ID") === 0).count() == 1)
+    assert(rows.count() == 4)
+  }
 }
