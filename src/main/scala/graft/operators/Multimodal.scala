@@ -28,23 +28,49 @@ object Multimodal {
         md5(binCol).as("content_hash")))
 
   /**
-   * STUB decode/feature-extract: deterministic fake features derived from the
-   * content hash (stands in for pixel/spectrogram features; same shape and
-   * dataflow as a real decoder: binary in → fixed-width float vector out).
+   * The codec seam: binary payload → fixed-width double feature vector, as a
+   * Column transform so every impl composes into whole-stage codegen'd
+   * plans (batch AND streaming) without changing the pipeline around it.
+   *
+   * Impls the production system would register here: a JNI-backed native
+   * Catalyst expression for image decode, or an Arrow-batched python worker
+   * via mapInPandas for heavyweight models — both keep this exact signature
+   * at the call sites. The offline container has no codecs, so [[HashStub]]
+   * is the default impl; it is an EXPLICIT stand-in, not a hidden fake.
    */
-  def decodeStub(payload: Column, featureDims: Int = 4): Column =
-    transform(sequence(lit(0), lit(featureDims - 1)), i =>
-      (TextOps.portableHash(concat(i.cast("string"), lit(":"), md5(payload)))
-        .cast("double") / lit(1.152921504606846976e18)))
+  trait MediaCodec {
+    def name: String
+    def featureDims: Int
+    /** Decode `payload` (binary) into `array<double>` of [[featureDims]]. */
+    def decode(payload: Column): Column
+  }
 
-  /** Feature extraction: metadata + fake decoded features, payload dropped
-    * before anything downstream can shuffle it. */
-  def extractFeatures(df: DataFrame, idCol: Column, binCol: Column): DataFrame =
+  /** Deterministic offline stand-in: features derived from the content hash
+    * (same shape and dataflow as a real decoder — binary in, fixed-width
+    * vector out — with reproducible values and zero native deps). */
+  final case class HashStub(featureDims: Int = 4) extends MediaCodec {
+    def name: String = s"hash-stub-$featureDims"
+    def decode(payload: Column): Column =
+      transform(sequence(lit(0), lit(featureDims - 1)), i =>
+        (TextOps.portableHash(concat(i.cast("string"), lit(":"), md5(payload)))
+          .cast("double") / lit(1.152921504606846976e18)))
+  }
+
+  /** Backward-compatible alias for the default stub decode (the
+    * `multimodal_features` oracle pins its values). */
+  def decodeStub(payload: Column, featureDims: Int = 4): Column =
+    HashStub(featureDims).decode(payload)
+
+  /** Feature extraction: metadata + decoded features, payload dropped
+    * before anything downstream can shuffle it. Codec-agnostic: the output
+    * schema is identical for every [[MediaCodec]] impl. */
+  def extractFeatures(df: DataFrame, idCol: Column, binCol: Column,
+      codec: MediaCodec = HashStub()): DataFrame =
     df.select(
       idCol.as("media_id"),
       length(binCol).as("n_bytes"),
       md5(binCol).as("content_hash"),
-      decodeStub(binCol).as("features"))
+      codec.decode(binCol).as("features"))
 
   /**
    * Frame-sampling plumbing for video-like payloads: deterministically slice
