@@ -1360,6 +1360,32 @@ object Queries {
         """SELECT event_type, count(*)::bigint AS n
           |FROM events GROUP BY 1""".stripMargin)),
 
+    // Two-pass exact heavy hitters: a native Misra-Gries sketch proposes a
+    // bounded candidate set (every key with freq > n/1025 guaranteed in it),
+    // then an exact recount of just the candidates applies the 1-in-500
+    // support threshold. The shuffle carries O(partitions·capacity) sketch
+    // state + O(capacity) recount groups instead of O(distinct keys) — the
+    // heavy-hitters shape for a billion-key column. The recount makes the
+    // result exact and arrival-order-independent, so the oracle is the plain
+    // full groupBy HAVING.
+    ("events_frequent_users",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        val cands = ev
+          .agg(count(lit(1)).as("total"),
+            graft.functions.GraftFunctions.mg_candidates(col("user_id"), 1024).as("cands"))
+          .select(col("total"), explode(col("cands")).as("user_id"))
+        ev.join(broadcast(cands), Seq("user_id"))
+          .groupBy(col("user_id"), col("total"))
+          .agg(count(lit(1)).as("freq"))
+          .filter(col("freq") * 500 >= col("total"))
+          .select(col("user_id"), col("freq"))
+      },
+      Some(
+        """SELECT user_id, count(*)::bigint AS freq
+          |FROM events GROUP BY 1
+          |HAVING count(*) * 500 >= (SELECT count(*) FROM events)""".stripMargin)),
+
     // Funnel analysis: per-user view → purchase conversion within one hour —
     // the behavioral-sequence query shape (interval self-join + flag).
     ("events_funnel",

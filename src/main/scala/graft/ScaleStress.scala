@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Dedup
+
 /**
  * Dedup-chain scale-stress harness: times the three headline dedup queries
  * (`dedup_lsh_candidates`, `dedup_near_keep`, `dedup_incremental`) against
@@ -10,11 +12,16 @@ import org.apache.spark.sql.functions._
  * catalog code paths (the scaled corpus is written as a `documents.parquet`
  * dir and read back via `Queries.queries(name)(spark, dir)`).
  *
- * Corpus construction: copy `i` remaps `doc_id` by `i * idSpan` and salts a
- * per-copy token into every inter-word gap, so every shingle differs across
- * copies. Copies therefore do NOT near-match each other — each copy carries
- * the original corpus's internal duplicate structure, keeping duplicate-pair
- * density per row CONSTANT as the corpus grows. That is the honest scaling
+ * Corpus construction: copy `i` remaps `doc_id` by `i * idSpan` and rewrites
+ * every token `w` to `w_cI` — an INJECTIVE per-copy token mapping. Injectivity
+ * is the load-bearing property: within a copy every pairwise shingle-Jaccard
+ * is exactly preserved (shingles map 1:1), so each copy carries the original
+ * corpus's internal duplicate structure unchanged; across copies no shingle
+ * is shared at all. Duplicate-pair density per row therefore stays CONSTANT
+ * as the corpus grows. (An earlier draft salted the inter-word gaps with one
+ * constant per-copy token — that token's shingles were shared by every doc in
+ * the copy, inflating LSH candidate density ~500× and distorting the scaling
+ * measurement in the too-hard direction.) That is the honest scaling
  * measurement: k× rows of representative data, not k² cross-copy pairs of a
  * degenerate all-duplicates corpus (which no dedup engine — including the
  * from-scratch oracle — scales linearly on, because the answer itself is
@@ -34,8 +41,8 @@ object ScaleStress {
     (0 until k).map { i =>
       base.select(
         (col("doc_id") + lit(i.toLong * idSpan)).as("doc_id"),
-        // salt every inter-word gap so all word-shingles are copy-local
-        regexp_replace(col("text"), "\\s+", s" c$i ").as("text"))
+        // injective token rewrite: copy-local shingles, Jaccard preserved
+        regexp_replace(col("text"), "(\\S+)", s"$$1_c$i").as("text"))
     }.reduce(_ unionByName _)
   }
 
@@ -49,6 +56,7 @@ object ScaleStress {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.optimizer.enableJsonExpressionOptimization", "false")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-scale-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -72,17 +80,46 @@ object ScaleStress {
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"scale":$k,"query":"$name","sec":$sec%.2f,"rows":$n}""")
         (k, name, sec)
+      } :+ {
+        // The production incremental shape: the catalog's `dedup_incremental`
+        // rebuilds the signature index in-query every run (at 10× that build
+        // is ~80 % of its wall time — see DebugPerf), but at real scale the
+        // index and the corpus shingle store are persisted, append-only
+        // artifacts. Build both OUTSIDE the timer, then time only the unit
+        // of incremental work: sign the new batch, find candidates against
+        // the bucketed index, verify, keep.
+        val docs = Tables.documents(spark, dir)
+        val cut = docs.agg(floor(max(col("doc_id")) * 4 / 5).cast("long"))
+          .head().getLong(0)
+        val oldDocs = docs.filter(col("doc_id") < cut)
+        val newDocs = docs.filter(col("doc_id") >= cut)
+        val tbl = s"scale_stress_idx_${k}x"
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        Dedup.writeSignatureIndex(
+          Dedup.signatureEntries(oldDocs, col("text"), col("doc_id")), tbl)
+        val shingleStore =
+          Dedup.shingleSets(docs, col("text"), col("doc_id")).localCheckpoint()
+        val t0 = System.nanoTime()
+        val n = Dedup.incrementalNearDup(newDocs, docs, spark.table(tbl),
+          col("text"), col("doc_id"), corpusShingles = Some(shingleStore)).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"scale":$k,"query":"incr_warm_admit","sec":$sec%.2f,"rows":$n}""")
+        (k, "incr_warm_admit", sec)
       }
     }
-    // summary: per-row scaling ratio vs 1x, and incremental-vs-keep ratio
+    // summary: per-row scaling ratio vs 1x, and incremental-vs-keep ratios
+    // (cold = catalog query incl. in-query index rebuild; warm = persisted
+    // index + shingle store, batch admission only)
     val t = results.map { case (k, q, s) => (k, q) -> s }.toMap
     scales.filter(_ > 1).foreach { k =>
-      queries.foreach { q =>
+      (queries :+ "incr_warm_admit").foreach { q =>
         println(f"""{"summary":"per_row_ratio","query":"$q","scale":$k,""" +
           f""""ratio":${t((k, q)) / (t((1, q)) * k)}%.2f}""")
       }
-      println(f"""{"summary":"incr_vs_keep","scale":$k,""" +
+      println(f"""{"summary":"incr_cold_vs_keep","scale":$k,""" +
         f""""ratio":${t((k, "dedup_incremental")) / t((k, "dedup_near_keep"))}%.2f}""")
+      println(f"""{"summary":"incr_warm_vs_keep","scale":$k,""" +
+        f""""ratio":${t((k, "incr_warm_admit")) / t((k, "dedup_near_keep"))}%.2f}""")
     }
     spark.stop()
   }

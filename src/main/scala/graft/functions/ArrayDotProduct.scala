@@ -80,4 +80,11 @@ object GraftFunctions {
     * of a per-key sort. */
   def topk_by(sortKey: Column, k: Int): Column =
     bridge.column(BoundedTopK(bridge.expression(sortKey), k).toAggregateExpression())
+
+  /** Aggregate: Misra-Gries frequent-items candidates — every key with
+    * frequency > n/(capacity+1) is guaranteed present; O(capacity) state per
+    * buffer through the shuffle regardless of key cardinality. Recount the
+    * candidates exactly for an order-independent final answer. */
+  def mg_candidates(key: Column, capacity: Int): Column =
+    bridge.column(MisraGries(bridge.expression(key), capacity).toAggregateExpression())
 }

@@ -38,5 +38,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"topk_by k must be an int literal, got $other")
           }).toAggregateExpression()
       }))
+    ext.injectFunction((
+      FunctionIdentifier("mg_candidates"),
+      new ExpressionInfo(classOf[graft.functions.MisraGries].getName, "mg_candidates"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "mg_candidates(key, capacity) takes exactly two arguments")
+        if (!children(1).foldable)
+          throw new IllegalArgumentException("mg_candidates capacity must be an int literal")
+        graft.functions.MisraGries(
+          children.head,
+          children(1).eval(null) match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"mg_candidates capacity must be an int literal, got $other")
+          }).toAggregateExpression()
+      }))
   }
 }
