@@ -1233,6 +1233,49 @@ object Queries {
           |                    / len(toks)) * 0.1 AS quality_score
           |FROM tok""".stripMargin)),
 
+    // BM25 keyword retrieval over the corpus: top-20 docs for a fixed query
+    // bag. Raw-ratio IDF (no ln) keeps every arithmetic step IEEE-identical
+    // cross-engine — see TextOps.bm25's deviation note. The oracle spells
+    // every expression with the same association order so doubles match
+    // exactly.
+    ("text_bm25_search",
+      (s: SparkSession, d: String) =>
+        TextOps.bm25(Tables.documents(s, d), col("text"), col("doc_id"),
+            Seq("join", "filter", "scan"))
+          .orderBy(col("score").desc, col("doc_id")).limit(20),
+      Some(
+        """WITH lens AS (
+          |  SELECT doc_id,
+          |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+          |  FROM documents),
+          |dl AS (SELECT doc_id, len(toks)::bigint AS dl, toks FROM lens),
+          |stats AS (SELECT count(*)::bigint AS n_docs, sum(len(toks))::bigint AS sum_dl
+          |          FROM lens),
+          |tf AS (SELECT doc_id, dl, token, count(*)::bigint AS tf
+          |       FROM (SELECT doc_id, dl, unnest(toks) AS token FROM dl)
+          |       WHERE token IN ('join', 'filter', 'scan')
+          |       GROUP BY 1, 2, 3),
+          |df AS (SELECT token, count(*)::bigint AS df FROM tf GROUP BY 1),
+          |scored AS (
+          |  -- every inexact step is explicitly double-typed: DuckDB would
+          |  -- otherwise run bigint+0.5 in DECIMAL arithmetic and diverge
+          |  -- from Spark's double plan
+          |  SELECT tf.doc_id, tf.token,
+          |         ((cast(s.n_docs - df.df AS double) + 0.5)
+          |            / (cast(df.df AS double) + 0.5))
+          |           * (cast(tf.tf AS double) * (1.2 + 1.0))
+          |           / (cast(tf.tf AS double) + 1.2 * ((1.0 - 0.75)
+          |                + 0.75 * (cast(tf.dl AS double)
+          |                            / (cast(s.sum_dl AS double)
+          |                                 / cast(s.n_docs AS double))))) AS term_score
+          |  FROM tf CROSS JOIN stats s JOIN df ON tf.token = df.token)
+          |SELECT doc_id,
+          |       coalesce(max(CASE WHEN token = 'join' THEN term_score END), 0.0)
+          |         + coalesce(max(CASE WHEN token = 'filter' THEN term_score END), 0.0)
+          |         + coalesce(max(CASE WHEN token = 'scan' THEN term_score END), 0.0) AS score
+          |FROM scored GROUP BY 1
+          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
     ("text_langid",
       (s: SparkSession, d: String) =>
         TextOps.langId(Tables.documents(s, d), col("text"), col("doc_id")),
@@ -1275,6 +1318,29 @@ object Queries {
           |FROM (SELECT doc_id,
           |             ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint % 100 AS b
           |      FROM documents)""".stripMargin)),
+
+    // Weighted sample without replacement (priority sampling, Duffield-Lund-
+    // Thorup): 200 docs drawn with probability increasing in token count —
+    // the "prefer long/high-quality documents" primitive. Priority = u/w from
+    // a portable-hash uniform; one IEEE division keeps it bit-identical
+    // cross-engine (an exponential clock's ln() would not be). Plans as
+    // TakeOrderedAndProject: O(k) per partition, no global sort exchange.
+    ("sample_weighted_priority",
+      (s: SparkSession, d: String) => {
+        val weighted = Tables.documents(s, d).select(
+          col("doc_id"),
+          size(TextOps.tokens(TextOps.normalize(col("text")))).as("n_tokens"))
+        Sampling.prioritySample(weighted, col("doc_id"), col("n_tokens"), 200)
+      },
+      Some(
+        """SELECT doc_id, n_tokens,
+          |       cast(('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint
+          |              % 1125899906842624 + 1 AS double)
+          |         / cast(n_tokens AS double) AS priority
+          |FROM (SELECT doc_id,
+          |             len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '))::int AS n_tokens
+          |      FROM documents)
+          |ORDER BY priority, doc_id LIMIT 200""".stripMargin)),
 
     // Stratified quota: at most 100 events per type, drawn in deterministic
     // hash order — the "cap boilerplate domains / balance classes" primitive.

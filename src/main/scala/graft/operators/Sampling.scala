@@ -34,6 +34,39 @@ object Sampling {
   }
 
   /**
+   * Priority sampling (Duffield–Lund–Thorup, "Priority sampling for
+   * estimation of arbitrary subset sums", JACM 2007): a weighted sample of
+   * `k` rows WITHOUT replacement. Each row draws a deterministic uniform
+   * `u` from the portable hash of its id and gets priority `u / w`; the k
+   * smallest priorities win, so heavier rows win proportionally more often —
+   * the "sample long/high-quality documents preferentially" primitive.
+   *
+   * Two deliberate choices:
+   *  - Priorities, not exponential clocks: the textbook weighted-sample key
+   *    is `-ln(u)/w`, but `ln` is not correctly-rounded-identical across
+   *    engines, which would break exact oracle verification. Priority
+   *    sampling needs ONE division of two exactly-representable doubles
+   *    (`u` is capped at 2^50 so it is exact), and IEEE division IS
+   *    correctly rounded — bit-identical in Spark and DuckDB.
+   *  - `orderBy(...).limit(k)` plans as TakeOrderedAndProject: each
+   *    partition keeps a k-heap and the driver merges partitions' heaps —
+   *    O(k) memory per partition, no global sort exchange. The scale shape
+   *    for "pick 10k docs from 10B".
+   *
+   * Determinism: priority is a pure function of (id, weight), ties broken by
+   * id — same sample on every run, partition count, and engine.
+   */
+  def prioritySample(df: DataFrame, idCol: Column, weightCol: Column,
+      k: Int): DataFrame = {
+    // u in [1, 2^50]: exact in double, never zero (priority stays finite)
+    val u = pmod(TextOps.portableHash(idCol.cast("string")),
+      lit(1125899906842624L)) + lit(1L)
+    df.withColumn("priority", u.cast("double") / weightCol.cast("double"))
+      .orderBy(col("priority"), idCol)
+      .limit(k)
+  }
+
+  /**
    * Stratified quota sample: at most `k` rows per group, selected in
    * portable-hash order of the id (a deterministic uniform draw) with the id
    * itself as tie-break. The classic "cap boilerplate domains" /

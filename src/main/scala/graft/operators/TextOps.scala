@@ -221,6 +221,63 @@ object TextOps {
     "zh" -> Seq("vector", "batch")
   )
 
+  /**
+   * BM25 keyword retrieval: score every document against a fixed bag of
+   * query terms, k1/b standard (1.2 / 0.75). The corpus-statistics side of
+   * lexical search — the quality-retrieval primitive a training-data
+   * pipeline uses to mine topical documents at scale.
+   *
+   * One deliberate deviation from textbook BM25, for oracle verifiability:
+   * the IDF factor is the RAW ratio `(N - df + 0.5) / (df + 0.5)` without
+   * the log. `ln` is not correctly-rounded-identical across engines (libm vs
+   * JVM), which would break exact cross-engine comparison; the ratio is a
+   * strictly monotone transform of the log form, so per-term ranking is
+   * unchanged (absolute scores and multi-term mixes differ — callers that
+   * need textbook scores wrap the ratio in `log()` and accept last-ulp
+   * divergence). Every operation here is +/-/×/÷ over exactly-representable
+   * inputs, which IEEE 754 rounds identically everywhere.
+   *
+   * Scale shape: doc lengths are a zero-shuffle projection (`size(tokens)`),
+   * the corpus scalars (N, Σdl) are one cheap projection-aggregate fetched
+   * eagerly as literals (no BNLJ), term frequencies shuffle ONLY rows whose
+   * token is a query term (the `isin` filter runs map-side inside the
+   * explode), the per-term document frequencies are a 3-row broadcast, and
+   * the per-doc mix is a fixed-order sum — no corpus-sized state anywhere.
+   */
+  def bm25(docs: DataFrame, textCol: Column, idCol: Column,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms == queryTerms.distinct,
+      "queryTerms must be non-empty and distinct")
+    val toks = tokens(normalize(textCol))
+    val lengths = docs.select(idCol.as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+    // corpus scalars as literals: one projection-aggregate, no explode
+    val statsRow = lengths.agg(count(lit(1)), sum(col("dl"))).head()
+    val nDocs = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / nDocs
+    val tf = lengths
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+      .filter(col("token").isInCollection(queryTerms))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val perTerm = tf.join(broadcast(df_), Seq("token"))
+      .withColumn("idf",
+        (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn("term_score",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / lit(avgdl)))))
+    // fixed-order mix: one column per query term, summed in declaration
+    // order — double addition order is pinned, so scores are deterministic
+    val termCols = queryTerms.map(t =>
+      max(when(col("token") === t, col("term_score"))).as(s"s_$t"))
+    val pivoted = perTerm.groupBy(col("doc_id"))
+      .agg(termCols.head, termCols.tail: _*)
+    val score = queryTerms.map(t => coalesce(col(s"s_$t"), lit(0.0)))
+      .reduceLeft(_ + _)
+    pivoted.select(col("doc_id"), score.as("score"))
+  }
+
   def langId(docs: DataFrame, textCol: Column, idCol: Column): DataFrame = {
     val t = tokens(normalize(textCol))
     val scored = docs.select(

@@ -33,6 +33,34 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("prioritySample: deterministic, partition-invariant, weight-sensitive") {
+    // 1000 rows of weight 1 plus 50 rows of weight 1000
+    val df = ((1L to 1000L).map(i => (i, 1)) ++ (2001L to 2050L).map(i => (i, 1000)))
+      .toDF("id", "w")
+    val a = Sampling.prioritySample(df, col("id"), col("w"), 100)
+      .select("id").as[Long].collect().toSet
+    assert(a.size == 100)
+    // partition-invariant: a different physical layout draws the same sample
+    val b = Sampling.prioritySample(df.repartition(13), col("id"), col("w"), 100)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    // weight-sensitive: each heavy row's inclusion probability is ~1000x a
+    // light row's; all 50 heavy rows should make a k=100 sample (the chance
+    // any one misses is negligible), and they can't be more than half of it
+    assert((2001L to 2050L).forall(a.contains), "heavy rows must dominate the sample")
+    assert(a.count(_ <= 1000L) == 50)
+    // k larger than the table returns everything
+    val all = Sampling.prioritySample(df, col("id"), col("w"), 5000)
+    assert(all.count() == 1050)
+  }
+
+  test("prioritySample plans as TakeOrderedAndProject (no global sort exchange)") {
+    val df = (1L to 100L).map(i => (i, 1)).toDF("id", "w")
+    val plan = Sampling.prioritySample(df, col("id"), col("w"), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("quotaPerGroup caps each group at k with a deterministic draw") {
     val df = (1L to 300L).map(i => (i, if (i % 3 == 0) "big" else "huge"))
       .toDF("id", "grp")
