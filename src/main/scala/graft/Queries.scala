@@ -997,6 +997,278 @@ object Queries {
           |FROM supplier JOIN rev ON s_suppkey = l_suppkey
           |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin)),
 
+    // Q8 shape: national market share — conditional revenue share per year
+    // across a six-table join. Dims broadcast; the two fact joins shuffle on
+    // their keys; numerator and denominator are both exact decimal sums so
+    // the ratio is order-independent.
+    ("tpch_q8_market_share",
+      (s: SparkSession, d: String) => {
+        val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")
+        val n1 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+        val r = Tables.region(s, d).filter(col("r_name") === "EUROPE")
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d).filter(col("p_type") === "PROMO")
+            .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .join(broadcast(r), col("c_rk") === col("r_regionkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            sum(when(col("supp_nation") === "NATION_3", rev)
+              .otherwise(lit(0).cast("decimal(18,4)"))).cast("double").as("nation_revenue"),
+            sum(rev).cast("double").as("total_revenue"))
+          .withColumn("mkt_share", col("nation_revenue") / col("total_revenue"))
+      },
+      Some(
+        """WITH j AS (
+          |  SELECT year(o_orderdate)::int AS o_year,
+          |         cast(sum(CASE WHEN n1.n_name = 'NATION_3'
+          |                       THEN cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))
+          |                       ELSE cast(0 AS decimal(18,4)) END) AS double) AS nation_revenue,
+          |         cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS double) AS total_revenue
+          |  FROM lineitem
+          |  JOIN part ON l_partkey = p_partkey
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          |  JOIN region ON n2.n_regionkey = r_regionkey
+          |  WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+          |  GROUP BY 1)
+          |SELECT o_year, nation_revenue, total_revenue,
+          |       nation_revenue / total_revenue AS mkt_share
+          |FROM j""".stripMargin)),
+
+    // Q10 shape: returned-item reporting — top-20 customers by revenue lost
+    // to returns in a half-year window. Grouped on the full customer tuple
+    // (all functionally dependent on c_custkey), top-k with a unique
+    // tie-break, nation broadcast.
+    ("tpch_q10_returned_items",
+      (s: SparkSession, d: String) => {
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+          .agg(sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(
+        """SELECT c_custkey, c_name, c_acctbal, n_name,
+          |       cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS double) AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |WHERE l_returnflag = 'R'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+          |GROUP BY 1, 2, 3, 4
+          |ORDER BY revenue DESC, c_custkey
+          |LIMIT 20""".stripMargin)),
+
+    // Q12 shape (adapted: testdata has no l_shipmode/commitdate): per return
+    // flag, high- vs low-priority line counts for a ship-year — the
+    // conditional-count-over-join plan, exact long sums.
+    ("tpch_q12_priority_by_flag",
+      (s: SparkSession, d: String) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("high_line_count"),
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+              .otherwise(1L)).as("low_line_count")),
+      Some(
+        """SELECT l_returnflag,
+          |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+          |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+          |GROUP BY 1""".stripMargin)),
+
+    // Q14 shape: promotion-revenue share for a quarter — conditional share
+    // over a broadcast part join, single final row.
+    ("tpch_q14_promo_share",
+      (s: SparkSession, d: String) => {
+        val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+          .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+            col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", rev)
+              .otherwise(lit(0).cast("decimal(18,4)"))).cast("double").as("promo_revenue"),
+            sum(rev).cast("double").as("total_revenue"))
+          .withColumn("promo_share", lit(100.0) * col("promo_revenue") / col("total_revenue"))
+      },
+      Some(
+        """WITH j AS (
+          |  SELECT cast(sum(CASE WHEN p_type = 'PROMO'
+          |                       THEN cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))
+          |                       ELSE cast(0 AS decimal(18,4)) END) AS double) AS promo_revenue,
+          |         cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS double) AS total_revenue
+          |  FROM lineitem JOIN part ON l_partkey = p_partkey
+          |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01')
+          |SELECT promo_revenue, total_revenue,
+          |       100.0 * promo_revenue / total_revenue AS promo_share
+          |FROM j""".stripMargin)),
+
+    // Q17 shape: small-quantity-order revenue — the correlated per-part
+    // average decorrelated to a grouped aggregate joined back on the part
+    // key (shuffle on l_partkey, no window). avg = exact-sum / count so both
+    // engines derive the identical threshold double.
+    ("tpch_q17_small_qty",
+      (s: SparkSession, d: String) => {
+        val partAvg = Tables.lineitem(s, d)
+          .groupBy(col("l_partkey").as("pk"))
+          .agg((sumDec(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#1")
+            .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+          .join(partAvg, col("l_partkey") === col("pk"))
+          .filter(col("l_quantity") < col("avg_qty") * 0.5)
+          .agg(sumDec(col("l_extendedprice")).as("total_price"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(
+        """WITH pa AS (
+          |  SELECT l_partkey AS pk,
+          |         cast(sum(cast(l_quantity AS decimal(18,2))) AS double) / count(*) AS avg_qty
+          |  FROM lineitem GROUP BY 1)
+          |SELECT cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS total_price,
+          |       count(*) AS n_items
+          |FROM lineitem
+          |JOIN part ON l_partkey = p_partkey
+          |JOIN pa ON l_partkey = pk
+          |WHERE p_brand = 'Brand#1' AND l_quantity < avg_qty * 0.5""".stripMargin)),
+
+    // Q20 shape (adapted: shipped quantity stands in for partsupp
+    // availability): the nested semi-join chain — suppliers who moved more
+    // than a threshold of PROMO-part quantity in 1997. The qualifying-key
+    // set is an aggregate, then a left-semi prune of the dimension.
+    ("tpch_q20_semi_chain",
+      (s: SparkSession, d: String) => {
+        val qualifying = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(broadcast(Tables.part(s, d).filter(col("p_type") === "PROMO")
+            .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_suppkey"))
+          .agg(sumDec(col("l_quantity")).as("qty"))
+          .filter(col("qty") > 350)
+          .select(col("l_suppkey"))
+        Tables.supplier(s, d)
+          .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      },
+      Some(
+        """SELECT s_suppkey, s_name, n_name
+          |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          |WHERE s_suppkey IN (
+          |  SELECT l_suppkey
+          |  FROM lineitem JOIN part ON l_partkey = p_partkey
+          |  WHERE p_type = 'PROMO'
+          |    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+          |  GROUP BY 1
+          |  HAVING cast(sum(cast(l_quantity AS decimal(18,2))) AS double) > 350)""".stripMargin)),
+
+    // Q21 shape (adapted: return flag stands in for the commit/receipt-date
+    // lateness predicate, absent from the testdata): suppliers who were the
+    // ONLY supplier with a returned line in a finished multi-supplier order.
+    // EXISTS → left-semi and NOT EXISTS → left-anti, both equi-joined on the
+    // order key with a residual supplier-inequality filter, multiplicity of
+    // the probe side preserved — the reference plan for nested EXISTS pairs.
+    ("tpch_q21_sole_returner",
+      (s: SparkSession, d: String) => {
+        val l1 = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val l2 = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+        val l3 = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+        val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"))
+        l1.join(f, col("l_orderkey") === col("o_orderkey"))
+          .join(l2, col("l_orderkey") === col("ok2") && col("l_suppkey") =!= col("sk2"),
+            "left_semi")
+          .join(l3, col("l_orderkey") === col("ok3") && col("l_suppkey") =!= col("sk3"),
+            "left_anti")
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(10)
+      },
+      Some(
+        """SELECT s_name, count(*) AS numwait
+          |FROM lineitem l1
+          |JOIN orders ON o_orderkey = l1.l_orderkey
+          |JOIN supplier ON s_suppkey = l1.l_suppkey
+          |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          |  AND EXISTS (SELECT 1 FROM lineitem l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_returnflag = 'R')
+          |GROUP BY 1
+          |ORDER BY numwait DESC, s_name
+          |LIMIT 10""".stripMargin)),
+
+    // Q22 shape (adapted: custkey-mod segments stand in for phone prefixes,
+    // and "idle" means no order since a cutoff — every synthetic customer
+    // has at least one order all-time): the global scalar average joins in
+    // as a 1-row broadcast (nested-loop by construction, bounded — exempted
+    // in PlanAuditSpec), then an anti-join against recent orders.
+    ("tpch_q22_idle_customers",
+      (s: SparkSession, d: String) => {
+        val cust = Tables.customer(s, d)
+          .withColumn("segment", (col("c_custkey") % 7).cast("int"))
+          .filter(col("segment").isin(0, 1, 2))
+        val avgBal = cust.filter(col("c_acctbal") > 0)
+          .agg((sumDec(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+        val recent = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("2000-08-01").cast("timestamp"))
+          .select(col("o_custkey"))
+        cust.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("numcust"), sumDec(col("c_acctbal")).as("totacctbal"))
+      },
+      Some(
+        """WITH cust AS (
+          |  SELECT c_custkey, c_acctbal, (c_custkey % 7)::int AS segment
+          |  FROM customer WHERE (c_custkey % 7) IN (0, 1, 2)),
+          |a AS (
+          |  SELECT cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) / count(*) AS avg_bal
+          |  FROM cust WHERE c_acctbal > 0)
+          |SELECT segment, count(*) AS numcust,
+          |       cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) AS totacctbal
+          |FROM cust, a
+          |WHERE c_acctbal > avg_bal
+          |  AND NOT EXISTS (SELECT 1 FROM orders
+          |                  WHERE o_custkey = c_custkey
+          |                    AND o_orderdate >= TIMESTAMP '2000-08-01')
+          |GROUP BY 1""".stripMargin)),
+
     // ---- OVER-window analytic: top-3 orders per customer ------------------
     ("window_rank_orders",
       (s: SparkSession, d: String) => {
