@@ -1822,6 +1822,124 @@ object Queries {
           |FROM tok JOIN dfreq USING (token)
           |GROUP BY 1""".stripMargin)),
 
+    // Within-document repetition battery (Gopher-style): top/duplicate
+    // word-bigram and -trigram occurrence fractions plus the keep verdict —
+    // the filter that catches loop-generated and boilerplate-stuffed text.
+    ("text_repetition",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val r2 = TextOps.repetitionStats(docs, col("text"), col("doc_id"), 2)
+        val r3 = TextOps.repetitionStats(docs, col("text"), col("doc_id"), 3)
+        r2.join(r3, "doc_id")
+          .withColumn("rep_keep",
+            (col("top_2gram_ratio") <= 0.08 && col("dup_2gram_ratio") <= 0.15 &&
+              col("dup_3gram_ratio") <= 0.10).cast("int"))
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+          |  FROM documents),
+          |g2 AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 1),
+          |                             i -> array_to_string(toks[i + 1:i + 2], ' '))) AS gram
+          |       FROM toks WHERE len(toks) >= 2),
+          |c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+          |m2 AS (SELECT doc_id, sum(c)::bigint AS n_2grams,
+          |              cast(max(c) AS double) / sum(c) AS top_2gram_ratio,
+          |              cast(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS double) / sum(c) AS dup_2gram_ratio
+          |       FROM c2 GROUP BY 1),
+          |g3 AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 2),
+          |                             i -> array_to_string(toks[i + 1:i + 3], ' '))) AS gram
+          |       FROM toks WHERE len(toks) >= 3),
+          |c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2),
+          |m3 AS (SELECT doc_id, sum(c)::bigint AS n_3grams,
+          |              cast(max(c) AS double) / sum(c) AS top_3gram_ratio,
+          |              cast(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS double) / sum(c) AS dup_3gram_ratio
+          |       FROM c3 GROUP BY 1)
+          |SELECT m2.doc_id, n_2grams, top_2gram_ratio, dup_2gram_ratio,
+          |       n_3grams, top_3gram_ratio, dup_3gram_ratio,
+          |       (CASE WHEN top_2gram_ratio <= 0.08 AND dup_2gram_ratio <= 0.15
+          |                  AND dup_3gram_ratio <= 0.10 THEN 1 ELSE 0 END)::int AS rep_keep
+          |FROM m2 JOIN m3 ON m2.doc_id = m3.doc_id""".stripMargin)),
+
+    // Cross-document boilerplate: fraction of each doc's distinct 3-gram
+    // shingles shared by >= 5 documents corpus-wide — headers/chrome/license
+    // blocks that repeat across a crawl rather than within one page.
+    ("text_boilerplate",
+      (s: SparkSession, d: String) =>
+        TextOps.boilerplateStats(Tables.documents(s, d), col("text"),
+          col("doc_id"), n = 3, minDf = 5),
+      Some(shingleCte +
+        """, dfreq AS (SELECT shingle, count(*) AS df FROM shingle_rows GROUP BY 1)
+          |SELECT doc_id, count(*)::bigint AS n_shingles,
+          |       sum(CASE WHEN df >= 5 THEN 1 ELSE 0 END)::bigint AS n_boiler,
+          |       cast(sum(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS double) / count(*) AS boiler_ratio
+          |FROM shingle_rows JOIN dfreq USING (shingle)
+          |GROUP BY 1""".stripMargin)),
+
+    // Train/test contamination: per held-out test doc, coverage of its
+    // distinct 3-gram shingles by the train split (same hash-split as
+    // split_train_val_test). Partial overlap is the base rate; the flag
+    // fires at 90% coverage — the benchmark-decontamination gate.
+    ("text_contamination",
+      (s: SparkSession, d: String) => {
+        val split = Sampling.hashSplit(Tables.documents(s, d), col("doc_id"),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        TextOps.contamination(
+          split.filter(col("split") === "test"),
+          split.filter(col("split") === "train"),
+          col("text"), col("doc_id"), n = 3, threshold = 0.9)
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint % 100 AS b,
+          |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+          |  FROM documents),
+          |sh AS (
+          |  SELECT DISTINCT doc_id, b, shingle FROM (
+          |    SELECT doc_id, b,
+          |           unnest(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+          |                  ELSE list_transform(range(0, len(toks) - 2),
+          |                                      i -> array_to_string(toks[i + 1:i + 3], ' ')) END) AS shingle
+          |    FROM toks)),
+          |train AS (SELECT DISTINCT shingle FROM sh WHERE b < 80),
+          |tst AS (SELECT doc_id, shingle FROM sh WHERE b >= 90),
+          |ov AS (
+          |  SELECT t.doc_id, count(*)::bigint AS n_shingles,
+          |         sum(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END)::bigint AS n_overlap
+          |  FROM tst t LEFT JOIN train tr ON t.shingle = tr.shingle
+          |  GROUP BY 1)
+          |SELECT doc_id, n_shingles, n_overlap,
+          |       cast(n_overlap AS double) / n_shingles AS overlap_ratio,
+          |       (CASE WHEN cast(n_overlap AS double) / n_shingles >= 0.9
+          |             THEN 1 ELSE 0 END)::int AS contaminated
+          |FROM ov""".stripMargin)),
+
+    // Bigram LM scoring (log-free perplexity stand-in): corpus bigram model,
+    // per-doc mean conditional probability quantized to integer
+    // parts-per-2^30 so the sum is exact in any aggregation order.
+    ("text_lm_score",
+      (s: SparkSession, d: String) =>
+        TextOps.lmScore(Tables.documents(s, d), col("text"), col("doc_id")),
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+          |  FROM documents),
+          |bi AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 1),
+          |                             i -> array_to_string(toks[i + 1:i + 2], ' '))) AS bigram
+          |       FROM toks WHERE len(toks) >= 2),
+          |c12 AS (SELECT bigram, count(*) AS c12 FROM bi GROUP BY 1),
+          |c1 AS (SELECT string_split(bigram, ' ')[1] AS w1, sum(c12) AS c1
+          |       FROM c12 GROUP BY 1),
+          |model AS (SELECT bigram, (c12 * 1073741824) // c1 AS p_scaled
+          |          FROM c12 JOIN c1 ON string_split(bigram, ' ')[1] = w1)
+          |SELECT doc_id, count(*)::bigint AS n_bigrams,
+          |       cast(sum(p_scaled) AS double) / (count(*) * 1073741824.0) AS lm_score
+          |FROM bi JOIN model USING (bigram)
+          |GROUP BY 1""".stripMargin)),
+
     // Gopher-style quality battery: every rule's metric + verdict per doc.
     ("text_quality_filter",
       (s: SparkSession, d: String) =>

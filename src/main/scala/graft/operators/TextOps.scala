@@ -58,6 +58,151 @@ object TextOps {
   }
 
   /**
+   * Non-distinct word n-grams of a normalized text — the repetition-sensitive
+   * sibling of [[shingles]] (which dedups for set-similarity). Docs shorter
+   * than n yield an empty array rather than a whole-text gram: a 2-token doc
+   * has no 3-gram repetition signal, and pretending it does would skew the
+   * repetition ratios the callers compute.
+   */
+  def ngrams(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+  }
+
+  /**
+   * Within-document repetition metrics (the Gopher/MassiveText repetition
+   * battery at word-n-gram granularity): per doc, the fraction of n-gram
+   * occurrences claimed by the single most frequent n-gram
+   * (`top_Ngram_ratio`) and the fraction belonging to any n-gram that occurs
+   * more than once (`dup_Ngram_ratio`). High values flag degenerate,
+   * loop-generated, or boilerplate-stuffed text that survives per-token
+   * quality checks.
+   *
+   * Scale shape: explode n-grams → count per (doc, gram) → per-doc max/sum —
+   * two map-side-combined shuffles, state bounded by distinct grams per doc.
+   * Deliberately NOT the O(tokens²) array-local formulation
+   * (`transform(grams, g -> size(filter(grams, = g)))`): that would be
+   * shuffle-free but quadratic per document, which dies on the long docs
+   * that need this filter most. Docs with fewer than n tokens are dropped
+   * (no grams → no repetition signal).
+   */
+  def repetitionStats(docs: DataFrame, textCol: Column, idCol: Column,
+      n: Int): DataFrame = {
+    val cnt = docs
+      .select(idCol.as("doc_id"), explode(ngrams(normalize(textCol), n)).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        max(col("c")).as("top_c"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_c"))
+      .select(col("doc_id"),
+        col("n_grams").as(s"n_${n}grams"),
+        (col("top_c").cast("double") / col("n_grams")).as(s"top_${n}gram_ratio"),
+        (col("dup_c").cast("double") / col("n_grams")).as(s"dup_${n}gram_ratio"))
+  }
+
+  /**
+   * Corpus-level boilerplate detection: per document, the fraction of its
+   * distinct n-gram shingles that are "boilerplate" — shared by at least
+   * `minDf` documents corpus-wide. The cross-document complement of
+   * [[repetitionStats]]: headers, navigation chrome, and license blocks that
+   * repeat across a crawl rather than within one page.
+   *
+   * Scale shape: one shuffle on shingle to build the document-frequency
+   * table (map-side combined; vocabulary-bounded, stays distributed — no
+   * broadcast assumed), one join back on shingle, one per-doc aggregation.
+   */
+  def boilerplateStats(docs: DataFrame, textCol: Column, idCol: Column,
+      n: Int = 3, minDf: Int = 5): DataFrame = {
+    val sh = docs.select(idCol.as("doc_id"),
+      explode(shingles(normalize(textCol), n)).as("shingle"))
+    val dfT = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    sh.join(dfT, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        col("n_boiler").cast("double") / col("n_shingles"))
+  }
+
+  /**
+   * Train/test contamination check: for every document in `test`, the
+   * fraction of its distinct n-gram shingles that appear anywhere in
+   * `train`. The benchmark-decontamination primitive — a test doc whose
+   * shingles are (almost) all covered by the training corpus is leaked, not
+   * held out. A base rate of partial overlap is normal (common phrases);
+   * the `contaminated` flag fires only at `threshold` coverage.
+   *
+   * Scale shape: train collapses to a distinct shingle set (one shuffle,
+   * map-side combined); the join back to test shingles is an equi-join on
+   * shingle with the at-most-one-match side deduplicated, so test-row
+   * multiplicity is preserved without inflation; final per-doc aggregation
+   * shuffles on doc_id. Nothing is ever broadcast or collected — both sides
+   * stay distributed at corpus scale.
+   */
+  def contamination(test: DataFrame, train: DataFrame, textCol: Column,
+      idCol: Column, n: Int = 3, threshold: Double = 0.9): DataFrame = {
+    val testSh = test.select(idCol.as("doc_id"),
+      explode(shingles(normalize(textCol), n)).as("shingle"))
+    val trainSh = train
+      .select(explode(shingles(normalize(textCol), n)).as("shingle"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    testSh.join(trainSh, Seq("shingle"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .withColumn("overlap_ratio",
+        col("n_overlap").cast("double") / col("n_shingles"))
+      .withColumn("contaminated", (col("overlap_ratio") >= threshold).cast("int"))
+  }
+
+  /**
+   * Bigram language-model scoring: train a corpus bigram model and score
+   * each document by the mean conditional probability of its bigrams — the
+   * log-free stand-in for LM-perplexity filtering (CCNet-style): fluent,
+   * corpus-typical text scores high; token salad scores low.
+   *
+   * Determinism: P(w2|w1) = c(w1 w2)/c(w1 ·) is quantized to integer
+   * parts-per-2^30 (`c12 * 2^30 div c1`, exact long arithmetic, truncating —
+   * floor and truncate agree on non-negatives), so the per-doc sum is an
+   * exact long in any aggregation order; only the final mean is a double,
+   * derived identically in every engine. The textbook mean-log-prob needs
+   * `ln`, which is not correctly-rounded-identical across engines — same
+   * trade as [[bm25]]'s raw-ratio IDF, and monotonicity of the ranking is
+   * what filtering actually uses.
+   *
+   * Scale shape: the model is two map-side-combined shuffles over bigrams
+   * (the model table is vocabulary²-bounded and stays distributed); scoring
+   * is one equi-join on bigram plus a per-doc aggregation. Self-scoring on
+   * the training corpus guarantees no OOV bigrams; scoring a foreign frame
+   * drops unseen bigrams via the inner join (document if that changes).
+   */
+  def lmScore(docs: DataFrame, textCol: Column, idCol: Column): DataFrame = {
+    val scale = 1L << 30
+    val bi = docs.select(idCol.as("doc_id"),
+      explode(ngrams(normalize(textCol), 2)).as("bigram"))
+    val c12 = bi.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+    val c1 = c12
+      .groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val model = c12
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .join(c1, "w1")
+      .select(col("bigram"), expr(s"c12 * ${scale}L div c1").as("p_scaled"))
+    bi.join(model, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_scaled")).as("p_sum"))
+      .withColumn("lm_score",
+        col("p_sum").cast("double") / (col("n_bigrams") * lit(scale)).cast("double"))
+      .select(col("doc_id"), col("n_bigrams"), col("lm_score"))
+  }
+
+  /**
    * Per-document statistics frame: token/char counts, average token length,
    * stopword ratio, vowel-run count, and a composite quality score. All
    * ratios are integer-derived doubles → bit-exact across engines.
