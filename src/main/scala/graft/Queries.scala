@@ -2102,6 +2102,72 @@ object Queries {
            |FROM v""".stripMargin
       }),
 
+    // Per-label centroids (class prototypes): element-wise means with each
+    // element quantized to floor(x·2^20) longs first, so the sums are exact
+    // in any aggregation order — the parallel-safe vector mean. One shuffle
+    // on label, 64 partial long sums per group, no explode.
+    ("emb_label_centroids",
+      (s: SparkSession, d: String) =>
+        Embeddings.labelCentroids(Tables.embeddings(s, d), col("label"),
+            col("embedding"), dim = 64)
+          .select(col("label"), col("n"), col("qsum"),
+            element_at(col("centroid"), 1).as("c0"),
+            element_at(col("centroid"), 2).as("c1"),
+            element_at(col("centroid"), 3).as("c2"),
+            element_at(col("centroid"), 4).as("c3")),
+      Some {
+        val els = (0 until 4)
+          .map(i => s"cast(sum(qv[${i + 1}]) AS double) / (count(*) * 1048576.0) AS c$i")
+          .mkString(",\n           |       ")
+        s"""WITH q AS (
+           |  SELECT label,
+           |         list_transform(embedding, x -> floor(x::double * 1048576.0)::bigint) AS qv
+           |  FROM embeddings)
+           |SELECT label, count(*)::bigint AS n, sum(list_sum(qv))::bigint AS qsum,
+           |       $els
+           |FROM q GROUP BY 1""".stripMargin
+      }),
+
+    // Integer-exact PageRank (damping 17/20, 3 power iterations) over the
+    // customer↔supplier bipartite trade graph — the source-importance signal
+    // a crawl pipeline derives for seed weighting. Ranks are scaled longs so
+    // every iteration's sums are order-independent (oracle-verifiable);
+    // per-iteration dataflow is join + map-side-combined shuffle, no driver
+    // state. The oracle unrolls the same three iterations in CTEs.
+    ("graph_pagerank",
+      (s: SparkSession, d: String) => {
+        val lo = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey").cast("string")).as("c"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("sv"))
+        val edges = lo.select(col("c").as("src"), col("sv").as("dst"))
+          .union(lo.select(col("sv").as("src"), col("c").as("dst")))
+          .distinct()
+        Graph.pageRank(edges, iterations = 3)
+      },
+      Some {
+        val base = (Graph.RankScale * 3) / 20
+        def iter(prev: String, n: Int): String =
+          s"""c$n AS (SELECT src, rank // outdeg AS contrib FROM $prev JOIN outdeg ON node = src),
+             |i$n AS (SELECT dst, sum(contrib)::bigint AS inb FROM edges JOIN c$n USING (src) GROUP BY 1),
+             |r$n AS (SELECT node, ${base} + (coalesce(inb, 0) // 20) * 17 + ((coalesce(inb, 0) % 20) * 17) // 20 AS rank
+             |        FROM nodes LEFT JOIN i$n ON node = dst),
+             |""".stripMargin
+        s"""WITH lo AS (
+           |  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS sv
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |edges AS (SELECT c AS src, sv AS dst FROM lo
+           |          UNION
+           |          SELECT sv AS src, c AS dst FROM lo),
+           |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+           |nodes AS (SELECT DISTINCT node
+           |          FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+           |r0 AS (SELECT node, ${Graph.RankScale}::bigint AS rank FROM nodes),
+           |${iter("r0", 1)}${iter("r1", 2)}${iter("r2", 3).stripSuffix(",\n")}
+           |SELECT node, rank::bigint AS rank, rank / ${Graph.RankScale}.0 AS rank_norm
+           |FROM r3""".stripMargin
+      }),
+
     // ---- ANN scale path: hyperplane-LSH bucket assignment -----------------
     // Bucket id = sign bits of 8 md5-derived pseudo-random hyperplane
     // projections. Deterministic across engines: coefficients come from the

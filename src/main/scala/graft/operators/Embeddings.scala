@@ -54,4 +54,43 @@ object Embeddings {
       .withColumn("norm", Similarity.norm(col("v")))
       .withColumn("unit", l2Normalize(col("v"), col("norm")))
   }
+
+  /**
+   * Per-label centroids (class prototypes — the nearest-class-mean /
+   * seed-centroid primitive): element-wise mean of every label's vectors.
+   *
+   * Determinism at scale: a double sum over rows is rounding-order-dependent
+   * under parallel aggregation, so each element is first quantized to an
+   * exact integer `floor(x · 2^20)` (a float's 24-bit mantissa times 2^20 is
+   * exact in double, and floor is unambiguous in every engine — no rounding
+   * ties, unlike round()). The integer sums are exact in any order; only the
+   * final mean divides back to double, identically everywhere. Quantization
+   * error is ≤ 2^-20 per element — far below float32's own noise floor for
+   * unit-scale embeddings.
+   *
+   * Scale shape: one shuffle on label with `dim` partial long sums per group
+   * (map-side combined) — no explode, no per-dimension rows, state per group
+   * is O(dim). The centroid table is O(labels · dim) and broadcastable
+   * downstream.
+   */
+  def labelCentroids(df: DataFrame, labelCol: Column, vecCol: Column,
+      dim: Int): DataFrame = {
+    val scale = 1L << 20
+    val v = Similarity.asDouble(vecCol)
+    // per-row total quantized mass: an exact-integer integrity checksum that
+    // covers every dimension (catalog outputs project a few centroid
+    // elements; qsum pins the rest)
+    val rowMass = aggregate(
+      transform(v, x => floor(x * lit(scale.toDouble)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val aggs = Seq(count(lit(1)).as("n"), sum(rowMass).as("qsum")) ++
+      (0 until dim).map(i =>
+        sum(floor(v.getItem(i) * lit(scale.toDouble)).cast("long")).as(s"s_$i"))
+    df.groupBy(labelCol.as("label"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("label"), col("n"), col("qsum"),
+        array((0 until dim).map(i =>
+          col(s"s_$i").cast("double") / (col("n") * lit(scale)).cast("double")): _*)
+          .as("centroid"))
+  }
 }
