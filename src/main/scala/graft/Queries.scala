@@ -1940,6 +1940,51 @@ object Queries {
           |FROM bi JOIN model USING (bigram)
           |GROUP BY 1""".stripMargin)),
 
+    // Context-window chunking: 16-token windows, stride 8 (50% overlap) —
+    // the doc → model-context-sized-pieces projection. Zero shuffle; the
+    // trailing partial window is kept so every token lands in ≥1 chunk.
+    ("text_chunk_windows",
+      (s: SparkSession, d: String) =>
+        TextOps.chunkWindows(Tables.documents(s, d), col("text"), col("doc_id"),
+          windowTokens = 16, strideTokens = 8),
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+          |  FROM documents),
+          |t2 AS (
+          |  SELECT doc_id, toks, len(toks) AS n,
+          |         8 * ceil(greatest(len(toks) - 16, 0) / 8.0)::int AS last_start
+          |  FROM toks),
+          |st AS (
+          |  SELECT doc_id, toks, n, last_start,
+          |         unnest(range(0, n::bigint, 8)) AS start
+          |  FROM t2)
+          |SELECT doc_id, n::int AS n_tokens, (start // 8)::int AS chunk_id,
+          |       array_to_string(toks[start + 1:start + 16], ' ') AS chunk_text,
+          |       least(16, n - start)::int AS chunk_tokens
+          |FROM st WHERE start <= last_start""".stripMargin)),
+
+    // Sequence packing: contiguous-by-id token-budget binning per source
+    // shard (prefix-sum window; sharding keeps the cumsum distributed — a
+    // single global order would serialize the corpus through one partition).
+    ("text_pack_sequences",
+      (s: SparkSession, d: String) =>
+        TextOps.packSequences(Tables.documents(s, d), col("text"),
+          col("doc_id"), col("source"), budgetTokens = 1024),
+      Some(
+        """WITH t AS (
+          |  SELECT source AS shard, doc_id,
+          |         len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '))::int AS n_tokens
+          |  FROM documents),
+          |p AS (
+          |  SELECT shard, doc_id, n_tokens,
+          |         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint AS prefix
+          |  FROM t)
+          |SELECT shard, doc_id, n_tokens, prefix, (prefix // 1024)::bigint AS seq_id
+          |FROM p""".stripMargin)),
+
     // Gopher-style quality battery: every rule's metric + verdict per doc.
     ("text_quality_filter",
       (s: SparkSession, d: String) =>

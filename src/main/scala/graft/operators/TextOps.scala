@@ -428,6 +428,67 @@ object TextOps {
     pivoted.select(col("doc_id"), score.as("score"))
   }
 
+  /**
+   * Context-window chunking: split each document into token windows of
+   * `windowTokens` with stride `strideTokens` (overlap = window − stride) —
+   * the training-sequence preparation step that turns variable-length
+   * documents into model-context-sized pieces. The last window of a doc may
+   * be shorter than `windowTokens`; every token appears in at least one
+   * chunk (the final partial window is kept, matching the "don't drop
+   * document tails" convention).
+   *
+   * Pure projection (posexplode of a per-row window sequence) — zero
+   * shuffle, whole-stage codegen, scales embarrassingly.
+   */
+  def chunkWindows(docs: DataFrame, textCol: Column, idCol: Column,
+      windowTokens: Int, strideTokens: Int): DataFrame = {
+    require(strideTokens >= 1 && windowTokens >= strideTokens,
+      "need 1 <= stride <= window")
+    val t = tokens(normalize(textCol))
+    // window start offsets: 0, stride, 2·stride, …; once a window reaches
+    // the doc tail no further start is needed, so the last useful start is
+    // stride · ceil(max(n − window, 0) / stride) — clamped to ≥ 0 so every
+    // doc (even shorter than one window) yields exactly one whole-doc chunk.
+    val lastStart = greatest(
+      (ceil((col("n_tokens") - windowTokens).cast("double") / strideTokens)
+        .cast("int") * strideTokens),
+      lit(0))
+    docs.select(idCol.as("doc_id"), t.as("toks"), size(t).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(transform(
+          sequence(lit(0), col("n_tokens") - 1, lit(strideTokens)),
+          start => when(start <= lastStart,
+            concat_ws(" ", slice(col("toks"), start + 1, lit(windowTokens))))))
+          .as(Seq("chunk_id", "chunk_text")))
+      .filter(col("chunk_text").isNotNull)
+      .withColumn("chunk_tokens",
+        least(lit(windowTokens), col("n_tokens") - col("chunk_id") * strideTokens))
+  }
+
+  /**
+   * Sequence packing: assign documents to fixed-token-budget training
+   * sequences by running token prefix-sums, contiguously in id order within
+   * each shard (`shardCol`). A doc lands in the sequence where its prefix
+   * interval starts; sequences may overflow the budget by at most one doc —
+   * the standard greedy concat-until-full packing, made deterministic and
+   * distributed by sharding (one window exchange on shard; a single global
+   * order would serialize the corpus through one partition, which this
+   * deliberately avoids).
+   */
+  def packSequences(docs: DataFrame, textCol: Column, idCol: Column,
+      shardCol: Column, budgetTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(shardCol.as("shard"), idCol.as("doc_id"),
+        size(tokens(normalize(textCol))).as("n_tokens"))
+      .withColumn("prefix",
+        sum(col("n_tokens")).over(Window.partitionBy(col("shard"))
+          .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("prefix", coalesce(col("prefix"), lit(0L)))
+      .withColumn("seq_id", expr(s"prefix div $budgetTokens"))
+      .select(col("shard"), col("doc_id"), col("n_tokens"), col("prefix"),
+        col("seq_id"))
+  }
+
   def langId(docs: DataFrame, textCol: Column, idCol: Column): DataFrame = {
     val t = tokens(normalize(textCol))
     val scored = docs.select(

@@ -80,6 +80,47 @@ class CorpusSignalsSpec extends SparkSpec {
     }
   }
 
+  test("chunkWindows: stride/overlap layout and tail handling") {
+    val text20 = (1 to 20).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text20), (2L, "a b c")).toDF("doc_id", "text")
+    val r = TextOps.chunkWindows(docs, col("text"), col("doc_id"),
+        windowTokens = 8, strideTokens = 4)
+      .orderBy("doc_id", "chunk_id").collect()
+    val d1 = r.filter(_.getLong(0) == 1L)
+    // starts 0,4,8,12: four chunks, all full (20-12=8)
+    assert(d1.map(_.getInt(2)).toSeq == Seq(0, 1, 2, 3))
+    assert(d1.forall(_.getInt(4) == 8))
+    assert(d1.head.getString(3).startsWith("t1 t2 "))
+    assert(d1.last.getString(3) == (13 to 20).map(i => s"t$i").mkString(" "))
+    // doc shorter than one window: exactly one whole-doc chunk
+    val d2 = r.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2.head.getString(3) == "a b c" &&
+      d2.head.getInt(4) == 3)
+  }
+
+  test("chunkWindows: every token is covered by at least one chunk") {
+    val docs = Seq((1L, (1 to 13).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = TextOps.chunkWindows(docs, col("text"), col("doc_id"), 5, 3)
+      .collect().map(_.getString(3))
+    val covered = chunks.flatMap(_.split(" ")).toSet
+    assert(covered == (1 to 13).map(i => s"w$i").toSet)
+  }
+
+  test("packSequences: prefix-sum binning per shard") {
+    val docs = Seq(
+      ("x", 1L, "a b c d e"), ("x", 2L, "a b c d e"),
+      ("x", 3L, "a b c d e"), ("x", 4L, "a b c d e"),
+      ("y", 9L, "a b")
+    ).toDF("source", "doc_id", "text")
+    val r = TextOps.packSequences(docs, col("text"), col("doc_id"),
+        col("source"), budgetTokens = 8)
+      .orderBy("shard", "doc_id").collect()
+    // shard x: prefixes 0,5,10,15 → seqs 0,0,1,1; shard y restarts at 0
+    assert(r.map(row => (row.getString(0), row.getLong(4))).toSeq ==
+      Seq(("x", 0L), ("x", 0L), ("x", 1L), ("x", 1L), ("y", 0L)))
+  }
+
   test("lmScore: repeated bigram dominates the conditional mass") {
     // "a b a b a b" → bigrams: a b ×3, b a ×2; c1(a)=3, c1(b)=2
     // P(b|a)=1, P(a|b)=1 → every bigram scores 1.0 → mean 1.0

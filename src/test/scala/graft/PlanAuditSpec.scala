@@ -48,7 +48,8 @@ class PlanAuditSpec extends SparkSpec {
     Seq("split_train_val_test", "text_stats", "text_redact_stats", "flight_parse",
       "flight_delayed", "emb_normalize", "emb_quantize", "emb_project",
       "sim_lsh_buckets", "events_zorder_key", "multimodal_features",
-      "scalar_functions", "datetime_functions", "array_functions")
+      "scalar_functions", "datetime_functions", "array_functions",
+      "text_chunk_windows")
       .foreach(q => assert(shuffles(q) == 0, s"$q should be shuffle-free"))
     // single-aggregation queries: exactly one exchange (partial → final)
     Seq("tpch_q1", "tpch_q6_revenue", "dedup_fingerprint", "dedup_exact")
