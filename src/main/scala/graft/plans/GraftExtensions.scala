@@ -55,5 +55,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"mg_candidates capacity must be an int literal, got $other")
           }).toAggregateExpression()
       }))
+    // Spark ships BloomFilterAggregate / BloomFilterMightContain for its own
+    // runtime join filtering but does not register them in the public
+    // FunctionRegistry; exposing them gives SQL the broadcastable membership
+    // sketch (join pre-filtering, incremental-dedup admission) without any
+    // custom implementation. bloom_agg(col[, expectedItems[, numBits]]) →
+    // binary sketch; bloom_might_contain(sketch, value) → boolean with no
+    // false negatives.
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (children: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        val agg = children match {
+          case Seq(c) => new BloomFilterAggregate(c)
+          case Seq(c, n) => new BloomFilterAggregate(c, n)
+          case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+          case _ => throw new IllegalArgumentException(
+            "bloom_agg(col[, expectedItems[, numBits]]) takes 1-3 arguments")
+        }
+        agg.toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "bloom_might_contain(sketch, value) takes exactly two arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
+      }))
   }
 }
