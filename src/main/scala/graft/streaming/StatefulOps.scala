@@ -152,6 +152,72 @@ object StatefulOps {
       }
   }
 
+  final case class SessionState(startMs: Long, endMs: Long, n: Long)
+  final case class UserSession(user_id: String, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /**
+   * Streaming gap sessionization: per key, consecutive events closer than
+   * `gapMs` belong to one session; a session CLOSES (and emits exactly once,
+   * append mode) when the event-time watermark passes its end + gap — the
+   * event-time-timeout pattern, deterministic under test harnesses because
+   * timeouts fire on watermark advance, not wall clock (unlike the
+   * processing-time timeouts above). This is the hand-rolled analogue of the
+   * built-in `session_window` aggregation, for when the session needs custom
+   * state (distinct pages, funnels, abandonment flags) rather than plain
+   * aggregates.
+   *
+   * Mechanics: a micro-batch's events for a key are folded in time order —
+   * gaps inside the batch emit closed sessions immediately; the trailing
+   * open session parks in state with `setTimeoutTimestamp(end + gap)`. The
+   * timeout callback (fired once the watermark crosses it) emits and clears.
+   * If new events arrive before the callback fires but beyond the gap, the
+   * data path closes the stale session itself — both orders converge on the
+   * same session set. State per key is O(1); keys age out at watermark+gap.
+   */
+  def sessionizeStream(events: DataFrame, keyCol: String, timeCol: String,
+      watermark: String, gapMs: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    // the watermarked event-time column must itself reach the stateful
+    // operator (watermark metadata rides on the column — projecting it to a
+    // long would fail the event-time-timeout analysis check)
+    val keyed = events
+      .withWatermark(timeCol, watermark)
+      .select(col(keyCol).cast("string").as("k"), col(timeCol).as("t"))
+      .as[(String, java.sql.Timestamp)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp)], state: GroupState[SessionState]) =>
+          def emit(s: SessionState) = UserSession(key,
+            new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n)
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator.single(emit(last))
+          } else {
+            val out = List.newBuilder[UserSession]
+            var cur = state.getOption
+            rows.map(_._2.getTime).toSeq.sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  cur = Some(SessionState(s.startMs, math.max(s.endMs, t), s.n + 1))
+                case Some(s) => // gap exceeded inside the data path
+                  out += emit(s)
+                  cur = Some(SessionState(t, t, 1L))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Typed view of the parsed stream for the stateful operators. */
   def typed(parsed: DataFrame): Dataset[FlightEvent] = {
     import parsed.sparkSession.implicits._

@@ -66,4 +66,101 @@ class StatefulOpsSpec extends SparkSpec {
       assert(latest("BB") == ((1L, 0L, -5L)))
     } finally q.stop()
   }
+
+  test("sessionizeStream: gap sessions close on watermark advance (event-time timeout)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val sessions = StatefulOps.sessionizeStream(
+      input.toDF().toDF("user", "ts"), "user", "ts",
+      watermark = "0 seconds", gapMs = 10 * 60 * 1000L)
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .option("checkpointLocation", Files.createTempDirectory("sess-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // one session for A (two events 5 min apart), one for B
+      input.addData(("A", ts("2024-01-01 10:00:00")),
+        ("A", ts("2024-01-01 10:05:00")), ("B", ts("2024-01-01 10:02:00")))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").isEmpty, "no session may close before the watermark")
+      // watermark jumps to 11:00 → both parked sessions time out; A opens a new one
+      input.addData(("A", ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      input.addData(("C", ts("2024-01-01 12:00:00"))) // advance watermark again
+      q.processAllAvailable()
+      input.addData(("C", ts("2024-01-01 13:00:00"))) // fire C-12:00's timeout too
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .select(col("user_id"), col("session_start").cast("string"),
+          col("session_end").cast("string"), col("n_events"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSet
+      assert(got.contains(("A", "2024-01-01 10:00:00", "2024-01-01 10:05:00", 2L)))
+      assert(got.contains(("B", "2024-01-01 10:02:00", "2024-01-01 10:02:00", 1L)))
+      assert(got.contains(("A", "2024-01-01 11:00:00", "2024-01-01 11:00:00", 1L)))
+      assert(got.contains(("C", "2024-01-01 12:00:00", "2024-01-01 12:00:00", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionizeStream: gap inside one micro-batch splits sessions in the data path") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val sessions = StatefulOps.sessionizeStream(
+      input.toDF().toDF("user", "ts"), "user", "ts",
+      watermark = "0 seconds", gapMs = 10 * 60 * 1000L)
+    val q = sessions.writeStream.format("memory").queryName("sess_split_out")
+      .option("checkpointLocation", Files.createTempDirectory("sess2-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 10:00 and 10:40 arrive in ONE batch: the first session must emit
+      // immediately (data path), the second parks in state
+      input.addData(("A", ts("2024-01-01 10:00:00")), ("A", ts("2024-01-01 10:40:00")))
+      q.processAllAvailable()
+      val early = spark.table("sess_split_out")
+        .select(col("session_start").cast("string"), col("n_events"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(early == Set(("2024-01-01 10:00:00", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionizeStream matches the built-in session_window on closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      ("A", ts("2024-01-01 10:00:00")), ("A", ts("2024-01-01 10:05:00")),
+      ("A", ts("2024-01-01 10:30:00")), ("B", ts("2024-01-01 10:02:00")),
+      ("B", ts("2024-01-01 10:09:00")), ("B", ts("2024-01-01 10:18:00")))
+    // batch oracle: the built-in gap-based session aggregation
+    val oracle = rows.toDF("user", "ts")
+      .groupBy(col("user"), session_window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user"), col("session_window.start").cast("string"),
+        col("n_events"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val sessions = StatefulOps.sessionizeStream(
+      input.toDF().toDF("user", "ts"), "user", "ts",
+      watermark = "0 seconds", gapMs = 10 * 60 * 1000L)
+    val q = sessions.writeStream.format("memory").queryName("sess_parity_out")
+      .option("checkpointLocation", Files.createTempDirectory("sess3-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData(("Z", ts("2024-01-02 00:00:00"))) // close everything
+      q.processAllAvailable()
+      input.addData(("Z", ts("2024-01-03 00:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("sess_parity_out")
+        .filter(col("user_id") =!= "Z")
+        .select(col("user_id"), col("session_start").cast("string"), col("n_events"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == oracle,
+        s"stream sessions $got != batch session_window $oracle")
+    } finally q.stop()
+  }
 }
