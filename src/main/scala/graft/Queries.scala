@@ -426,6 +426,63 @@ object Queries {
           |FROM events""".stripMargin)),
 
     // ---- array-function battery (scalar outputs for dtype-safe compare) ---
+    // Extended string-function parity battery (beyond scalar_functions):
+    // split_part/instr/translate/repeat/starts/ends/regexp_extract/left/
+    // right/ascii/substring_index, all DuckDB-identical on this domain.
+    ("string_functions_ext",
+      (s: SparkSession, d: String) =>
+        Tables.events(s, d).select(
+          col("event_id"),
+          expr("split_part(event_type, 'r', 1)").as("sp"),
+          instr(col("event_type"), "a").as("pos_a"),
+          translate(col("event_type"), "aeiou", "12345").as("tr"),
+          repeat(col("event_type"), 2).as("rep"),
+          col("event_type").startsWith("p").cast("int").as("starts_p"),
+          col("event_type").endsWith("e").cast("int").as("ends_e"),
+          regexp_extract(col("event_type"), "([aeiou]+)", 1).as("first_vowels"),
+          expr("left(event_type, 3)").as("l3"),
+          expr("right(event_type, 2)").as("r2"),
+          ascii(col("event_type")).as("ascii0"),
+          substring_index(col("event_type"), "r", 1).as("si")),
+      Some(
+        """SELECT event_id,
+          |       split_part(event_type, 'r', 1) AS sp,
+          |       instr(event_type, 'a')::int AS pos_a,
+          |       translate(event_type, 'aeiou', '12345') AS tr,
+          |       repeat(event_type, 2) AS rep,
+          |       starts_with(event_type, 'p')::int AS starts_p,
+          |       ends_with(event_type, 'e')::int AS ends_e,
+          |       regexp_extract(event_type, '([aeiou]+)', 1) AS first_vowels,
+          |       left(event_type, 3) AS l3,
+          |       right(event_type, 2) AS r2,
+          |       ascii(event_type) AS ascii0,
+          |       split_part(event_type, 'r', 1) AS si
+          |FROM events""".stripMargin)),
+
+    // Bitwise aggregate + scalar battery: bit_and/bit_or/bit_xor fold
+    // through partial aggregation (order-insensitive by algebra); scalar
+    // masks and shifts inside exact integer sums. DuckDB's ^ is
+    // exponentiation, so XOR spells xor() there — pinned by the oracle.
+    ("events_bitwise",
+      (s: SparkSession, d: String) =>
+        Tables.events(s, d).groupBy(col("event_type"))
+          .agg(
+            bit_and(col("user_id")).as("uid_and"),
+            bit_or(col("user_id")).as("uid_or"),
+            bit_xor(col("user_id")).as("uid_xor"),
+            sum(expr("event_id & 255")).as("sum_low_byte"),
+            sum(expr("shiftleft(user_id & 15, 2)")).as("sum_shifted"),
+            count(lit(1)).as("n")),
+      Some(
+        """SELECT event_type,
+          |       bit_and(user_id) AS uid_and,
+          |       bit_or(user_id) AS uid_or,
+          |       bit_xor(user_id) AS uid_xor,
+          |       sum(event_id & 255)::bigint AS sum_low_byte,
+          |       sum((user_id & 15) << 2)::bigint AS sum_shifted,
+          |       count(*) AS n
+          |FROM events GROUP BY 1""".stripMargin)),
+
     ("array_functions",
       (s: SparkSession, d: String) => {
         val v = transform(col("embedding"), x => x.cast("double"))
