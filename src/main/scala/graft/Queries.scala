@@ -767,6 +767,37 @@ object Queries {
           |       count(*) AS n_occurrences
           |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // SCD type-2 run history (gaps-and-islands): consecutive same-state
+    // events collapse into validity intervals with a null-open current run —
+    // the change-log → dimension-history transform. Null-safe change flag,
+    // run ids from a running sum, lead() for the closing bound.
+    ("events_scd2_history",
+      (s: SparkSession, d: String) =>
+        Scd.runHistory(Tables.events(s, d), col("user_id"), col("event_type"),
+            col("ts"), col("event_id"))
+          .select(col("k").as("user_id"), col("run_id"),
+            col("state").as("event_type"), ntz(col("valid_from")).as("valid_from"),
+            ntz(col("last_seen")).as("last_seen"), col("n_events"),
+            ntz(col("valid_to")).as("valid_to")),
+      Some(
+        """WITH flagged AS (
+          |  SELECT user_id AS k, event_type AS state, ts AS t, event_id AS tie,
+          |         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |                   IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END AS chg
+          |  FROM events),
+          |runs0 AS (
+          |  SELECT k, state, t,
+          |         sum(chg) OVER (PARTITION BY k ORDER BY t, tie
+          |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+          |  FROM flagged),
+          |runs AS (
+          |  SELECT k AS user_id, run_id::bigint AS run_id, state AS event_type,
+          |         min(t) AS valid_from, max(t) AS last_seen, count(*) AS n_events
+          |  FROM runs0 GROUP BY 1, 2, 3)
+          |SELECT user_id, run_id, event_type, valid_from, last_seen, n_events,
+          |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to
+          |FROM runs""".stripMargin)),
+
     // ==========================================================================
     // TPC-H-style relational surface (joins / sort / top-k / grouped aggs)
     // ==========================================================================

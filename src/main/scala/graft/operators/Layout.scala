@@ -51,4 +51,50 @@ object Layout {
       .write.mode("overwrite").parquet(outDir)
     parts
   }
+
+  /** Keyed upsert as a pure frame transform: rows of `base` whose key
+    * appears in `updates` are replaced; new keys append. The MERGE
+    * WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT core — one anti-join
+    * (broadcast when the update batch is small, the common case) plus a
+    * union; nothing is collected. Duplicate keys WITHIN `updates` are the
+    * caller's bug — both rows survive, same as SQL MERGE's multi-match. */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    base.join(updates.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(updates)
+
+  /**
+   * MERGE INTO for a plain parquet table: read base, [[upsert]], write a new
+   * version directory, then repoint. Plain filesystems have no atomic
+   * directory swap, so this writes `<table>/v<N+1>` next to `<table>/v<N>`
+   * and returns the new version — the reader convention is "open the highest
+   * v*" (what table formats' transaction logs do properly; this is the
+   * minimal version-directory variant, single-writer only). The base version
+   * stays intact for rollback/time-travel until vacuumed.
+   */
+  def mergeIntoParquet(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, updates: DataFrame, keys: Seq[String]): Int = {
+    val path = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions =
+      if (fs.exists(path))
+        fs.listStatus(path).map(_.getPath.getName)
+          .filter(_.matches("v\\d+")).map(_.drop(1).toInt)
+      else Array.empty[Int]
+    val next = if (versions.isEmpty) 1 else versions.max + 1
+    val merged =
+      if (versions.isEmpty) updates
+      else upsert(spark.read.parquet(s"$tableDir/v${versions.max}"), updates, keys)
+    merged.write.mode("errorifexists").parquet(s"$tableDir/v$next")
+    next
+  }
+
+  /** Latest version directory of a [[mergeIntoParquet]] table. */
+  def latestVersion(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = fs.listStatus(path).map(_.getPath.getName)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toInt).max
+    spark.read.parquet(s"$tableDir/v$v")
+  }
 }
