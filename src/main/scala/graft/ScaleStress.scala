@@ -33,7 +33,11 @@ import graft.operators.Dedup
  */
 object ScaleStress {
 
-  private val queries = Seq("dedup_lsh_candidates", "dedup_near_keep", "dedup_incremental")
+  // dedup chain (the round-6/7 focus) + the heavy window-count text
+  // operators (r7 rewrite: one exploded frame + whole-partition window
+  // counts — stressed here to prove the rewrite holds its linearity)
+  private val queries = Seq("dedup_lsh_candidates", "dedup_near_keep",
+    "dedup_incremental", "text_boilerplate", "text_lm_score")
 
   def scaledCorpus(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = Tables.documents(spark, baseDir)
