@@ -106,4 +106,76 @@ class PropertySpec extends SparkSpec {
       assert((0 until 8).forall(p => sigs((3L, p)) <= sigs((1L, p))))
     }
   }
+
+  private val docTextGen: Gen[String] = Gen.chooseNum(1, 40).flatMap(n =>
+    Gen.listOfN(n, Gen.oneOf("the", "fast", "spark", "data", "join", "row",
+      "batch", "sort", "key", "merge")).map(_.mkString(" ")))
+
+  test("chunkWindows: full token coverage, ordered ids, bounded chunk sizes") {
+    forSamples(Gen.zip(Gen.listOfN(4, docTextGen),
+        Gen.chooseNum(2, 10), Gen.chooseNum(1, 10))) { case (texts, w0, s0) =>
+      val w = math.max(w0, s0) // need stride <= window
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val chunks = TextOps.chunkWindows(docs, col("text"), col("doc_id"), w, s0)
+        .collect()
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val mine = chunks.filter(_.getLong(0) == i.toLong).sortBy(_.getInt(2))
+        // ids contiguous from 0
+        assert(mine.map(_.getInt(2)).toSeq == mine.indices.toSeq)
+        // every source token position covered by token multiset inclusion:
+        // concatenating stride-prefixes of each chunk + last chunk rebuilds
+        // the doc exactly
+        val toks = t.split(" ").toSeq
+        val rebuilt = mine.init.flatMap(_.getString(3).split(" ").take(s0)) ++
+          mine.last.getString(3).split(" ")
+        assert(rebuilt.toSeq == toks, s"w=$w s=$s0 doc=$t")
+        // no chunk exceeds the window
+        assert(mine.forall(_.getString(3).split(" ").length <= w))
+      }
+    }
+  }
+
+  test("packSequences: bins respect the budget modulo one straddling doc") {
+    forSamples(Gen.zip(Gen.listOfN(12, docTextGen), Gen.chooseNum(5, 60))) {
+      case (texts, budget) =>
+        val docs = texts.zipWithIndex.map { case (t, i) =>
+          (s"shard${i % 2}", i.toLong, t)
+        }.toDF("source", "doc_id", "text")
+        val packed = TextOps.packSequences(docs, col("text"), col("doc_id"),
+          col("source"), budget).collect()
+        packed.groupBy(r => (r.getString(0), r.getLong(4))).foreach {
+          case (_, rows) =>
+            val total = rows.map(_.getInt(2)).sum
+            val maxDoc = rows.map(_.getInt(2)).max
+            // a bin only exceeds the budget by (part of) its last doc
+            assert(total < budget + maxDoc,
+              s"bin total $total with budget $budget, max doc $maxDoc")
+        }
+        // every doc lands in exactly one bin; prefix sums are per-shard
+        assert(packed.length == texts.length)
+    }
+  }
+
+  test("pageRank: total mass never exceeds N·scale and is nearly conserved") {
+    import graft.operators.Graph
+    forSamples(Gen.listOfN(12,
+        Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0, 5))), n = 3) { pairs =>
+      // symmetrize so no node dangles: mass conservation only holds on
+      // dangling-free graphs (dangling contributions are DROPPED by design —
+      // the documented simplified variant)
+      val edges = pairs.flatMap { case (a, b) =>
+        Seq((s"n$a", s"n$b"), (s"n$b", s"n$a"))
+      }.distinct.toDF("src", "dst")
+      val iters = 3
+      val r = Graph.pageRank(edges, iters).collect()
+      val nodes = r.length
+      val total = r.map(_.getLong(1)).sum
+      assert(total <= nodes.toLong * Graph.RankScale)
+      // floor losses: ≤ ~2 units per node per iteration, plus dangling-free
+      // construction here means mass is otherwise conserved
+      assert(total >= nodes.toLong * (Graph.RankScale - 4 * iters))
+      assert(r.forall(_.getLong(1) >= (Graph.RankScale * 3) / 20))
+    }
+  }
 }
