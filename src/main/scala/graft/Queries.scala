@@ -1891,6 +1891,43 @@ object Queries {
           |FROM pairs GROUP BY 1
           |ORDER BY n DESC, pair LIMIT 20""".stripMargin)),
 
+    // BPE tokenizer training, 3 merges: per iteration the corpus-wide most
+    // frequent adjacent symbol pair (weighted by word frequency) and the
+    // greedy left-to-right merge. Driver loop bounded by the merge count
+    // (the k-means pattern); each round is one vocab-sized pair-count
+    // shuffle + a zero-shuffle merge projection. The oracle unrolls the
+    // same three rounds with list_reduce folds.
+    ("text_bpe_train",
+      (s: SparkSession, d: String) =>
+        TextOps.bpeTrain(Tables.documents(s, d), col("text"), merges = 3),
+      Some {
+        def iter(i: Int): String =
+          s"""p$i AS (
+             |  SELECT pr['a'] AS a, pr['b'] AS b, sum(w)::bigint AS n
+             |  FROM (SELECT unnest(list_transform(range(1, len(syms)),
+             |                      j -> {'a': syms[j], 'b': syms[j + 1]})) AS pr, w
+             |        FROM w${i - 1} WHERE len(syms) >= 2)
+             |  GROUP BY 1, 2),
+             |r$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+             |w$i AS (
+             |  SELECT list_reduce(list_prepend([]::varchar[], list_transform(syms, x -> [x])),
+             |           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = r$i.a AND x[1] = r$i.b
+             |                       THEN list_append(acc[1:-2], r$i.a || r$i.b)
+             |                       ELSE list_append(acc, x[1]) END) AS syms, w
+             |  FROM w${i - 1}, r$i),
+             |""".stripMargin
+        s"""WITH tok AS (
+           |  SELECT token, count(*) AS w
+           |  FROM (SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS token
+           |        FROM documents)
+           |  GROUP BY 1),
+           |w0 AS (SELECT list_transform(range(1, length(token) + 1), i -> token[i]) AS syms, w FROM tok),
+           |${iter(1)}${iter(2)}${iter(3).stripSuffix(",\n")}
+           |SELECT 1 AS iteration, a AS sym_a, b AS sym_b, n AS weight FROM r1
+           |UNION ALL SELECT 2, a, b, n FROM r2
+           |UNION ALL SELECT 3, a, b, n FROM r3""".stripMargin
+      }),
+
     // Corpus-relative rarity: mean document-frequency of each doc's distinct
     // tokens — the boilerplate-vs-novelty signal, integer-derived throughout.
     ("text_token_rarity",

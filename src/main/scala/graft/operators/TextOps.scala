@@ -489,6 +489,60 @@ object TextOps {
         col("seq_id"))
   }
 
+  /**
+   * Byte-pair-encoding tokenizer training: starting from character-level
+   * segmentation of the corpus word vocabulary (weighted by word frequency),
+   * repeatedly find the most frequent adjacent symbol pair and merge it
+   * everywhere — the standard BPE training loop, run for a fixed number of
+   * merges. Returns one row per merge: (iteration, sym_a, sym_b, weight).
+   *
+   * Determinism: the winning pair breaks ties by (weight DESC, sym_a,
+   * sym_b); the merge itself is the greedy left-to-right fold (merging "aa"
+   * in "aaa" yields ["aa","a"]), expressed as an `aggregate()` lambda with
+   * `try_element_at` so the empty accumulator never throws under ANSI.
+   *
+   * Scale shape: the loop is driver-side but bounded by `merges` (the
+   * k-means/connected-components pattern); each iteration is one map-side-
+   * combined pair-count shuffle over the WORD VOCABULARY (not the corpus —
+   * frequencies weight the counts), one 1-row driver fetch for the winning
+   * rule, and one zero-shuffle merge projection. Vocabulary tables are
+   * bounded (≈ millions of types at web scale) and stay distributed.
+   */
+  def bpeTrain(docs: DataFrame, textCol: Column, merges: Int): DataFrame = {
+    require(merges >= 1, "need at least one merge")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs
+      .select(explode(tokens(normalize(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("w"))
+      .select(transform(sequence(lit(1), length(col("token"))),
+        i => col("token").substr(i, lit(1))).as("syms"), col("w"))
+    var words = vocab.localCheckpoint()
+    val rules = Seq.newBuilder[(Int, String, String, Long)]
+    for (it <- 1 to merges) {
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("w"), explode(transform(
+          sequence(lit(0), size(col("syms")) - 2),
+          i => struct(element_at(col("syms"), i + 1).as("a"),
+            element_at(col("syms"), i + 2).as("b")))).as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum(col("w")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).head()
+      val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      rules += ((it, a, b, n))
+      val merged = aggregate(col("syms"),
+        array().cast("array<string>"),
+        (acc, x) =>
+          when(try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x))))
+      words = words.select(merged.as("syms"), col("w")).localCheckpoint()
+    }
+    rules.result().toDF("iteration", "sym_a", "sym_b", "weight")
+  }
+
   def langId(docs: DataFrame, textCol: Column, idCol: Column): DataFrame = {
     val t = tokens(normalize(textCol))
     val scored = docs.select(

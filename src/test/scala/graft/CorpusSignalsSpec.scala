@@ -80,6 +80,30 @@ class CorpusSignalsSpec extends SparkSpec {
     }
   }
 
+  test("bpeTrain: frequency-weighted merges with deterministic tie-break") {
+    // vocab: "aa"×2, "ab"×1 → pair (a,a) weight 2 wins round 1; after the
+    // merge "aa" is a single symbol, so round 2's only pair is (a,b)
+    val docs = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val r = TextOps.bpeTrain(docs, col("text"), merges = 2)
+      .orderBy("iteration").collect()
+      .map(row => (row.getInt(0), row.getString(1), row.getString(2), row.getLong(3)))
+    assert(r.toSeq == Seq((1, "a", "a", 2L), (2, "a", "b", 1L)))
+  }
+
+  test("bpeTrain: ties break lexicographically; greedy fold on runs") {
+    // "ab" and "cd" both weight 1 → (a,b) wins by symbol order
+    val tie = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    val r1 = TextOps.bpeTrain(tie, col("text"), merges = 1).collect()
+    assert(r1.head.getString(1) == "a" && r1.head.getString(2) == "b")
+    // "aaa": pairs (a,a)×2 → merge leaves [aa, a], so round 2 pairs (aa, a)
+    val run = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val r2 = TextOps.bpeTrain(run, col("text"), merges = 2)
+      .orderBy("iteration").collect()
+    assert(r2(0).getString(1) == "a" && r2(0).getString(2) == "a" &&
+      r2(0).getLong(3) == 2L)
+    assert(r2(1).getString(1) == "aa" && r2(1).getString(2) == "a")
+  }
+
   test("chunkWindows: stride/overlap layout and tail handling") {
     val text20 = (1 to 20).map(i => s"t$i").mkString(" ")
     val docs = Seq((1L, text20), (2L, "a b c")).toDF("doc_id", "text")
