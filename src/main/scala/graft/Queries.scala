@@ -1891,6 +1891,39 @@ object Queries {
           |FROM pairs GROUP BY 1
           |ORDER BY n DESC, pair LIMIT 20""".stripMargin)),
 
+    // Feature-hashing vectorizer (hashing trick): 16-bucket token-count
+    // vector per doc — the no-vocabulary text featurizer, zero-shuffle and
+    // stable under corpus growth. Scalar projections + a position-weighted
+    // checksum pin every bucket for the row-sorting gate.
+    ("text_hash_vectorize",
+      (s: SparkSession, d: String) => {
+        val dim = 16
+        val v = TextOps.hashVectorize(col("text"), dim)
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          element_at(v, 1).as("b0"), element_at(v, 2).as("b1"),
+          element_at(v, 3).as("b2"), element_at(v, 4).as("b3"),
+          aggregate(zip_with(v, sequence(lit(0), lit(dim - 1)), (c, i) => c * i),
+            lit(0), (a, x) => a + x).as("wsum"),
+          size(TextOps.tokens(TextOps.normalize(col("text")))).as("n_tokens"))
+      },
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id,
+          |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+          |  FROM documents),
+          |v AS (
+          |  SELECT doc_id, toks,
+          |         list_transform(range(0, 16),
+          |           b -> len(list_filter(toks,
+          |                  tok -> ('0x' || substr(md5(tok), 1, 15))::bigint % 16 = b))) AS vec
+          |  FROM t)
+          |SELECT doc_id,
+          |       vec[1]::int AS b0, vec[2]::int AS b1, vec[3]::int AS b2, vec[4]::int AS b3,
+          |       list_sum(list_transform(range(0, 16), i -> vec[i + 1] * i))::int AS wsum,
+          |       len(toks)::int AS n_tokens
+          |FROM v""".stripMargin)),
+
     // BPE tokenizer training, 3 merges: per iteration the corpus-wide most
     // frequent adjacent symbol pair (weighted by word frequency) and the
     // greedy left-to-right merge. Driver loop bounded by the merge count

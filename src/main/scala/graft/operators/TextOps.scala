@@ -490,6 +490,22 @@ object TextOps {
   }
 
   /**
+   * Feature-hashing vectorizer (the "hashing trick"): text → fixed-width
+   * bucket-count vector, token t incrementing bucket portableHash(t) mod
+   * `dim`. The no-vocabulary text vectorizer — stable under corpus growth
+   * (no dictionary to rebuild), cross-engine deterministic (md5-derived
+   * hash), and a pure zero-shuffle projection: per-doc counting is
+   * array-local (O(dim · tokens) comparisons — fine for the small dims the
+   * trick is used at; a dim in the thousands would want the explode +
+   * groupBy shape instead).
+   */
+  def hashVectorize(text: Column, dim: Int): Column = {
+    val t = tokens(normalize(text))
+    transform(sequence(lit(0), lit(dim - 1)),
+      b => size(filter(t, tok => pmod(portableHash(tok), lit(dim)) === b)))
+  }
+
+  /**
    * Byte-pair-encoding tokenizer training: starting from character-level
    * segmentation of the corpus word vocabulary (weighted by word frequency),
    * repeatedly find the most frequent adjacent symbol pair and merge it

@@ -80,6 +80,24 @@ class CorpusSignalsSpec extends SparkSpec {
     }
   }
 
+  test("hashVectorize: buckets partition the token multiset") {
+    val docs = Seq((1L, "a b c a"), (2L, "xyz")).toDF("doc_id", "text")
+    val dim = 8
+    val r = docs.select(col("doc_id"),
+        TextOps.hashVectorize(col("text"), dim).as("v"),
+        size(TextOps.tokens(TextOps.normalize(col("text")))).as("n"))
+      .collect()
+    r.foreach { row =>
+      val v = row.getSeq[Int](1)
+      assert(v.length == dim)
+      assert(v.sum == row.getInt(2), "bucket counts must sum to token count")
+      assert(v.forall(_ >= 0))
+    }
+    // duplicate tokens land in the same bucket: doc 1's "a"×2 gives a
+    // bucket of exactly 2 somewhere
+    assert(r.find(_.getLong(0) == 1L).get.getSeq[Int](1).contains(2))
+  }
+
   test("bpeTrain: frequency-weighted merges with deterministic tie-break") {
     // vocab: "aa"×2, "ab"×1 → pair (a,a) weight 2 wins round 1; after the
     // merge "aa" is a single symbol, so round 2's only pair is (a,b)
