@@ -2371,6 +2371,82 @@ object Queries {
            |FROM r3""".stripMargin
       }),
 
+    // Min-max feature scaling: per-dimension corpus min/max fitted eagerly
+    // to plan-time literals (the bm25-scalars pattern — no 1-row broadcast
+    // join), transform stays a zero-shuffle projection. Scalar projections
+    // + quantized checksum pin all 64 dims.
+    ("emb_minmax_scale",
+      (s: SparkSession, d: String) => {
+        val dim = 64
+        val emb = Tables.embeddings(s, d)
+        val (mins, maxs) = Embeddings.minMaxStats(emb, col("embedding"), dim)
+        val scaled = Embeddings.minMaxScale(col("embedding"), mins, maxs)
+        emb.select(col("vec_id"),
+          element_at(scaled, 1).as("s0"), element_at(scaled, 2).as("s1"),
+          element_at(scaled, 3).as("s2"), element_at(scaled, 4).as("s3"),
+          aggregate(transform(scaled, x => floor(x * lit(1048576.0)).cast("long")),
+            lit(0L), (a, x) => a + x).as("qsum"))
+      },
+      Some {
+        // aggregates cannot appear inside DuckDB lambdas — build the
+        // min/max vectors as explicit per-dimension aggregate lists
+        val mnList = (1 to 64).map(i => s"min(ve[$i])").mkString(", ")
+        val mxList = (1 to 64).map(i => s"max(ve[$i])").mkString(", ")
+        s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS ve
+          |           FROM embeddings),
+          |stats AS (
+          |  SELECT [$mnList] AS mn,
+          |         [$mxList] AS mx
+          |  FROM v),
+          |sc AS (
+          |  SELECT vec_id,
+          |         list_transform(range(1, 65),
+          |           i -> (ve[i] - mn[i]) / (mx[i] - mn[i])) AS sv
+          |  FROM v, stats)
+          |SELECT vec_id, sv[1] AS s0, sv[2] AS s1, sv[3] AS s2, sv[4] AS s3,
+          |       list_sum(list_transform(sv, x -> floor(x * 1048576.0)::bigint))::bigint AS qsum
+          |FROM sc""".stripMargin
+      }),
+
+    // Robust per-group outlier profile: value quantized to exact longs so
+    // n/Σq/Σq² are order-independent; mean/variance/z-threshold derived in
+    // identical double arithmetic on both engines. The variance-aggregate
+    // shape (sum/sum-of-squares through one exchange, stats broadcast back).
+    ("events_outliers",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d).select(col("event_type"),
+          floor(col("value") * 1000).cast("long").as("q"))
+        val stats = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+            sum(col("q") * col("q")).as("ss"))
+          .withColumn("mean_q", col("s").cast("double") / col("n"))
+          .withColumn("var_q",
+            (col("ss").cast("double") - col("s").cast("double") * col("s").cast("double") / col("n"))
+              / col("n"))
+          .select(col("event_type"), col("n"), col("mean_q"), col("var_q"))
+        ev.join(broadcast(stats), "event_type")
+          .withColumn("is_out",
+            (abs(col("q").cast("double") - col("mean_q")) >
+              lit(1.5) * sqrt(col("var_q"))).cast("int"))
+          .groupBy(col("event_type"), col("n"), col("mean_q"), col("var_q"))
+          .agg(sum(col("is_out")).as("n_outliers"))
+      },
+      Some(
+        """WITH ev AS (
+          |  SELECT event_type, floor(value * 1000)::bigint AS q FROM events),
+          |stats AS (
+          |  SELECT event_type, count(*) AS n,
+          |         cast(sum(q) AS double) / count(*) AS mean_q,
+          |         (cast(sum(q * q) AS double)
+          |            - cast(sum(q) AS double) * cast(sum(q) AS double) / count(*))
+          |           / count(*) AS var_q
+          |  FROM ev GROUP BY 1)
+          |SELECT event_type, n, mean_q, var_q,
+          |       sum(CASE WHEN abs(q::double - mean_q) > 1.5 * sqrt(var_q)
+          |                THEN 1 ELSE 0 END)::bigint AS n_outliers
+          |FROM ev JOIN stats USING (event_type)
+          |GROUP BY 1, 2, 3, 4""".stripMargin)),
+
     // ---- ANN scale path: hyperplane-LSH bucket assignment -----------------
     // Bucket id = sign bits of 8 md5-derived pseudo-random hyperplane
     // projections. Deterministic across engines: coefficients come from the

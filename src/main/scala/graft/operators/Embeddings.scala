@@ -73,6 +73,33 @@ object Embeddings {
    * is O(dim). The centroid table is O(labels · dim) and broadcastable
    * downstream.
    */
+  /**
+   * Per-dimension corpus min/max — the fit half of min-max feature scaling.
+   * One projection-aggregate (2·dim partial min/max buffers, map-side
+   * combined), fetched eagerly to the driver as O(dim) literals so the
+   * transform half stays a zero-shuffle projection with plan-time constants
+   * (the bm25-scalars pattern; no 1-row broadcast join in the plan).
+   */
+  def minMaxStats(df: DataFrame, vecCol: Column, dim: Int): (Array[Double], Array[Double]) = {
+    val v = Similarity.asDouble(vecCol)
+    val aggs = (0 until dim).map(i => min(v.getItem(i)).as(s"mn_$i")) ++
+      (0 until dim).map(i => max(v.getItem(i)).as(s"mx_$i"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    ((0 until dim).map(row.getDouble).toArray,
+      (dim until 2 * dim).map(row.getDouble).toArray)
+  }
+
+  /** Min-max scale a vector against fitted stats: (x − min)/(max − min),
+    * constant dims mapping to 0. Exact-input IEEE arithmetic — identical in
+    * every engine, so the scaled values are oracle-verifiable. */
+  def minMaxScale(vec: Column, mins: Array[Double], maxs: Array[Double]): Column = {
+    val v = Similarity.asDouble(vec)
+    array(mins.indices.map { i =>
+      if (maxs(i) == mins(i)) lit(0.0)
+      else (v.getItem(i) - lit(mins(i))) / lit(maxs(i) - mins(i))
+    }: _*)
+  }
+
   def labelCentroids(df: DataFrame, labelCol: Column, vecCol: Column,
       dim: Int): DataFrame = {
     val scale = 1L << 20
