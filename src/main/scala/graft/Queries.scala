@@ -1702,6 +1702,27 @@ object Queries {
           |      FROM documents)
           |ORDER BY priority, doc_id LIMIT 200""".stripMargin)),
 
+    // Weighted sampling PER GROUP: per language, 30 documents drawn with
+    // probability increasing in length — balanced AND weighted corpus
+    // construction in one pass (group-keyed exchange + per-group top-k).
+    ("sample_weighted_per_group",
+      (s: SparkSession, d: String) =>
+        Sampling.priorityPerGroup(
+            Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+            Seq(col("lang")), col("doc_id"), col("n_chars"), 30)
+          .select(col("lang"), col("doc_id"), col("n_chars")),
+      Some(
+        """SELECT lang, doc_id, n_chars FROM (
+          |  SELECT lang, doc_id, n_chars,
+          |         row_number() OVER (
+          |           PARTITION BY lang
+          |           ORDER BY cast(('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint
+          |                           % 1125899906842624 + 1 AS double)
+          |                      / cast(n_chars AS double),
+          |                    doc_id) AS rn
+          |  FROM documents)
+          |WHERE rn <= 30""".stripMargin)),
+
     // Stratified quota: at most 100 events per type, drawn in deterministic
     // hash order — the "cap boilerplate domains / balance classes" primitive.
     ("sample_stratified",

@@ -67,6 +67,27 @@ object Sampling {
   }
 
   /**
+   * Weighted sample without replacement PER GROUP: [[prioritySample]]'s
+   * priority key (u/w from the portable hash — one IEEE division,
+   * bit-identical cross-engine) ranked inside each group, keeping the k
+   * smallest. The balanced-and-weighted corpus-construction primitive:
+   * "per language, sample documents proportional to length". One hash
+   * exchange on the group key + a per-group top-k window — same shape as
+   * [[quotaPerGroup]], weighted.
+   */
+  def priorityPerGroup(df: DataFrame, groupCols: Seq[Column], idCol: Column,
+      weightCol: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = pmod(TextOps.portableHash(idCol.cast("string")),
+      lit(1125899906842624L)) + lit(1L)
+    val w = Window.partitionBy(groupCols: _*)
+      .orderBy(u.cast("double") / weightCol.cast("double"), idCol)
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .drop("sample_rank")
+  }
+
+  /**
    * Stratified quota sample: at most `k` rows per group, selected in
    * portable-hash order of the id (a deterministic uniform draw) with the id
    * itself as tie-break. The classic "cap boilerplate domains" /

@@ -77,4 +77,24 @@ class SamplingSpec extends SparkSpec {
       Seq((1L, "t"), (2L, "t")).toDF("id", "grp"), Seq(col("grp")), col("id"), 25)
     assert(tiny.count() == 2)
   }
+
+  test("priorityPerGroup: per-group caps, weight bias, exact determinism") {
+    // two groups; in each, ids <= 100 carry weight 100 and the rest weight 1
+    val df = (1L to 400L).map { i =>
+      val grp = if (i % 2 == 0) "a" else "b"
+      (i, grp, if (i <= 100) 100 else 1)
+    }.toDF("id", "grp", "w")
+    val sampled = Sampling.priorityPerGroup(df, Seq(col("grp")), col("id"),
+      col("w"), 30)
+    val byGroup = sampled.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(byGroup == Map("a" -> 30L, "b" -> 30L))
+    // weight bias: heavy rows (25% of each group) should dominate the sample
+    val heavy = sampled.filter(col("w") === 100).count()
+    assert(heavy > 40, s"expected heavy-row dominance, got $heavy/60")
+    // exact determinism, independent of partitioning
+    val again = Sampling.priorityPerGroup(df.repartition(13), Seq(col("grp")),
+      col("id"), col("w"), 30)
+    assert(sampled.select("id").as[Long].collect().sorted.toSeq ==
+      again.select("id").as[Long].collect().sorted.toSeq)
+  }
 }
