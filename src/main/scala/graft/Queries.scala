@@ -1423,6 +1423,52 @@ object Queries {
           |       (CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0 END)::int AS is_dup
           |FROM verified""".stripMargin)),
 
+    // Ensemble near-dup verdict: LSH candidates scored by BOTH exact n-gram
+    // Jaccard and SimHash Hamming distance, flagged when either signal
+    // fires — the multi-signal fusion a production dedup pass runs so one
+    // estimator's blind spot (shingle-set vs token-frequency views) cannot
+    // silently pass a duplicate. Costs one extra broadcast-joinable
+    // fingerprint table over the verified chain.
+    ("dedup_ensemble",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val cands = Dedup.lshCandidates(Dedup.lshBuckets(
+          Dedup.minhashSignatures(docs, col("text"), col("doc_id"))))
+        val ver = Dedup.ngramJaccard(cands, docs, col("text"), col("doc_id"))
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        val f = Dedup.simhash(docs, col("text"), col("doc_id"))
+        ver
+          .join(f.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")), "doc_a")
+          .join(f.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("jaccard"),
+            bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+          .withColumn("is_dup",
+            (col("jaccard") >= 0.8 || col("hamming") <= 6).cast("int"))
+      },
+      Some(lshCandCtes + nearDupVerifyCtes +
+        """, enstok AS (
+          |  SELECT DISTINCT doc_id, t AS token
+          |  FROM (SELECT doc_id,
+          |               unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS t
+          |        FROM documents)),
+          |ensh AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::bigint AS h FROM enstok),
+          |ensbits AS (
+          |  SELECT doc_id, b,
+          |         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+          |  FROM ensh CROSS JOIN (SELECT unnest(range(0, 60)) AS b) GROUP BY 1, 2),
+          |enshash AS (
+          |  SELECT doc_id,
+          |         cast(sum(CASE WHEN votes > 0 THEN (1::bigint << b) ELSE 0 END) AS bigint) AS simhash
+          |  FROM ensbits GROUP BY 1)
+          |SELECT v.doc_a, v.doc_b, v.jaccard,
+          |       bit_count(xor(a.simhash, b.simhash))::int AS hamming,
+          |       (CASE WHEN v.jaccard >= 0.8
+          |                  OR bit_count(xor(a.simhash, b.simhash)) <= 6
+          |             THEN 1 ELSE 0 END)::int AS is_dup
+          |FROM verified v
+          |JOIN enshash a ON a.doc_id = v.doc_a
+          |JOIN enshash b ON b.doc_id = v.doc_b""".stripMargin)),
+
     // Transitive canonicalization: connected components over the verified
     // near-dup graph — (A,B), (B,C) collapse into one group even though
     // (A,C) was never compared. Oracle = a recursive CTE computing min
