@@ -1497,6 +1497,60 @@ object Queries {
           |  SELECT id, lbl FROM r)
           |GROUP BY 1""".stripMargin)),
 
+    // Canonical-document selection: within each transitive duplicate
+    // cluster, keep the highest-quality document (quality-score argmax,
+    // doc_id tie-break) instead of the smallest id — what a corpus builder
+    // actually wants from dedup. Composition of connectedComponents ×
+    // textStats; one window over the component key.
+    ("dedup_canonical_pick",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val cands = Dedup.lshCandidates(Dedup.lshBuckets(
+          Dedup.minhashSignatures(docs, col("text"), col("doc_id"))))
+        val dupPairs = Dedup.ngramJaccard(cands, docs, col("text"), col("doc_id"))
+          .filter(col("jaccard") >= 0.8).select(col("doc_a"), col("doc_b"))
+        val comp = Dedup.connectedComponents(docs.select(col("doc_id").as("id")), dupPairs)
+          .select(col("id").as("doc_id"), col("component"))
+        val qual = TextOps.textStats(docs, col("text"), col("doc_id"))
+          .select(col("doc_id"), col("quality_score"))
+        val w = Window.partitionBy(col("component"))
+          .orderBy(col("quality_score").desc, col("doc_id"))
+        comp.join(qual, "doc_id")
+          .withColumn("is_canonical", (row_number().over(w) === 1).cast("int"))
+          .select(col("component"), col("doc_id"), col("quality_score"),
+            col("is_canonical"))
+      },
+      Some(lshCandCtes + nearDupVerifyCtes +
+        """, comp AS (
+          |  SELECT id AS doc_id, min(lbl) AS component
+          |  FROM (
+          |    WITH RECURSIVE r(id, lbl) AS (
+          |      SELECT doc_id, doc_id FROM documents
+          |      UNION
+          |      SELECT e.src, r.lbl
+          |      FROM (SELECT doc_a AS src, doc_b AS dst FROM verified WHERE jaccard >= 0.8
+          |            UNION ALL
+          |            SELECT doc_b AS src, doc_a AS dst FROM verified WHERE jaccard >= 0.8) e
+          |      JOIN r ON r.id = e.dst)
+          |    SELECT id, lbl FROM r)
+          |  GROUP BY 1),
+          |qn AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+          |       FROM documents),
+          |qtok AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM qn),
+          |qual AS (
+          |  SELECT doc_id,
+          |         cast(len(list_distinct(toks)) AS double) / len(toks) * 0.6
+          |           + least(len(toks) / 100.0, 1.0) * 0.3
+          |           + (1.0 - cast(len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS double)
+          |                      / len(toks)) * 0.1 AS quality_score
+          |  FROM qtok)
+          |SELECT component, doc_id, quality_score,
+          |       (CASE WHEN row_number() OVER (PARTITION BY component
+          |                                     ORDER BY quality_score DESC, doc_id) = 1
+          |             THEN 1 ELSE 0 END)::int AS is_canonical
+          |FROM comp JOIN qual USING (doc_id)""".stripMargin)),
+
     // The dedup *output*: documents surviving near-dedup (drop any doc that
     // is a verified near-duplicate of a smaller-id doc).
     ("dedup_near_keep",
