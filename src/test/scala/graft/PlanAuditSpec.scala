@@ -57,6 +57,29 @@ class PlanAuditSpec extends SparkSpec {
       .foreach(q => assert(shuffles(q) == 1, s"$q should have exactly 1 shuffle"))
   }
 
+  test("round-7 aggregation queries keep their designed exchange counts") {
+    def shuffles(name: String): Int = {
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+      Seq("Exchange hashpartitioning", "Exchange SinglePartition", "Exchange rangepartitioning")
+        .map(p => plan.sliding(p.length).count(_ == p)).sum
+    }
+    // shape → count: repetition = (gram-count + doc-agg) × two n-gram sizes;
+    // boilerplate = shingle window + doc agg; lm = bigram window + w1 window
+    // + doc agg; packing = one shard window; centroids = one label exchange;
+    // SCD2 = ONE exchange shared by both windows and the run aggregation
+    // (they all partition on the entity key); weighted per-group sample =
+    // one group window; bpe/minmax = 0 (their fit halves run eagerly at
+    // construction, the returned frame is a local/projection plan)
+    Map("text_repetition" -> 4, "text_boilerplate" -> 2, "text_lm_score" -> 3,
+      "text_pack_sequences" -> 1, "emb_label_centroids" -> 1,
+      "events_scd2_history" -> 1, "sample_weighted_per_group" -> 1,
+      "text_bpe_train" -> 0, "emb_minmax_scale" -> 0)
+      .foreach { case (q, expected) =>
+        assert(shuffles(q) == expected,
+          s"$q expected $expected exchanges, got ${shuffles(q)}")
+      }
+  }
+
   test("filters reach the parquet scan (pushdown) on the canonical scan query") {
     val plan = SparkEntry.queries("tpch_q6_revenue")(spark, sfDir)
       .queryExecution.executedPlan.toString
