@@ -2264,6 +2264,70 @@ object Queries {
           |SELECT shard, doc_id, n_tokens, prefix, (prefix // 1024)::bigint AS seq_id
           |FROM p""".stripMargin)),
 
+    // The round-7 pipeline capstone: repetition gate × LM-score gate ×
+    // boilerplate gate, survivors packed into token-budget training
+    // sequences per source shard — the new corpus signals composed into one
+    // job (complementing corpus_pipeline's dedup → quality → redact →
+    // split). The oracle recomputes every stage.
+    ("corpus_pipeline_v2",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val rep = TextOps.repetitionStats(docs, col("text"), col("doc_id"), 2)
+          .select(col("doc_id"), col("top_2gram_ratio"), col("dup_2gram_ratio"))
+        val lm = TextOps.lmScore(docs, col("text"), col("doc_id"))
+          .select(col("doc_id"), col("lm_score"))
+        val boiler = TextOps.boilerplateStats(docs, col("text"), col("doc_id"))
+          .select(col("doc_id"), col("boiler_ratio"))
+        val keep = docs.join(rep, "doc_id").join(lm, "doc_id").join(boiler, "doc_id")
+          .filter(col("top_2gram_ratio") <= 0.08 && col("dup_2gram_ratio") <= 0.15 &&
+            col("lm_score") >= 0.033 && col("boiler_ratio") <= 0.05)
+        TextOps.packSequences(keep, col("text"), col("doc_id"), col("source"), 1024)
+      },
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id, source,
+          |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+          |  FROM documents),
+          |g2 AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 1),
+          |                             i -> array_to_string(toks[i + 1:i + 2], ' '))) AS gram
+          |       FROM toks WHERE len(toks) >= 2),
+          |c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+          |m2 AS (SELECT doc_id, cast(max(c) AS double) / sum(c) AS top2,
+          |              cast(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS double) / sum(c) AS dup2
+          |       FROM c2 GROUP BY 1),
+          |bi AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 1),
+          |                             i -> array_to_string(toks[i + 1:i + 2], ' '))) AS bigram
+          |       FROM toks WHERE len(toks) >= 2),
+          |c12 AS (SELECT bigram, count(*) AS c12 FROM bi GROUP BY 1),
+          |c1 AS (SELECT string_split(bigram, ' ')[1] AS w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+          |model AS (SELECT bigram, (c12 * 1073741824) // c1 AS p_scaled
+          |          FROM c12 JOIN c1 ON string_split(bigram, ' ')[1] = w1),
+          |lm AS (SELECT doc_id,
+          |              cast(sum(p_scaled) AS double) / (count(*) * 1073741824.0) AS lm_score
+          |       FROM bi JOIN model USING (bigram) GROUP BY 1),
+          |sh0 AS (SELECT DISTINCT doc_id, shingle FROM (
+          |  SELECT doc_id,
+          |         unnest(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+          |                ELSE list_transform(range(0, len(toks) - 2),
+          |                                    i -> array_to_string(toks[i + 1:i + 3], ' ')) END) AS shingle
+          |  FROM toks)),
+          |dfq AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY 1),
+          |bo AS (SELECT doc_id,
+          |              cast(sum(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS double) / count(*) AS boiler_ratio
+          |       FROM sh0 JOIN dfq USING (shingle) GROUP BY 1),
+          |keep AS (
+          |  SELECT t.doc_id, t.source AS shard, len(t.toks)::int AS n_tokens
+          |  FROM toks t JOIN m2 USING (doc_id) JOIN lm USING (doc_id) JOIN bo USING (doc_id)
+          |  WHERE m2.top2 <= 0.08 AND m2.dup2 <= 0.15
+          |    AND lm.lm_score >= 0.033 AND bo.boiler_ratio <= 0.05),
+          |p AS (
+          |  SELECT shard, doc_id, n_tokens,
+          |         coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint AS prefix
+          |  FROM keep)
+          |SELECT shard, doc_id, n_tokens, prefix, (prefix // 1024)::bigint AS seq_id
+          |FROM p""".stripMargin)),
+
     // Gopher-style quality battery: every rule's metric + verdict per doc.
     ("text_quality_filter",
       (s: SparkSession, d: String) =>
