@@ -80,6 +80,21 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("hot-path projections stay inside whole-stage codegen") {
+    // the zero-shuffle projections must execute as a single codegen'd stage
+    // over the scan — an interpreted expression (UDF, non-codegen Expression)
+    // would break the WholeStageCodegen span
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    Seq("flight_parse", "text_stats", "emb_normalize", "text_chunk_windows",
+      "text_hash_vectorize", "scalar_functions", "events_zorder_key")
+      .foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan
+        assert(plan.exists(_.isInstanceOf[WholeStageCodegenExec]),
+          s"$name lost whole-stage codegen:\n$plan")
+      }
+  }
+
   test("filters reach the parquet scan (pushdown) on the canonical scan query") {
     val plan = SparkEntry.queries("tpch_q6_revenue")(spark, sfDir)
       .queryExecution.executedPlan.toString
