@@ -1763,6 +1763,76 @@ object Queries {
           |       END AS lang_pred
           |FROM scored""".stripMargin)),
 
+    // Classifier-eval confusion matrix: predicted language (marker argmax)
+    // vs the labeled lang column — the model-evaluation aggregate every
+    // filter/classifier in the pipeline needs. One exchange on the
+    // (actual, predicted) pair.
+    ("text_langid_confusion",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        TextOps.langId(docs, col("text"), col("doc_id"))
+          .select(col("doc_id"), col("lang_pred"))
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .groupBy(col("lang"), col("lang_pred"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("lang") === col("lang_pred"), 1L).otherwise(0L)).as("n_correct"))
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT doc_id, lang,
+          |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+          |  FROM documents),
+          |scored AS (
+          |  SELECT doc_id, lang,
+          |         len(list_filter(toks, x -> x IN ('the','a')))::int AS score_en,
+          |         len(list_filter(toks, x -> x IN ('data','table')))::int AS score_es,
+          |         len(list_filter(toks, x -> x IN ('window','group')))::int AS score_de,
+          |         len(list_filter(toks, x -> x IN ('join','merge')))::int AS score_fr,
+          |         len(list_filter(toks, x -> x IN ('vector','batch')))::int AS score_zh
+          |  FROM tok),
+          |pred AS (
+          |  SELECT lang,
+          |         CASE
+          |           WHEN greatest(score_en, score_es, score_de, score_fr, score_zh) = 0 THEN 'und'
+          |           WHEN score_en = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'en'
+          |           WHEN score_es = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'es'
+          |           WHEN score_de = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'de'
+          |           WHEN score_fr = greatest(score_en, score_es, score_de, score_fr, score_zh) THEN 'fr'
+          |           ELSE 'zh'
+          |         END AS lang_pred
+          |  FROM scored)
+          |SELECT lang, lang_pred, count(*) AS n,
+          |       sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END)::bigint AS n_correct
+          |FROM pred GROUP BY 1, 2""".stripMargin)),
+
+    // Cohort retention: users bucketed by first-activity week, distinct
+    // active users per (cohort, weeks-since-first) — the product-analytics
+    // staple (two aggregations + one join; day arithmetic pinned to date
+    // casts so both engines count identical boundaries).
+    ("events_cohort_retention",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+        val first = ev.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+        ev.join(first, "user_id")
+          .select(
+            ntz(date_trunc("week", col("first_ts"))).as("cohort_week"),
+            expr("datediff(cast(ts AS date), cast(first_ts AS date)) div 7")
+              .cast("int").as("week_offset"),
+            col("user_id"))
+          .distinct()
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some(
+        """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+          |a AS (
+          |  SELECT DISTINCT date_trunc('week', f.first_ts) AS cohort_week,
+          |         (date_diff('day', f.first_ts::date, e.ts::date) // 7)::int AS week_offset,
+          |         e.user_id
+          |  FROM events e JOIN f USING (user_id))
+          |SELECT cohort_week, week_offset, count(*) AS n_users
+          |FROM a GROUP BY 1, 2""".stripMargin)),
+
     // ---- Training-set assembly: split / stratified sample / redaction -----
     // Hash-split: reproducible, engine-independent, stable under data growth
     // (a doc's split never changes when the corpus grows) — rand() has none
