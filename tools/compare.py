@@ -55,6 +55,17 @@ def main(sfdir: str, outdir: str) -> int:
         bad = []
         for c in g.columns:
             gv, ev = g[c], e[c]
+            # Dtype-kind drift (int vs float) means the driver's hash gate
+            # would fail even when values are numerically equal — e.g. DuckDB
+            # HUGEINT coerced to float64 by pandas vs Spark LongType. Flag it
+            # instead of silently downgrading to a float compare.
+            int_kinds = ("i", "u")
+            if (gv.dtype.kind in int_kinds) != (ev.dtype.kind in int_kinds):
+                bad.append(
+                    f"{c} (dtype kind mismatch: engine {gv.dtype} vs oracle "
+                    f"{ev.dtype} — driver hashes these differently; cast the "
+                    f"oracle, e.g. ::bigint for HUGEINT sums)")
+                continue
             if gv.dtype.kind == "f" or ev.dtype.kind == "f":
                 gv2 = gv.astype(float); ev2 = ev.astype(float)
                 neq = ~((gv2 == ev2) | (gv2.isna() & ev2.isna()))
