@@ -1166,6 +1166,136 @@ object Queries {
           |ORDER BY revenue DESC, c_custkey
           |LIMIT 20""".stripMargin)),
 
+    // Q2 shape (adapted: lineitem price stands in for the absent partsupp
+    // supplycost): per ECONOMY part, the EUROPE supplier(s) achieving the
+    // minimum observed price — the correlated-min-over-a-4-way-join plan.
+    // Spark side decorrelates to a window min over the ONE joined frame
+    // (partition = part key, small groups) instead of the aggregate +
+    // join-back, which would recompute the join on both sides; the oracle
+    // keeps the genuinely correlated subquery. min() of doubles picks an
+    // existing value (no arithmetic) so equality is engine-exact; DISTINCT
+    // collapses repeat (part, supplier) trades at the min price, mirroring
+    // partsupp's uniqueness.
+    ("tpch_q2_min_cost_supplier",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val joined = Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+            .select(col("p_partkey"), col("p_name"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+        joined
+          .withColumn("min_price",
+            min(col("l_extendedprice")).over(Window.partitionBy(col("p_partkey"))))
+          .filter(col("l_extendedprice") === col("min_price"))
+          .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+            col("n_name"), col("s_acctbal"), col("min_price"))
+          .distinct()
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+            col("p_partkey"), col("s_suppkey"))
+          .limit(100)
+      },
+      Some(
+        """SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, n.n_name,
+          |       s.s_acctbal, l.l_extendedprice AS min_price
+          |FROM lineitem l
+          |JOIN part p ON l.l_partkey = p.p_partkey
+          |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |JOIN nation n ON s.s_nationkey = n.n_nationkey
+          |JOIN region r ON n.n_regionkey = r.r_regionkey
+          |WHERE p.p_type = 'ECONOMY' AND r.r_name = 'EUROPE'
+          |  AND l.l_extendedprice = (
+          |    SELECT min(l2.l_extendedprice)
+          |    FROM lineitem l2
+          |    JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+          |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+          |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+          |    WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+          |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+          |LIMIT 100""".stripMargin)),
+
+    // Q9 shape (adapted: p_retailprice × quantity stands in for the absent
+    // partsupp supplycost): profit by supplier nation × order year over the
+    // 5-way lineitem ⋈ part ⋈ supplier ⋈ orders ⋈ nation join — the
+    // multi-way rollup plan. All three dims broadcast; orders is the only
+    // shuffled join side. The profit expression is three IEEE double ops
+    // (bit-identical cross-engine) quantized to decimal(18,4) before the
+    // order-sensitive sum.
+    ("tpch_q9_profit_rollup",
+      (s: SparkSession, d: String) => {
+        val amount = (col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          col("p_retailprice") * col("l_quantity")).cast("decimal(18,4)")
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d).filter(col("p_name").like("%widget%"))
+            .select(col("p_partkey"), col("p_retailprice"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(Tables.supplier(s, d)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+          .agg(sum(amount).cast("double").as("sum_profit"))
+      },
+      Some(
+        """SELECT n_name, year(o_orderdate)::int AS o_year,
+          |       cast(sum(cast(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity
+          |                     AS decimal(18,4))) AS double) AS sum_profit
+          |FROM lineitem
+          |JOIN part ON l_partkey = p_partkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN orders ON l_orderkey = o_orderkey
+          |WHERE p_name LIKE '%widget%'
+          |GROUP BY 1, 2""".stripMargin)),
+
+    // Q11 shape (adapted: shipped value per part for one region's suppliers
+    // stands in for partsupp stock value): parts whose value exceeds 2× the
+    // average part value — the HAVING-over-a-global-scalar plan. Both
+    // scalars (total value, part count) ride ONE 1-row broadcast (nested
+    // loop by construction, bounded — exempted in PlanAuditSpec, the q22
+    // precedent); the threshold compare is integer-scaled decimal×count so
+    // no division ever happens — exact in both engines.
+    ("tpch_q11_important_parts",
+      (s: SparkSession, d: String) => {
+        val base = Tables.lineitem(s, d)
+          .join(broadcast(Tables.supplier(s, d)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("l_partkey"),
+            (col("l_extendedprice") * col("l_quantity")).cast("decimal(18,4)").as("v"))
+        val scalars = base.agg(sum(col("v")).as("total"),
+          countDistinct(col("l_partkey")).as("nparts"))
+        base.groupBy(col("l_partkey")).agg(sum(col("v")).as("value_dec"))
+          .crossJoin(broadcast(scalars))
+          .filter(col("value_dec") * col("nparts") > col("total") * 2)
+          .select(col("l_partkey"), col("value_dec").cast("double").as("part_value"))
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT l_partkey, cast(l_extendedprice * l_quantity AS decimal(18,4)) AS v
+          |  FROM lineitem
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN nation ON s_nationkey = n_nationkey
+          |  JOIN region ON n_regionkey = r_regionkey
+          |  WHERE r_name = 'ASIA'),
+          |tot AS (SELECT sum(v) AS total, count(DISTINCT l_partkey) AS nparts FROM base)
+          |SELECT l_partkey, cast(sum(v) AS double) AS part_value
+          |FROM base, tot
+          |GROUP BY l_partkey, total, nparts
+          |HAVING sum(v) * nparts > total * 2""".stripMargin)),
+
     // Q12 shape (adapted: testdata has no l_shipmode/commitdate): per return
     // flag, high- vs low-priority line counts for a ship-year — the
     // conditional-count-over-join plan, exact long sums.
@@ -2226,6 +2356,24 @@ object Queries {
           |FROM shingle_rows JOIN dfreq USING (shingle)
           |GROUP BY 1""".stripMargin)),
 
+    // The at-scale form of text_boilerplate: two-level df count + heavy-key
+    // broadcast attach (no whole-partition window — a shingle held by 10% of
+    // a 100 TB corpus must not land in one task). heavyCut=8 is deliberately
+    // low so BOTH the broadcast (hot) and bounded-join (cold) branches carry
+    // rows at gate scale; identical result by construction, pinned by the
+    // same oracle.
+    ("text_boilerplate_skewsafe",
+      (s: SparkSession, d: String) =>
+        TextOps.boilerplateStats(Tables.documents(s, d), col("text"),
+          col("doc_id"), n = 3, minDf = 5, skewSafe = true, heavyCut = 8L),
+      Some(shingleCte +
+        """, dfreq AS (SELECT shingle, count(*) AS df FROM shingle_rows GROUP BY 1)
+          |SELECT doc_id, count(*)::bigint AS n_shingles,
+          |       sum(CASE WHEN df >= 5 THEN 1 ELSE 0 END)::bigint AS n_boiler,
+          |       cast(sum(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS double) / count(*) AS boiler_ratio
+          |FROM shingle_rows JOIN dfreq USING (shingle)
+          |GROUP BY 1""".stripMargin)),
+
     // Train/test contamination: per held-out test doc, coverage of its
     // distinct 3-gram shingles by the train split (same hash-split as
     // split_train_val_test). Partial overlap is the base rate; the flag
@@ -2271,6 +2419,32 @@ object Queries {
     ("text_lm_score",
       (s: SparkSession, d: String) =>
         TextOps.lmScore(Tables.documents(s, d), col("text"), col("doc_id")),
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+          |  FROM documents),
+          |bi AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 1),
+          |                             i -> array_to_string(toks[i + 1:i + 2], ' '))) AS bigram
+          |       FROM toks WHERE len(toks) >= 2),
+          |c12 AS (SELECT bigram, count(*) AS c12 FROM bi GROUP BY 1),
+          |c1 AS (SELECT string_split(bigram, ' ')[1] AS w1, sum(c12) AS c1
+          |       FROM c12 GROUP BY 1),
+          |model AS (SELECT bigram, (c12 * 1073741824) // c1 AS p_scaled
+          |          FROM c12 JOIN c1 ON string_split(bigram, ' ')[1] = w1)
+          |SELECT doc_id, count(*)::bigint AS n_bigrams,
+          |       cast(sum(p_scaled) AS double) / (count(*) * 1073741824.0) AS lm_score
+          |FROM bi JOIN model USING (bigram)
+          |GROUP BY 1""".stripMargin)),
+
+    // The at-scale form of text_lm_score: distinct-bigram model table +
+    // heavy-bigram broadcast attach (no whole-partition window over "the …"
+    // occurrences). Same oracle as text_lm_score — the model-table CTE shape
+    // is literally what the skew-safe Spark plan computes.
+    ("text_lm_score_skewsafe",
+      (s: SparkSession, d: String) =>
+        TextOps.lmScore(Tables.documents(s, d), col("text"), col("doc_id"),
+          skewSafe = true, heavyCut = 8L),
       Some(
         """WITH toks AS (
           |  SELECT doc_id,
@@ -2656,7 +2830,8 @@ object Queries {
           |sc AS (
           |  SELECT vec_id,
           |         list_transform(range(1, 65),
-          |           i -> (ve[i] - mn[i]) / (mx[i] - mn[i])) AS sv
+          |           i -> CASE WHEN mx[i] = mn[i] THEN 0.0
+          |                ELSE (ve[i] - mn[i]) / (mx[i] - mn[i]) END) AS sv
           |  FROM v, stats)
           |SELECT vec_id, sv[1] AS s0, sv[2] AS s1, sv[3] AS s2, sv[4] AS s3,
           |       list_sum(list_transform(sv, x -> floor(x * 1048576.0)::bigint))::bigint AS qsum

@@ -106,29 +106,69 @@ object TextOps {
   }
 
   /**
+   * Skew-safe lookup attach: joins `rows` to a keyed `lookup` table whose
+   * `cntCol` records how many `rows` carry each key, splitting the lookup at
+   * `heavyCut` occurrences. Heavy keys (≥ heavyCut) are attached via a
+   * broadcast hash join — their rows never shuffle, so a key held by 10% of
+   * the corpus costs nothing beyond the map-side probe. Light keys are
+   * attached via an ordinary shuffle equi-join in which, by construction,
+   * no key has ≥ heavyCut rows — bounding every join partition's per-key
+   * work. The heavy table is broadcastable by pigeonhole: at most
+   * rows/heavyCut keys can reach the cut.
+   *
+   * Every key in `rows` must exist in `lookup` (lookup is derived from the
+   * same frame) and keys must be non-null (joins drop null keys; the
+   * explode-producing callers never emit them).
+   */
+  private def attachSkewSplit(rows: DataFrame, lookup: DataFrame, key: String,
+      cntCol: String, heavyCut: Long): DataFrame = {
+    val payload = lookup.columns.filterNot(_ == key)
+    val marked = rows.join(
+      broadcast(lookup.filter(col(cntCol) >= heavyCut)), Seq(key), "left_outer")
+    val hot = marked.filter(col(cntCol).isNotNull)
+    val cold = marked.filter(col(cntCol).isNull)
+      .drop(payload.toIndexedSeq: _*)
+      .join(lookup.filter(col(cntCol) < heavyCut), Seq(key))
+    hot.unionByName(cold)
+  }
+
+  /**
    * Corpus-level boilerplate detection: per document, the fraction of its
    * distinct n-gram shingles that are "boilerplate" — shared by at least
    * `minDf` documents corpus-wide. The cross-document complement of
    * [[repetitionStats]]: headers, navigation chrome, and license blocks that
    * repeat across a crawl rather than within one page.
    *
-   * Scale shape: document frequency is a whole-partition window count over
-   * the exploded shingles (shingles are distinct per doc, so rows-per-
-   * shingle IS the doc count) — one exchange on shingle, then one per-doc
-   * aggregation. Deliberately NOT the groupBy-df-then-self-join formulation:
-   * that recomputes the shingle explode on both join sides (measured 2× the
-   * explode cost at sf0.1) for an identical result. Skew caveat: a
-   * hyper-common shingle makes one hot window partition — the same hot key
-   * a groupBy would have, and boilerplate shingles are capped at corpus doc
-   * count per partition.
+   * Scale shape, two forms selected by `skewSafe`:
+   *  - `skewSafe = false` (small-corpus form): document frequency is a
+   *    whole-partition window count over the exploded shingles (shingles are
+   *    distinct per doc, so rows-per-shingle IS the doc count) — one
+   *    exchange, no second scan of the explode. A hyper-common shingle makes
+   *    one hot window partition, so this form is only for frames where the
+   *    hottest shingle's row count fits one task comfortably.
+   *  - `skewSafe = true` (at-scale form): two-level count — a map-side-
+   *    combined `groupBy(shingle).count()` (partial aggregation absorbs hot
+   *    keys before the exchange) — then [[attachSkewSplit]] to attach df.
+   *    Boilerplate detection exists precisely because some shingles appear
+   *    in a large fraction of the corpus; the window form would send every
+   *    row of such a shingle to one task, while here those rows take the
+   *    broadcast path and never shuffle.
    */
   def boilerplateStats(docs: DataFrame, textCol: Column, idCol: Column,
-      n: Int = 3, minDf: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    docs.select(idCol.as("doc_id"),
-        explode(shingles(normalize(textCol), n)).as("shingle"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .groupBy(col("doc_id"))
+      n: Int = 3, minDf: Int = 5, skewSafe: Boolean = false,
+      heavyCut: Long = 1L << 24): DataFrame = {
+    val ex = docs.select(idCol.as("doc_id"),
+      explode(shingles(normalize(textCol), n)).as("shingle"))
+    val attached =
+      if (!skewSafe) {
+        import org.apache.spark.sql.expressions.Window
+        ex.withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      } else {
+        attachSkewSplit(ex,
+          ex.groupBy(col("shingle")).agg(count(lit(1)).as("df")),
+          "shingle", "df", heavyCut)
+      }
+    attached.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
       .withColumn("boiler_ratio",
@@ -174,33 +214,66 @@ object TextOps {
    * corpus-typical text scores high; token salad scores low.
    *
    * Determinism: P(w2|w1) = c(w1 w2)/c(w1 ·) is quantized to integer
-   * parts-per-2^30 (`c12 * 2^30 div c1`, exact long arithmetic, truncating —
-   * floor and truncate agree on non-negatives), so the per-doc sum is an
-   * exact long in any aggregation order; only the final mean is a double,
-   * derived identically in every engine. The textbook mean-log-prob needs
-   * `ln`, which is not correctly-rounded-identical across engines — same
-   * trade as [[bm25]]'s raw-ratio IDF, and monotonicity of the ranking is
-   * what filtering actually uses.
+   * parts-per-2^30 — floor(c12 · 2^30 / c1), exact long arithmetic — so the
+   * per-doc sum is an exact long in any aggregation order; only the final
+   * mean is a double, derived identically in every engine. The textbook
+   * mean-log-prob needs `ln`, which is not correctly-rounded-identical
+   * across engines — same trade as [[bm25]]'s raw-ratio IDF, and
+   * monotonicity of the ranking is what filtering actually uses. The
+   * quantization is staged through two 2^15 factors
+   * (`q·2^15 + (r·2^15) div c1` with `q = (c12·2^15) div c1`,
+   * `r = (c12·2^15) % c1` — an exact identity for floor(c12·2^30/c1)), so
+   * the intermediate products stay below 2^63 for any count up to 2^48
+   * occurrences — beyond a 100 TB text corpus's ~2.5·10^13 tokens, where
+   * the naive `c12 * 2^30` already overflows at c12 > 2^33.
    *
-   * Scale shape: both model counts come from whole-partition window counts
-   * over ONE exploded bigram frame — c(w1 w2) is the rows-per-bigram count
-   * and c(w1 ·) the rows-per-first-word count, so no separate model table,
-   * no joins, and the explode runs once (the groupBy-model-then-join-back
-   * formulation recomputes it per consumer; measured ~2× at sf0.1). Three
-   * exchanges total (bigram, w1, doc), each map-side cheap. Self-scoring on
-   * the training corpus by construction; to score a foreign frame against
-   * this corpus's model, materialize the model table separately instead.
+   * Scale shape, two forms selected by `skewSafe`:
+   *  - `skewSafe = false` (small-corpus form): both model counts are
+   *    whole-partition window counts over ONE exploded bigram frame —
+   *    c(w1 w2) is rows-per-bigram, c(w1 ·) rows-per-first-word — so no
+   *    model table, no joins, one scan of the explode. Three exchanges
+   *    (bigram, w1, doc). A hyper-common first word ("the …") makes one hot
+   *    window partition, so this form is only for frames where the hottest
+   *    word's row count fits one task.
+   *  - `skewSafe = true` (at-scale form): two-level count — a map-side-
+   *    combined `groupBy(bigram).count()` (one row per DISTINCT bigram),
+   *    rolled up to c(w1 ·) by a second vocabulary-sized aggregation — then
+   *    the (bigram → p_scaled) model attaches via [[attachSkewSplit]]: hot
+   *    bigrams broadcast, light bigrams equi-joined with bounded per-key
+   *    fan-out. The model join on w1 runs over distinct bigrams, not
+   *    occurrences, so its per-key row count is capped by vocabulary.
+   *
+   * Self-scoring on the training corpus by construction; to score a foreign
+   * frame against this corpus's model, materialize the model table
+   * separately instead.
    */
-  def lmScore(docs: DataFrame, textCol: Column, idCol: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def lmScore(docs: DataFrame, textCol: Column, idCol: Column,
+      skewSafe: Boolean = false, heavyCut: Long = 1L << 24): DataFrame = {
     val scale = 1L << 30
-    docs.select(idCol.as("doc_id"),
-        explode(ngrams(normalize(textCol), 2)).as("bigram"))
-      .withColumn("w1", split(col("bigram"), " ").getItem(0))
-      .withColumn("c12", count(lit(1)).over(Window.partitionBy(col("bigram"))))
-      .withColumn("c1", count(lit(1)).over(Window.partitionBy(col("w1"))))
-      .withColumn("p_scaled", expr(s"c12 * ${scale}L div c1"))
-      .groupBy(col("doc_id"))
+    val s15 = 1L << 15
+    // floor(c12 * 2^30 / c1) staged through two 2^15 factors (overflow-safe
+    // to 2^48 occurrences; see scaladoc)
+    val pScaled = expr(
+      s"((c12 * ${s15}L) div c1) * ${s15}L + (((c12 * ${s15}L) % c1) * ${s15}L) div c1")
+    val ex = docs.select(idCol.as("doc_id"),
+      explode(ngrams(normalize(textCol), 2)).as("bigram"))
+    val scored =
+      if (!skewSafe) {
+        import org.apache.spark.sql.expressions.Window
+        ex.withColumn("w1", split(col("bigram"), " ").getItem(0))
+          .withColumn("c12", count(lit(1)).over(Window.partitionBy(col("bigram"))))
+          .withColumn("c1", count(lit(1)).over(Window.partitionBy(col("w1"))))
+          .withColumn("p_scaled", pScaled)
+      } else {
+        val cb = ex.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+          .withColumn("w1", split(col("bigram"), " ").getItem(0))
+        val cw = cb.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+        val model = cb.join(cw, "w1")
+          .withColumn("p_scaled", pScaled)
+          .select(col("bigram"), col("c12"), col("p_scaled"))
+        attachSkewSplit(ex, model, "bigram", "c12", heavyCut)
+      }
+    scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p_scaled")).as("p_sum"))
       .withColumn("lm_score",
         col("p_sum").cast("double") / (col("n_bigrams") * lit(scale)).cast("double"))

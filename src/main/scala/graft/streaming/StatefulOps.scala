@@ -201,7 +201,11 @@ object StatefulOps {
             rows.map(_._2.getTime).toSeq.sorted.foreach { t =>
               cur match {
                 case Some(s) if t - s.endMs <= gapMs =>
-                  cur = Some(SessionState(s.startMs, math.max(s.endMs, t), s.n + 1))
+                  // A late cross-batch event can precede the parked session's
+                  // start; the built-in session_window extends backwards, so
+                  // mirror that by taking min on the start bound too.
+                  cur = Some(SessionState(math.min(s.startMs, t),
+                    math.max(s.endMs, t), s.n + 1))
                 case Some(s) => // gap exceeded inside the data path
                   out += emit(s)
                   cur = Some(SessionState(t, t, 1L))

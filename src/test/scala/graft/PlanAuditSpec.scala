@@ -19,7 +19,7 @@ class PlanAuditSpec extends SparkSpec {
   // so pair space is corpus-linear by construction.
   private val nestedLoopExempt = Set(
     "sim_topk", "sim_recall_lsh", "sim_recall_ivf", "sim_ivf_kmeans_cells",
-    "multimodal_frames", "tpch_q22_idle_customers")
+    "multimodal_frames", "tpch_q22_idle_customers", "tpch_q11_important_parts")
 
   test("no catalog query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -77,6 +77,30 @@ class PlanAuditSpec extends SparkSpec {
       .foreach { case (q, expected) =>
         assert(shuffles(q) == expected,
           s"$q expected $expected exchanges, got ${shuffles(q)}")
+      }
+  }
+
+  test("skew-safe text operators: no whole-partition window, heavy keys broadcast") {
+    def planOf(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+    def shuffles(plan: String): Int =
+      Seq("Exchange hashpartitioning", "Exchange SinglePartition", "Exchange rangepartitioning")
+        .map(p => plan.sliding(p.length).count(_ == p)).sum
+    // Exchange counts are textual: the counts/model subtree appears once per
+    // union branch (hot, cold-probe, cold-build) in the printed plan, but the
+    // stages canonicalize identically, so AQE computes each shuffle once and
+    // reuses it at runtime. boilerplate = 3 × counts-agg + doc-agg; lm =
+    // 2 × (cb + cw + model-side) + cb-for-light + w1 + doc-agg.
+    Seq("text_boilerplate_skewsafe" -> 4, "text_lm_score_skewsafe" -> 9)
+      .foreach { case (q, expected) =>
+        val plan = planOf(q)
+        // the scale property: the hot key's rows take the broadcast path and
+        // the frame never flows through a whole-partition window
+        assert(!plan.contains("Window"), s"$q must not plan a window:\n$plan")
+        assert(plan.contains("BroadcastHashJoin"),
+          s"$q must broadcast the heavy-key table:\n$plan")
+        assert(shuffles(plan) == expected,
+          s"$q expected $expected exchanges, got ${shuffles(plan)}")
       }
   }
 

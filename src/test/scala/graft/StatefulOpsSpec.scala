@@ -126,6 +126,39 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream: late cross-batch event extends the session start backwards") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 1-hour watermark delay keeps the 10:05 straggler above the watermark
+    val sessions = StatefulOps.sessionizeStream(
+      input.toDF().toDF("user", "ts"), "user", "ts",
+      watermark = "1 hour", gapMs = 10 * 60 * 1000L)
+    val q = sessions.writeStream.format("memory").queryName("sess_late_out")
+      .option("checkpointLocation", Files.createTempDirectory("sess4-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(("A", ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      // arrives in a later batch, within gap of the parked session but
+      // EARLIER than its start — session_window extends backwards
+      input.addData(("A", ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      input.addData(("Z", ts("2024-01-01 14:00:00"))) // push watermark to 13:00
+      q.processAllAvailable()
+      input.addData(("Z", ts("2024-01-01 15:00:00"))) // fire A's timeout
+      q.processAllAvailable()
+      val got = spark.table("sess_late_out")
+        .filter(col("user_id") === "A")
+        .select(col("session_start").cast("string"),
+          col("session_end").cast("string"), col("n_events"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == Set(("2024-01-01 10:05:00", "2024-01-01 10:10:00", 2L)),
+        s"late event must pull session_start back: $got")
+    } finally q.stop()
+  }
+
   test("sessionizeStream matches the built-in session_window on closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
