@@ -3117,6 +3117,40 @@ object Queries {
           |       ('0x' || substr(md5('3:' || md5(text)), 1, 15))::bigint / 1.152921504606846976e18 AS feature_3
           |FROM documents""".stripMargin)),
 
+    // A REAL decode through the MediaCodec seam: GIMG payloads (toy image
+    // format — 4-byte magic, big-endian u16 dims, u8 channels, pixel bytes)
+    // are constructed from documents, then header-parsed back by
+    // GimgHeaderCodec via codegen'd substring/hex/conv — byte plumbing both
+    // ways. Every 7th doc gets a corrupted magic and must take the -1
+    // reject lane. The oracle never touches the bytes: it recomputes the
+    // expected dimensions from the same doc_id arithmetic, so the decode is
+    // checked against an INDEPENDENT derivation.
+    ("multimodal_decode_header",
+      (s: SparkSession, d: String) => {
+        val w = (col("doc_id") % 300 + 1).cast("int")
+        val h = (col("doc_id") % 200 + 1).cast("int")
+        val ch = (col("doc_id") % 3 + 1).cast("int")
+        val magic = when(col("doc_id") % 7 === 0, lit("XIMG")).otherwise(lit("GIMG"))
+        val withPayload = Tables.documents(s, d).withColumn("payload",
+          concat(magic.cast("binary"),
+            unhex(lpad(hex(w), 4, "0")),
+            unhex(lpad(hex(h), 4, "0")),
+            unhex(lpad(hex(ch), 2, "0")),
+            substring(col("text").cast("binary"), 1, 32)))
+        Multimodal.extractFeatures(withPayload, col("doc_id"), col("payload"),
+            Multimodal.GimgHeaderCodec())
+          .select(col("media_id"),
+            col("features")(0).as("width"), col("features")(1).as("height"),
+            col("features")(2).as("channels"), col("features")(3).as("n_pixel_bytes"))
+      },
+      Some(
+        """SELECT doc_id AS media_id,
+          |       CASE WHEN doc_id % 7 = 0 THEN -1.0 ELSE (doc_id % 300 + 1)::double END AS width,
+          |       CASE WHEN doc_id % 7 = 0 THEN -1.0 ELSE (doc_id % 200 + 1)::double END AS height,
+          |       CASE WHEN doc_id % 7 = 0 THEN -1.0 ELSE (doc_id % 3 + 1)::double END AS channels,
+          |       CASE WHEN doc_id % 7 = 0 THEN -1.0 ELSE least(32, length(text))::double END AS n_pixel_bytes
+          |FROM documents""".stripMargin)),
+
     // ==========================================================================
     // Window-shape coverage beyond the reference: sliding + session windows
     // ==========================================================================

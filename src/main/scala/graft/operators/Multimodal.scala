@@ -61,6 +61,37 @@ object Multimodal {
   def decodeStub(payload: Column, featureDims: Int = 4): Column =
     HashStub(featureDims).decode(payload)
 
+  /**
+   * A REAL (non-stub) codec for the toy "GIMG" image format — proof the
+   * [[MediaCodec]] seam carries an actual bytes→features decode, not just
+   * plumbing. Layout (big-endian, farbfeld/BMP-header-spirited):
+   * {{{
+   *   bytes 0-3   magic "GIMG" (ASCII)
+   *   bytes 4-5   width  (uint16, big-endian)
+   *   bytes 6-7   height (uint16, big-endian)
+   *   byte  8     channels (uint8)
+   *   bytes 9...  pixel payload (width·height·channels bytes, may be truncated)
+   * }}}
+   * Features: [width, height, channels, pixel_bytes_present]; a payload
+   * whose magic does not match decodes to all -1 (the reject lane — rows
+   * stay, downstream filters decide). Pure codegen'd built-ins
+   * (`substring`/`hex`/`conv`), so the decode runs inside whole-stage
+   * codegen in batch and streaming alike — the integration pattern a JNI
+   * codec expression would follow.
+   */
+  final case class GimgHeaderCodec() extends MediaCodec {
+    def name: String = "gimg-header"
+    def featureDims: Int = 4
+    def decode(payload: Column): Column = {
+      def beUint(start: Int, len: Int): Column =
+        conv(hex(substring(payload, start, len)), 16, 10).cast("double")
+      when(substring(payload, 1, 4) === lit("GIMG".getBytes("US-ASCII")),
+        array(beUint(5, 2), beUint(7, 2), beUint(9, 1),
+          greatest(length(payload) - 9, lit(0)).cast("double")))
+        .otherwise(array(lit(-1.0), lit(-1.0), lit(-1.0), lit(-1.0)))
+    }
+  }
+
   /** Feature extraction: metadata + decoded features, payload dropped
     * before anything downstream can shuffle it. Codec-agnostic: the output
     * schema is identical for every [[MediaCodec]] impl. */

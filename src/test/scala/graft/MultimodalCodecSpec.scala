@@ -72,6 +72,29 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(viaDefault == viaStubAlias)
   }
 
+  test("GimgHeaderCodec decodes hand-built headers exactly (and rejects bad magic)") {
+    import spark.implicits._
+    def gimg(magic: String, w: Int, h: Int, ch: Int, pixels: Int): Array[Byte] =
+      magic.getBytes("US-ASCII") ++
+        Array(((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+          ((h >> 8) & 0xff).toByte, (h & 0xff).toByte, ch.toByte) ++
+        Array.fill(pixels)(0x42.toByte)
+    val rows = Seq(
+      (1L, gimg("GIMG", 640, 480, 3, 10)),
+      (2L, gimg("GIMG", 1, 65535, 1, 0)),     // boundary dims, no pixels
+      (3L, gimg("XIMG", 640, 480, 3, 10)),    // bad magic -> reject lane
+      (4L, "too-short".getBytes("US-ASCII"))) // shorter than a header
+      .toDF("doc_id", "payload")
+    val got = Multimodal.extractFeatures(rows, col("doc_id"), col("payload"),
+        Multimodal.GimgHeaderCodec())
+      .select(col("media_id"), col("features"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got(1L) == Seq(640.0, 480.0, 3.0, 10.0))
+    assert(got(2L) == Seq(1.0, 65535.0, 1.0, 0.0))
+    assert(got(3L) == Seq(-1.0, -1.0, -1.0, -1.0))
+    assert(got(4L) == Seq(-1.0, -1.0, -1.0, -1.0))
+  }
+
   test("metadata (n_bytes, content_hash) is codec-independent ground truth") {
     val meta = Multimodal.extractFeatures(
         docs, col("doc_id"), col("payload"), ByteStatsCodec)
