@@ -133,6 +133,18 @@ object TextOps {
   }
 
   /**
+   * The batch-trained boilerplate model: corpus document frequency per
+   * distinct n-gram shingle (shingles are distinct per doc, so occurrence
+   * count IS the doc count). Map-side-combined single aggregation —
+   * skew-tolerant by partial aggregation. This is the static artifact a
+   * STREAMING corpus gate joins against (stream-static join): train on a
+   * reference corpus in batch, attach df to arriving docs' shingles.
+   */
+  def boilerplateModel(docs: DataFrame, textCol: Column, n: Int = 3): DataFrame =
+    docs.select(explode(shingles(normalize(textCol), n)).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+
+  /**
    * Corpus-level boilerplate detection: per document, the fraction of its
    * distinct n-gram shingles that are "boilerplate" — shared by at least
    * `minDf` documents corpus-wide. The cross-document complement of
@@ -164,8 +176,7 @@ object TextOps {
         import org.apache.spark.sql.expressions.Window
         ex.withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       } else {
-        attachSkewSplit(ex,
-          ex.groupBy(col("shingle")).agg(count(lit(1)).as("df")),
+        attachSkewSplit(ex, boilerplateModel(docs, textCol, n),
           "shingle", "df", heavyCut)
       }
     attached.groupBy(col("doc_id"))
@@ -205,6 +216,32 @@ object TextOps {
       .withColumn("overlap_ratio",
         col("n_overlap").cast("double") / col("n_shingles"))
       .withColumn("contaminated", (col("overlap_ratio") >= threshold).cast("int"))
+  }
+
+  /**
+   * The batch-trained bigram model: one row per DISTINCT bigram with its
+   * occurrence count and quantized conditional probability — the static
+   * artifact a STREAMING LM gate joins against, and the lookup table of
+   * [[lmScore]]'s skew-safe form. Both counts are two-level aggregations
+   * over the explode (map-side combined; the c1 roll-up runs over distinct
+   * bigrams, not occurrences).
+   */
+  def lmModel(docs: DataFrame, textCol: Column): DataFrame = {
+    val cb = docs.select(explode(ngrams(normalize(textCol), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+    val cw = cb.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    cb.join(cw, "w1")
+      .withColumn("p_scaled", stagedPScaled)
+      .select(col("bigram"), col("c12"), col("p_scaled"))
+  }
+
+  /** floor(c12 * 2^30 / c1) staged through two 2^15 factors — an exact
+    * identity whose intermediates stay below 2^63 up to 2^48 occurrences
+    * (see [[lmScore]]). Expects `c12`/`c1` columns in scope. */
+  private def stagedPScaled: Column = {
+    val s15 = 1L << 15
+    expr(s"((c12 * ${s15}L) div c1) * ${s15}L + (((c12 * ${s15}L) % c1) * ${s15}L) div c1")
   }
 
   /**
@@ -250,11 +287,6 @@ object TextOps {
   def lmScore(docs: DataFrame, textCol: Column, idCol: Column,
       skewSafe: Boolean = false, heavyCut: Long = 1L << 24): DataFrame = {
     val scale = 1L << 30
-    val s15 = 1L << 15
-    // floor(c12 * 2^30 / c1) staged through two 2^15 factors (overflow-safe
-    // to 2^48 occurrences; see scaladoc)
-    val pScaled = expr(
-      s"((c12 * ${s15}L) div c1) * ${s15}L + (((c12 * ${s15}L) % c1) * ${s15}L) div c1")
     val ex = docs.select(idCol.as("doc_id"),
       explode(ngrams(normalize(textCol), 2)).as("bigram"))
     val scored =
@@ -263,15 +295,9 @@ object TextOps {
         ex.withColumn("w1", split(col("bigram"), " ").getItem(0))
           .withColumn("c12", count(lit(1)).over(Window.partitionBy(col("bigram"))))
           .withColumn("c1", count(lit(1)).over(Window.partitionBy(col("w1"))))
-          .withColumn("p_scaled", pScaled)
+          .withColumn("p_scaled", stagedPScaled)
       } else {
-        val cb = ex.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
-          .withColumn("w1", split(col("bigram"), " ").getItem(0))
-        val cw = cb.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-        val model = cb.join(cw, "w1")
-          .withColumn("p_scaled", pScaled)
-          .select(col("bigram"), col("c12"), col("p_scaled"))
-        attachSkewSplit(ex, model, "bigram", "c12", heavyCut)
+        attachSkewSplit(ex, lmModel(docs, textCol), "bigram", "c12", heavyCut)
       }
     scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p_scaled")).as("p_sum"))

@@ -66,6 +66,102 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming boilerplate gate matches batch boilerplateStats (static model join)") {
+    implicit val sqlCtx = spark.sqlContext
+    // several docs share a boilerplate sentence; one is clean
+    val boiler = "all rights reserved contact us"
+    val rows = Seq(
+      (1L, s"alpha beta gamma delta $boiler"),
+      (2L, s"epsilon zeta eta theta $boiler"),
+      (3L, s"iota kappa lambda mu $boiler"),
+      (4L, s"nu xi omicron pi $boiler"),
+      (5L, s"rho sigma tau upsilon $boiler"),
+      (6L, "phi chi psi omega unique content entirely"))
+    val batchDocs = rows.toDF("doc_id", "text")
+
+    // the operational streaming shape: the df model is a batch-trained
+    // static artifact; arriving docs explode, join it (stream-static), and
+    // aggregate per (doc, event-time window)
+    val model = TextOps.boilerplateModel(batchDocs, col("text"), n = 3)
+    val input = MemoryStream[(Long, String, String)]
+    val streamed = input.toDF().toDF("doc_id", "text", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+      .select(col("doc_id"), col("ts"),
+        explode(TextOps.shingles(TextOps.normalize(col("text")), 3)).as("shingle"))
+      .join(broadcast(model), Seq("shingle"), "left_outer")
+      .groupBy(col("doc_id"), window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(coalesce(col("df"), lit(0L)) >= 5, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        col("n_boiler").cast("double") / col("n_shingles"))
+      .select(col("doc_id"), col("n_shingles"), col("n_boiler"), col("boiler_ratio"))
+
+    val q = streamed.writeStream.format("memory").queryName("boiler_stream_out")
+      .option("checkpointLocation", Files.createTempDirectory("boiler-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows.take(4).map { case (id, t) => (id, t, "2024-01-01 10:00:00") }: _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(4).map { case (id, t) => (id, t, "2024-01-01 10:05:00") }: _*)
+      q.processAllAvailable()
+      input.addData((99L, "late watermark pusher", "2024-01-01 12:00:00")) // close windows
+      q.processAllAvailable()
+      val got = spark.table("boiler_stream_out").filter(col("doc_id") =!= 99L)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val batch = TextOps.boilerplateStats(batchDocs, col("text"), col("doc_id"), n = 3, minDf = 5)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got == batch, s"stream $got != batch $batch")
+      assert(got.exists(_._3 > 0) && got.exists(_._3 == 0),
+        "stress must cover both boilerplate and clean docs")
+    } finally q.stop()
+  }
+
+  test("streaming LM gate matches batch lmScore (static model join)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox naps under the warm sun"),
+      (3L, "colorless green ideas sleep furiously tonight"))
+    val batchDocs = rows.toDF("doc_id", "text")
+
+    val model = TextOps.lmModel(batchDocs, col("text"))
+    val input = MemoryStream[(Long, String, String)]
+    val scale = 1L << 30
+    val streamed = input.toDF().toDF("doc_id", "text", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+      .select(col("doc_id"), col("ts"),
+        explode(TextOps.ngrams(TextOps.normalize(col("text")), 2)).as("bigram"))
+      .join(broadcast(model.select(col("bigram"), col("p_scaled"))), Seq("bigram"))
+      .groupBy(col("doc_id"), window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_scaled")).as("p_sum"))
+      .withColumn("lm_score",
+        col("p_sum").cast("double") / (col("n_bigrams") * lit(scale)).cast("double"))
+      .select(col("doc_id"), col("n_bigrams"), col("lm_score"))
+
+    val q = streamed.writeStream.format("memory").queryName("lm_stream_out")
+      .option("checkpointLocation", Files.createTempDirectory("lm-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows.take(2).map { case (id, t) => (id, t, "2024-01-01 10:00:00") }: _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2).map { case (id, t) => (id, t, "2024-01-01 10:05:00") }: _*)
+      q.processAllAvailable()
+      input.addData((99L, "late watermark pusher", "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+      val got = spark.table("lm_stream_out").filter(col("doc_id") =!= 99L)
+        .as[(Long, Long, Double)].collect().toSet
+      val batch = TextOps.lmScore(batchDocs, col("text"), col("doc_id"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == batch, s"stream $got != batch $batch")
+      // hapax doc: every bigram and prefix unique -> each p = 1.0 exactly;
+      // the "the"-sharing docs split prefix mass -> strictly below 1
+      val scores = got.map(t => t._1 -> t._3).toMap
+      assert(scores(3L) == 1.0 && scores(1L) < 1.0 && scores(2L) < 1.0)
+    } finally q.stop()
+  }
+
   test("nearDupStream flags near-duplicates across micro-batch boundaries") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
