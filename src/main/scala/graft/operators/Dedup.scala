@@ -297,19 +297,25 @@ object Dedup {
    * collapse A, B and C into ONE group even though (A,C) was never compared.
    * Returns (id, component) with component = the minimum id reachable.
    *
-   * Algorithm: min-label propagation to fixpoint — every iteration each node
-   * takes the min of its own label and its neighbors' labels; converges in
-   * O(diameter) rounds (near-dup components are shallow: dup clusters are
-   * near-cliques, so 2-4 rounds in practice). Each round is one equi-join +
-   * one aggregation — all-distributed, no driver-side data; the driver only
-   * runs the (bounded) loop. Convergence detection is folded INTO the update:
-   * the same join that computes the new label also emits a changed flag
-   * (nmin < component), and the round's single action sums it — no second
-   * self-join, no extra isEmpty pass. Lineage is truncated by
-   * localCheckpointing every `checkpointEvery` rounds rather than every
-   * round; between checkpoints an action recomputes at most
-   * `checkpointEvery - 1` cheap join layers, which costs less than a full
-   * materialization per round.
+   * Algorithm: min-label propagation with per-round pointer shortcutting.
+   * Every iteration each node takes the min of its own label, its neighbors'
+   * labels, AND its label's label (label(label(u)) — the path-halving step
+   * of union-find). Propagation alone converges in O(diameter) rounds —
+   * fine for near-dup clusters (near-cliques, 2-4 rounds) but fatal for a
+   * pathological chain corpus (a 10k-doc chain would need 10k rounds);
+   * shortcutting halves every label-pointer path each round, so convergence
+   * is O(log diameter) — a 10k chain closes within 14 rounds (pinned by
+   * `ComponentsScaleSpec`), and the default maxIter=20 covers diameters
+   * beyond any real corpus (~2^20). Each round is two equi-joins + one
+   * aggregation — all-distributed, no driver-side data; the driver only
+   * runs the (bounded) loop. The labels also ARE the shortcut lookup table,
+   * so no extra state is carried. Convergence detection is folded INTO the
+   * update: the same projection that computes the new label emits a changed
+   * flag, and the round's single action sums it — no second pass. Lineage
+   * is truncated by localCheckpointing every `checkpointEvery` rounds
+   * rather than every round; between checkpoints an action recomputes at
+   * most `checkpointEvery - 1` cheap join layers, which costs less than a
+   * full materialization per round.
    */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20,
       checkpointEvery: Int = 3): DataFrame = {
@@ -337,11 +343,22 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("component").as("ncomp")), "dst")
         .groupBy(col("src")).agg(min(col("ncomp")).as("nmin"))
-      val joined = labels
+      val prop = labels
         .join(neighborMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"), col("component").as("prev"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("comp1"))
+      // pointer shortcutting (path halving): follow the freshly-propagated
+      // label one extra hop through the same frame — comp1 is always the id
+      // of a frontier node, so the self-lookup is total on matches and a
+      // left join covers roots pointing at themselves
+      val joined = prop
+        .join(prop.select(col("id").as("comp1"), col("comp1").as("comp2")),
+          Seq("comp1"), "left")
         .select(col("id"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"),
-          coalesce(col("nmin") < col("component"), lit(false)).cast("long").as("chg"))
+          least(col("comp1"), coalesce(col("comp2"), col("comp1"))).as("component"),
+          col("prev"))
+        .withColumn("chg", (col("component") < col("prev")).cast("long"))
+        .drop("prev")
       val updated =
         if ((iter + 1) % checkpointEvery == 0) joined.localCheckpoint() else joined
       // The round's one action: count label changes. Over a checkpoint round
@@ -355,8 +372,9 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter iterations — " +
-          "the graph has a component with diameter > maxIter; raise maxIter " +
-          "(returning partial labels would silently split real components)")
+          "with per-round path halving this means a component of diameter " +
+          "beyond ~2^maxIter; raise maxIter (returning partial labels would " +
+          "silently split real components)")
     nodes.select(col("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))

@@ -165,10 +165,12 @@ class TextDedupSpec extends SparkSpec {
   }
 
   test("connectedComponents refuses to return partial labels past maxIter") {
-    val nodes = (1L to 30L).toDF("id")
-    val pairs = (1L to 29L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // with per-round path halving a chain converges in ~log2(diameter)
+    // rounds, so forcing non-convergence needs diameter >> 2^maxIter
+    val nodes = (1L to 2000L).toDF("id")
+    val pairs = (1L to 1999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(nodes, pairs, maxIter = 5).collect()
+      Dedup.connectedComponents(nodes, pairs, maxIter = 3).collect()
     }
     assert(e.getMessage.contains("did not converge"))
   }
