@@ -220,20 +220,28 @@ object Dedup {
    * this library builds. Because `size(null)` is -1 (not null) under the
    * legacy non-ANSI sizeOfNull setting — which would make jaccard evaluate
    * to 1.0 and silently DROP docs — a foreign frame with null `sh` is
-   * defended against explicitly: null-shingle sides are filtered out, so
-   * such pairs are simply not emitted (the doc is kept — the safe failure
-   * direction for a dedup verifier).
+   * defended against IN the projection: null-shingle pairs emit null counts
+   * and a null jaccard, which every threshold filter downstream discards
+   * (the doc is kept — the safe failure direction for a dedup verifier).
+   * Deliberately NOT a `.filter(sh.isNotNull)`: a Filter on a
+   * projection-derived column gets predicate-pushed beneath the joins and
+   * inlines the whole shingle HOF expression into an interpreted Filter
+   * operator, evaluating it twice per row outside codegen — measured 6× on
+   * text_ngram_jaccard at sf0.1 (0.31 → 1.9 s idle, the r7 regression).
+   * Inside one projection the null checks are attribute references — free.
    */
-  def ngramJaccardOnShingles(pairs: DataFrame, shingles: DataFrame): DataFrame =
+  def ngramJaccardOnShingles(pairs: DataFrame, shingles: DataFrame): DataFrame = {
+    def safe(c: Column): Column =
+      when(col("sh_a").isNull || col("sh_b").isNull, lit(null)).otherwise(c)
     pairs
       .join(shingles.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shingles.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .filter(col("sh_a").isNotNull && col("sh_b").isNotNull)
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("n_inter"),
-        size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"))
+        safe(size(array_intersect(col("sh_a"), col("sh_b")))).as("n_inter"),
+        safe(size(col("sh_a"))).as("n_a"), safe(size(col("sh_b"))).as("n_b"))
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+  }
 
   /**
    * Scale path for embedding near-dup: banded hyperplane-LSH candidates with
@@ -303,10 +311,11 @@ object Dedup {
    * of union-find). Propagation alone converges in O(diameter) rounds —
    * fine for near-dup clusters (near-cliques, 2-4 rounds) but fatal for a
    * pathological chain corpus (a 10k-doc chain would need 10k rounds);
-   * shortcutting halves every label-pointer path each round, so convergence
-   * is O(log diameter) — a 10k chain closes within 14 rounds (pinned by
+   * shortcutting (active from round 2, so shallow graphs never pay for it)
+   * halves every label-pointer path each round, so convergence is
+   * O(log diameter) — a 10k chain closes within 16 rounds (pinned by
    * `ComponentsScaleSpec`), and the default maxIter=20 covers diameters
-   * beyond any real corpus (~2^20). Each round is two equi-joins + one
+   * beyond any real corpus (~2^18). Each round is two equi-joins + one
    * aggregation — all-distributed, no driver-side data; the driver only
    * runs the (bounded) loop. The labels also ARE the shortcut lookup table,
    * so no extra state is carried. Convergence detection is folded INTO the
@@ -347,16 +356,22 @@ object Dedup {
         .join(neighborMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
         .select(col("id"), col("component").as("prev"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("comp1"))
-      // pointer shortcutting (path halving): follow the freshly-propagated
+      // Pointer shortcutting (path halving): follow the freshly-propagated
       // label one extra hop through the same frame — comp1 is always the id
       // of a frontier node, so the self-lookup is total on matches and a
-      // left join covers roots pointing at themselves
-      val joined = prop
-        .join(prop.select(col("id").as("comp1"), col("comp1").as("comp2")),
-          Seq("comp1"), "left")
-        .select(col("id"),
-          least(col("comp1"), coalesce(col("comp2"), col("comp1"))).as("component"),
-          col("prev"))
+      // left join covers roots pointing at themselves. Applied from round 2
+      // on: near-clique dup graphs converge in 2-3 propagation rounds and
+      // never pay the extra join (measured ~27% of dedup_components at
+      // sf0.1); long-chain graphs still get the O(log diameter) bound, two
+      // rounds late.
+      val shortcut =
+        if (iter < 2) prop.select(col("id"), col("prev"), col("comp1").as("component"))
+        else prop
+          .join(prop.select(col("id").as("comp1"), col("comp1").as("comp2")),
+            Seq("comp1"), "left")
+          .select(col("id"), col("prev"),
+            least(col("comp1"), coalesce(col("comp2"), col("comp1"))).as("component"))
+      val joined = shortcut
         .withColumn("chg", (col("component") < col("prev")).cast("long"))
         .drop("prev")
       val updated =

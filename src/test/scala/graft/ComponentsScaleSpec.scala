@@ -9,24 +9,25 @@ import graft.operators.Dedup
  * for min-label propagation — O(diameter) rounds, i.e. 10k rounds for a
  * 10k-doc chain, each a full shuffle epoch on a real cluster. The
  * per-round pointer-shortcutting (path halving) step bounds it at
- * O(log diameter): this spec pins a 10 000-node chain converging within 14
- * rounds (2^14 ≫ 10^4), labels exact. Near-clique dup graphs (the common
+ * O(log diameter): this spec pins a 10 000-node chain converging within 16
+ * rounds (halving active from round 2; 2^14 ≫ 10^4), labels exact. Near-clique dup graphs (the common
  * case) are unaffected — they close in 2-4 rounds either way.
  */
 class ComponentsScaleSpec extends SparkSpec {
   import spark.implicits._
 
-  test("10k-node chain converges within the log-diameter bound (14 rounds)") {
+  test("10k-node chain converges within the log-diameter bound (16 rounds)") {
     val n = 10000L
     val nodes = (1L to n).toDF("id")
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val t0 = System.nanoTime()
-    // maxIter=14 IS the assertion: plain propagation would need 9 999
-    // rounds; path halving must close the chain in ceil(log2(d)) + epsilon
-    val comp = Dedup.connectedComponents(nodes, pairs, maxIter = 14)
+    // maxIter=16 IS the assertion: plain propagation would need 9 999
+    // rounds; path halving (from round 2) must close the chain in
+    // ceil(log2(d)) + epsilon
+    val comp = Dedup.connectedComponents(nodes, pairs, maxIter = 16)
     val labels = comp.select(col("component")).distinct().as[Long].collect().toSeq
     val sec = (System.nanoTime() - t0) / 1e9
-    info(f"10k chain: $sec%.1f s wall, converged within 14 rounds")
+    info(f"10k chain: $sec%.1f s wall, converged within 16 rounds")
     assert(labels == Seq(1L), s"chain must collapse to one component, got $labels")
     assert(comp.count() == n)
   }

@@ -146,6 +146,21 @@ class TextDedupSpec extends SparkSpec {
     assert(aggBuckets == projBuckets)
   }
 
+  test("ngramJaccardOnShingles: foreign null shingles yield null jaccard, not 1.0") {
+    // a foreign (non-library) shingle frame may carry nulls; size(null) = -1
+    // under legacy sizeOfNull would fake jaccard 1.0 and delete the doc
+    val sh = Seq((1L, Seq("a b c")), (3L, Seq("a b c")))
+      .toDF("id", "sh")
+      .unionByName(Seq(2L).toDF("id").withColumn("sh",
+        lit(null).cast("array<string>")))
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val got = Dedup.ngramJaccardOnShingles(pairs, sh)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    assert(got((1L, 2L)) == None, "null side must yield null jaccard")
+    assert(got((1L, 3L)) == Some(1.0))
+  }
+
   test("connectedComponents collapses transitive chains that pairs alone miss") {
     val nodes = (1L to 7L).toDF("id")
     // chain 1-2-3 (1,3 never directly compared), pair 4-5, singletons 6, 7
