@@ -2079,6 +2079,28 @@ object Queries {
           |      FROM events)
           |WHERE rnk <= 3""".stripMargin)),
 
+    // Grouped bounded top-k at higher cardinality and k: per-user top-10 by
+    // (value, event_id) through the same native heap aggregate — ~1.5k
+    // groups × k=10 carried through partial/final aggregation, where the
+    // row_number() oracle formulation shuffles and sorts every event row.
+    // TopKShuffleSpec measures the shuffle-volume gap and its scaling.
+    ("events_topk_per_user",
+      (s: SparkSession, d: String) =>
+        Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(graft.functions.GraftFunctions.topk_by(
+            struct(col("value"), col("event_id")), 10).as("top"))
+          .select(col("user_id"), posexplode(col("top")).as(Seq("r0", "t")))
+          .select(col("user_id"), (col("r0") + 1).cast("int").as("rnk"),
+            col("t.value").as("value"), col("t.event_id").as("event_id")),
+      Some(
+        """SELECT user_id, cast(rnk AS int) AS rnk, value, event_id
+          |FROM (SELECT user_id, value, event_id,
+          |             row_number() OVER (PARTITION BY user_id
+          |                                ORDER BY value DESC, event_id DESC) AS rnk
+          |      FROM events)
+          |WHERE rnk <= 10""".stripMargin)),
+
     // Salted skew-join: the hot-key mitigation produces EXACTLY the plain
     // join's rows (the oracle is the unsalted join) while spreading each key
     // over saltFactor reducers.

@@ -14,12 +14,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType}
  * them as a descending array.
  *
  * Why a custom aggregate (SURVEY §7.5 ladder, level b): the standard per-key
- * top-k — `row_number() OVER (PARTITION BY key ORDER BY ...) <= k` — SORTS
- * every key's full row set (an exchange plus per-partition sort over N rows).
- * This aggregate carries at most k values per key through the partial/final
- * aggregation pair, so map-side combine bounds both the shuffle volume and
- * the memory: O(keys·k) instead of O(N log N) — the difference that matters
- * when one key holds a billion rows.
+ * top-k — `row_number() OVER (PARTITION BY key ORDER BY ...) <= k` — plans a
+ * full LOCAL SORT of every input row (O(N log N)) beneath Spark 4's partial
+ * WindowGroupLimit before anything is pruned; this aggregate replaces that
+ * sort with O(N log k) heap updates and carries at most k values per
+ * (mapper, key) through the partial/final pair as ONE array row — k-fold
+ * fewer shuffled rows than even the group-limited window form, measured on
+ * task metrics in `TopKShuffleSpec` (1 500 vs 15 000 rows at sf0.1,
+ * 15 000 vs 150 000 at 10×; both far below N thanks to the group limit,
+ * which pre-3.5 folklore said shuffles all N).
  *
  * Buffers serialize via a single-field UnsafeProjection (count-prefixed
  * frames), which is what crosses the partial→final exchange.
