@@ -1319,6 +1319,37 @@ object Queries {
           |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
           |GROUP BY 1""".stripMargin)),
 
+    // Q13 as-named (adapted: testdata has no o_comment; the NOT-LIKE filter
+    // rides o_orderpriority instead). `orders_per_customer_histogram` covers
+    // the unfiltered distribution; what full Q13 adds is the right side
+    // filtered IN THE ON CLAUSE of the LEFT OUTER join — the predicate must
+    // stay inside the join (a post-join WHERE would drop the no-order
+    // customers whose count should be 0), so Catalyst pushes it to the
+    // orders scan but NOT past the outer join's null-extension. At scale:
+    // the join shuffles on custkey (both sides large, no broadcast); the
+    // distribution agg's domain is tiny, fully map-side-combinable.
+    ("tpch_q13_custdist",
+      (s: SparkSession, d: String) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        c.join(o,
+            c("c_custkey") === o("o_custkey") &&
+              !o("o_orderpriority").like("%URGENT%"),
+            "left_outer")
+          .groupBy(c("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+      },
+      Some(
+        """SELECT c_count, count(*)::bigint AS custdist
+          |FROM (SELECT c.c_custkey, count(o.o_orderkey)::bigint AS c_count
+          |      FROM customer c LEFT OUTER JOIN orders o
+          |        ON c.c_custkey = o.o_custkey
+          |       AND o.o_orderpriority NOT LIKE '%URGENT%'
+          |      GROUP BY c.c_custkey) c_orders
+          |GROUP BY c_count""".stripMargin)),
+
     // Q14 shape: promotion-revenue share for a quarter — conditional share
     // over a broadcast part join, single final row.
     ("tpch_q14_promo_share",
