@@ -3480,6 +3480,47 @@ object Queries {
           |SELECT DISTINCT doc_id, win_min AS fingerprint
           |FROM w WHERE pos <= n_pos - 3""".stripMargin)),
 
+    // Exact shared-substring runs (Lee et al. 2021's suffix-array dedup
+    // signal as a bounded equi-join): per doc pair sharing >= 8 verbatim
+    // consecutive tokens, the longest run and the maximal-run count.
+    // Anchors are positional 5-grams; occurrences per (doc, gram) capped at
+    // 8; grams in > 64 docs dropped by broadcast anti-join (pigeonhole-small
+    // heavy list) — the pair space is bounded BEFORE the join, LSH-cap
+    // discipline. Runs = gaps-and-islands per (d1, d2, diagonal). All-int
+    // output, no hashes on the match path (the join key is the gram text).
+    ("text_substring_runs",
+      (s: SparkSession, d: String) =>
+        TextOps.substringRuns(Tables.documents(s, d), col("text"), col("doc_id")),
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+          |  FROM documents),
+          |g0 AS (
+          |  SELECT doc_id, pos, array_to_string(t[pos + 1 : pos + 5], ' ') AS gram
+          |  FROM toks CROSS JOIN LATERAL (SELECT unnest(range(0, len(t) - 4)) AS pos)
+          |  WHERE len(t) >= 5),
+          |capped AS (
+          |  SELECT doc_id, pos, gram FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY doc_id, gram ORDER BY pos) AS occ
+          |    FROM g0) WHERE occ <= 8),
+          |light AS (SELECT gram FROM capped GROUP BY gram
+          |          HAVING count(DISTINCT doc_id) <= 64),
+          |g AS (SELECT c.* FROM capped c JOIN light USING (gram)),
+          |pairs AS (
+          |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1, a.pos - b.pos AS diag
+          |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+          |runs AS (
+          |  SELECT d1, d2, count(*) + 4 AS run_tokens
+          |  FROM (SELECT d1, d2, diag, p1,
+          |               p1 - row_number() OVER (PARTITION BY d1, d2, diag
+          |                                       ORDER BY p1) AS isl
+          |        FROM pairs)
+          |  GROUP BY d1, d2, diag, isl)
+          |SELECT d1, d2, max(run_tokens)::bigint AS longest_run,
+          |       count(*)::bigint AS n_runs
+          |FROM runs GROUP BY d1, d2 HAVING max(run_tokens) >= 8""".stripMargin)),
+
     // Embedding-cosine near-dup pairs, the corpus-scale shape: banded
     // hyperplane-LSH candidates (equi-join on (band, bucket) — a hash
     // shuffle, never a nested loop) with exact in-bucket cosine verification.

@@ -379,6 +379,71 @@ object TextOps {
   private def substring_with_col(s: Column, pos: Column, len: Int): Column =
     s.substr(pos, lit(len))
 
+  /**
+   * Exact shared-substring detection between document pairs (the
+   * suffix-array dedup signal of Lee et al. 2021, "Deduplicating Training
+   * Data Makes Language Models Better", recast as a bounded equi-join):
+   * for every pair of documents sharing an exact run of >= `minRun`
+   * consecutive tokens, emit the longest such run and the number of
+   * distinct maximal runs. Winnowing ([[winnowFingerprints]]) answers "do
+   * these docs overlap somewhere?"; this answers "exactly how long is the
+   * longest verbatim overlap?" — the quantity the 50-token cut in the paper
+   * filters on.
+   *
+   * Construction: positional word n-grams (anchor width `n`) equi-joined on
+   * gram text across documents; a match at positions (p1, p2) lies on
+   * diagonal p1-p2, and maximal runs are gaps-and-islands over each
+   * diagonal (`p1 - row_number()` is constant exactly while consecutive
+   * positions match), so a shared run of R tokens shows up as an island of
+   * R-n+1 anchors → run length = island size + n - 1. Exact by
+   * construction — every reported run is a verbatim token-for-token match,
+   * no hash collisions (the join key is the gram TEXT, not a hash).
+   *
+   * Scale shape — the pair space is bounded before the join, same discipline
+   * as the LSH candidate cap (`Dedup.lshCandidates`):
+   *  - per-(doc, gram) occurrences capped at `occCap` (degenerate "a a a …"
+   *    repetition would otherwise square in doc length; such docs are
+   *    [[repetitionStats]]'s catch, not this operator's);
+   *  - grams in more than `dfCap` documents are dropped via a BROADCAST
+   *    anti-join — the heavy list is <= distinct-grams/dfCap rows by
+   *    pigeonhole, so it always fits, and the hot keys never reach the
+   *    shuffle (boilerplate idioms carry no pair-specific signal; cross-doc
+   *    boilerplate is [[boilerplateStats]]'s job);
+   *  - the surviving gram frame is localCheckpointed ONCE and both join
+   *    sides read the materialization (CollapseProject would otherwise
+   *    re-run the explode + both caps per side — the r6 recompute lesson);
+   *  - per-gram join fan-out is then <= dfCap·occCap by construction, the
+   *    islands window partitions on (d1, d2, diagonal) — pair-local, never
+   *    a corpus-wide hot partition.
+   */
+  def substringRuns(docs: DataFrame, textCol: Column, idCol: Column,
+      n: Int = 5, dfCap: Int = 64, occCap: Int = 8, minRun: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g0 = docs.select(idCol.as("doc_id"),
+      posexplode(ngrams(normalize(textCol), n)).as(Seq("pos", "gram")))
+    val occW = Window.partitionBy(col("doc_id"), col("gram")).orderBy(col("pos"))
+    val capped = g0.withColumn("occ", row_number().over(occW))
+      .filter(col("occ") <= occCap).drop("occ")
+    val heavy = capped.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > dfCap).select(col("gram"))
+    val g = capped.join(broadcast(heavy), Seq("gram"), "left_anti")
+      .localCheckpoint()
+    val pairs = g.select(col("doc_id").as("d1"), col("pos").as("p1"), col("gram"))
+      .join(g.select(col("doc_id").as("d2"), col("pos").as("p2"), col("gram")), "gram")
+      .filter(col("d1") < col("d2"))
+    val islW = Window.partitionBy(col("d1"), col("d2"), col("diag")).orderBy(col("p1"))
+    pairs
+      .withColumn("diag", col("p1") - col("p2"))
+      .withColumn("isl", col("p1") - row_number().over(islW))
+      .groupBy(col("d1"), col("d2"), col("diag"), col("isl"))
+      .agg((count(lit(1)) + lit(n - 1)).as("run_tokens"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(max(col("run_tokens")).as("longest_run"),
+        count(lit(1)).as("n_runs"))
+      .filter(col("longest_run") >= minRun)
+  }
+
   /** PII-ish redaction: mask email addresses and long digit runs. The regex
     * subset used is identical under Java regex and RE2/DuckDB, keeping the
     * transform oracle-verifiable; extend the pattern list per policy. */

@@ -238,4 +238,50 @@ class TextDedupSpec extends SparkSpec {
     assert(r(2L) == "zh")
     assert(r(3L) == "und")
   }
+
+  test("substringRuns reports the exact longest verbatim token run per pair") {
+    // docs 1 and 2 share the verbatim 10-token run "c1..c10" at different
+    // offsets; doc 3 shares nothing 8+ tokens long with either.
+    val shared = (1 to 10).map("c" + _).mkString(" ")
+    val d = docs(
+      (1L, s"a1 a2 a3 $shared z1 z2"),
+      (2L, s"b1 $shared y1 y2 y3 y4"),
+      (3L, s"a1 a2 a3 q1 q2 q3 q4 q5 q6 q7 q8 q9"))
+    val r = TextOps.substringRuns(d, col("text"), col("doc_id"))
+      .collect().map(x => (x.getAs[Long]("d1"), x.getAs[Long]("d2"),
+        x.getAs[Long]("longest_run"), x.getAs[Long]("n_runs")))
+    assert(r.toSeq == Seq((1L, 2L, 10L, 1L)))
+  }
+
+  test("substringRuns: two disjoint shared runs count as separate islands") {
+    val r1 = (1 to 8).map("p" + _).mkString(" ")
+    val r2 = (1 to 9).map("q" + _).mkString(" ")
+    val d = docs(
+      (1L, s"$r1 x1 x2 x3 $r2"),
+      (2L, s"$r2 m1 m2 m3 m4 m5 $r1"))
+    val r = TextOps.substringRuns(d, col("text"), col("doc_id")).collect()(0)
+    assert(r.getAs[Long]("longest_run") == 9L)
+    assert(r.getAs[Long]("n_runs") == 2L)
+  }
+
+  test("substringRuns: a run shorter than minRun is not reported") {
+    val short = (1 to 7).map("s" + _).mkString(" ") // 7 < minRun 8
+    val d = docs(
+      (1L, s"a1 a2 a3 a4 $short"),
+      (2L, s"b1 b2 b3 b4 $short"))
+    assert(TextOps.substringRuns(d, col("text"), col("doc_id")).count() == 0L)
+  }
+
+  test("substringRuns: dfCap drops boilerplate grams shared by too many docs") {
+    val boiler = (1 to 12).map("w" + _).mkString(" ")
+    // the 12-token run appears verbatim in every doc; with dfCap below the
+    // corpus size the anchors are dropped and no pair is reported
+    val many = (1L to 6L).map(i => (i, s"u${i}a u${i}b $boiler u${i}c"))
+    val d = docs(many: _*)
+    assert(TextOps.substringRuns(d, col("text"), col("doc_id"), dfCap = 4)
+      .count() == 0L)
+    // raising the cap restores all 15 pairs
+    assert(TextOps.substringRuns(d, col("text"), col("doc_id"), dfCap = 6)
+      .count() == 15L)
+  }
 }
