@@ -2516,6 +2516,44 @@ object Queries {
           |FROM bi JOIN model USING (bigram)
           |GROUP BY 1""".stripMargin)),
 
+    // DSIR-style importance weights (Xie et al. 2023): raw docs scored by
+    // target-likeness over hashed unigram+bigram buckets, target = the
+    // English slice of the corpus. Log-free house variant: per-bucket
+    // Laplace-smoothed count ratio floor-quantized to parts-per-2^30 (staged
+    // long arithmetic Spark-side; DuckDB's HUGEINT computes it directly).
+    // The model is <= 4096 rows by construction -> broadcast attach, no
+    // skew surface at any corpus size.
+    ("text_dsir_weights",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        TextOps.dsirWeights(docs, docs.filter(col("lang") === "en"),
+          col("text"), col("doc_id"))
+      },
+      Some(
+        """WITH norm AS (
+          |  SELECT doc_id, lang,
+          |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+          |  FROM documents),
+          |grams AS (
+          |  SELECT doc_id, lang, unnest(t) AS gram FROM norm
+          |  UNION ALL
+          |  SELECT doc_id, lang, unnest(list_transform(range(0, len(t) - 1),
+          |                              i -> array_to_string(t[i + 1:i + 2], ' '))) AS gram
+          |  FROM norm WHERE len(t) >= 2),
+          |b AS (SELECT doc_id, lang,
+          |             ('0x' || substr(md5(gram), 1, 15))::bigint % 4096 AS bucket
+          |      FROM grams),
+          |cr AS (SELECT bucket, count(*) AS c_r FROM b GROUP BY 1),
+          |ct AS (SELECT bucket, count(*) AS c_t FROM b WHERE lang = 'en' GROUP BY 1),
+          |model AS (SELECT bucket,
+          |                 ((coalesce(c_t, 0) + 1) * 1073741824) // (c_r + 1) AS r_scaled
+          |          FROM cr LEFT JOIN ct USING (bucket))
+          |SELECT doc_id, count(*)::bigint AS n_grams,
+          |       sum(r_scaled)::bigint AS weight_scaled,
+          |       cast(sum(r_scaled) AS double) / (count(*) * 1073741824.0) AS mean_weight
+          |FROM b JOIN model USING (bucket)
+          |GROUP BY 1""".stripMargin)),
+
     // Context-window chunking: 16-token windows, stride 8 (50% overlap) —
     // the doc → model-context-sized-pieces projection. Zero shuffle; the
     // trailing partial window is kept so every token lands in ≥1 chunk.

@@ -478,6 +478,57 @@ object TextOps {
   }
 
   /**
+   * DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling"): score every raw document by
+   * how target-like its hashed n-gram feature counts are, so the corpus can
+   * be resampled toward a target distribution (e.g. "looks like curated
+   * English") without training a classifier. Features are the paper's:
+   * unigrams + bigrams hashed into `buckets` buckets, a bag-of-buckets model
+   * per distribution.
+   *
+   * Log-free determinism (house convention, same trade as [[lmScore]] /
+   * [[bm25]]): the paper's per-bucket log(p_target/p_raw) is replaced by the
+   * Laplace-smoothed count ratio quantized to integer parts-per-2^30 —
+   * floor((c_t+1) · 2^30 / (c_r+1)), staged through two 2^15 factors so
+   * intermediates stay below 2^63 up to 2^48 occurrences per bucket. The
+   * per-doc sum of per-gram ratios is an exact long in any aggregation
+   * order; `mean_weight` derives from it identically in every engine.
+   * Ratio-sum is monotone per bucket in the same direction as the paper's
+   * log-ratio-sum and is what threshold/top-k resampling actually consumes.
+   *
+   * Scale shape: two map-side-combined bucket counts (the feature space is
+   * `buckets` keys — hot buckets stream through partial aggregation), then
+   * the model — AT MOST `buckets` rows regardless of corpus size — attaches
+   * to the exploded gram frame via an explicit broadcast join: no shuffle on
+   * the occurrence frame beyond the final per-doc aggregation, and no skew
+   * surface (every join key is in a bounded-size broadcast table).
+   */
+  def dsirWeights(raw: DataFrame, target: DataFrame, textCol: Column,
+      idCol: Column, buckets: Int = 4096): DataFrame = {
+    def gramBuckets(df: DataFrame): DataFrame = {
+      val norm = normalize(textCol)
+      df.select(idCol.as("doc_id"),
+          explode(concat(tokens(norm), ngrams(norm, 2))).as("gram"))
+        .withColumn("bucket", pmod(portableHash(col("gram")), lit(buckets.toLong)))
+    }
+    val rawG = gramBuckets(raw)
+    val cR = rawG.groupBy(col("bucket")).agg(count(lit(1)).as("c_r"))
+    val cT = gramBuckets(target).groupBy(col("bucket")).agg(count(lit(1)).as("c_t"))
+    val model = cR.join(cT, Seq("bucket"), "left_outer")
+      .select(col("bucket"),
+        (coalesce(col("c_t"), lit(0L)) + lit(1L)).as("a"),
+        (col("c_r") + lit(1L)).as("c"))
+      .select(col("bucket"), expr(
+        "((a * 32768L) div c) * 32768L + (((a * 32768L) % c) * 32768L) div c")
+        .as("r_scaled"))
+    rawG.join(broadcast(model), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("r_scaled")).as("weight_scaled"))
+      .withColumn("mean_weight",
+        col("weight_scaled").cast("double") / (col("n_grams") * lit(1073741824.0)))
+  }
+
+  /**
    * Gopher-style heuristic quality filter: per-document metrics plus pass/fail
    * flags and an overall `quality_keep` verdict. The rule set is the standard
    * web-corpus battery (token-count bounds, mean token length bounds,

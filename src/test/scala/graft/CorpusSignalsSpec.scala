@@ -171,4 +171,31 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(r.head.getLong(1) == 5L)
     assert(r.head.getDouble(2) == 1.0)
   }
+
+  test("dsirWeights: target-vocabulary docs outweigh off-target docs") {
+    // target uses the {alpha..delta} vocabulary; doc 1 is pure target
+    // vocabulary, doc 2 is pure off-target, doc 3 mixes half and half
+    val raw = Seq(
+      (1L, "alpha beta gamma delta alpha beta"),
+      (2L, "zig zag zip zap zig zag"),
+      (3L, "alpha beta zig zag alpha zag")).toDF("doc_id", "text")
+    val target = Seq(
+      (100L, "alpha beta gamma delta"),
+      (101L, "beta gamma alpha delta")).toDF("doc_id", "text")
+    val w = TextOps.dsirWeights(raw, target, col("text"), col("doc_id"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("mean_weight"))
+      .toMap
+    assert(w(1L) > w(3L) && w(3L) > w(2L), s"expected w1 > w3 > w2, got $w")
+    // every raw doc is scored — selection is downstream's choice
+    assert(w.size == 3)
+  }
+
+  test("dsirWeights: the bucket model attaches via broadcast, never a shuffle join") {
+    val raw = Seq((1L, "a b c"), (2L, "c d e")).toDF("doc_id", "text")
+    val target = Seq((9L, "a b")).toDF("doc_id", "text")
+    val plan = TextOps.dsirWeights(raw, target, col("text"), col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
