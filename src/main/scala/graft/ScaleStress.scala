@@ -37,7 +37,10 @@ object ScaleStress {
   // operators (r7 rewrite: one exploded frame + whole-partition window
   // counts — stressed here to prove the rewrite holds its linearity)
   private val queries = Seq("dedup_lsh_candidates", "dedup_near_keep",
-    "dedup_incremental", "text_boilerplate", "text_lm_score")
+    "dedup_incremental", "text_boilerplate", "text_lm_score",
+    // r8 additions: the bounded-equi-join substring runs (pair structure
+    // per-copy by injectivity) and the broadcast-model DSIR weights
+    "text_substring_runs", "text_dsir_weights")
 
   def scaledCorpus(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = Tables.documents(spark, baseDir)
@@ -46,7 +49,10 @@ object ScaleStress {
       base.select(
         (col("doc_id") + lit(i.toLong * idSpan)).as("doc_id"),
         // injective token rewrite: copy-local shingles, Jaccard preserved
-        regexp_replace(col("text"), "(\\S+)", s"$$1_c$i").as("text"))
+        regexp_replace(col("text"), "(\\S+)", s"$$1_c$i").as("text"),
+        // lang survives the rewrite so distribution-conditioned operators
+        // (text_dsir_weights targets the English slice) stress unchanged
+        col("lang"))
     }.reduce(_ unionByName _)
   }
 
@@ -63,6 +69,15 @@ object ScaleStress {
       .config("spark.sql.warehouse.dir", "/tmp/graft-scale-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // a killed prior run leaves index-table locations the fresh session's
+    // catalog doesn't know about — DROP IF EXISTS is then a no-op and the
+    // CTAS fails on LOCATION_ALREADY_EXISTS, so clear the warehouse first
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File("/tmp/graft-scale-warehouse"))
 
     // warm up codegen/JVM so the 1x numbers aren't absorbing startup cost
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -44,12 +44,28 @@ object TextOps {
   def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
 
   /**
+   * Binds the token array of `text` to a LAMBDA VARIABLE before handing it to
+   * `body` — the single-expression analogue of staging the array in its own
+   * projection. Load-bearing: a higher-order-function lambda re-evaluates any
+   * referenced expression TREE once per element, so building n-grams with
+   * `slice(tokens(text), …)` inside the per-index lambda re-runs the whole
+   * regexp+split per output gram — O(tokens²) per doc, measured ~7× on the
+   * sf0.1 corpus (BASELINE r8 notes). A lambda variable, like a bound
+   * attribute, is evaluated once per row and is O(1) to reference; wrapping
+   * in a 1-element array + `transform` + `element_at` is the only way to
+   * introduce such a binding inside one Column expression, keeping
+   * [[shingles]]/[[ngrams]] safe to inline anywhere (projections, streaming
+   * selects, other lambdas) with no call-site staging discipline.
+   */
+  private def withToks(text: Column)(body: Column => Column): Column =
+    element_at(transform(array(tokens(text)), body), 1)
+
+  /**
    * Distinct word n-gram shingles of a normalized text, as an array column.
    * sequence is empty-safe: docs shorter than n yield a single shingle of the
    * whole text, so no document silently disappears from dedup.
    */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
+  def shingles(text: Column, n: Int): Column = withToks(text) { t =>
     array_distinct(
       when(size(t) <= n, array(concat_ws(" ", t)))
         .otherwise(transform(
@@ -64,8 +80,7 @@ object TextOps {
    * has no 3-gram repetition signal, and pretending it does would skew the
    * repetition ratios the callers compute.
    */
-  def ngrams(text: Column, n: Int): Column = {
-    val t = tokens(text)
+  def ngrams(text: Column, n: Int): Column = withToks(text) { t =>
     when(size(t) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(0), size(t) - n),
