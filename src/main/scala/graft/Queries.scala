@@ -47,11 +47,19 @@ object Queries {
 
   /** Deterministic flight-event JSON off the events table. Even event_ids use
     * the boolean `delayed` union branch, odd ids the string `status` branch
-    * (with mixed case, exercising the case-insensitive compare). */
+    * (with mixed case, exercising the case-insensitive compare).
+    *
+    * The repartition models the Kafka topic's partition parallelism (the
+    * reference consumes a partitioned topic; readme.txt:29-33): the testdata
+    * parquet is one small row group, which would otherwise serialize the
+    * whole encode→parse chain onto a single task — a simulation artifact,
+    * not a shape the real source has. One narrow exchange of the five cheap
+    * input columns buys full-core JSON throughput downstream. */
   def wireFlightJson(ev: DataFrame): DataFrame = {
     val tsSec = date_trunc("second", col("ts"))
     val delayMin = (floor(col("value")).cast("long") - 50).as("dm")
-    ev.select(tsSec.as("ts_sec"), col("event_id"), col("user_id"),
+    ev.repartition(ev.sparkSession.sparkContext.defaultParallelism)
+      .select(tsSec.as("ts_sec"), col("event_id"), col("user_id"),
         col("event_type"), col("value"), delayMin)
       .select(to_json(struct(
         concat(lit("F"), col("event_id").cast("string")).as("flightId"),

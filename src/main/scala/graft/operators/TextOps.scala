@@ -518,30 +518,47 @@ object TextOps {
    * the occurrence frame beyond the final per-doc aggregation, and no skew
    * surface (every join key is in a bounded-size broadcast table).
    */
-  def dsirWeights(raw: DataFrame, target: DataFrame, textCol: Column,
-      idCol: Column, buckets: Int = 4096): DataFrame = {
-    def gramBuckets(df: DataFrame): DataFrame = {
+  /** One row per (doc, hashed unigram/bigram occurrence) with its feature
+    * bucket — the exploded feature frame of [[dsirWeights]]. Pure
+    * projection + explode: usable identically on a STREAMING frame (the
+    * stream side of a static-model DSIR gate — see StreamingCorpusSpec). */
+  def dsirGramBuckets(df: DataFrame, textCol: Column, idCol: Column,
+      buckets: Int = 4096, carry: Seq[Column] = Nil): DataFrame = {
+    val norm = normalize(textCol)
+    df.select((idCol.as("doc_id") +: carry) :+
+        explode(concat(tokens(norm), ngrams(norm, 2))).as("gram"): _*)
+      .withColumn("bucket", pmod(portableHash(col("gram")), lit(buckets.toLong)))
+  }
+
+  /** The trained DSIR bucket model: (bucket, r_scaled) with r_scaled the
+    * Laplace-smoothed target/raw count ratio in parts-per-2^30 — the static
+    * artifact a streaming importance gate broadcast-joins against, and the
+    * lookup table of [[dsirWeights]]. At most `buckets` rows. */
+  def dsirModel(raw: DataFrame, target: DataFrame, textCol: Column,
+      buckets: Int = 4096): DataFrame = {
+    def bucketCounts(df: DataFrame, as: String): DataFrame = {
       val norm = normalize(textCol)
-      df.select(idCol.as("doc_id"),
-          explode(concat(tokens(norm), ngrams(norm, 2))).as("gram"))
-        .withColumn("bucket", pmod(portableHash(col("gram")), lit(buckets.toLong)))
+      df.select(explode(concat(tokens(norm), ngrams(norm, 2))).as("gram"))
+        .select(pmod(portableHash(col("gram")), lit(buckets.toLong)).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(as))
     }
-    val rawG = gramBuckets(raw)
-    val cR = rawG.groupBy(col("bucket")).agg(count(lit(1)).as("c_r"))
-    val cT = gramBuckets(target).groupBy(col("bucket")).agg(count(lit(1)).as("c_t"))
-    val model = cR.join(cT, Seq("bucket"), "left_outer")
+    bucketCounts(raw, "c_r").join(bucketCounts(target, "c_t"), Seq("bucket"), "left_outer")
       .select(col("bucket"),
         (coalesce(col("c_t"), lit(0L)) + lit(1L)).as("a"),
         (col("c_r") + lit(1L)).as("c"))
       .select(col("bucket"), expr(
         "((a * 32768L) div c) * 32768L + (((a * 32768L) % c) * 32768L) div c")
         .as("r_scaled"))
-    rawG.join(broadcast(model), Seq("bucket"))
+  }
+
+  def dsirWeights(raw: DataFrame, target: DataFrame, textCol: Column,
+      idCol: Column, buckets: Int = 4096): DataFrame =
+    dsirGramBuckets(raw, textCol, idCol, buckets)
+      .join(broadcast(dsirModel(raw, target, textCol, buckets)), Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), sum(col("r_scaled")).as("weight_scaled"))
       .withColumn("mean_weight",
         col("weight_scaled").cast("double") / (col("n_grams") * lit(1073741824.0)))
-  }
 
   /**
    * Gopher-style heuristic quality filter: per-document metrics plus pass/fail

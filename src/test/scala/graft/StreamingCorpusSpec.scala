@@ -162,6 +162,48 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DSIR gate matches batch dsirWeights (static model join)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "alpha beta gamma delta alpha beta"),
+      (2L, "zig zag zip zap zig zag"),
+      (3L, "alpha beta zig zag alpha zag"))
+    val batchDocs = rows.toDF("doc_id", "text")
+    val target = Seq((100L, "alpha beta gamma delta"),
+      (101L, "beta gamma alpha delta")).toDF("doc_id", "text")
+
+    val model = TextOps.dsirModel(batchDocs, target, col("text"))
+    val input = MemoryStream[(Long, String, String)]
+    val streamed = TextOps.dsirGramBuckets(
+        input.toDF().toDF("doc_id", "text", "ts_s")
+          .withColumn("ts", col("ts_s").cast("timestamp"))
+          .withWatermark("ts", "10 minutes"),
+        col("text"), col("doc_id"), carry = Seq(col("ts")))
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy(col("doc_id"), window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("r_scaled")).as("weight_scaled"))
+      .withColumn("mean_weight",
+        col("weight_scaled").cast("double") / (col("n_grams") * lit(1073741824.0)))
+      .select(col("doc_id"), col("n_grams"), col("weight_scaled"), col("mean_weight"))
+
+    val q = streamed.writeStream.format("memory").queryName("dsir_stream_out")
+      .option("checkpointLocation", Files.createTempDirectory("dsir-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows.take(2).map { case (id, t) => (id, t, "2024-01-01 10:00:00") }: _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2).map { case (id, t) => (id, t, "2024-01-01 10:05:00") }: _*)
+      q.processAllAvailable()
+      input.addData((99L, "late watermark pusher", "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+      val got = spark.table("dsir_stream_out").filter(col("doc_id") =!= 99L)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val batch = TextOps.dsirWeights(batchDocs, target, col("text"), col("doc_id"))
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got == batch, s"stream $got != batch $batch")
+    } finally q.stop()
+  }
+
   test("nearDupStream flags near-duplicates across micro-batch boundaries") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
