@@ -49,17 +49,20 @@ object Queries {
     * the boolean `delayed` union branch, odd ids the string `status` branch
     * (with mixed case, exercising the case-insensitive compare).
     *
-    * The repartition models the Kafka topic's partition parallelism (the
-    * reference consumes a partitioned topic; readme.txt:29-33): the testdata
-    * parquet is one small row group, which would otherwise serialize the
-    * whole encode→parse chain onto a single task — a simulation artifact,
-    * not a shape the real source has. One narrow exchange of the five cheap
-    * input columns buys full-core JSON throughput downstream. */
+    * Deliberately NO repartition here, although the single-row-group testdata
+    * parquet serializes the encode→parse chain onto one task (the real source
+    * is a partitioned Kafka topic; readme.txt:29-33): an exchange between
+    * this projection and the parse lets PushDownPredicates push the parser's
+    * reject-drop null filters below it, inlining the whole
+    * from_json(to_json(..)) chain into an interpreted Filter at the scan —
+    * one evaluation PER CONJUNCT (8×), and flight_parse loses whole-stage
+    * codegen entirely. Measured at sf0.1: 1.21 s without the exchange vs
+    * 1.91 s with, parallelism notwithstanding (PlanAuditSpec pins the
+    * codegen span). */
   def wireFlightJson(ev: DataFrame): DataFrame = {
     val tsSec = date_trunc("second", col("ts"))
     val delayMin = (floor(col("value")).cast("long") - 50).as("dm")
-    ev.repartition(ev.sparkSession.sparkContext.defaultParallelism)
-      .select(tsSec.as("ts_sec"), col("event_id"), col("user_id"),
+    ev.select(tsSec.as("ts_sec"), col("event_id"), col("user_id"),
         col("event_type"), col("value"), delayMin)
       .select(to_json(struct(
         concat(lit("F"), col("event_id").cast("string")).as("flightId"),
