@@ -192,7 +192,11 @@ object Similarity {
    * Assign every vector to its nearest centroid by cosine (deterministic
    * tie-break on cell_id). `centroids` must have (cell_id, cellv) and is
    * broadcast — one pass over the corpus, no corpus shuffle before the
-   * per-vector rank (which partitions by vec_id).
+   * per-vector rank (which partitions by vec_id). Besides (vec_id, cell_id,
+   * ve) the result carries `vnorm` (the vector's L2 norm, so downstream
+   * pairwise cosines don't recompute it) and `cell_cos` (cosine to the
+   * assigned centroid — the "how prototypical" score SemDeDup's keep rule
+   * ranks on).
    */
   def assignCells(corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
@@ -207,7 +211,7 @@ object Similarity {
       .withColumn("cell_cos",
         dot(col("ve"), col("cellv")) / (col("vnorm") * col("cnorm")))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("cell_id"), col("ve"))
+      .select(col("vec_id"), col("cell_id"), col("ve"), col("vnorm"), col("cell_cos"))
   }
 
   /**
