@@ -2346,6 +2346,73 @@ object Queries {
            |UNION ALL SELECT 3, a, b, n FROM r3""".stripMargin
       }),
 
+    // BPE encode: apply the 3 trained merges to every document (greedy
+    // left-to-right, training order — the encode half of the tokenizer
+    // loop). Zero-shuffle projection: the rules are plan-time literals
+    // fetched from the bounded trainer at construction (the bm25-constants
+    // pattern); per-token folds are array-local. The oracle re-derives the
+    // same rules via the train CTE chain and unrolls the same three folds
+    // per document.
+    ("text_bpe_encode",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val rules = TextOps.bpeTrain(docs, col("text"), merges = 3)
+          .orderBy("iteration").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        TextOps.bpeEncode(docs, col("text"), col("doc_id"), rules)
+      },
+      Some {
+        def iter(i: Int): String =
+          s"""p$i AS (
+             |  SELECT pr['a'] AS a, pr['b'] AS b, sum(w)::bigint AS n
+             |  FROM (SELECT unnest(list_transform(range(1, len(syms)),
+             |                      j -> {'a': syms[j], 'b': syms[j + 1]})) AS pr, w
+             |        FROM w${i - 1} WHERE len(syms) >= 2)
+             |  GROUP BY 1, 2),
+             |r$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+             |w$i AS (
+             |  SELECT list_reduce(list_prepend([]::varchar[], list_transform(syms, x -> [x])),
+             |           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = r$i.a AND x[1] = r$i.b
+             |                       THEN list_append(acc[1:-2], r$i.a || r$i.b)
+             |                       ELSE list_append(acc, x[1]) END) AS syms, w
+             |  FROM w${i - 1}, r$i),
+             |""".stripMargin
+        s"""WITH tok AS (
+           |  SELECT token, count(*) AS w
+           |  FROM (SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS token
+           |        FROM documents)
+           |  GROUP BY 1),
+           |w0 AS (SELECT list_transform(range(1, length(token) + 1), i -> token[i]) AS syms, w FROM tok),
+           |${iter(1)}${iter(2)}${iter(3)}dtoks AS (
+           |  SELECT doc_id,
+           |         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+           |  FROM documents),
+           |enc AS (
+           |  SELECT doc_id, toks,
+           |         flatten(list_transform(toks, tok ->
+           |           list_reduce(list_prepend([]::varchar[], list_transform(
+           |             list_reduce(list_prepend([]::varchar[], list_transform(
+           |               list_reduce(list_prepend([]::varchar[], list_transform(
+           |                 list_transform(range(1, length(tok) + 1), i -> tok[i]),
+           |                 x -> [x])),
+           |                 (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = r1.a AND x[1] = r1.b
+           |                             THEN list_append(acc[1:-2], r1.a || r1.b)
+           |                             ELSE list_append(acc, x[1]) END),
+           |               x -> [x])),
+           |               (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = r2.a AND x[1] = r2.b
+           |                           THEN list_append(acc[1:-2], r2.a || r2.b)
+           |                           ELSE list_append(acc, x[1]) END),
+           |             x -> [x])),
+           |             (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = r3.a AND x[1] = r3.b
+           |                         THEN list_append(acc[1:-2], r3.a || r3.b)
+           |                         ELSE list_append(acc, x[1]) END))) AS flat
+           |  FROM dtoks, r1, r2, r3)
+           |SELECT doc_id, len(toks)::int AS n_tokens, len(flat)::int AS n_bpe_tokens,
+           |       coalesce(list_sum(list_transform(flat,
+           |         s -> ('0x' || substr(md5(s), 1, 15))::bigint % 1099511627776)), 0)::bigint AS bpe_checksum
+           |FROM enc""".stripMargin
+      }),
+
     // Corpus-relative rarity: mean document-frequency of each doc's distinct
     // tokens — the boilerplate-vs-novelty signal, integer-derived throughout.
     ("text_token_rarity",
@@ -2408,6 +2475,8 @@ object Queries {
     // Cross-document boilerplate: fraction of each doc's distinct 3-gram
     // shingles shared by >= 5 documents corpus-wide — headers/chrome/license
     // blocks that repeat across a crawl rather than within one page.
+    // Plans the skew-safe (default) form since r9: two-level df count +
+    // heavy-key broadcast attach — bounded per-task fan-in at any skew.
     ("text_boilerplate",
       (s: SparkSession, d: String) =>
         TextOps.boilerplateStats(Tables.documents(s, d), col("text"),
@@ -2420,12 +2489,28 @@ object Queries {
           |FROM shingle_rows JOIN dfreq USING (shingle)
           |GROUP BY 1""".stripMargin)),
 
-    // The at-scale form of text_boilerplate: two-level df count + heavy-key
-    // broadcast attach (no whole-partition window — a shingle held by 10% of
-    // a 100 TB corpus must not land in one task). heavyCut=8 is deliberately
-    // low so BOTH the broadcast (hot) and bounded-join (cold) branches carry
-    // rows at gate scale; identical result by construction, pinned by the
-    // same oracle.
+    // Small-corpus opt-in form of text_boilerplate: document frequency as a
+    // whole-partition window count over one exploded frame — fewer exchanges
+    // and no model join, but a hyper-common shingle lands in ONE task, so
+    // this form is only for frames where the hottest shingle provably fits
+    // one task. Identical result by construction, pinned by the same oracle.
+    ("text_boilerplate_window",
+      (s: SparkSession, d: String) =>
+        TextOps.boilerplateStats(Tables.documents(s, d), col("text"),
+          col("doc_id"), n = 3, minDf = 5, skewSafe = false),
+      Some(shingleCte +
+        """, dfreq AS (SELECT shingle, count(*) AS df FROM shingle_rows GROUP BY 1)
+          |SELECT doc_id, count(*)::bigint AS n_shingles,
+          |       sum(CASE WHEN df >= 5 THEN 1 ELSE 0 END)::bigint AS n_boiler,
+          |       cast(sum(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS double) / count(*) AS boiler_ratio
+          |FROM shingle_rows JOIN dfreq USING (shingle)
+          |GROUP BY 1""".stripMargin)),
+
+    // The default at-scale form with a deliberately LOW heavyCut=8 so BOTH
+    // the broadcast (hot) and bounded-join (cold) branches carry rows at
+    // gate scale (the default 2^24 cut keeps everything on the cold branch
+    // at sf0.01); identical result by construction, pinned by the same
+    // oracle.
     ("text_boilerplate_skewsafe",
       (s: SparkSession, d: String) =>
         TextOps.boilerplateStats(Tables.documents(s, d), col("text"),
@@ -2480,6 +2565,8 @@ object Queries {
     // Bigram LM scoring (log-free perplexity stand-in): corpus bigram model,
     // per-doc mean conditional probability quantized to integer
     // parts-per-2^30 so the sum is exact in any aggregation order.
+    // Plans the skew-safe (default) form since r9: distinct-bigram model +
+    // heavy-key broadcast attach — bounded per-task fan-in at any skew.
     ("text_lm_score",
       (s: SparkSession, d: String) =>
         TextOps.lmScore(Tables.documents(s, d), col("text"), col("doc_id")),
@@ -2501,10 +2588,36 @@ object Queries {
           |FROM bi JOIN model USING (bigram)
           |GROUP BY 1""".stripMargin)),
 
-    // The at-scale form of text_lm_score: distinct-bigram model table +
-    // heavy-bigram broadcast attach (no whole-partition window over "the …"
-    // occurrences). Same oracle as text_lm_score — the model-table CTE shape
-    // is literally what the skew-safe Spark plan computes.
+    // Small-corpus opt-in form of text_lm_score: both model counts as
+    // whole-partition window counts over ONE exploded bigram frame — no
+    // model table, no joins, but a hyper-common first word ("the …") lands
+    // in one task. Identical result by construction, same oracle.
+    ("text_lm_score_window",
+      (s: SparkSession, d: String) =>
+        TextOps.lmScore(Tables.documents(s, d), col("text"), col("doc_id"),
+          skewSafe = false),
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+          |  FROM documents),
+          |bi AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 1),
+          |                             i -> array_to_string(toks[i + 1:i + 2], ' '))) AS bigram
+          |       FROM toks WHERE len(toks) >= 2),
+          |c12 AS (SELECT bigram, count(*) AS c12 FROM bi GROUP BY 1),
+          |c1 AS (SELECT string_split(bigram, ' ')[1] AS w1, sum(c12) AS c1
+          |       FROM c12 GROUP BY 1),
+          |model AS (SELECT bigram, (c12 * 1073741824) // c1 AS p_scaled
+          |          FROM c12 JOIN c1 ON string_split(bigram, ' ')[1] = w1)
+          |SELECT doc_id, count(*)::bigint AS n_bigrams,
+          |       cast(sum(p_scaled) AS double) / (count(*) * 1073741824.0) AS lm_score
+          |FROM bi JOIN model USING (bigram)
+          |GROUP BY 1""".stripMargin)),
+
+    // The default at-scale form with a deliberately LOW heavyCut=8 so BOTH
+    // broadcast (hot) and bounded-join (cold) branches carry rows at gate
+    // scale. The model-table CTE shape is literally what the skew-safe
+    // Spark plan computes.
     ("text_lm_score_skewsafe",
       (s: SparkSession, d: String) =>
         TextOps.lmScore(Tables.documents(s, d), col("text"), col("doc_id"),

@@ -87,12 +87,14 @@ object SkewStress {
 
       val runs: Seq[(String, String, () => DataFrame)] = Seq(
         ("text_boilerplate", "window",
-          () => TextOps.boilerplateStats(docs, col("text"), col("doc_id"))),
+          () => TextOps.boilerplateStats(docs, col("text"), col("doc_id"),
+            skewSafe = false)),
         ("text_boilerplate", "skewsafe",
           () => TextOps.boilerplateStats(docs, col("text"), col("doc_id"),
             skewSafe = true, heavyCut = heavyCut)),
         ("text_lm_score", "window",
-          () => TextOps.lmScore(docs, col("text"), col("doc_id"))),
+          () => TextOps.lmScore(docs, col("text"), col("doc_id"),
+            skewSafe = false)),
         ("text_lm_score", "skewsafe",
           () => TextOps.lmScore(docs, col("text"), col("doc_id"),
             skewSafe = true, heavyCut = heavyCut)))

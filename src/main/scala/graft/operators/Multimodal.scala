@@ -73,8 +73,11 @@ object Multimodal {
    *   bytes 9...  pixel payload (width·height·channels bytes, may be truncated)
    * }}}
    * Features: [width, height, channels, pixel_bytes_present]; a payload
-   * whose magic does not match decodes to all -1 (the reject lane — rows
-   * stay, downstream filters decide). Pure codegen'd built-ins
+   * whose magic does not match — or whose header is truncated below the
+   * 9 bytes the fields need (substring past the end yields empty bytes,
+   * whose hex→conv decode is null, and a null-bearing features array would
+   * poison downstream double consumers) — decodes to all -1 (the reject
+   * lane — rows stay, downstream filters decide). Pure codegen'd built-ins
    * (`substring`/`hex`/`conv`), so the decode runs inside whole-stage
    * codegen in batch and streaming alike — the integration pattern a JNI
    * codec expression would follow.
@@ -85,7 +88,8 @@ object Multimodal {
     def decode(payload: Column): Column = {
       def beUint(start: Int, len: Int): Column =
         conv(hex(substring(payload, start, len)), 16, 10).cast("double")
-      when(substring(payload, 1, 4) === lit("GIMG".getBytes("US-ASCII")),
+      when(substring(payload, 1, 4) === lit("GIMG".getBytes("US-ASCII")) &&
+          length(payload) >= 9,
         array(beUint(5, 2), beUint(7, 2), beUint(9, 1),
           greatest(length(payload) - 9, lit(0)).cast("double")))
         .otherwise(array(lit(-1.0), lit(-1.0), lit(-1.0), lit(-1.0)))

@@ -167,22 +167,25 @@ object TextOps {
    * repeat across a crawl rather than within one page.
    *
    * Scale shape, two forms selected by `skewSafe`:
-   *  - `skewSafe = false` (small-corpus form): document frequency is a
+   *  - `skewSafe = true` (DEFAULT — the at-scale form): two-level count — a
+   *    map-side-combined `groupBy(shingle).count()` (partial aggregation
+   *    absorbs hot keys before the exchange) — then [[attachSkewSplit]] to
+   *    attach df. Boilerplate detection exists precisely because some
+   *    shingles appear in a large fraction of the corpus; the window form
+   *    would send every row of such a shingle to one task, while here those
+   *    rows take the broadcast path and never shuffle. Safe-by-default: a
+   *    caller at 100 TB gets bounded per-task fan-in without opting in.
+   *  - `skewSafe = false` (small-corpus opt-in): document frequency is a
    *    whole-partition window count over the exploded shingles (shingles are
    *    distinct per doc, so rows-per-shingle IS the doc count) — one
    *    exchange, no second scan of the explode. A hyper-common shingle makes
-   *    one hot window partition, so this form is only for frames where the
-   *    hottest shingle's row count fits one task comfortably.
-   *  - `skewSafe = true` (at-scale form): two-level count — a map-side-
-   *    combined `groupBy(shingle).count()` (partial aggregation absorbs hot
-   *    keys before the exchange) — then [[attachSkewSplit]] to attach df.
-   *    Boilerplate detection exists precisely because some shingles appear
-   *    in a large fraction of the corpus; the window form would send every
-   *    row of such a shingle to one task, while here those rows take the
-   *    broadcast path and never shuffle.
+   *    one hot window partition, so this form is ONLY for frames where the
+   *    hottest shingle's row count provably fits one task (measured ~2×
+   *    faster on a uniform sf0.1 corpus; loses at hot-30% skew — see
+   *    `SkewStress` in BASELINE.md).
    */
   def boilerplateStats(docs: DataFrame, textCol: Column, idCol: Column,
-      n: Int = 3, minDf: Int = 5, skewSafe: Boolean = false,
+      n: Int = 3, minDf: Int = 5, skewSafe: Boolean = true,
       heavyCut: Long = 1L << 24): DataFrame = {
     val ex = docs.select(idCol.as("doc_id"),
       explode(shingles(normalize(textCol), n)).as("shingle"))
@@ -280,27 +283,31 @@ object TextOps {
    * the naive `c12 * 2^30` already overflows at c12 > 2^33.
    *
    * Scale shape, two forms selected by `skewSafe`:
-   *  - `skewSafe = false` (small-corpus form): both model counts are
+   *  - `skewSafe = true` (DEFAULT — the at-scale form): two-level count — a
+   *    map-side-combined `groupBy(bigram).count()` (one row per DISTINCT
+   *    bigram), rolled up to c(w1 ·) by a second vocabulary-sized
+   *    aggregation — then the (bigram → p_scaled) model attaches via
+   *    [[attachSkewSplit]]: hot bigrams broadcast, light bigrams equi-joined
+   *    with bounded per-key fan-out. The model join on w1 runs over distinct
+   *    bigrams, not occurrences, so its per-key row count is capped by
+   *    vocabulary. Safe-by-default: a caller at 100 TB gets bounded
+   *    per-task fan-in without opting in.
+   *  - `skewSafe = false` (small-corpus opt-in): both model counts are
    *    whole-partition window counts over ONE exploded bigram frame —
    *    c(w1 w2) is rows-per-bigram, c(w1 ·) rows-per-first-word — so no
    *    model table, no joins, one scan of the explode. Three exchanges
    *    (bigram, w1, doc). A hyper-common first word ("the …") makes one hot
-   *    window partition, so this form is only for frames where the hottest
-   *    word's row count fits one task.
-   *  - `skewSafe = true` (at-scale form): two-level count — a map-side-
-   *    combined `groupBy(bigram).count()` (one row per DISTINCT bigram),
-   *    rolled up to c(w1 ·) by a second vocabulary-sized aggregation — then
-   *    the (bigram → p_scaled) model attaches via [[attachSkewSplit]]: hot
-   *    bigrams broadcast, light bigrams equi-joined with bounded per-key
-   *    fan-out. The model join on w1 runs over distinct bigrams, not
-   *    occurrences, so its per-key row count is capped by vocabulary.
+   *    window partition, so this form is ONLY for frames where the hottest
+   *    word's row count provably fits one task (measured faster on a
+   *    uniform sf0.1 corpus; 6.9× max-task fan-in growth at hot-30% skew —
+   *    see `SkewStress` in BASELINE.md).
    *
    * Self-scoring on the training corpus by construction; to score a foreign
    * frame against this corpus's model, materialize the model table
    * separately instead.
    */
   def lmScore(docs: DataFrame, textCol: Column, idCol: Column,
-      skewSafe: Boolean = false, heavyCut: Long = 1L << 24): DataFrame = {
+      skewSafe: Boolean = true, heavyCut: Long = 1L << 24): DataFrame = {
     val scale = 1L << 30
     val ex = docs.select(idCol.as("doc_id"),
       explode(ngrams(normalize(textCol), 2)).as("bigram"))
@@ -533,18 +540,26 @@ object TextOps {
   /** The trained DSIR bucket model: (bucket, r_scaled) with r_scaled the
     * Laplace-smoothed target/raw count ratio in parts-per-2^30 — the static
     * artifact a streaming importance gate broadcast-joins against, and the
-    * lookup table of [[dsirWeights]]. At most `buckets` rows. */
+    * lookup table of [[dsirWeights]]. At most `buckets` rows. Both bucket
+    * counts come from ONE unioned, map-side-combined aggregation (a raw
+    * gram contributes (1,0), a target gram (0,1)) — no join at all, and a
+    * bucket with target mass but zero raw occurrences naturally gets its
+    * Laplace-smoothed (c_t+1)/1 row, so a foreign frame scored against
+    * this model (the streaming DSIR gate's inner join on bucket) never
+    * silently drops grams that hash to target-only buckets. */
   def dsirModel(raw: DataFrame, target: DataFrame, textCol: Column,
       buckets: Int = 4096): DataFrame = {
-    def bucketCounts(df: DataFrame, as: String): DataFrame = {
+    def grams(df: DataFrame, isTarget: Int): DataFrame = {
       val norm = normalize(textCol)
       df.select(explode(concat(tokens(norm), ngrams(norm, 2))).as("gram"))
-        .select(pmod(portableHash(col("gram")), lit(buckets.toLong)).as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as(as))
+        .select(pmod(portableHash(col("gram")), lit(buckets.toLong)).as("bucket"),
+          lit(1L - isTarget).as("r"), lit(isTarget.toLong).as("t"))
     }
-    bucketCounts(raw, "c_r").join(bucketCounts(target, "c_t"), Seq("bucket"), "left_outer")
+    grams(raw, 0).unionByName(grams(target, 1))
+      .groupBy(col("bucket"))
+      .agg(sum(col("t")).as("c_t"), sum(col("r")).as("c_r"))
       .select(col("bucket"),
-        (coalesce(col("c_t"), lit(0L)) + lit(1L)).as("a"),
+        (col("c_t") + lit(1L)).as("a"),
         (col("c_r") + lit(1L)).as("c"))
       .select(col("bucket"), expr(
         "((a * 32768L) div c) * 32768L + (((a * 32768L) % c) * 32768L) div c")
@@ -804,6 +819,57 @@ object TextOps {
       words = words.select(merged.as("syms"), col("w")).localCheckpoint()
     }
     rules.result().toDF("iteration", "sym_a", "sym_b", "weight")
+  }
+
+  /**
+   * Apply a trained BPE merge list ([[bpeTrain]]'s rules, training order) to
+   * the corpus — the encode half of the tokenizer loop a training-data
+   * pipeline exists to feed: each token is segmented to characters and every
+   * rule folds through the SAME greedy left-to-right merge the trainer used.
+   * Emits the applied segmentation as scalars (catalog outputs stay scalar):
+   * `n_tokens`, `n_bpe_tokens` (post-merge symbol count — each firing rule
+   * strictly shrinks it), and `bpe_checksum` = Σ portableHash(sym) mod 2^40
+   * over the post-merge symbol stream (content-sensitive; together with the
+   * count it pins the merge application).
+   *
+   * Scale shape: a ZERO-SHUFFLE projection — the rules arrive as plan-time
+   * literals (bounded by the merge count; the bm25-constants pattern), the
+   * per-token fold is array-local O(merges · symbols), and nothing joins or
+   * aggregates across rows, so the encode runs map-side at any corpus size
+   * and drops into a streaming select unchanged. Determinism: the checksum
+   * sums 40-bit values — an exact long up to ~2^23 symbols per document.
+   */
+  def bpeEncode(docs: DataFrame, textCol: Column, idCol: Column,
+      rules: Seq[(String, String)]): DataFrame = {
+    def bind(x: Column)(body: Column => Column): Column =
+      element_at(transform(array(x), body), 1)
+    def charSyms(tok: Column): Column =
+      when(length(tok) < 1, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(tok)),
+          i => tok.substr(i, lit(1))))
+    def applyRule(syms: Column, a: String, b: String): Column =
+      aggregate(syms, array().cast("array<string>"),
+        (acc, x) =>
+          when(try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x))))
+    val enc = withToks(normalize(textCol)) { toks =>
+      bind(flatten(transform(toks, tok =>
+        rules.foldLeft(charSyms(tok)) { case (syms, (a, b)) =>
+          applyRule(syms, a, b)
+        }))) { flat =>
+        struct(
+          size(toks).as("n_tokens"),
+          size(flat).as("n_bpe_tokens"),
+          aggregate(flat, lit(0L),
+            (acc, s) => acc + pmod(portableHash(s), lit(1L << 40)))
+            .as("bpe_checksum"))
+      }
+    }
+    docs.select(idCol.as("doc_id"), enc.as("e"))
+      .select(col("doc_id"), col("e.n_tokens").as("n_tokens"),
+        col("e.n_bpe_tokens").as("n_bpe_tokens"),
+        col("e.bpe_checksum").as("bpe_checksum"))
   }
 
   def langId(docs: DataFrame, textCol: Column, idCol: Column): DataFrame = {

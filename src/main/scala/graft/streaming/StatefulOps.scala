@@ -196,28 +196,35 @@ object StatefulOps {
             state.remove()
             Iterator.single(emit(last))
           } else {
-            val out = List.newBuilder[UserSession]
-            var cur = state.getOption
-            rows.map(_._2.getTime).toSeq.sorted.foreach { t =>
-              cur match {
-                case Some(s) if t - s.endMs <= gapMs =>
-                  // A late cross-batch event can precede the parked session's
-                  // start; the built-in session_window extends backwards, so
-                  // mirror that by taking min on the start bound too.
-                  cur = Some(SessionState(math.min(s.startMs, t),
-                    math.max(s.endMs, t), s.n + 1))
-                case Some(s) => // gap exceeded inside the data path
-                  out += emit(s)
-                  cur = Some(SessionState(t, t, 1L))
-                case None =>
-                  cur = Some(SessionState(t, t, 1L))
+            // Timeline interval merge, mirroring the built-in session_window
+            // exactly: the parked session (an interval) and this batch's
+            // events (points), sorted by start, fold under the gap rule with
+            // TRANSITIVE merges — a chain of stragglers bridges back into
+            // the parked session only if every hop is within the gap. A late
+            // event more than gapMs before the parked start forms its OWN
+            // earlier session (windows [t, t+gap) and [start, end+gap)
+            // don't overlap), so it cannot drag session_start arbitrarily
+            // far back — reachable whenever watermark delay > gap.
+            val items = (state.getOption.toSeq ++
+              rows.map(r => SessionState(r._2.getTime, r._2.getTime, 1L)))
+              .sortBy(s => (s.startMs, s.endMs))
+            val merged = items.foldLeft(List.empty[SessionState]) { (acc, iv) =>
+              acc match {
+                case h :: tl if iv.startMs - h.endMs <= gapMs =>
+                  SessionState(h.startMs, math.max(h.endMs, iv.endMs),
+                    h.n + iv.n) :: tl
+                case _ => iv :: acc
               }
-            }
-            cur.foreach { s =>
+            }.reverse
+            // every interval but the last is gap-closed inside the data path
+            // (or lies entirely behind the parked session) — emit now; the
+            // last parks with an event-time timeout at end + gap.
+            val out = merged.dropRight(1).map(emit)
+            merged.lastOption.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.endMs + gapMs)
             }
-            out.result().iterator
+            out.iterator
           }
       }
   }

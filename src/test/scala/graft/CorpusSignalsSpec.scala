@@ -122,6 +122,29 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(r2(1).getString(1) == "aa" && r2(1).getString(2) == "a")
   }
 
+  test("bpeEncode: applies trained merges greedily in training order, zero-shuffle") {
+    // rules (a,a) then (aa,b): "aaab" → chars [a,a,a,b] → rule1 greedy
+    // left-to-right [aa,a,b] (merging "aa" in "aaa" leaves [aa,a]) → rule2
+    // only fires on adjacent (aa,b) — here [aa, a, b] has (a,b) adjacent,
+    // NOT (aa,b), so rule2 does nothing → 3 symbols. "aab" → [aa, b] →
+    // rule2 → [aab] → 1 symbol. "cd" unaffected → 2 symbols.
+    val docs = Seq((1L, "aaab"), (2L, "aab"), (3L, "cd aab"))
+      .toDF("doc_id", "text")
+    val enc = TextOps.bpeEncode(docs, col("text"), col("doc_id"),
+      Seq(("a", "a"), ("aa", "b")))
+    val got = enc.collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got(1L) == ((1, 3)), s"aaab must encode to 3 symbols: $got")
+    assert(got(2L) == ((1, 1)), s"aab must encode to 1 symbol: $got")
+    assert(got(3L) == ((2, 3)), s"cd aab must encode to 2+1 symbols: $got")
+    // checksum distinguishes content with equal counts
+    val ck = enc.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(ck(1L) != ck(3L))
+    // the encode is a pure projection — no exchange of any kind
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bpeEncode must be zero-shuffle:\n$plan")
+  }
+
   test("chunkWindows: stride/overlap layout and tail handling") {
     val text20 = (1 to 20).map(i => s"t$i").mkString(" ")
     val docs = Seq((1L, text20), (2L, "a b c")).toDF("doc_id", "text")
@@ -188,6 +211,29 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(w(1L) > w(3L) && w(3L) > w(2L), s"expected w1 > w3 > w2, got $w")
     // every raw doc is scored — selection is downstream's choice
     assert(w.size == 3)
+  }
+
+  test("dsirModel: a target-only bucket still gets its Laplace-smoothed row") {
+    // "qqq" appears ONLY in target: its bucket has target mass but zero raw
+    // occurrences. The full-outer count join must still emit the bucket
+    // (ratio (c_t+1)/(0+1)) so a foreign frame scored against the model
+    // doesn't silently drop grams hashing there.
+    val raw = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val target = Seq((9L, "qqq qqq qqq")).toDF("doc_id", "text")
+    val model = TextOps.dsirModel(raw, target, col("text"))
+    val buckets = model.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // locate qqq's unigram bucket the same way dsirGramBuckets does
+    val qBucket = Seq((0L, "qqq")).toDF("doc_id", "text")
+      .select(pmod(TextOps.portableHash(lit("qqq")), lit(4096L)).as("b"))
+      .head().getLong(0)
+    assert(buckets.contains(qBucket),
+      s"target-only bucket $qBucket missing from model: ${buckets.keys.toSeq.sorted}")
+    // raw count 0 → c = 1; target has 3 unigram + 2 bigram "qqq …" grams?
+    // ("qqq qqq qqq" → unigrams ×3 + bigrams "qqq qqq" ×2 — bigram hash
+    // differs, so this bucket holds the 3 unigrams unless hashes collide)
+    // ratio = (3+1)/1 = 4 in parts-per-2^30
+    assert(buckets(qBucket) >= (1L << 30),
+      s"target-only bucket must score above 1.0 ratio: ${buckets(qBucket)}")
   }
 
   test("dsirWeights: the bucket model attaches via broadcast, never a shuffle join") {

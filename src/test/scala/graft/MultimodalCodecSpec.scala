@@ -83,7 +83,12 @@ class MultimodalCodecSpec extends SparkSpec {
       (1L, gimg("GIMG", 640, 480, 3, 10)),
       (2L, gimg("GIMG", 1, 65535, 1, 0)),     // boundary dims, no pixels
       (3L, gimg("XIMG", 640, 480, 3, 10)),    // bad magic -> reject lane
-      (4L, "too-short".getBytes("US-ASCII"))) // shorter than a header
+      (4L, "too-short".getBytes("US-ASCII")), // shorter than a header
+      // VALID magic but header truncated below the 9 bytes the fields
+      // need: must take the reject lane (-1s), never a null-bearing
+      // features array from substring-past-end decoding to ''.
+      (5L, "GIMG".getBytes("US-ASCII")),
+      (6L, "GIMG".getBytes("US-ASCII") ++ Array[Byte](0x02, 0x00, 0x01)))
       .toDF("doc_id", "payload")
     val got = Multimodal.extractFeatures(rows, col("doc_id"), col("payload"),
         Multimodal.GimgHeaderCodec())
@@ -93,6 +98,8 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(got(2L) == Seq(1.0, 65535.0, 1.0, 0.0))
     assert(got(3L) == Seq(-1.0, -1.0, -1.0, -1.0))
     assert(got(4L) == Seq(-1.0, -1.0, -1.0, -1.0))
+    assert(got(5L) == Seq(-1.0, -1.0, -1.0, -1.0))
+    assert(got(6L) == Seq(-1.0, -1.0, -1.0, -1.0))
   }
 
   test("metadata (n_bytes, content_hash) is codec-independent ground truth") {

@@ -64,13 +64,16 @@ class PlanAuditSpec extends SparkSpec {
         .map(p => plan.sliding(p.length).count(_ == p)).sum
     }
     // shape → count: repetition = (gram-count + doc-agg) × two n-gram sizes;
-    // boilerplate = shingle window + doc agg; lm = bigram window + w1 window
-    // + doc agg; packing = one shard window; centroids = one label exchange;
-    // SCD2 = ONE exchange shared by both windows and the run aggregation
-    // (they all partition on the entity key); weighted per-group sample =
-    // one group window; bpe/minmax = 0 (their fit halves run eagerly at
-    // construction, the returned frame is a local/projection plan)
-    Map("text_repetition" -> 4, "text_boilerplate" -> 2, "text_lm_score" -> 3,
+    // boilerplate_window = shingle window + doc agg; lm_window = bigram
+    // window + w1 window + doc agg (the r9 small-corpus opt-in rows — the
+    // default rows now plan the skew-safe shape, audited below); packing =
+    // one shard window; centroids = one label exchange; SCD2 = ONE exchange
+    // shared by both windows and the run aggregation (they all partition on
+    // the entity key); weighted per-group sample = one group window;
+    // bpe/minmax = 0 (their fit halves run eagerly at construction, the
+    // returned frame is a local/projection plan)
+    Map("text_repetition" -> 4, "text_boilerplate_window" -> 2,
+      "text_lm_score_window" -> 3,
       "text_pack_sequences" -> 1, "emb_label_centroids" -> 1,
       "events_scd2_history" -> 1, "sample_weighted_per_group" -> 1,
       "text_bpe_train" -> 0, "emb_minmax_scale" -> 0)
@@ -81,26 +84,26 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("skew-safe text operators: no whole-partition window, heavy keys broadcast") {
-    def planOf(name: String): String =
-      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
-    def shuffles(plan: String): Int =
-      Seq("Exchange hashpartitioning", "Exchange SinglePartition", "Exchange rangepartitioning")
-        .map(p => plan.sliding(p.length).count(_ == p)).sum
-    // Exchange counts are textual: the counts/model subtree appears once per
-    // union branch (hot, cold-probe, cold-build) in the printed plan, but the
-    // stages canonicalize identically, so AQE computes each shuffle once and
-    // reuses it at runtime. boilerplate = 3 × counts-agg + doc-agg; lm =
-    // 2 × (cb + cw + model-side) + cb-for-light + w1 + doc-agg.
-    Seq("text_boilerplate_skewsafe" -> 4, "text_lm_score_skewsafe" -> 9)
-      .foreach { case (q, expected) =>
-        val plan = planOf(q)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // The load-bearing scale assertions are the Window absence and the
+    // heavy-key BroadcastHashJoin; exchange count is an UPPER BOUND over
+    // collected ShuffleExchange nodes (textual union-branch duplication
+    // canonicalizes to reused stages under AQE, and exact printed counts
+    // break spuriously on Spark/optimizer-version changes). Since r9 the
+    // DEFAULT text_boilerplate / text_lm_score rows plan this shape.
+    Seq("text_boilerplate" -> 10, "text_lm_score" -> 10,
+      "text_boilerplate_skewsafe" -> 10, "text_lm_score_skewsafe" -> 10)
+      .foreach { case (q, maxEx) =>
+        val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
+        val planStr = plan.toString
         // the scale property: the hot key's rows take the broadcast path and
         // the frame never flows through a whole-partition window
-        assert(!plan.contains("Window"), s"$q must not plan a window:\n$plan")
-        assert(plan.contains("BroadcastHashJoin"),
-          s"$q must broadcast the heavy-key table:\n$plan")
-        assert(shuffles(plan) == expected,
-          s"$q expected $expected exchanges, got ${shuffles(plan)}")
+        assert(!planStr.contains("Window"), s"$q must not plan a window:\n$planStr")
+        assert(planStr.contains("BroadcastHashJoin"),
+          s"$q must broadcast the heavy-key table:\n$planStr")
+        val nEx = plan.collect { case e: ShuffleExchangeLike => e }.length
+        assert(nEx <= maxEx,
+          s"$q expected at most $maxEx exchanges, got $nEx")
       }
   }
 

@@ -159,6 +159,54 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream: straggler beyond the gap opens its own earlier session") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // watermark delay (1h) > gap (10min): a late event can arrive more than
+    // gapMs BEFORE the parked session's start. session_window would open a
+    // separate earlier session (windows [t, t+gap) and [start, end+gap)
+    // don't overlap when t < start - gap) — the merge must NOT drag
+    // session_start back.
+    val sessions = StatefulOps.sessionizeStream(
+      input.toDF().toDF("user", "ts"), "user", "ts",
+      watermark = "1 hour", gapMs = 10 * 60 * 1000L)
+    val q = sessions.writeStream.format("memory").queryName("sess_straggle_out")
+      .option("checkpointLocation", Files.createTempDirectory("sess5-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(("A", ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      // two stragglers: 30 and 25 min before the parked start — within gap
+      // of EACH OTHER (transitive merge into one early session) but beyond
+      // the gap from the parked session. Emitted closed immediately.
+      input.addData(("A", ts("2024-01-01 10:00:00")),
+        ("A", ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      val early = spark.table("sess_straggle_out")
+        .select(col("session_start").cast("string"),
+          col("session_end").cast("string"), col("n_events"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(early == Set(("2024-01-01 10:00:00", "2024-01-01 10:05:00", 2L)),
+        s"stragglers must form their own closed earlier session: $early")
+      // the parked session is untouched by the stragglers
+      input.addData(("Z", ts("2024-01-01 14:00:00"))) // watermark → 13:00
+      q.processAllAvailable()
+      input.addData(("Z", ts("2024-01-01 15:00:00"))) // fire A's timeout
+      q.processAllAvailable()
+      val all = spark.table("sess_straggle_out")
+        .filter(col("user_id") === "A")
+        .select(col("session_start").cast("string"),
+          col("session_end").cast("string"), col("n_events"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(all == Set(
+        ("2024-01-01 10:00:00", "2024-01-01 10:05:00", 2L),
+        ("2024-01-01 10:30:00", "2024-01-01 10:30:00", 1L)),
+        s"parked session must keep its own start: $all")
+    } finally q.stop()
+  }
+
   test("sessionizeStream matches the built-in session_window on closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
