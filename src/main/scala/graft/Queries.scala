@@ -2346,6 +2346,37 @@ object Queries {
            |UNION ALL SELECT 3, a, b, n FROM r3""".stripMargin
       }),
 
+    // Linear quality-classifier inference (fastText-shaped): hashed
+    // bag-of-tokens counts · integer weight vector + bias → margin,
+    // thresholded keep flag. Weights are plan-time literals (trained
+    // offline); zero-shuffle projection, exact-long dot product.
+    ("text_classifier_score",
+      (s: SparkSession, d: String) =>
+        TextOps.classifierScore(Tables.documents(s, d), col("text"),
+          col("doc_id"),
+          weights = Seq(5L, -3L, 7L, 2L, -8L, 4L, 1L, -2L, 6L, -5L, 3L, 9L,
+            -1L, -4L, 8L, 2L),
+          bias = -40L, threshold = 0L),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id,
+          |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+          |  FROM documents),
+          |w AS (SELECT [5, -3, 7, 2, -8, 4, 1, -2, 6, -5, 3, 9, -1, -4, 8, 2] AS wv),
+          |v AS (
+          |  SELECT doc_id,
+          |         list_transform(range(0, 16),
+          |           b -> len(list_filter(toks,
+          |                  tok -> ('0x' || substr(md5(tok), 1, 15))::bigint % 16 = b))) AS vec
+          |  FROM t),
+          |m AS (
+          |  SELECT doc_id,
+          |         (list_sum(list_transform(range(0, 16), i -> vec[i + 1] * wv[i + 1])) - 40)::bigint AS margin
+          |  FROM v CROSS JOIN w)
+          |SELECT doc_id, margin,
+          |       (CASE WHEN margin >= 0 THEN 1 ELSE 0 END)::int AS clf_keep
+          |FROM m""".stripMargin)),
+
     // BPE encode: apply the 3 trained merges to every document (greedy
     // left-to-right, training order — the encode half of the tokenizer
     // loop). Zero-shuffle projection: the rules are plan-time literals
@@ -3682,6 +3713,67 @@ object Queries {
           |SELECT d1, d2, max(run_tokens)::bigint AS longest_run,
           |       count(*)::bigint AS n_runs
           |FROM runs GROUP BY d1, d2 HAVING max(run_tokens) >= 8""".stripMargin)),
+
+    // Substring-run REMOVAL (the cut half of Lee et al. 2021): every
+    // verbatim >= 8-token run shared by a doc pair is cut from the
+    // higher-id doc (keep-first); overlapping intervals merge per doc with
+    // the running-max sweep; output pins the cut byte-for-byte via the
+    // portable hash of the re-concatenated text. Inherits the runs query's
+    // bounded pair space; the final attach is one left_outer equi-join of
+    // the (cuts-only) interval table onto the corpus.
+    ("text_substring_cut",
+      (s: SparkSession, d: String) =>
+        TextOps.cutRuns(Tables.documents(s, d), col("text"), col("doc_id")),
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+          |  FROM documents),
+          |g0 AS (
+          |  SELECT doc_id, pos, array_to_string(t[pos + 1 : pos + 5], ' ') AS gram
+          |  FROM toks CROSS JOIN LATERAL (SELECT unnest(range(0, len(t) - 4)) AS pos)
+          |  WHERE len(t) >= 5),
+          |capped AS (
+          |  SELECT doc_id, pos, gram FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY doc_id, gram ORDER BY pos) AS occ
+          |    FROM g0) WHERE occ <= 8),
+          |light AS (SELECT gram FROM capped GROUP BY gram
+          |          HAVING count(DISTINCT doc_id) <= 64),
+          |g AS (SELECT c.* FROM capped c JOIN light USING (gram)),
+          |pairs AS (
+          |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1, b.pos AS p2,
+          |         a.pos - b.pos AS diag
+          |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+          |isl AS (
+          |  SELECT d1, d2, diag, isl, count(*) + 4 AS run_tokens,
+          |         min(p2) AS s, max(p2) + 4 AS e
+          |  FROM (SELECT d1, d2, p1, p2, diag,
+          |               p1 - row_number() OVER (PARTITION BY d1, d2, diag
+          |                                       ORDER BY p1) AS isl
+          |        FROM pairs)
+          |  GROUP BY d1, d2, diag, isl),
+          |cuts AS (SELECT d2 AS doc_id, s, e FROM isl WHERE run_tokens >= 8),
+          |sw AS (SELECT doc_id, s, e,
+          |              max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+          |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+          |       FROM cuts),
+          |grps AS (SELECT doc_id, s, e,
+          |                sum(CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END)
+          |                  OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+          |         FROM sw),
+          |miv AS (SELECT doc_id, grp, min(s) AS s, max(e) AS e FROM grps GROUP BY 1, 2),
+          |ivl AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS iv FROM miv GROUP BY 1),
+          |joined AS (SELECT t.doc_id, t.t, i.iv FROM toks t LEFT JOIN ivl i USING (doc_id)),
+          |res AS (
+          |  SELECT doc_id, len(t)::int AS n_tokens,
+          |         CASE WHEN iv IS NULL THEN t
+          |              ELSE list_transform(list_filter(range(0, len(t)),
+          |                     ix -> len(list_filter(iv, v -> ix >= v['s'] AND ix <= v['e'])) = 0),
+          |                     ix -> t[ix + 1]) END AS kept
+          |  FROM joined)
+          |SELECT doc_id, n_tokens, len(kept)::int AS n_tokens_after,
+          |       ('0x' || substr(md5(coalesce(array_to_string(kept, ' '), '')), 1, 15))::bigint AS cut_text_hash
+          |FROM res""".stripMargin)),
 
     // Embedding-cosine near-dup pairs, the corpus-scale shape: banded
     // hyperplane-LSH candidates (equi-join on (band, bucket) — a hash

@@ -40,7 +40,9 @@ object ScaleStress {
     "dedup_incremental", "text_boilerplate", "text_lm_score",
     // r8 additions: the bounded-equi-join substring runs (pair structure
     // per-copy by injectivity) and the broadcast-model DSIR weights
-    "text_substring_runs", "text_dsir_weights")
+    "text_substring_runs", "text_dsir_weights",
+    // r9: the cut half — same bounded pair space + per-doc interval sweep
+    "text_substring_cut")
 
   def scaledCorpus(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = Tables.documents(spark, baseDir)

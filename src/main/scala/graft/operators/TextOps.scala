@@ -439,7 +439,19 @@ object TextOps {
    *    a corpus-wide hot partition.
    */
   def substringRuns(docs: DataFrame, textCol: Column, idCol: Column,
-      n: Int = 5, dfCap: Int = 64, occCap: Int = 8, minRun: Int = 8): DataFrame = {
+      n: Int = 5, dfCap: Int = 64, occCap: Int = 8, minRun: Int = 8): DataFrame =
+    runIslands(docs, textCol, idCol, n, dfCap, occCap)
+      .groupBy(col("d1"), col("d2"))
+      .agg(max(col("run_tokens")).as("longest_run"),
+        count(lit(1)).as("n_runs"))
+      .filter(col("longest_run") >= minRun)
+
+  /** The maximal-run frame shared by [[substringRuns]] and [[cutRuns]]: one
+    * row per maximal shared diagonal run between a doc pair (d1 < d2), with
+    * the run's token length and its token interval [s2, e2] in d2 (the
+    * later doc — the copy keep-first dedup removes). */
+  private def runIslands(docs: DataFrame, textCol: Column, idCol: Column,
+      n: Int, dfCap: Int, occCap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g0 = docs.select(idCol.as("doc_id"),
       posexplode(ngrams(normalize(textCol), n)).as(Seq("pos", "gram")))
@@ -459,11 +471,74 @@ object TextOps {
       .withColumn("diag", col("p1") - col("p2"))
       .withColumn("isl", col("p1") - row_number().over(islW))
       .groupBy(col("d1"), col("d2"), col("diag"), col("isl"))
-      .agg((count(lit(1)) + lit(n - 1)).as("run_tokens"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(max(col("run_tokens")).as("longest_run"),
-        count(lit(1)).as("n_runs"))
-      .filter(col("longest_run") >= minRun)
+      .agg((count(lit(1)) + lit(n - 1)).as("run_tokens"),
+        min(col("p2")).as("s2"),
+        (max(col("p2")) + lit(n - 1)).as("e2"))
+  }
+
+  /**
+   * Substring-run REMOVAL — the cut half of Lee et al. 2021's pipeline
+   * ([[substringRuns]] detects; this ships the deduplicated corpus):
+   * every verbatim run of >= `minRun` tokens shared by a doc pair is
+   * removed from the HIGHER-id doc of the pair (keep-first: the earlier
+   * copy survives), and the kept tokens re-concatenate into the cut text.
+   * Emitted as scalars (catalog outputs stay scalar): `n_tokens` before,
+   * `n_tokens_after`, and `cut_text_hash` — the portable 60-bit hash of
+   * the re-concatenated text, which pins the exact cut byte-for-byte.
+   *
+   * Mechanics: [[runIslands]] gives each qualifying run's token interval
+   * [s2, e2] in the later doc; a doc collects intervals from ALL its pairs
+   * (and multiple diagonals of one pair), so overlaps are merged with the
+   * classic running-max sweep (`max(e) over (... rows unbounded preceding
+   * to 1 preceding)` starts a new group when s jumps past it — integer
+   * arithmetic, deterministic under (s, e) ordering ties because tied rows
+   * are identical). The merged intervals attach per doc as a bounded array
+   * and the cut is an array-local position filter.
+   *
+   * Scale shape: inherits [[runIslands]]' bounded pair space (occCap ·
+   * dfCap fan-out, broadcast anti-join for heavy grams); the interval
+   * sweep windows partition per doc_id (pair-local, never corpus-wide);
+   * the final attach is ONE equi-join of the cut-interval table (only docs
+   * that lose spans) onto the corpus, left_outer so untouched docs pass
+   * through with their original text hash.
+   */
+  def cutRuns(docs: DataFrame, textCol: Column, idCol: Column,
+      n: Int = 5, dfCap: Int = 64, occCap: Int = 8, minRun: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cuts = runIslands(docs, textCol, idCol, n, dfCap, occCap)
+      .filter(col("run_tokens") >= minRun)
+      .select(col("d2").as("doc_id"), col("s2").as("s"), col("e2").as("e"))
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val ivs = cuts
+      .withColumn("maxe",
+        max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_iv",
+        when(col("maxe").isNull || col("s") > col("maxe"), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("new_iv")).over(ord))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("cut_ivs"))
+    def bind(x: Column)(body: Column => Column): Column =
+      element_at(transform(array(x), body), 1)
+    val res = docs.select(idCol.as("doc_id"), normalize(textCol).as("norm"))
+      .join(ivs, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), bind(split(col("norm"), " ")) { t =>
+        bind(when(col("cut_ivs").isNull, t).otherwise(
+          transform(filter(
+            transform(sequence(lit(0), size(t) - 1),
+              i => struct(i.as("i"), element_at(t, i + 1).as("tok"))),
+            p => !exists(col("cut_ivs"),
+              v => p.getField("i") >= v.getField("s") &&
+                p.getField("i") <= v.getField("e"))),
+            p => p.getField("tok")))) { kept =>
+          struct(size(t).as("n_tokens"), size(kept).as("n_tokens_after"),
+            portableHash(concat_ws(" ", kept)).as("cut_text_hash"))
+        }
+      }.as("r"))
+    res.select(col("doc_id"), col("r.n_tokens").as("n_tokens"),
+      col("r.n_tokens_after").as("n_tokens_after"),
+      col("r.cut_text_hash").as("cut_text_hash"))
   }
 
   /** PII-ish redaction: mask email addresses and long digit runs. The regex
@@ -765,6 +840,36 @@ object TextOps {
     val t = tokens(normalize(text))
     transform(sequence(lit(0), lit(dim - 1)),
       b => size(filter(t, tok => pmod(portableHash(tok), lit(dim)) === b)))
+  }
+
+  /**
+   * Linear (fastText-shaped) quality-classifier INFERENCE: hashed
+   * bag-of-tokens features ([[hashVectorize]], the hashing trick) dotted
+   * with an integer weight vector plus bias → a margin, thresholded into a
+   * keep flag. This is the scoring half of the classifier-quality-filter
+   * every web-corpus recipe runs (CCNet/GPT-3-style "looks like curated
+   * text" gates); training happens offline — the weights arrive here as
+   * PLAN-TIME LITERALS, the bm25-constants pattern, so inference composes
+   * into any projection including a streaming select.
+   *
+   * Determinism (house convention): integer weights × integer counts sum
+   * to an exact long in any order — no float dot product, no sigmoid (the
+   * margin is monotone in the probability, and the threshold is what a
+   * filter consumes; same trade as [[lmScore]]'s log-free mean).
+   *
+   * Scale shape: ZERO-SHUFFLE projection — O(dim · tokens) array-local
+   * work per row, nothing joins or aggregates across rows.
+   */
+  def classifierScore(docs: DataFrame, textCol: Column, idCol: Column,
+      weights: Seq[Long], bias: Long = 0L, threshold: Long = 0L): DataFrame = {
+    require(weights.nonEmpty, "need a weight vector")
+    val wCol = array(weights.map(lit): _*)
+    val margin = aggregate(
+      zip_with(hashVectorize(textCol, weights.size), wCol,
+        (c, w) => c.cast("long") * w),
+      lit(bias), (acc, x) => acc + x)
+    docs.select(idCol.as("doc_id"), margin.as("margin"))
+      .withColumn("clf_keep", (col("margin") >= lit(threshold)).cast("int"))
   }
 
   /**

@@ -122,6 +122,23 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(r2(1).getString(1) == "aa" && r2(1).getString(2) == "a")
   }
 
+  test("classifierScore: exact integer margin and threshold flag") {
+    // dim 2: every token hashes to bucket 0 or 1; weights (+3, -2).
+    // margin = 3·c0 - 2·c1 + bias — recompute per doc from the same hash.
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "x")).toDF("doc_id", "text")
+    val hashed = docs.select(col("doc_id"),
+        TextOps.hashVectorize(col("text"), 2).as("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val r = TextOps.classifierScore(docs, col("text"), col("doc_id"),
+        weights = Seq(3L, -2L), bias = 1L, threshold = 2L)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getInt(2))).toMap
+    hashed.foreach { case (id, v) =>
+      val expect = 3L * v(0) - 2L * v(1) + 1L
+      assert(r(id)._1 == expect, s"doc $id margin: $r vs counts $v")
+      assert(r(id)._2 == (if (expect >= 2L) 1 else 0))
+    }
+  }
+
   test("bpeEncode: applies trained merges greedily in training order, zero-shuffle") {
     // rules (a,a) then (aa,b): "aaab" → chars [a,a,a,b] → rule1 greedy
     // left-to-right [aa,a,b] (merging "aa" in "aaa" leaves [aa,a]) → rule2

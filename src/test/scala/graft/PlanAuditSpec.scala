@@ -49,7 +49,8 @@ class PlanAuditSpec extends SparkSpec {
       "flight_delayed", "emb_normalize", "emb_quantize", "emb_project",
       "sim_lsh_buckets", "events_zorder_key", "multimodal_features",
       "scalar_functions", "datetime_functions", "array_functions",
-      "text_chunk_windows", "string_functions_ext", "text_hash_vectorize")
+      "text_chunk_windows", "string_functions_ext", "text_hash_vectorize",
+      "text_classifier_score")
       .foreach(q => assert(shuffles(q) == 0, s"$q should be shuffle-free"))
     // single-aggregation queries: exactly one exchange (partial → final)
     Seq("tpch_q1", "tpch_q6_revenue", "dedup_fingerprint", "dedup_exact",

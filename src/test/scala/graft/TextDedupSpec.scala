@@ -272,6 +272,43 @@ class TextDedupSpec extends SparkSpec {
     assert(TextOps.substringRuns(d, col("text"), col("doc_id")).count() == 0L)
   }
 
+  test("cutRuns removes the shared span from the higher-id doc only (keep-first)") {
+    val shared = (1 to 10).map("c" + _).mkString(" ")
+    val d = docs(
+      (1L, s"a1 a2 a3 $shared z1 z2"),
+      (2L, s"b1 $shared y1 y2 y3 y4"),
+      (3L, "n1 n2 n3 n4 n5"))
+    val r = TextOps.cutRuns(d, col("text"), col("doc_id"))
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Int]("n_tokens"), x.getAs[Int]("n_tokens_after"))).toMap
+    // doc 1 (earlier copy) keeps everything; doc 2 loses the 10-token run
+    assert(r(1L) == ((15, 15)), s"keep-first must not cut the earlier doc: $r")
+    assert(r(2L) == ((15, 5)), s"later doc must lose the 10 shared tokens: $r")
+    assert(r(3L) == ((5, 5)))
+    // the cut text hash equals the hash of the expected remainder
+    val cut2 = TextOps.cutRuns(d, col("text"), col("doc_id"))
+      .filter(col("doc_id") === 2L).head().getAs[Long]("cut_text_hash")
+    val expect2 = d.sparkSession.range(1)
+      .select(TextOps.portableHash(lit("b1 y1 y2 y3 y4"))).head().getLong(0)
+    assert(cut2 == expect2, "cut must remove exactly the shared span")
+  }
+
+  test("cutRuns merges overlapping intervals from different partners") {
+    // doc 3 shares tokens 0-9 with doc 1 and tokens 5-14 with doc 2: the
+    // two cut intervals overlap and must merge to one 15-token cut.
+    val t = (1 to 15).map("t" + _)
+    val d = docs(
+      (1L, t.take(10).mkString(" ") + " a1 a2 a3"),
+      (2L, "b1 b2 b3 " + t.drop(5).mkString(" ")),
+      (3L, t.mkString(" ") + " z1 z2 z3"))
+    val r = TextOps.cutRuns(d, col("text"), col("doc_id"))
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Int]("n_tokens"), x.getAs[Int]("n_tokens_after"))).toMap
+    assert(r(3L) == ((18, 3)), s"overlapping cuts must merge: $r")
+    assert(r(1L)._1 == r(1L)._2 && r(2L)._1 == r(2L)._2,
+      s"lower-id partners keep their text: $r")
+  }
+
   test("substringRuns: dfCap drops boilerplate grams shared by too many docs") {
     val boiler = (1 to 12).map("w" + _).mkString(" ")
     // the 12-token run appears verbatim in every doc; with dfCap below the
