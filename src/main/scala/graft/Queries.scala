@@ -2082,6 +2082,30 @@ object Queries {
           |  FROM events)
           |WHERE rn <= 100""".stripMargin)),
 
+    // Per-source corpus balancing: resample documents to target source
+    // proportions — src0-src3 weighted 3, the rest 1, budget 280 → quotas
+    // floor(280·3/28)=30 / floor(280·1/28)=10, drawn in portable-hash
+    // order. The domain-mix step of a web-corpus recipe; same one-exchange
+    // rank-window shape as sample_stratified.
+    ("corpus_source_mix",
+      (s: SparkSession, d: String) => {
+        val mix = (0 to 3).map(i => s"src$i" -> 3L) ++
+          (4 to 19).map(i => s"src$i" -> 1L)
+        Sampling.sourceMix(Tables.documents(s, d), col("source"),
+            col("doc_id"), mix, budget = 280L)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+      },
+      Some(
+        """SELECT doc_id, source, n_chars FROM (
+          |  SELECT doc_id, source, n_chars,
+          |         row_number() OVER (
+          |           PARTITION BY source
+          |           ORDER BY ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint,
+          |                    doc_id) AS rn
+          |  FROM documents)
+          |WHERE rn <= (CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
+          |                  THEN 30 ELSE 10 END)""".stripMargin)),
+
     // PII-ish redaction stats: emails and long digit runs masked; counts and
     // the redacted length verify the transform end-to-end.
     ("text_redact_stats",

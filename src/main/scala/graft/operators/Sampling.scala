@@ -102,4 +102,37 @@ object Sampling {
       .filter(col("sample_rank") <= k)
       .drop("sample_rank")
   }
+
+  /**
+   * Per-source corpus balancing: resample to TARGET PROPORTIONS — the
+   * domain-mix step every web-corpus recipe runs ("30% curated, 70% crawl",
+   * per-domain caps). Given target weights per source and a total budget,
+   * each listed source's quota is floor(budget · w / Σw) — exact integer
+   * arithmetic, computed at plan time — and its documents are drawn in
+   * portable-hash order of the id (deterministic uniform draw, id
+   * tie-break). A source with fewer documents than its quota contributes
+   * what it has; sources absent from the mix are dropped (quota 0).
+   *
+   * Scale shape: identical to [[quotaPerGroup]] — one hash exchange on the
+   * source key + a per-group rank window. Per-source row counts are the
+   * corpus's own source distribution; a pathologically hot source is
+   * exactly what the quota caps, and the window's per-task work is bounded
+   * by that source's pre-cap rows in the partition (rank windows stream —
+   * no per-key buffering beyond the sort).
+   */
+  def sourceMix(df: DataFrame, sourceCol: Column, idCol: Column,
+      mix: Seq[(String, Long)], budget: Long): DataFrame = {
+    require(mix.nonEmpty && mix.forall(_._2 > 0), "mix weights must be positive")
+    val total = mix.map(_._2).sum
+    val quota = mix.foldLeft(lit(0L)) { case (acc, (s, w)) =>
+      when(sourceCol === s, lit(budget * w / total)).otherwise(acc)
+    }
+    import org.apache.spark.sql.expressions.Window
+    val wnd = Window.partitionBy(sourceCol)
+      .orderBy(TextOps.portableHash(idCol.cast("string")), idCol)
+    df.withColumn("mix_quota", quota)
+      .withColumn("sample_rank", row_number().over(wnd))
+      .filter(col("sample_rank") <= col("mix_quota"))
+      .drop("mix_quota", "sample_rank")
+  }
 }

@@ -78,6 +78,25 @@ class SamplingSpec extends SparkSpec {
     assert(tiny.count() == 2)
   }
 
+  test("sourceMix: proportional quotas, short sources give what they have") {
+    // sources: a has 100 docs, b has 100, c has 5. mix a:3 b:1 c:1,
+    // budget 50 → quotas floor(50·3/5)=30, floor(50/5)=10, 10 (c caps at 5)
+    val df = ((1L to 100L).map(i => (i, "a")) ++
+      (101L to 200L).map(i => (i, "b")) ++
+      (201L to 205L).map(i => (i, "c")) ++
+      (301L to 310L).map(i => (i, "unlisted"))).toDF("id", "src")
+    val mixed = Sampling.sourceMix(df, col("src"), col("id"),
+      Seq("a" -> 3L, "b" -> 1L, "c" -> 1L), budget = 50L)
+    val byGroup = mixed.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(byGroup == Map("a" -> 30L, "b" -> 10L, "c" -> 5L),
+      s"quota mismatch: $byGroup")
+    // unlisted sources are dropped; draw is deterministic across partitionings
+    val again = Sampling.sourceMix(df.repartition(7), col("src"), col("id"),
+      Seq("a" -> 3L, "b" -> 1L, "c" -> 1L), budget = 50L)
+    assert(mixed.select("id").as[Long].collect().sorted.toSeq ==
+      again.select("id").as[Long].collect().sorted.toSeq)
+  }
+
   test("priorityPerGroup: per-group caps, weight bias, exact determinism") {
     // two groups; in each, ids <= 100 carry weight 100 and the rest weight 1
     val df = (1L to 400L).map { i =>
