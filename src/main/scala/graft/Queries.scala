@@ -2842,6 +2842,170 @@ object Queries {
           |SELECT shard, doc_id, n_tokens, prefix, (prefix // 1024)::bigint AS seq_id
           |FROM p""".stripMargin)),
 
+    // The round-9 pipeline capstone: ensemble near-dup verdict (Jaccard OR
+    // SimHash-hamming) × substring-run-cut retention gate × DSIR
+    // target-likeness gate × Gopher quality battery × PII redaction ×
+    // hash-split — the r8/r9 signals composed into one corpus job. Signals
+    // (cut intervals, DSIR model) are computed CORPUS-WIDE (they are corpus
+    // facts); gates and packing apply to dedup survivors. The oracle
+    // recomputes every stage in CTEs.
+    ("corpus_pipeline_v3",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val cands = Dedup.lshCandidates(Dedup.lshBuckets(
+          Dedup.minhashSignatures(docs, col("text"), col("doc_id"))))
+        val ver = Dedup.ngramJaccard(cands, docs, col("text"), col("doc_id"))
+        val f = Dedup.simhash(docs, col("text"), col("doc_id"))
+        val drops = ver
+          .join(f.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a")), "doc_a")
+          .join(f.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b")), "doc_b")
+          .filter(col("jaccard") >= 0.8 ||
+            bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 6)
+          .select(col("doc_b").as("doc_id"))
+        val undup = docs.join(drops, Seq("doc_id"), "left_anti")
+        val cut = TextOps.cutRuns(docs, col("text"), col("doc_id"))
+          .select(col("doc_id"), col("n_tokens_after"))
+        val dsirAll = TextOps.dsirWeights(docs,
+          docs.filter(col("lang") === "en"), col("text"), col("doc_id"))
+        // Scale-invariant DSIR gate: keep docs more target-like than the
+        // corpus overall. The global mean ratio is a construction-time
+        // eager scalar (the bm25-constants pattern) derived from the same
+        // exact longs as mean_weight, so the comparison is bit-identical
+        // in every engine.
+        val tot = dsirAll.agg(sum(col("weight_scaled")).as("ws"),
+          sum(col("n_grams")).as("ng")).head()
+        val globalMean =
+          tot.getLong(0).toDouble / (tot.getLong(1).toDouble * 1073741824.0)
+        val dsir = dsirAll.select(col("doc_id"), col("mean_weight"))
+        val qual = TextOps.qualityFilter(undup, col("text"))
+          .filter(col("quality_keep") === 1)
+        val kept = qual.join(cut, "doc_id").join(dsir, "doc_id")
+          .filter(col("n_tokens_after") >= 10 &&
+            col("mean_weight") >= lit(globalMean))
+        Sampling.hashSplit(
+            kept.withColumn("clean_len", length(TextOps.redactPii(col("text")))),
+            col("doc_id"), Seq("train" -> 80, "val" -> 10, "test" -> 10))
+          .select(col("doc_id"), col("split"), col("n_tokens"),
+            col("n_tokens_after"), col("mean_weight"), col("clean_len"))
+      },
+      Some(lshCandCtes + nearDupVerifyCtes +
+        """, enstok AS (
+          |  SELECT DISTINCT doc_id, t AS token
+          |  FROM (SELECT doc_id,
+          |               unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS t
+          |        FROM documents)),
+          |ensh AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::bigint AS h FROM enstok),
+          |ensbits AS (
+          |  SELECT doc_id, b,
+          |         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+          |  FROM ensh CROSS JOIN (SELECT unnest(range(0, 60)) AS b) GROUP BY 1, 2),
+          |enshash AS (
+          |  SELECT doc_id,
+          |         cast(sum(CASE WHEN votes > 0 THEN (1::bigint << b) ELSE 0 END) AS bigint) AS simhash
+          |  FROM ensbits GROUP BY 1),
+          |drops AS (
+          |  SELECT v.doc_b AS doc_id
+          |  FROM verified v
+          |  JOIN enshash ea ON ea.doc_id = v.doc_a
+          |  JOIN enshash eb ON eb.doc_id = v.doc_b
+          |  WHERE v.jaccard >= 0.8 OR bit_count(xor(ea.simhash, eb.simhash)) <= 6),
+          |kept AS (
+          |  SELECT d.doc_id, d.text FROM documents d
+          |  WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = d.doc_id)),
+          |ctoks AS (
+          |  SELECT doc_id,
+          |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+          |  FROM documents),
+          |cg0 AS (
+          |  SELECT doc_id, pos, array_to_string(t[pos + 1 : pos + 5], ' ') AS gram
+          |  FROM ctoks CROSS JOIN LATERAL (SELECT unnest(range(0, len(t) - 4)) AS pos)
+          |  WHERE len(t) >= 5),
+          |ccapped AS (
+          |  SELECT doc_id, pos, gram FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY doc_id, gram ORDER BY pos) AS occ
+          |    FROM cg0) WHERE occ <= 8),
+          |clight AS (SELECT gram FROM ccapped GROUP BY gram
+          |           HAVING count(DISTINCT doc_id) <= 64),
+          |cg AS (SELECT c.* FROM ccapped c JOIN clight USING (gram)),
+          |cpairs AS (
+          |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1, b.pos AS p2,
+          |         a.pos - b.pos AS diag
+          |  FROM cg a JOIN cg b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+          |cisl AS (
+          |  SELECT d1, d2, diag, isl, count(*) + 4 AS run_tokens,
+          |         min(p2) AS s, max(p2) + 4 AS e
+          |  FROM (SELECT d1, d2, p1, p2, diag,
+          |               p1 - row_number() OVER (PARTITION BY d1, d2, diag
+          |                                       ORDER BY p1) AS isl
+          |        FROM cpairs)
+          |  GROUP BY d1, d2, diag, isl),
+          |ccuts AS (SELECT d2 AS doc_id, s, e FROM cisl WHERE run_tokens >= 8),
+          |csw AS (SELECT doc_id, s, e,
+          |               max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+          |                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+          |        FROM ccuts),
+          |cgrps AS (SELECT doc_id, s, e,
+          |                 sum(CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END)
+          |                   OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+          |          FROM csw),
+          |cmiv AS (SELECT doc_id, grp, min(s) AS s, max(e) AS e FROM cgrps GROUP BY 1, 2),
+          |civl AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS iv FROM cmiv GROUP BY 1),
+          |cstats AS (
+          |  SELECT t.doc_id,
+          |         (CASE WHEN i.iv IS NULL THEN len(t.t)
+          |               ELSE len(list_filter(range(0, len(t.t)),
+          |                      ix -> len(list_filter(i.iv, v -> ix >= v['s'] AND ix <= v['e'])) = 0))
+          |          END)::int AS n_tokens_after
+          |  FROM ctoks t LEFT JOIN civl i USING (doc_id)),
+          |dnorm AS (
+          |  SELECT doc_id, lang,
+          |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+          |  FROM documents),
+          |dgrams AS (
+          |  SELECT doc_id, lang, unnest(t) AS gram FROM dnorm
+          |  UNION ALL
+          |  SELECT doc_id, lang, unnest(list_transform(range(0, len(t) - 1),
+          |                              i -> array_to_string(t[i + 1:i + 2], ' '))) AS gram
+          |  FROM dnorm WHERE len(t) >= 2),
+          |db AS (SELECT doc_id, lang,
+          |              ('0x' || substr(md5(gram), 1, 15))::bigint % 4096 AS bucket
+          |       FROM dgrams),
+          |dcr AS (SELECT bucket, count(*) AS c_r FROM db GROUP BY 1),
+          |dct AS (SELECT bucket, count(*) AS c_t FROM db WHERE lang = 'en' GROUP BY 1),
+          |dmodel AS (SELECT bucket,
+          |                  ((coalesce(c_t, 0) + 1) * 1073741824) // (c_r + 1) AS r_scaled
+          |           FROM dcr LEFT JOIN dct USING (bucket)),
+          |dweights AS (
+          |  SELECT doc_id, count(*)::bigint AS n_grams, sum(r_scaled)::bigint AS weight_scaled,
+          |         cast(sum(r_scaled) AS double) / (count(*) * 1073741824.0) AS mean_weight
+          |  FROM db JOIN dmodel USING (bucket)
+          |  GROUP BY 1),
+          |dglob AS (
+          |  SELECT cast(sum(weight_scaled) AS double)
+          |           / (cast(sum(n_grams) AS double) * 1073741824.0) AS gmean
+          |  FROM dweights)
+          |""".stripMargin +
+        qualityMetricsCtes("kept").replaceFirst("^WITH ", ", ") +
+        s""", qkeep AS (
+          |  SELECT m.doc_id, m.n_tokens, k.text
+          |  FROM qmetrics m JOIN kept k ON k.doc_id = m.doc_id
+          |  WHERE m.n_tokens BETWEEN 20 AND 80 AND m.avg_token_len BETWEEN 3.0 AND 8.0
+          |    AND m.symbol_ratio <= 0.1 AND m.digit_token_ratio <= 0.2
+          |    AND m.n_stopwords >= 1)
+          |SELECT doc_id,
+          |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+          |       n_tokens, n_tokens_after, mean_weight,
+          |       length(regexp_replace(
+          |                regexp_replace(text, '${TextOps.emailPattern}', '<EMAIL>', 'g'),
+          |                '${TextOps.longNumberPattern}', '<NUM>', 'g'))::int AS clean_len
+          |FROM (SELECT q.doc_id, q.n_tokens, c.n_tokens_after, w.mean_weight, q.text,
+          |             ('0x' || substr(md5(q.doc_id::varchar), 1, 15))::bigint % 100 AS b
+          |      FROM qkeep q
+          |      JOIN cstats c ON c.doc_id = q.doc_id
+          |      JOIN dweights w ON w.doc_id = q.doc_id
+          |      CROSS JOIN dglob g
+          |      WHERE c.n_tokens_after >= 10 AND w.mean_weight >= g.gmean)""".stripMargin)),
+
     // Gopher-style quality battery: every rule's metric + verdict per doc.
     ("text_quality_filter",
       (s: SparkSession, d: String) =>
