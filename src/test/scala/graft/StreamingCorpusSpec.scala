@@ -204,6 +204,85 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("composed streaming chain: dedup → DSIR gate → quality → redact → split matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // Quality-passing texts (20-80 tokens, stopwords, sane lengths) on two
+    // vocabularies: doc 1 target-like, doc 2 off-target; doc 3 fails the
+    // quality gate; doc 1 is re-delivered (dedup catches it).
+    val good1 = ("the alpha beta gamma delta is " * 4).trim + " of and alpha beta"
+    val good2 = ("the zig zag zip zap is " * 4).trim + " of and zig zag"
+    val rows = Seq((1L, good1), (2L, good2), (3L, "too short"))
+    val batchDocs = rows.toDF("doc_id", "text")
+    val target = Seq((100L, "alpha beta gamma delta"),
+      (101L, "beta gamma alpha delta")).toDF("doc_id", "text")
+
+    // the DSIR gate threshold: midpoint of the two quality-passing docs'
+    // batch weights — doc 1 must pass, doc 2 must not, at any bucket count
+    val bw = TextOps.dsirWeights(batchDocs, target, col("text"), col("doc_id"))
+      .select(col("doc_id"), col("mean_weight"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bw(1L) > bw(2L), s"target-like doc must outweigh off-target: $bw")
+    val tau = (bw(1L) + bw(2L)) / 2
+
+    val model = TextOps.dsirModel(batchDocs, target, col("text"))
+    val input = MemoryStream[(Long, String, String)]
+    // ONE streaming query: watermarked id-dedup → gram explode → broadcast
+    // static-model join → per-(doc, window) weight → DSIR gate → quality
+    // battery → PII redaction → hash split
+    val gated = TextOps.dsirGramBuckets(
+        input.toDF().toDF("doc_id", "text", "ts_s")
+          .withColumn("ts", col("ts_s").cast("timestamp"))
+          .withWatermark("ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("doc_id"),
+        col("text"), col("doc_id"), carry = Seq(col("ts"), col("text")))
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy(col("doc_id"), col("text"), window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("r_scaled")).as("weight_scaled"))
+      .withColumn("mean_weight",
+        col("weight_scaled").cast("double") / (col("n_grams") * lit(1073741824.0)))
+      .filter(col("mean_weight") >= tau)
+    val streamed = Sampling.hashSplit(
+        TextOps.qualityFilter(gated, col("text"))
+          .filter(col("quality_keep") === 1)
+          .withColumn("clean_len", length(TextOps.redactPii(col("text")))),
+        col("doc_id"), Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select(col("doc_id"), col("split"), col("n_tokens"), col("clean_len"),
+        col("mean_weight"))
+
+    val q = streamed.writeStream.format("memory").queryName("composed_out")
+      .option("checkpointLocation", Files.createTempDirectory("composed-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, good1, "2024-01-01 10:00:00"),
+        (3L, "too short", "2024-01-01 10:00:10"))
+      q.processAllAvailable()
+      input.addData((1L, good1, "2024-01-01 10:00:20"), // re-delivery: deduped
+        (2L, good2, "2024-01-01 10:00:30"))
+      q.processAllAvailable()
+      input.addData((99L, "late watermark pusher", "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+
+      val got = spark.table("composed_out").filter(col("doc_id") =!= 99L)
+        .as[(Long, String, Int, Int, Double)].collect().toSet
+      // batch equivalent of the same chain over the deduped doc set
+      val bWeights = TextOps.dsirWeights(batchDocs, target, col("text"), col("doc_id"))
+        .select(col("doc_id"), col("mean_weight"))
+      val bGated = batchDocs.join(bWeights, "doc_id")
+        .filter(col("mean_weight") >= tau)
+      val batch = Sampling.hashSplit(
+          TextOps.qualityFilter(bGated, col("text"))
+            .filter(col("quality_keep") === 1)
+            .withColumn("clean_len", length(TextOps.redactPii(col("text")))),
+          col("doc_id"), Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select(col("doc_id"), col("split"), col("n_tokens"), col("clean_len"),
+          col("mean_weight"))
+        .as[(Long, String, Int, Int, Double)].collect().toSet
+      assert(got == batch, s"stream $got != batch $batch")
+      assert(got.map(_._1) == Set(1L),
+        s"only the target-like quality-passing doc survives every gate: $got")
+    } finally q.stop()
+  }
+
   test("nearDupStream flags near-duplicates across micro-batch boundaries") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
