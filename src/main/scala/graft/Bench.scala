@@ -41,7 +41,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's bench artifact keeps only the output TAIL (~2 KB), which
+    // truncates the 130+-entry per-query map — persist the full line to a
+    // file too so every per-query timing survives (BENCH_OUT overrides).
+    val outFile = sys.env.getOrElse("BENCH_OUT", "bench_last_run.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] WARNING: could not write $outFile: $e")
+    }
     spark.stop()
   }
 }

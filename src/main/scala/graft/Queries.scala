@@ -2865,8 +2865,13 @@ object Queries {
         val undup = docs.join(drops, Seq("doc_id"), "left_anti")
         val cut = TextOps.cutRuns(docs, col("text"), col("doc_id"))
           .select(col("doc_id"), col("n_tokens_after"))
+        // localCheckpoint materializes the doc-level DSIR frame ONCE (it is
+        // #docs rows, not #grams): the eager global-mean scalar below and
+        // the per-doc join both read the materialization instead of each
+        // re-running the explode + model chain.
         val dsirAll = TextOps.dsirWeights(docs,
           docs.filter(col("lang") === "en"), col("text"), col("doc_id"))
+          .localCheckpoint()
         // Scale-invariant DSIR gate: keep docs more target-like than the
         // corpus overall. The global mean ratio is a construction-time
         // eager scalar (the bm25-constants pattern) derived from the same
