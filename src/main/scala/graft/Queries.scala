@@ -3996,6 +3996,58 @@ object Queries {
           |FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
           |WHERE list_dot_product(a.ve, b.ve) / (a.nn * b.nn) >= 0.35""".stripMargin)),
 
+    // Semantic dedup (SemDeDup): deterministic spherical k-means (8 cells,
+    // 2 Lloyd iterations — the sim_ivf trainer), pairwise cosine ONLY
+    // within a cell (equi-join on cell_id — pair space Σ(cell size)², never
+    // corpus²), drop the higher id of any pair at cosine >= 0.3 (the p99 of
+    // the within-cell cosine distribution on this corpus — SemDeDup prunes
+    // the most-similar tail). Gated output is (vec_id, cell_id, sem_keep):
+    // the verdict depends only on RAW-vector cosines (bit-exact
+    // cross-engine); cell_cos — a centroid-involving double whose
+    // decimal→double conversion can differ by 1 ulp between engines (the
+    // int128 sum rounds before DuckDB's 10^15 division) — stays a
+    // library-level column, spec-tested, not hash-gated.
+    ("dedup_semantic",
+      (s: SparkSession, d: String) =>
+        Dedup.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+          nCells = 8, trainIters = 2, tau = 0.3)
+          .select(col("vec_id"), col("cell_id"), col("sem_keep")),
+      Some {
+        def assign(cents: String, out: String) =
+          s"""$out AS (SELECT vec_id, ve, cell_id FROM (
+             |  SELECT v.vec_id, v.ve, c.cell_id,
+             |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             |           list_dot_product(v.ve, c.cellv)
+             |             / (sqrt(list_dot_product(v.ve, v.ve)) * sqrt(list_dot_product(c.cellv, c.cellv))) DESC,
+             |           c.cell_id) AS rn
+             |  FROM v CROSS JOIN $cents c) WHERE rn = 1)"""
+        def update(from: String, out: String) =
+          s"""$out AS (
+             |  SELECT cell_id, list(cx ORDER BY dim) AS cellv FROM (
+             |    SELECT cell_id, d AS dim,
+             |           cast(sum(cast(ve[d + 1] AS decimal(30,15))) AS double) / count(*) AS cx
+             |    FROM $from CROSS JOIN (SELECT unnest(range(0, 64)) AS d)
+             |    GROUP BY 1, 2)
+             |  GROUP BY 1)"""
+        s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS ve
+           |           FROM embeddings),
+           |c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::int AS cell_id, ve AS cellv
+           |       FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)),
+           |${assign("c0", "a0")},
+           |${update("a0", "c1")},
+           |${assign("c1", "a1")},
+           |${update("a1", "c2")},
+           |${assign("c2", "a2")},
+           |drops AS (
+           |  SELECT DISTINCT b.vec_id
+           |  FROM a2 a JOIN a2 b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+           |  WHERE list_dot_product(a.ve, b.ve)
+           |          / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) >= 0.3)
+           |SELECT a.vec_id, a.cell_id,
+           |       (CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::int AS sem_keep
+           |FROM a2 a LEFT JOIN drops d ON d.vec_id = a.vec_id""".stripMargin
+      }),
+
     // Exact order statistics without interpolation ambiguity: the value at
     // rank ceil(p*n) per group (deterministic in any engine).
     ("events_value_percentiles",

@@ -573,4 +573,48 @@ object Dedup {
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), fingerprint.as("simhash"))
   }
+
+  /**
+   * Semantic dedup (SemDeDup, Abbas et al. 2023 "SemDeDup: Data-efficient
+   * learning at web-scale through semantic deduplication"): k-means-cluster
+   * the embedding space with the deterministic spherical trainer
+   * ([[graft.operators.Similarity.kmeansCentroids]]), compare vectors ONLY
+   * within a cluster, and drop every vector whose cosine to a LOWER-id
+   * cluster-mate reaches `tau` (keep-first, the house dedup rule). Catches
+   * paraphrases and re-encodings that shingle/MinHash dedup cannot see —
+   * the semantic layer of the dedup stack (exact → fingerprint → MinHash →
+   * SimHash → embedding-LSH → semantic).
+   *
+   * Scale shape: the cluster assignment is one broadcast pass (no corpus
+   * shuffle); the pairwise stage is an EQUI-JOIN on cell_id, so the pair
+   * space is Σ(cell size)² — never corpus² — and the assigned frame is
+   * localCheckpointed ONCE so both join sides read the materialization
+   * instead of re-running assignment (the r6 recompute lesson). At corpus
+   * scale, `nCells` is chosen ~ sqrt(N) (the paper's regime) so expected
+   * cell size — and with it per-task join fan-out — stays bounded; the
+   * per-cell cost model is the same as the LSH bucket join's, with the
+   * cluster id as the bucket.
+   *
+   * Output: one row per vector — (vec_id, cell_id, cell_cos, sem_keep) with
+   * `cell_cos` the how-prototypical score (cosine to the assigned
+   * centroid) SemDeDup's keep-rule variants rank on.
+   */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, trainIters: Int, tau: Double): DataFrame = {
+    val cent = Similarity.kmeansCentroids(emb, idCol, vecCol, nCells, trainIters)
+    val assigned = Similarity.assignCells(emb, cent, idCol, vecCol)
+      .localCheckpoint()
+    val a = assigned.select(col("cell_id"), col("vec_id").as("va"),
+      col("ve").as("vea"), col("vnorm").as("na"))
+    val b = assigned.select(col("cell_id"), col("vec_id").as("vb"),
+      col("ve").as("veb"), col("vnorm").as("nb"))
+    val drops = a.join(b, Seq("cell_id"))
+      .filter(col("va") < col("vb"))
+      .filter(Similarity.dot(col("vea"), col("veb")) / (col("na") * col("nb"))
+        >= tau)
+      .select(col("vb").as("vec_id")).distinct()
+    assigned.join(drops.withColumn("dup", lit(1)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell_id"), col("cell_cos"),
+        when(col("dup").isNotNull, lit(0)).otherwise(lit(1)).as("sem_keep"))
+  }
 }

@@ -113,6 +113,29 @@ class SimilaritySpec extends SparkSpec {
     assert(assigned(0L) != assigned(1L))
   }
 
+  test("semanticDedup: keeps the lowest id per near-parallel set, within-cluster only") {
+    // cluster A: three near-parallel vectors (cosine ~1) + one orthogonal-ish;
+    // cluster B: two near-parallel vectors. Keep-first drops 2,4 (A) and 11
+    // (B); 6 is dissimilar to A's dup set and survives.
+    val corpus = vecs(
+      (1L, Seq(10f, 0.1f)), (2L, Seq(10f, 0.12f)), (4L, Seq(9.8f, 0.1f)),
+      (6L, Seq(5f, -4f)),
+      (10L, Seq(0.1f, 10f)), (11L, Seq(0.12f, 10f)))
+    val r = Dedup.semanticDedup(corpus, "vec_id", "embedding",
+        nCells = 2, trainIters = 2, tau = 0.95)
+      .collect().map(x => x.getLong(0) -> x.getInt(3)).toMap
+    assert(r == Map(1L -> 1, 2L -> 0, 4L -> 0, 6L -> 1, 10L -> 1, 11L -> 0),
+      s"keep-first semantic verdicts wrong: $r")
+    // cell_cos is a sane prototypicality score in [-1, 1]
+    val cc = Dedup.semanticDedup(corpus, "vec_id", "embedding", 2, 2, 0.95)
+      .select("cell_cos").collect().map(_.getDouble(0))
+    assert(cc.forall(c => c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12))
+    // the pairwise stage must be an equi-join on cell_id, never a cartesian
+    val plan = Dedup.semanticDedup(corpus, "vec_id", "embedding", 2, 2, 0.95)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("kmeans training escapes a degenerate seed choice") {
     // both seeds (ids 0,1) sit in cluster A; Lloyd must still pull one
     // centroid across to cluster B within a few iterations
