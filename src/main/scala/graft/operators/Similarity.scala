@@ -215,6 +215,42 @@ object Similarity {
   }
 
   /**
+   * Streaming-safe cell assignment: the trained centroids are collected to a
+   * LITERAL array (bounded — k·dim doubles, the same "static artifact"
+   * discipline as the broadcast model joins) and the nearest-by-cosine cell
+   * is picked by a left-to-right `aggregate` fold over that literal — a pure
+   * projection with no join, no window, no shuffle, so it runs identically
+   * on a batch frame and on an append-mode STREAM (where [[assignCells]]'s
+   * per-vector rank window is unsupported). Tie-break matches
+   * [[assignCells]]: highest cosine wins, lowest cell_id on ties (strict `>`
+   * over cells folded in cell_id order). Output columns: (vec_id, cell_id,
+   * cell_cos, ve, vnorm).
+   */
+  def assignCellsStatic(corpus: DataFrame, centroids: Array[(Int, Seq[Double])],
+      idCol: String, vecCol: String): DataFrame = {
+    val cents = centroids.sortBy(_._1)
+    val centArr = array(cents.map { case (id, cv) =>
+      struct(lit(id).as("cell_id"),
+        array(cv.map(lit(_)): _*).as("cellv"),
+        lit(math.sqrt(cv.map(x => x * x).sum)).as("cnorm"))
+    }: _*)
+    val v = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("ve"))
+      .withColumn("vnorm", norm(col("ve")))
+    v.withColumn("best",
+        aggregate(centArr,
+          struct(lit(-1).as("cell_id"), lit(-2.0).as("cell_cos")),
+          (acc, c) => {
+            val cos = dot(col("ve"), c.getField("cellv")) /
+              (col("vnorm") * c.getField("cnorm"))
+            when(cos > acc.getField("cell_cos"),
+              struct(c.getField("cell_id").as("cell_id"), cos.as("cell_cos")))
+              .otherwise(acc)
+          }))
+      .select(col("vec_id"), col("best.cell_id").as("cell_id"),
+        col("best.cell_cos").as("cell_cos"), col("ve"), col("vnorm"))
+  }
+
+  /**
    * Deterministic spherical k-means (Lloyd) for IVF cell training. Init: the
    * k lowest-id vectors (cell_id = seed rank). Each of the `iters` fixed
    * iterations assigns by cosine and recomputes centroids as per-dimension

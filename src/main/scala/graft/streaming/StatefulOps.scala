@@ -152,6 +152,75 @@ object StatefulOps {
       }
   }
 
+  final case class CellMember(vec_id: Long, ve: Seq[Double], vnorm: Double)
+  final case class CellState(members: List[CellMember])
+  final case class SemVerdict(vec_id: Long, cell_id: Int, cell_cos: Double,
+      sem_keep: Int)
+
+  /**
+   * Streaming semantic dedup — the continuous-ingest admission form of
+   * [[graft.operators.Dedup.semanticDedup]] (SemDeDup, Abbas et al. 2023):
+   * centroids are a batch-trained static artifact
+   * ([[graft.operators.Similarity.kmeansCentroids]]); each arriving vector
+   * is assigned to its nearest cell by a pure-projection literal fold
+   * ([[graft.operators.Similarity.assignCellsStatic]] — no window, streams
+   * in append mode) and then compared, IN ITS CELL ONLY, against the
+   * vectors already admitted there. Cosine ≥ `tau` to any resident →
+   * `sem_keep = 0` (rejected, not added); otherwise admitted.
+   *
+   * Semantics note (same trade as the batch incremental-admission path,
+   * `Dedup.scala`): verdicts compare against the RETAINED set, not all
+   * prior arrivals — a vector similar only to an already-rejected one is
+   * admitted. Batch `semanticDedup`'s pair rule drops against any lower-id
+   * mate; on chain-free data (no A~B~C with A!~C) the two agree row for
+   * row, and the admission form is the one a continuously-growing corpus
+   * actually wants (nothing is ever compared against discarded data).
+   *
+   * State sizing: per cell at most `maxPerCell` vectors (overflow arrivals
+   * are still verdicted against the resident set but not added — the
+   * nearDupStream anchor-cap trade); cells idle past `timeout` age out in
+   * production, None under deterministic harnesses.
+   */
+  def semanticDedupStream(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[(Int, Seq[Double])], tau: Double,
+      maxPerCell: Int = 1024, timeout: Option[String] = None): Dataset[SemVerdict] = {
+    import vecs.sparkSession.implicits._
+    val assigned = graft.operators.Similarity
+      .assignCellsStatic(vecs, centroids, idCol, vecCol)
+      .select(col("vec_id").cast("long"), col("cell_id"), col("cell_cos"),
+        col("ve"), col("vnorm"))
+      .as[(Long, Int, Double, Seq[Double], Double)]
+    val mode = if (timeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+               else GroupStateTimeout.NoTimeout
+    assigned.groupByKey(_._2)
+      .flatMapGroupsWithState[CellState, SemVerdict](OutputMode.Append, mode) {
+        (cellId: Int, rows: Iterator[(Long, Int, Double, Seq[Double], Double)],
+            state: GroupState[CellState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var members = state.getOption.getOrElse(CellState(Nil)).members
+            val out = List.newBuilder[SemVerdict]
+            // deterministic processing order within the micro-batch
+            rows.toSeq.sortBy(_._1).foreach { case (vecId, _, cellCos, ve, vnorm) =>
+              if (!members.exists(_.vec_id == vecId)) {
+                val dup = members.exists { m =>
+                  val dot = m.ve.lazyZip(ve).map(_ * _).sum
+                  dot / (m.vnorm * vnorm) >= tau
+                }
+                out += SemVerdict(vecId, cellId, cellCos, if (dup) 0 else 1)
+                if (!dup && members.size < maxPerCell)
+                  members = CellMember(vecId, ve, vnorm) :: members
+              }
+            }
+            state.update(CellState(members))
+            timeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
   final case class SessionState(startMs: Long, endMs: Long, n: Long)
   final case class UserSession(user_id: String, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long)

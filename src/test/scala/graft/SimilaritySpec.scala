@@ -136,6 +136,23 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("assignCellsStatic matches assignCells bit for bit, with no join or window") {
+    val corpus = vecs(
+      (1L, Seq(10f, 0.1f)), (2L, Seq(10f, 0.12f)), (4L, Seq(9.8f, 0.1f)),
+      (6L, Seq(5f, -4f)), (10L, Seq(0.1f, 10f)), (11L, Seq(0.12f, 10f)))
+    val cent = Similarity.kmeansCentroids(corpus, "vec_id", "embedding", 2, 2)
+    val centArr = cent.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cell_id", "cell_cos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val stat = Similarity.assignCellsStatic(corpus, centArr, "vec_id", "embedding")
+    assert(key(stat) == key(Similarity.assignCells(corpus, cent, "vec_id", "embedding")))
+    // the static form must be a pure projection: no exchange anywhere
+    val plan = stat.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Window"), plan)
+  }
+
   test("kmeans training escapes a degenerate seed choice") {
     // both seeds (ids 0,1) sit in cluster A; Lloyd must still pull one
     // centroid across to cluster B within a few iterations

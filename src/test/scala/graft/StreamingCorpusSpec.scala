@@ -283,6 +283,76 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming semantic dedup matches batch semanticDedup across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Dedup, Similarity}
+    // chain-free corpus (the regime where admission == pair rule): two
+    // near-parallel pairs in opposite quadrants + two loners
+    val rows = Seq(
+      (1L, Seq(10f, 0.1f)), (2L, Seq(10f, 0.12f)),
+      (6L, Seq(5f, -4f)),
+      (10L, Seq(0.1f, 10f)), (11L, Seq(0.12f, 10f)),
+      (12L, Seq(-5f, 3f)))
+    val batchVecs = rows.toDF("vec_id", "embedding")
+    val cent = Similarity.kmeansCentroids(batchVecs, "vec_id", "embedding", 2, 2)
+    val centArr = cent.collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val verdicts = StatefulOps.semanticDedupStream(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      centArr, tau = 0.95)
+    val q = verdicts.writeStream.format("memory").queryName("semdedup_out")
+      .option("checkpointLocation", Files.createTempDirectory("sem-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // the near-copies arrive in LATER micro-batches than their originals —
+      // the batch recompute a static pipeline would need is exactly what the
+      // cell state avoids
+      input.addData(rows.take(3).map { case (id, v) => (id, v) }: _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(3).map { case (id, v) => (id, v) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("semdedup_out")
+        .select("vec_id", "sem_keep").as[(Long, Int)].collect().toMap
+      val batch = Dedup.semanticDedup(batchVecs, "vec_id", "embedding",
+          nCells = 2, trainIters = 2, tau = 0.95)
+        .select("vec_id", "sem_keep")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == batch, s"stream $got != batch $batch")
+      assert(got(2L) == 0 && got(11L) == 0 && got(1L) == 1 && got(6L) == 1)
+    } finally q.stop()
+  }
+
+  test("streaming semantic dedup admits a vector similar only to a rejected one") {
+    implicit val sqlCtx = spark.sqlContext
+    // A~B (reject B), B~C but A!~C: admission keeps C — the retained-set
+    // semantics the scaladoc pins (batch pair rule would drop C here)
+    // unit vectors at 0°, 17°, 34°: adjacent cosines cos(17°) ≈ 0.956, the
+    // A-C cosine cos(34°) ≈ 0.829
+    val a = Seq(1.0f, 0.0f); val b = Seq(0.956f, 0.292f); val c = Seq(0.829f, 0.559f)
+    assert(cos(a, b) >= 0.95 && cos(b, c) >= 0.95 && cos(a, c) < 0.95)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val verdicts = StatefulOps.semanticDedupStream(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      Array((0, Seq(1.0, 0.0))), tau = 0.95)
+    val q = verdicts.writeStream.format("memory").queryName("semchain_out")
+      .option("checkpointLocation", Files.createTempDirectory("semc-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, a)); q.processAllAvailable()
+      input.addData((2L, b)); q.processAllAvailable()
+      input.addData((3L, c)); q.processAllAvailable()
+      val got = spark.table("semchain_out")
+        .select("vec_id", "sem_keep").as[(Long, Int)].collect().toMap
+      assert(got == Map(1L -> 1, 2L -> 0, 3L -> 1), got.toString)
+    } finally q.stop()
+  }
+
+  private def cos(x: Seq[Float], y: Seq[Float]): Double = {
+    val d = x.lazyZip(y).map(_.toDouble * _.toDouble).sum
+    d / (math.sqrt(x.map(v => v.toDouble * v).sum) * math.sqrt(y.map(v => v.toDouble * v).sum))
+  }
+
   test("nearDupStream flags near-duplicates across micro-batch boundaries") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
