@@ -2705,7 +2705,7 @@ object Queries {
     ("text_dsir_weights",
       (s: SparkSession, d: String) => {
         val docs = Tables.documents(s, d)
-        TextOps.dsirWeights(docs, docs.filter(col("lang") === "en"),
+        TextOps.dsirWeightsFlagged(docs, col("lang") === "en",
           col("text"), col("doc_id"))
       },
       Some(
@@ -2869,8 +2869,8 @@ object Queries {
         // #docs rows, not #grams): the eager global-mean scalar below and
         // the per-doc join both read the materialization instead of each
         // re-running the explode + model chain.
-        val dsirAll = TextOps.dsirWeights(docs,
-          docs.filter(col("lang") === "en"), col("text"), col("doc_id"))
+        val dsirAll = TextOps.dsirWeightsFlagged(docs,
+          col("lang") === "en", col("text"), col("doc_id"))
           .localCheckpoint()
         // Scale-invariant DSIR gate: keep docs more target-like than the
         // corpus overall. The global mean ratio is a construction-time

@@ -651,6 +651,34 @@ object TextOps {
         col("weight_scaled").cast("double") / (col("n_grams") * lit(1073741824.0)))
 
   /**
+   * [[dsirWeights]] for the common in-corpus-target case — the target
+   * distribution is a SUBSET of the raw corpus picked by `targetFlag` (e.g.
+   * `lang === "en"`, a curated-source flag, a classifier verdict). Same
+   * output, same model (target ⊆ raw means every bucket with target mass has
+   * raw mass, so [[dsirModel]]'s union degenerates to a conditional count),
+   * but the model trains from ONE gram pass with a conditional aggregate
+   * instead of two separate explodes — at corpus scale that deletes a full
+   * tokenize+md5 scan of the raw side (the profiled cost is almost entirely
+   * the gram explode, not the bounded-size model join).
+   */
+  def dsirWeightsFlagged(raw: DataFrame, targetFlag: Column, textCol: Column,
+      idCol: Column, buckets: Int = 4096): DataFrame = {
+    val gb = dsirGramBuckets(raw, textCol, idCol, buckets,
+      carry = Seq(targetFlag.as("is_t")))
+    val model = gb.groupBy(col("bucket"))
+      .agg((count(lit(1)) + lit(1L)).as("c"),
+        (sum(when(col("is_t"), 1L).otherwise(0L)) + lit(1L)).as("a"))
+      .select(col("bucket"), expr(
+        "((a * 32768L) div c) * 32768L + (((a * 32768L) % c) * 32768L) div c")
+        .as("r_scaled"))
+    gb.join(broadcast(model), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("r_scaled")).as("weight_scaled"))
+      .withColumn("mean_weight",
+        col("weight_scaled").cast("double") / (col("n_grams") * lit(1073741824.0)))
+  }
+
+  /**
    * Gopher-style heuristic quality filter: per-document metrics plus pass/fail
    * flags and an overall `quality_keep` verdict. The rule set is the standard
    * web-corpus battery (token-count bounds, mean token length bounds,

@@ -253,6 +253,23 @@ class CorpusSignalsSpec extends SparkSpec {
       s"target-only bucket must score above 1.0 ratio: ${buckets(qBucket)}")
   }
 
+  test("dsirWeightsFlagged matches dsirWeights when target = flagged subset of raw") {
+    val raw = Seq(
+      (1L, "alpha beta gamma delta alpha beta", "en"),
+      (2L, "zig zag zip zap zig zag", "de"),
+      (3L, "alpha beta zig zag alpha zag", "de"),
+      (4L, "alpha gamma delta beta gamma", "en")).toDF("doc_id", "text", "lang")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_grams", "weight_scaled", "mean_weight")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val flagged = key(TextOps.dsirWeightsFlagged(raw, col("lang") === "en",
+      col("text"), col("doc_id")))
+    val twoPass = key(TextOps.dsirWeights(raw, raw.filter(col("lang") === "en"),
+      col("text"), col("doc_id")))
+    assert(flagged == twoPass, s"flagged $flagged != two-pass $twoPass")
+  }
+
   test("dsirWeights: the bucket model attaches via broadcast, never a shuffle join") {
     val raw = Seq((1L, "a b c"), (2L, "c d e")).toDF("doc_id", "text")
     val target = Seq((9L, "a b")).toDF("doc_id", "text")
