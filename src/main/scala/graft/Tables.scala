@@ -22,6 +22,30 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /**
+   * Fan a tiny single-split scan out to the session's parallelism, opt-in
+   * via `spark.graft.parallelizeSmallScans` (set by the Bench/Verify
+   * mains). The local test parquet has ONE row group, so the scan is one
+   * task and every heavy per-row projection above it (per-char winnowing
+   * hashes, MinHash signatures, gram explodes) runs single-threaded — a
+   * local-fixture artifact, not a property of the operators. On a real
+   * cluster the scan already has >= parallelism splits and this never
+   * fires (the split-count check is plan-time; no job runs), so the
+   * default-off audited plans are exactly the at-scale plans. Round-robin
+   * repartition is deterministic (Spark sorts within input partitions
+   * first) and every catalog result is partition-invariant by the decimal/
+   * exact-int conventions, which the driver's hash gate re-proves each run.
+   */
+  private def fanOutSmallScan(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val enabled = spark.conf.getOption("spark.graft.parallelizeSmallScans")
+      .contains("true")
+    lazy val target = spark.sparkContext.defaultParallelism
+    if (enabled && df.rdd.getNumPartitions < math.max(2, target / 2))
+      df.repartition(target)
+    else df
+  }
+
   /** events with `ts` converted ns→µs (truncating, DuckDB-identical). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     enableNanosAsLong(spark)
@@ -36,6 +60,8 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    fanOutSmallScan(table(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    fanOutSmallScan(table(spark, dir, "embeddings"))
 }

@@ -18,6 +18,7 @@ object Verify {
       // (see graft.Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.optimizer.enableJsonExpressionOptimization", "false")
+      .config("spark.graft.parallelizeSmallScans", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -368,38 +368,32 @@ object TextOps {
    * plagiarism/near-dup fingerprint set with guaranteed match coverage for
    * overlaps ≥ w+k-1 chars.
    *
-   * Dataflow: explode positions (one row per k-gram), windowed min over
-   * position order per doc, distinct. O(doc length) rows through one
-   * per-doc-partitioned window — no joins, scales linearly.
+   * Dataflow: the whole scheme is per-document, so it runs as ONE
+   * projection — k-gram hashes, the sliding w-window minima, and the
+   * per-doc dedup all happen inside array HOFs on the doc row, and only the
+   * final (doc, fingerprint) pairs explode. ZERO shuffle (the previous form
+   * shuffled the full position frame twice: a per-doc window then a global
+   * distinct — at corpus scale that is 2× #chars rows through the exchange
+   * for a result of #docs × #fingerprints). The hash array is bound as a
+   * lambda variable (the r8 `withToks` discipline) so it computes once per
+   * doc, and each window min is an O(w) `array_min(slice(...))`.
    */
   def winnowFingerprints(docs: DataFrame, textCol: Column, idCol: Column,
       k: Int = 8, w: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val norm = normalize(textCol)
-    val grams = docs.select(idCol.as("doc_id"), norm.as("norm"))
-      .filter(length(col("norm")) >= k)
+    def bind(x: Column)(body: Column => Column): Column =
+      element_at(transform(array(x), body), 1)
+    docs.select(idCol.as("doc_id"), norm.as("norm"))
+      // only positions with w complete windows ahead emit — shorter docs
+      // produced zero rows in the windowed form too
+      .filter(length(col("norm")) >= k + w - 1)
       .select(col("doc_id"),
-        posexplode(sequence(lit(1), length(col("norm")) - (k - 1))).as(Seq("ord", "pos")),
-        // last k-gram position is a pure function of the doc length — carry
-        // it through rather than recomputing it as a whole-partition max
-        (length(col("norm")) - (k - 1)).as("n_pos"),
-        col("norm"))
-      .select(col("doc_id"), col("pos"), col("n_pos"),
-        portableHash(substring_with_col(col("norm"), col("pos"), k)).as("h"))
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(0, w - 1)
-    grams
-      .withColumn("win_min", min(col("h")).over(win))
-      // a position's window is complete only while w k-grams remain
-      .filter(col("pos") <= col("n_pos") - (w - 1))
-      .select(col("doc_id"), col("win_min").as("fingerprint"))
-      .distinct()
+        explode(bind(transform(sequence(lit(1), length(col("norm")) - (k - 1)),
+            p => portableHash(col("norm").substr(p, lit(k))))) { hs =>
+          array_distinct(transform(sequence(lit(0), size(hs) - w),
+            i => array_min(slice(hs, i + 1, lit(w)))))
+        }).as("fingerprint"))
   }
-
-  /** substring with a column start index (the built-in `substring` only takes
-    * literal positions). */
-  private def substring_with_col(s: Column, pos: Column, len: Int): Column =
-    s.substr(pos, lit(len))
 
   /**
    * Exact shared-substring detection between document pairs (the
