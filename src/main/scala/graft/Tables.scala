@@ -6,11 +6,15 @@ import org.apache.spark.sql.functions._
 /**
  * Loaders for the driver-generated parquet tables (TESTDATA.md).
  *
- * One quirk: `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark
- * does not read natively (PARQUET_TYPE_ILLEGAL). We read it as a raw long via
- * `spark.sql.legacy.parquet.nanosAsLong` and convert to a microsecond
- * timestamp with truncation — exactly what DuckDB does when it reads the same
- * file (ns → µs truncation), so engine and oracle see identical values.
+ * One quirk: `events.ts` has been written as parquet TIMESTAMP(NANOS) in
+ * some data drops, which Spark does not read natively
+ * (PARQUET_TYPE_ILLEGAL). When the file carries nanos we read the column as
+ * a raw long via `spark.sql.legacy.parquet.nanosAsLong` and convert to a
+ * microsecond timestamp with truncation — exactly what DuckDB does when it
+ * reads the same file (ns → µs truncation), so engine and oracle see
+ * identical values. Newer drops write TIMESTAMP(MICROS), which both engines
+ * read natively; the loader inspects the loaded type and adapts, so either
+ * encoding yields the same microsecond TIMESTAMP frame downstream.
  */
 object Tables {
 
@@ -46,11 +50,20 @@ object Tables {
     else df
   }
 
-  /** events with `ts` converted ns→µs (truncating, DuckDB-identical). */
+  /** events with `ts` normalized to a microsecond TIMESTAMP regardless of
+    * the file's encoding: ns-as-long drops get the truncating ns→µs
+    * conversion (DuckDB-identical); native µs drops (TIMESTAMP /
+    * TIMESTAMP_NTZ) pass through with only a cast to session-TZ timestamp
+    * (value-preserving under the UTC session the mains pin). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     enableNanosAsLong(spark)
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
