@@ -135,4 +135,33 @@ object Sampling {
       .filter(col("sample_rank") <= col("mix_quota"))
       .drop("mix_quota", "sample_rank")
   }
+
+  /**
+   * TOKEN-budgeted sampling per group: training mixes are specified in
+   * tokens ("1B tokens of code, 500M of forums"), not documents, so the cap
+   * must bind on the running token sum, not a row count. Documents are drawn
+   * in portable-hash order of the id (deterministic uniform draw, id
+   * tie-break) and kept while the inclusive running sum of `tokenCol` stays
+   * within `budget` — the greedy prefix rule, so a long document that would
+   * cross the budget is dropped along with everything after it (exactly
+   * reproducible; no "partial document" ambiguity). `cum_tokens` stays on
+   * the output: it is the audit trail ("how full is this source's budget")
+   * a mix designer reads.
+   *
+   * Scale shape: one hash exchange on the group key + a running-sum window
+   * in hash order — rank windows stream, so per-task memory is the sort
+   * buffer, not the group. The group count is the source/domain count
+   * (thousands), each group's budget caps its useful prefix, and the
+   * filter drops the tail before anything downstream shuffles again.
+   */
+  def tokenBudgetPerGroup(df: DataFrame, groupCols: Seq[Column], idCol: Column,
+      tokenCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols: _*)
+      .orderBy(TextOps.portableHash(idCol.cast("string")), idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(tokenCol.cast("long")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
 }

@@ -97,6 +97,44 @@ class SamplingSpec extends SparkSpec {
       again.select("id").as[Long].collect().sorted.toSeq)
   }
 
+  test("tokenBudgetPerGroup: greedy prefix in hash order, budget binds on tokens") {
+    // two sources; doc token counts vary so the budget cuts mid-list
+    val df = (1L to 60L).map { i =>
+      (i, if (i % 2 == 0) "a" else "b", 10L + (i % 7) * 5L)
+    }.toDF("id", "src", "n_tok")
+    val out = Sampling.tokenBudgetPerGroup(df, Seq(col("src")), col("id"),
+      col("n_tok"), budget = 200L)
+    val rows = out.select("id", "src", "n_tok", "cum_tokens")
+      .as[(Long, String, Long, Long)].collect()
+    // every kept row's inclusive running sum fits the budget
+    assert(rows.forall(_._4 <= 200L))
+    // per source the kept set is a PREFIX of the hash order: the max kept
+    // cum equals the sum of kept tokens (monotone cumsum, no holes)
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sum == rs.map(_._4).max)
+    }
+    // independent reimplementation: greedy prefix over plain-Scala portable
+    // hash order must pick exactly the same ids
+    def phash(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val expected = df.as[(Long, String, Long)].collect()
+      .groupBy(_._2).values.flatMap { grp =>
+        var cum = 0L
+        grp.sortBy(r => (phash(r._1.toString), r._1)).takeWhile { r =>
+          cum += r._3; cum <= 200L
+        }.map(_._1)
+      }.toSet
+    assert(rows.map(_._1).toSet == expected)
+    // deterministic across physical layouts
+    val again = Sampling.tokenBudgetPerGroup(df.repartition(13), Seq(col("src")),
+      col("id"), col("n_tok"), budget = 200L)
+    assert(again.select("id").as[Long].collect().sorted.toSeq ==
+      rows.map(_._1).sorted.toSeq)
+  }
+
   test("priorityPerGroup: per-group caps, weight bias, exact determinism") {
     // two groups; in each, ids <= 100 carry weight 100 and the rest weight 1
     val df = (1L to 400L).map { i =>
