@@ -2106,6 +2106,32 @@ object Queries {
           |WHERE rn <= (CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
           |                  THEN 30 ELSE 10 END)""".stripMargin)),
 
+    // Token-budgeted sampling: per source, admit documents in deterministic
+    // hash order while the running TOKEN sum fits the budget — training
+    // mixes are specified in tokens, not documents, so this is the cap that
+    // actually binds when assembling a corpus ("500M tokens per domain").
+    ("corpus_token_budget",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        Sampling.tokenBudgetPerGroup(
+            docs.withColumn("n_tokens",
+              size(TextOps.tokens(TextOps.normalize(col("text")))).cast("long")),
+            Seq(col("source")), col("doc_id"), col("n_tokens"), budget = 1500L)
+          .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      },
+      Some(
+        """SELECT doc_id, source, n_tokens, cum_tokens FROM (
+          |  SELECT doc_id, source, n_tokens,
+          |         sum(n_tokens) OVER (
+          |           PARTITION BY source
+          |           ORDER BY ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint,
+          |                    doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS cum_tokens
+          |  FROM (SELECT doc_id, source,
+          |               len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '))::bigint AS n_tokens
+          |        FROM documents))
+          |WHERE cum_tokens <= 1500""".stripMargin)),
+
     // PII-ish redaction stats: emails and long digit runs masked; counts and
     // the redacted length verify the transform end-to-end.
     ("text_redact_stats",
@@ -3517,6 +3543,82 @@ object Queries {
            |${assign("c2", "a2")}
            |SELECT vec_id, cell_id FROM a2""".stripMargin
       }),
+
+    // Product quantization: per-subspace codebooks (joint Lloyd, m=4 × 16
+    // dims, ksub=4, 2 iters) and the code each vector compresses to — the
+    // IVF-PQ memory story at 100 TB (m small ints per vector in RAM instead
+    // of dim floats). The oracle retrains both codebook iterations in CTEs.
+    ("sim_pq_codes",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4,
+          ksub = 16, iters = 2)
+        Similarity.pqEncode(emb, cents, "vec_id", "embedding", m = 4)
+      },
+      Some(PqOracle.codesSql)),
+
+    // ADC top-k over the PQ codes: query exact, corpus compressed, distance
+    // = sum over subspaces of the precomputed query→codeword partial — the
+    // lookup-table trick as a broadcast join, zero corpus shuffle before
+    // the per-(query,vec) sum.
+    ("sim_pq_adc_topk",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4,
+          ksub = 16, iters = 2)
+        val codes = Similarity.pqEncode(emb, cents, "vec_id", "embedding", m = 4)
+        Similarity.pqAdcTopK(emb.filter(col("vec_id") < 5), codes, cents,
+          "vec_id", "embedding", m = 4, k = 5)
+      },
+      Some(PqOracle.adcSql)),
+
+    // Recall gate for ADC: fraction of the exact L2 top-5 the compressed
+    // search recovers, per query — the measured answer to "what does 32×
+    // compression cost in quality", pinned cross-engine.
+    ("sim_recall_pq",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4,
+          ksub = 16, iters = 2)
+        val codes = Similarity.pqEncode(emb, cents, "vec_id", "embedding", m = 4)
+        val q = emb.filter(col("vec_id") < 5)
+        val brute = Similarity.l2TopK(q, emb, "vec_id", "embedding", 5)
+        val approx = Similarity.pqAdcTopK(q, codes, cents,
+            "vec_id", "embedding", m = 4, k = 5)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        brute.select(col("query_id"), col("neighbor_id"))
+          .join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+          .withColumn("recall", col("n_hit").cast("double") / col("n_true"))
+      },
+      Some(PqOracle.recallSql)),
+
+    // ADC shortlist → exact re-rank: the production IVF-PQ serving shape —
+    // compressed codes shortlist 50 candidates, only those touch full
+    // vectors. The recall delta vs sim_recall_pq is the measured value of
+    // re-ranking (compression's ordering noise concentrates near the
+    // boundary, so a 10·k shortlist recovers most of it).
+    ("sim_recall_pq_rerank",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4,
+          ksub = 16, iters = 2)
+        val codes = Similarity.pqEncode(emb, cents, "vec_id", "embedding", m = 4)
+        val q = emb.filter(col("vec_id") < 5)
+        val brute = Similarity.l2TopK(q, emb, "vec_id", "embedding", 5)
+        val approx = Similarity.pqRerankTopK(q, codes, cents, emb,
+            "vec_id", "embedding", m = 4, shortlist = 50, k = 5)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        brute.select(col("query_id"), col("neighbor_id"))
+          .join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+          .withColumn("recall", col("n_hit").cast("double") / col("n_true"))
+      },
+      Some(PqOracle.rerankRecallSql)),
 
     // Frame sampling: n evenly spaced byte windows per payload — the video
     // keyframe-extraction dataflow with the codec swapped for a byte slice.

@@ -286,6 +286,198 @@ object Similarity {
     cent
   }
 
+  // ------------------------- Product quantization -------------------------
+  //
+  // All PQ arithmetic runs in an INTEGER-QUANTIZED space: each dimension is
+  // floor(x · 2^20) as a long (exact: the float32 input widens to double
+  // exactly, multiplying by a power of two only shifts the exponent, floor
+  // is exact). Centroid means are truncated integer divisions and distances
+  // are integer sums of squares — every intermediate is an exact long, so
+  // results are bit-identical under ANY aggregation order and cross-engine
+  // with no decimal or double round-trip anywhere. This is the house
+  // integer-exact discipline (lmScore / bm25 / dsirWeights), adopted here
+  // after measuring a 1-ulp cross-engine divergence in decimal-routed
+  // double centroids (Spark's decimal→double conversion vs DuckDB's is not
+  // identically rounded; harmless under argmin, fatal under exact value
+  // compare). Quantization error is 2^-20 per dimension — three orders of
+  // magnitude below the codebook's own approximation error, so ANN quality
+  // is untouched. Overflow headroom: |x| ≤ 1 → per-dim diff ≤ 2^21, square
+  // ≤ 2^42, summed over 64 dims ≤ 2^48 ≪ 2^63.
+
+  /** The integer-quantized view of a float vector: floor(x · 2^20) per
+    * dimension, as array<long>. */
+  def quantizeVec(vecCol: Column): Column =
+    transform(vecCol, x => floor(x.cast("double") * lit(1048576.0)).cast("long"))
+
+  /** Integer squared L2: Σ (aᵢ−bᵢ)² over two array<long> columns — exact,
+    * order-free. */
+  def l2sqLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** (vec_id, sub_id, subv): the m contiguous equal slices of each
+    * QUANTIZED vector — PQ's subspace view. Pure projection + explode, no
+    * shuffle. */
+  def subVectors(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int): DataFrame = {
+    val v = corpus.select(col(idCol).as("vec_id"), quantizeVec(col(vecCol)).as("vq"))
+    val subDim = size(col("vq")) / m
+    v.select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("vq"), s * subDim + 1, subDim))).as(Seq("sub_id", "subv")))
+  }
+
+  /** Nearest PQ centroid per (vector, subspace) by integer squared L2,
+    * deterministic tie-break on cell_id. `cents` must have (sub_id,
+    * cell_id, cellv: array<long>) — at most m·ksub rows, always broadcast.
+    * The argmin is a lexicographic min-struct aggregation, NOT a rank
+    * window: partial aggregation folds the m·ksub candidate rows map-side,
+    * so the exchange carries one row per (vec, sub) instead of ksub — the
+    * shape that matters when N is 10^10. */
+  def pqAssign(sv: DataFrame, cents: DataFrame): DataFrame =
+    sv.join(broadcast(cents), Seq("sub_id"))
+      .withColumn("d2", l2sqLong(col("subv"), col("cellv")))
+      .groupBy(col("vec_id"), col("sub_id"))
+      .agg(min(struct(col("d2"), col("cell_id"))).as("best"),
+        first(col("subv")).as("subv"))
+      .select(col("vec_id"), col("sub_id"),
+        col("best.cell_id").as("cell_id"), col("best.d2").as("d2"), col("subv"))
+
+  /**
+   * Product-quantization codebook training (Jégou et al. 2011, "Product
+   * quantization for nearest neighbor search"): an independent k-means per
+   * subspace, run JOINTLY as one Lloyd loop keyed by (sub_id, cell_id) —
+   * the m codebooks train in the same two dataframe passes per iteration
+   * instead of m separate jobs. Deterministic by the [[kmeansCentroids]]
+   * conventions: init is each subspace's ksub lowest-id subvectors
+   * (cell_id = seed rank), assignment ties break on cell_id, and centroid
+   * means are TRUNCATED integer divisions in the quantized space (Spark
+   * `div` and DuckDB `//` both truncate toward zero) — the codebook is an
+   * exact integer artifact, bit-identical under any partitioning and
+   * cross-engine by construction.
+   *
+   * Scale shape: assignment is a broadcast join (m·ksub centroid rows) +
+   * map-side-combined argmin; the update shuffles N·dim (sub,cell,dim,x)
+   * rows into m·ksub·subDim groups with partial aggregation. The driver
+   * holds only the loop counter; lineage truncates per iteration.
+   */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sv = subVectors(corpus, idCol, vecCol, m)
+    val seedW = Window.partitionBy(col("sub_id")).orderBy(col("vec_id"))
+    var cent = sv.withColumn("rk", row_number().over(seedW))
+      .filter(col("rk") <= ksub)
+      .select(col("sub_id"), (col("rk") - 1).as("cell_id"),
+        col("subv").as("cellv"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      cent = pqAssign(sv, cent)
+        .select(col("sub_id"), col("cell_id"),
+          posexplode(col("subv")).as(Seq("dim", "x")))
+        .groupBy(col("sub_id"), col("cell_id"), col("dim"))
+        .agg(expr("sum(x) div count(1)").as("cx"))
+        .groupBy(col("sub_id"), col("cell_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim").as("dim"), col("cx").as("cx")))),
+          s => s.getField("cx")).as("cellv"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
+  /** PQ-encode the corpus against a trained codebook: one `code` (= nearest
+    * cell per subspace) per (vec_id, sub_id). The compressed representation
+    * ANN serves from — m small ints per vector instead of dim floats (64
+    * floats → 4 codes here; 32× at production m=8/ksub=256). */
+  def pqEncode(corpus: DataFrame, cents: DataFrame, idCol: String,
+      vecCol: String, m: Int): DataFrame =
+    pqAssign(subVectors(corpus, idCol, vecCol, m), cents)
+      .select(col("vec_id"), col("sub_id"), col("cell_id").as("code"))
+
+  /**
+   * Asymmetric-distance (ADC) top-k over PQ codes: the query stays exact
+   * (quantized, not coded), each corpus vector is its m codes, and the
+   * approximate squared L2 is the sum over subspaces of d2(query_sub,
+   * codeword). The classic trick is a per-query lookup table of m·ksub
+   * precomputed distances; here that table IS the broadcast side — queries
+   * × centroids joined small-side, then one equi-join on (sub_id, code)
+   * attaches partial distances to the code frame with NO corpus shuffle,
+   * and the per-(query, vec) sum rides one map-side-combined aggregation —
+   * an exact integer sum, order-free. `adc_d2` is in squared quantized
+   * units (÷ 2^40 for the float-space value).
+   */
+  def pqAdcTopK(queries: DataFrame, codes: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String, m: Int, k: Int): DataFrame = {
+    val qsub = subVectors(queries, idCol, vecCol, m)
+      .select(col("vec_id").as("query_id"), col("sub_id"), col("subv"))
+    val lut = qsub.join(cents, Seq("sub_id"))
+      .select(col("query_id"), col("sub_id"), col("cell_id").as("code"),
+        l2sqLong(col("subv"), col("cellv")).as("pd2"))
+    val scored = codes.join(broadcast(lut), Seq("sub_id", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd2")).as("adc_d2"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("adc_d2"))
+  }
+
+  /**
+   * ADC shortlist → exact re-rank: the production IVF-PQ serving shape.
+   * Compressed codes give a cheap `shortlist`-sized candidate set per query
+   * ([[pqAdcTopK]]); only those candidates are re-scored against their
+   * exact (quantized) vectors and the true top-k of the shortlist returned.
+   * Recall loss from 32× compression is mostly ordering noise NEAR the
+   * boundary, so a modest shortlist (10·k) recovers most of it while
+   * touching |Q|·shortlist exact vectors instead of |Q|·N.
+   *
+   * Scale shape: the candidate set (|Q|·shortlist rows) is broadcast
+   * against the corpus — the full-precision vectors are read ONLY for
+   * joined candidates (at rest they'd live in a separate column/store;
+   * here the same frame), no corpus shuffle, one rank window over
+   * |Q|·shortlist rows.
+   */
+  def pqRerankTopK(queries: DataFrame, codes: DataFrame, cents: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, m: Int,
+      shortlist: Int, k: Int): DataFrame = {
+    val cand = pqAdcTopK(queries, codes, cents, idCol, vecCol, m, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"), quantizeVec(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), quantizeVec(col(vecCol)).as("cv"))
+    val scored = c.join(broadcast(cand.join(broadcast(q), Seq("query_id"))),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        l2sqLong(col("qv"), col("cv")).as("d2"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("d2"))
+  }
+
+  /** Exact squared-L2 top-k in the same quantized integer space (the
+    * brute-force baseline ADC recall is gated against — same contract as
+    * [[cosineTopK]], metric swapped). */
+  def l2TopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), quantizeVec(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), quantizeVec(col(vecCol)).as("cv"))
+    val scored = c.join(broadcast(q), lit(true))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        l2sqLong(col("qv"), col("cv")).as("d2"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("d2"))
+  }
+
   /** Bucketed ANN top-k: same contract as [[cosineTopK]] but joins on the
     * LSH bucket, so each query only scores its bucket's corpus rows. */
   def bucketedTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,

@@ -204,6 +204,43 @@ class SimilaritySpec extends SparkSpec {
     assert(Multimodal.measureTotalBytes(df.filter(col("id") < 0), col("bin")) == 0L)
   }
 
+  test("PQ: codes compress, exact duplicates share codes, re-rank beats raw ADC") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, ksub = 16, iters = 2)
+    // codebook shape: exactly m·ksub centroids of subDim dims
+    val cshape = cents.select(col("sub_id"), col("cell_id"), size(col("cellv")).as("d"))
+      .collect()
+    assert(cshape.length == 4 * 16 && cshape.forall(_.getInt(2) == 16))
+    val codes = Similarity.pqEncode(emb, cents, "vec_id", "embedding", m = 4)
+    assert(codes.count() == emb.count() * 4)
+    // a vector duplicated under a fresh id gets the identical code word
+    val dup = emb.filter(col("vec_id") === 7)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label"))
+    val dupCodes = Similarity.pqEncode(emb.unionByName(dup), cents,
+        "vec_id", "embedding", m = 4)
+      .filter(col("vec_id").isin(7L, 100007L))
+      .select(col("vec_id"), col("sub_id"), col("code"))
+      .as[(Long, Int, Int)].collect()
+    assert(dupCodes.groupBy(_._2).values.forall(_.map(_._3).distinct.length == 1))
+    // re-ranking a 50-candidate ADC shortlist strictly improves mean recall
+    def recallOf(approx: org.apache.spark.sql.DataFrame): Double = {
+      val q = emb.filter(col("vec_id") < 5)
+      val brute = Similarity.l2TopK(q, emb, "vec_id", "embedding", 5)
+      val a = approx.select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      val hits = brute.select(col("query_id"), col("neighbor_id"))
+        .join(a, Seq("query_id", "neighbor_id"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)))
+        .as[Double].collect()(0)
+      hits
+    }
+    val q = emb.filter(col("vec_id") < 5)
+    val adc = recallOf(Similarity.pqAdcTopK(q, codes, cents, "vec_id", "embedding", 4, 5))
+    val rr = recallOf(Similarity.pqRerankTopK(q, codes, cents, emb,
+      "vec_id", "embedding", 4, 50, 5))
+    assert(rr > adc, s"re-rank recall $rr should beat raw ADC $adc")
+    assert(rr >= 0.6, s"re-rank recall $rr unexpectedly low")
+  }
+
   test("multimodal: features deterministic, payload dropped, frames sliced") {
     val df = Seq((1L, "some binary payload content here")).toDF("id", "txt")
       .withColumn("bin", col("txt").cast("binary"))
