@@ -428,6 +428,52 @@ object Similarity {
   }
 
   /**
+   * Streaming-safe PQ encoding: the trained codebook is collected to
+   * LITERAL arrays (bounded — m·ksub·subDim longs, the same static-artifact
+   * discipline as [[assignCellsStatic]]) and each subspace's nearest cell
+   * is picked by a left-to-right `aggregate` fold — a pure projection +
+   * explode with no join, no window, no shuffle, so it runs identically on
+   * a batch frame and an append-mode STREAM (where [[pqAssign]]'s
+   * aggregation is unsupported without a watermark). Tie-break matches
+   * [[pqAssign]]: lowest d2 wins, lowest cell_id on ties (strict `<` over
+   * cells folded in cell_id order). Bit-identical to [[pqEncode]] — integer
+   * space end-to-end.
+   */
+  def pqEncodeStatic(corpus: DataFrame, cents: Array[(Int, Int, Seq[Long])],
+      idCol: String, vecCol: String, m: Int): DataFrame = {
+    val bySub = cents.groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+    val v = corpus.select(col(idCol).as("vec_id"), quantizeVec(col(vecCol)).as("vq"))
+    val subDim = size(col("vq")) / m
+    val subCols = (0 until m).map { s =>
+      val sv = slice(col("vq"), lit(s) * subDim + 1, subDim)
+      val centArr = array(bySub(s).map { case (cid, cv) =>
+        struct(lit(cid).as("cell_id"), array(cv.map(lit(_)): _*).as("cellv"))
+      }: _*)
+      val best = aggregate(centArr,
+        struct(lit(Long.MaxValue).as("d2"), lit(-1).as("cell_id")),
+        (acc, c) => {
+          val d2 = l2sqLong(sv, c.getField("cellv"))
+          when(d2 < acc.getField("d2"),
+            struct(d2.as("d2"), c.getField("cell_id").as("cell_id")))
+            .otherwise(acc)
+        })
+      struct(lit(s).as("sub_id"), best.getField("cell_id").as("code"))
+    }
+    v.select(col("vec_id"), explode(array(subCols: _*)).as("sc"))
+      .select(col("vec_id"), col("sc.sub_id").as("sub_id"),
+        col("sc.code").as("code"))
+  }
+
+  /** Collect a trained [[pqTrain]] codebook into the static form
+    * [[pqEncodeStatic]] consumes — a construction-time driver action over
+    * m·ksub rows (bounded regardless of corpus size). */
+  def collectCodebook(cents: DataFrame): Array[(Int, Int, Seq[Long])] =
+    cents.select(col("sub_id"), col("cell_id"), col("cellv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toSeq))
+
+  /**
    * ADC shortlist → exact re-rank: the production IVF-PQ serving shape.
    * Compressed codes give a cheap `shortlist`-sized candidate set per query
    * ([[pqAdcTopK]]); only those candidates are re-scored against their

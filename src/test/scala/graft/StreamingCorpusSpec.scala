@@ -323,6 +323,39 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PQ encode matches batch codes bit for bit (static codebook)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(64)
+    val cents = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4,
+      ksub = 8, iters = 2)
+    val codebook = Similarity.collectCodebook(cents)
+    // static projection == join+agg batch path on the same frame
+    val batch = Similarity.pqEncode(emb, cents, "vec_id", "embedding", 4)
+      .as[(Long, Int, Int)].collect().toSet
+    val static0 = Similarity.pqEncodeStatic(emb, codebook, "vec_id", "embedding", 4)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(static0 == batch)
+    // and the same projection runs on an append-mode stream
+    val rows = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val input = MemoryStream[(Long, Seq[Float])]
+    val enc = Similarity.pqEncodeStatic(
+      input.toDF().toDF("vec_id", "embedding"), codebook, "vec_id", "embedding", 4)
+    val q = enc.writeStream.format("memory").queryName("pq_codes_out")
+      .option("checkpointLocation", Files.createTempDirectory("pq-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows.take(32): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(32): _*)
+      q.processAllAvailable()
+      val got = spark.table("pq_codes_out")
+        .as[(Long, Int, Int)].collect().toSet
+      assert(got == batch, "streamed codes diverge from batch codes")
+    } finally q.stop()
+  }
+
   test("streaming semantic dedup admits a vector similar only to a rejected one") {
     implicit val sqlCtx = spark.sqlContext
     // A~B (reject B), B~C but A!~C: admission keeps C — the retained-set
