@@ -19,7 +19,11 @@ class PlanAuditSpec extends SparkSpec {
   // so pair space is corpus-linear by construction.
   private val nestedLoopExempt = Set(
     "sim_topk", "sim_recall_lsh", "sim_recall_ivf", "sim_ivf_kmeans_cells",
-    "multimodal_frames", "tpch_q22_idle_customers", "tpch_q11_important_parts")
+    "multimodal_frames", "tpch_q22_idle_customers", "tpch_q11_important_parts",
+    // PQ recall rows: the exact-L2 brute-force BASELINE deliberately
+    // broadcasts the 5-row query side against the corpus (l2TopK), same as
+    // the lsh/ivf recall rows; the PQ search path itself is equi-join only
+    "sim_recall_pq", "sim_recall_pq_rerank")
 
   test("no catalog query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
