@@ -3,9 +3,10 @@ package graft
 /**
  * DuckDB oracle SQL for the product-quantization catalog rows — the PQ
  * analogue of the unrolled-Lloyd CTEs in `sim_ivf_kmeans_cells` /
- * `sim_recall_ivf`. The codebook is retrained from scratch inside the
- * oracle (both Lloyd iterations unrolled), so the check pins training,
- * encoding, and ADC search end-to-end, cross-engine.
+ * `sim_recall_ivf`. Codebooks are retrained from scratch inside the oracle
+ * (every Lloyd iteration unrolled), so training, encoding, and search are
+ * pinned end-to-end, cross-engine — including the full IVF-PQ composite
+ * (coarse quantizer → integer residuals → residual codebook → probed ADC).
  *
  * Everything runs in the INTEGER-QUANTIZED space of
  * `Similarity.quantizeVec` — floor(x · 2^20) per dimension, truncated
@@ -17,7 +18,8 @@ package graft
  * decimal→double conversions round differently).
  *
  * Fixed parameters mirror the catalog rows: dim 64, m=4 subspaces × 16
- * dims, ksub=16 cells, 2 iterations, queries vec_id < 5, k=5.
+ * dims, ksub=16 cells, 2 iterations, queries vec_id < 5, k=5; IVF-PQ adds
+ * nCells=16 coarse cells, nProbe=4.
  */
 object PqOracle {
 
@@ -26,50 +28,66 @@ object PqOracle {
   private def d2(a: String, b: String, n: Int): String =
     s"list_sum(list_transform(range(1, ${n + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))::bigint"
 
-  /** Shared prelude: quantized view, subspace view, seed codebook. */
+  /** Seed codebook: per sub_id, the k lowest-vec_id subvectors of `sv`
+    * (cell_id = seed rank). */
+  private def seeds(sv: String, out: String, k: Int): String =
+    s"""$out AS (SELECT sub_id, (rk - 1)::int AS cell_id, subv AS cellv FROM (
+       |         SELECT sub_id, subv,
+       |                row_number() OVER (PARTITION BY sub_id ORDER BY vec_id) AS rk
+       |         FROM $sv)
+       |       WHERE rk <= $k)""".stripMargin
+
+  /** One Lloyd assignment over `sv` against `cents`: nearest cell per
+    * (vec, sub) by integer squared L2 over `dims` dims, cell_id tie-break.
+    * `extra` columns of `sv` pass through. */
+  private def assign(sv: String, cents: String, out: String, dims: Int,
+      extra: Seq[String] = Nil): String = {
+    val ex = extra.map(c => s", s.$c").mkString
+    val exOut = extra.map(c => s", $c").mkString
+    s"""$out AS (SELECT vec_id, sub_id, subv, cell_id$exOut FROM (
+       |  SELECT s.vec_id, s.sub_id, s.subv$ex, c.cell_id,
+       |         row_number() OVER (PARTITION BY s.vec_id, s.sub_id ORDER BY
+       |           ${d2("s.subv", "c.cellv", dims)},
+       |           c.cell_id) AS rn
+       |  FROM $sv s JOIN $cents c ON c.sub_id = s.sub_id) WHERE rn = 1)""".stripMargin
+  }
+
+  /** One Lloyd update: per-dimension truncated integer-division means over
+    * `dims` dims. */
+  private def update(from: String, out: String, dims: Int): String =
+    s"""$out AS (
+       |  SELECT sub_id, cell_id, list(cx ORDER BY dim) AS cellv FROM (
+       |    SELECT sub_id, cell_id, d AS dim,
+       |           sum(subv[d + 1])::bigint // count(*) AS cx
+       |    FROM $from CROSS JOIN (SELECT unnest(range(0, $dims)) AS d)
+       |    GROUP BY 1, 2, 3)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Two unrolled Lloyd iterations + final assignment: seeds `c0x` →
+    * trained `c2x` → assignment `a2x`. */
+  private def lloyd2(sv: String, tag: String, k: Int, dims: Int,
+      extra: Seq[String] = Nil): String =
+    s"""${seeds(sv, s"c0$tag", k)},
+       |${assign(sv, s"c0$tag", s"a0$tag", dims, extra)},
+       |${update(s"a0$tag", s"c1$tag", dims)},
+       |${assign(sv, s"c1$tag", s"a1$tag", dims, extra)},
+       |${update(s"a1$tag", s"c2$tag", dims)},
+       |${assign(sv, s"c2$tag", s"a2$tag", dims, extra)}""".stripMargin
+
+  /** Shared prelude: quantized view + plain-PQ subspace view. */
   private val prelude =
     """v AS (SELECT vec_id,
       |             list_transform(embedding,
       |               x -> cast(floor(x::double * 1048576.0) AS bigint)) AS vq
       |      FROM embeddings),
       |sv AS (SELECT vec_id, s AS sub_id, vq[s * 16 + 1 : s * 16 + 16] AS subv
-      |       FROM v CROSS JOIN (SELECT unnest(range(0, 4)) AS s)),
-      |c0 AS (SELECT sub_id, (rk - 1)::int AS cell_id, subv AS cellv FROM (
-      |         SELECT sub_id, subv,
-      |                row_number() OVER (PARTITION BY sub_id ORDER BY vec_id) AS rk
-      |         FROM sv)
-      |       WHERE rk <= 16)""".stripMargin
+      |       FROM v CROSS JOIN (SELECT unnest(range(0, 4)) AS s))""".stripMargin
 
-  /** One Lloyd assignment: nearest cell per (vec, sub) by integer squared
-    * L2, cell_id tie-break. */
-  private def assign(cents: String, out: String): String =
-    s"""$out AS (SELECT vec_id, sub_id, subv, cell_id FROM (
-       |  SELECT s.vec_id, s.sub_id, s.subv, c.cell_id,
-       |         row_number() OVER (PARTITION BY s.vec_id, s.sub_id ORDER BY
-       |           ${d2("s.subv", "c.cellv", 16)},
-       |           c.cell_id) AS rn
-       |  FROM sv s JOIN $cents c ON c.sub_id = s.sub_id) WHERE rn = 1)""".stripMargin
-
-  /** One Lloyd update: per-dimension truncated integer-division means over
-    * the 16 subspace dims. */
-  private def update(from: String, out: String): String =
-    s"""$out AS (
-       |  SELECT sub_id, cell_id, list(cx ORDER BY dim) AS cellv FROM (
-       |    SELECT sub_id, cell_id, d AS dim,
-       |           sum(subv[d + 1])::bigint // count(*) AS cx
-       |    FROM $from CROSS JOIN (SELECT unnest(range(0, 16)) AS d)
-       |    GROUP BY 1, 2, 3)
-       |  GROUP BY 1, 2)""".stripMargin
-
-  /** Trained codebook (c2) + final encoding (a2), shared by all three
-    * rows. */
+  /** Trained plain-PQ codebook (c2) + final encoding (a2), shared by the
+    * non-composite rows. */
   private val trained =
     s"""$prelude,
-       |${assign("c0", "a0")},
-       |${update("a0", "c1")},
-       |${assign("c1", "a1")},
-       |${update("a1", "c2")},
-       |${assign("c2", "a2")}""".stripMargin
+       |${lloyd2("sv", "", 16, 16)}""".stripMargin
 
   /** ADC scoring CTEs on top of [[trained]]: per-query lookup table and the
     * per-(query, vec) integer sum over subspaces. */
@@ -89,8 +107,8 @@ object PqOracle {
        |                            ORDER BY adc_d2, vec_id) AS rank
        |  FROM scored) WHERE rank <= 5)""".stripMargin
 
-  /** Exact-recall epilogue shared by the two recall rows: brute top-5 in
-    * the quantized space, hit counts against `approxRel(query_id,
+  /** Exact-recall epilogue shared by the recall rows: brute top-5 in the
+    * quantized space, hit counts against `approxRel(query_id,
     * neighbor_id)`. */
   private def recallAgainst(approxRel: String): String =
     s"""brute AS (SELECT query_id, neighbor_id FROM (
@@ -146,4 +164,53 @@ object PqOracle {
        |                            ORDER BY d2, neighbor_id) AS rank
        |  FROM rr) WHERE rank <= 5),
        |${recallAgainst("rtop")}""".stripMargin
+
+  /**
+   * The full IVF-PQ composite: coarse 16-cell quantizer over the whole
+   * 64-dim vector (one-subspace Lloyd, tag `cc`), integer residuals per
+   * inverted list, residual codebook (tag `rc`), nProbe=4 probed cells per
+   * query, ADC over probed members only. Output matches the Spark
+   * `ivfPqTopK` contract exactly.
+   */
+  val ivfPqSql: String =
+    s"""WITH v AS (SELECT vec_id,
+       |             list_transform(embedding,
+       |               x -> cast(floor(x::double * 1048576.0) AS bigint)) AS vq
+       |      FROM embeddings),
+       |sv1 AS (SELECT vec_id, 0 AS sub_id, vq AS subv FROM v),
+       |${lloyd2("sv1", "cc", 16, 64)},
+       |resid AS (SELECT a.vec_id, a.cell_id AS cell0,
+       |                 list_transform(range(1, 65),
+       |                   i -> a.subv[i] - c.cellv[i]) AS rq
+       |          FROM a2cc a JOIN c2cc c ON c.cell_id = a.cell_id),
+       |rsv AS (SELECT vec_id, cell0, s AS sub_id,
+       |               rq[s * 16 + 1 : s * 16 + 16] AS subv
+       |        FROM resid CROSS JOIN (SELECT unnest(range(0, 4)) AS s)),
+       |${lloyd2("rsv", "rc", 16, 16, extra = Seq("cell0"))},
+       |codes AS (SELECT vec_id, sub_id, cell_id AS code, cell0 FROM a2rc),
+       |q AS (SELECT vec_id AS query_id, vq FROM v WHERE vec_id < 5),
+       |probes AS (SELECT query_id, cell0, rq FROM (
+       |  SELECT q.query_id, c.cell_id AS cell0,
+       |         list_transform(range(1, 65), i -> q.vq[i] - c.cellv[i]) AS rq,
+       |         row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |           ${d2("q.vq", "c.cellv", 64)},
+       |           c.cell_id) AS pr
+       |  FROM q CROSS JOIN c2cc c) WHERE pr <= 4),
+       |qsub AS (SELECT query_id, cell0, s AS sub_id,
+       |                rq[s * 16 + 1 : s * 16 + 16] AS subv
+       |         FROM probes CROSS JOIN (SELECT unnest(range(0, 4)) AS s)),
+       |lut AS (SELECT qs.query_id, qs.cell0, r.sub_id, r.cell_id AS code,
+       |               ${d2("qs.subv", "r.cellv", 16)} AS pd2
+       |        FROM qsub qs JOIN c2rc r ON r.sub_id = qs.sub_id),
+       |scored AS (SELECT l.query_id, k.vec_id, sum(l.pd2)::bigint AS adc_d2
+       |           FROM codes k
+       |           JOIN lut l ON l.cell0 = k.cell0 AND l.sub_id = k.sub_id
+       |                     AND l.code = k.code
+       |           WHERE k.vec_id != l.query_id
+       |           GROUP BY 1, 2)
+       |SELECT query_id, rank, neighbor_id, adc_d2 FROM (
+       |  SELECT query_id, vec_id AS neighbor_id, adc_d2,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY adc_d2, vec_id) AS rank
+       |  FROM scored) WHERE rank <= 5""".stripMargin
 }

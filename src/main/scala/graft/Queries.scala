@@ -3620,6 +3620,21 @@ object Queries {
       },
       Some(PqOracle.rerankRecallSql)),
 
+    // The full IVF-PQ composite (IVFADC): coarse 16-cell quantizer →
+    // integer residuals per inverted list → residual codebook → each query
+    // probes its 4 nearest cells and ADC-scores ONLY their members. The
+    // candidate space prunes to ~nProbe/nCells of the corpus before any
+    // distance work — the 100 TB ANN serving shape. Oracle retrains both
+    // quantizers and replays the probe + ADC chain in CTEs.
+    ("sim_ivfpq_topk",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfPqTopK(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", m = 4, ksub = 16, iters = 2,
+          nCells = 16, nProbe = 4, k = 5)
+      },
+      Some(PqOracle.ivfPqSql)),
+
     // Frame sampling: n evenly spaced byte windows per payload — the video
     // keyframe-extraction dataflow with the codec swapped for a byte slice.
     // Payload is ASCII-safe test data, so DuckDB verifies via substring.

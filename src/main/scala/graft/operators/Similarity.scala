@@ -315,17 +315,28 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
 
+  /** The m contiguous equal slices of a long-array column, as an array of
+    * subvectors (index = sub_id). */
+  def splitSubs(vq: Column, m: Int): Column = {
+    val subDim = size(vq) / m
+    transform(sequence(lit(0), lit(m - 1)), s => slice(vq, s * subDim + 1, subDim))
+  }
+
   /** (vec_id, sub_id, subv): the m contiguous equal slices of each
     * QUANTIZED vector — PQ's subspace view. Pure projection + explode, no
-    * shuffle. */
+    * shuffle. `carry` propagates extra columns (e.g. a coarse cell id)
+    * through the explode. */
   def subVectors(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int): DataFrame = {
-    val v = corpus.select(col(idCol).as("vec_id"), quantizeVec(col(vecCol)).as("vq"))
-    val subDim = size(col("vq")) / m
-    v.select(col("vec_id"),
-        posexplode(transform(sequence(lit(0), lit(m - 1)),
-          s => slice(col("vq"), s * subDim + 1, subDim))).as(Seq("sub_id", "subv")))
-  }
+      m: Int): DataFrame =
+    subVectorsQ(
+      corpus.select(col(idCol).as("vec_id"), quantizeVec(col(vecCol)).as("vq")),
+      m)
+
+  /** [[subVectors]] over an ALREADY-quantized frame with columns (vec_id,
+    * vq: array<long>, carry...). */
+  def subVectorsQ(v: DataFrame, m: Int, carry: Seq[String] = Nil): DataFrame =
+    v.select(col("vec_id") +: carry.map(col) :+
+      posexplode(splitSubs(col("vq"), m)).as(Seq("sub_id", "subv")): _*)
 
   /** Nearest PQ centroid per (vector, subspace) by integer squared L2,
     * deterministic tie-break on cell_id. `cents` must have (sub_id,
@@ -334,14 +345,17 @@ object Similarity {
     * window: partial aggregation folds the m·ksub candidate rows map-side,
     * so the exchange carries one row per (vec, sub) instead of ksub — the
     * shape that matters when N is 10^10. */
-  def pqAssign(sv: DataFrame, cents: DataFrame): DataFrame =
+  def pqAssign(sv: DataFrame, cents: DataFrame,
+      carry: Seq[String] = Nil): DataFrame =
     sv.join(broadcast(cents), Seq("sub_id"))
       .withColumn("d2", l2sqLong(col("subv"), col("cellv")))
       .groupBy(col("vec_id"), col("sub_id"))
       .agg(min(struct(col("d2"), col("cell_id"))).as("best"),
-        first(col("subv")).as("subv"))
-      .select(col("vec_id"), col("sub_id"),
-        col("best.cell_id").as("cell_id"), col("best.d2").as("d2"), col("subv"))
+        first(col("subv")).as("subv") +:
+          carry.map(c => first(col(c)).as(c)): _*)
+      .select(col("vec_id") +: col("sub_id") +:
+        col("best.cell_id").as("cell_id") +: col("best.d2").as("d2") +:
+        col("subv") +: carry.map(col): _*)
 
   /**
    * Product-quantization codebook training (Jégou et al. 2011, "Product
@@ -362,9 +376,15 @@ object Similarity {
    * holds only the loop counter; lineage truncates per iteration.
    */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, ksub: Int, iters: Int): DataFrame = {
+      m: Int, ksub: Int, iters: Int): DataFrame =
+    pqTrainOnSubs(subVectors(corpus, idCol, vecCol, m), ksub, iters)
+
+  /** [[pqTrain]]'s Lloyd loop over a prepared (vec_id, sub_id, subv)
+    * frame — also the training entry for RESIDUAL codebooks ([[ivfPqTopK]])
+    * where the subvectors are already quantized differences, not raw
+    * slices. */
+  def pqTrainOnSubs(sv: DataFrame, ksub: Int, iters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sv = subVectors(corpus, idCol, vecCol, m)
     val seedW = Window.partitionBy(col("sub_id")).orderBy(col("vec_id"))
     var cent = sv.withColumn("rk", row_number().over(seedW))
       .filter(col("rk") <= ksub)
@@ -504,6 +524,80 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("d2"))
+  }
+
+  /**
+   * IVF-PQ (IVFADC, Jégou et al. 2011 §IV): the full production composite —
+   * a coarse quantizer partitions the corpus into `nCells` inverted lists,
+   * each vector's RESIDUAL (x − coarse centroid) is product-quantized, and
+   * a query probes only its `nProbe` nearest coarse cells, scoring members
+   * by ADC over the residual codebook. This is the shape a 100 TB ANN
+   * deployment actually runs: the probe prunes the candidate space to
+   * ~nProbe/nCells of the corpus BEFORE any distance work, residual PQ
+   * keeps the in-memory index at m bytes/vector, and every join below is
+   * an equi-join on (cell, sub, code) — no pairwise blowup anywhere.
+   *
+   * Construction reuses the PQ building blocks verbatim: the coarse
+   * quantizer IS [[pqTrainOnSubs]] with one subspace spanning the full
+   * vector; residual training/encoding are the same Lloyd/argmin over the
+   * residual frame (integer-exact throughout — residuals are differences
+   * of longs). Output contract matches [[pqAdcTopK]]; `adc_d2` is the ADC
+   * estimate within probed cells only (a vector outside every probed cell
+   * is simply absent — the recall/compression trade the spec measures).
+   *
+   * Scale shape: two broadcast-joined Lloyd trainings (coarse: nCells
+   * rows; residual: m·ksub rows), corpus passes are projections +
+   * map-side-combined argmins; search is lut-broadcast equi-join +
+   * one aggregation, identical to [[pqAdcTopK]] but further filtered by
+   * the probed (query, cell) pairs in the lut.
+   */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, m: Int, ksub: Int, iters: Int, nCells: Int,
+      nProbe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cv = corpus.select(col(idCol).as("vec_id"), quantizeVec(col(vecCol)).as("vq"))
+    // coarse quantizer: a PQ with ONE subspace spanning the whole vector
+    val cv1 = subVectorsQ(cv, 1)
+    val coarse = pqTrainOnSubs(cv1, nCells, iters)
+      .select(col("cell_id").as("cell0"), col("cellv").as("coarsev"))
+    // inverted lists + integer residuals
+    val resid = pqAssign(cv1, coarse.select(lit(0).as("sub_id"),
+        col("cell0").as("cell_id"), col("coarsev").as("cellv")))
+      .select(col("vec_id"), col("cell_id").as("cell0"), col("subv").as("vq"))
+      .join(broadcast(coarse), Seq("cell0"))
+      .select(col("vec_id"), col("cell0"),
+        zip_with(col("vq"), col("coarsev"), (x, y) => x - y).as("vq"))
+      .localCheckpoint()
+    // residual codebook + codes (cell0 rides the explode and the argmin)
+    val rsv = subVectorsQ(resid, m, carry = Seq("cell0"))
+    val pqc = pqTrainOnSubs(rsv.select(col("vec_id"), col("sub_id"), col("subv")),
+      ksub, iters)
+    val codes = pqAssign(rsv, pqc, carry = Seq("cell0"))
+      .select(col("vec_id"), col("sub_id"), col("cell_id").as("code"), col("cell0"))
+    // query side: probe nProbe nearest coarse cells, residualize per probe
+    val qv = queries.select(col(idCol).as("query_id"), quantizeVec(col(vecCol)).as("qv"))
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("cd2"), col("cell0"))
+    val probes = qv.join(broadcast(coarse), lit(true))
+      .withColumn("cd2", l2sqLong(col("qv"), col("coarsev")))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("cell0"),
+        zip_with(col("qv"), col("coarsev"), (x, y) => x - y).as("rq"))
+    // per-(query, probed cell) ADC lookup table over the residual codebook
+    val qsub = probes.select(col("query_id"), col("cell0"),
+      posexplode(splitSubs(col("rq"), m)).as(Seq("sub_id", "subv")))
+    val lut = qsub.join(pqc, Seq("sub_id"))
+      .select(col("query_id"), col("cell0"), col("sub_id"),
+        col("cell_id").as("code"), l2sqLong(col("subv"), col("cellv")).as("pd2"))
+    val scored = codes.join(broadcast(lut), Seq("cell0", "sub_id", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd2")).as("adc_d2"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_d2"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("adc_d2"))
   }
 
   /** Exact squared-L2 top-k in the same quantized integer space (the

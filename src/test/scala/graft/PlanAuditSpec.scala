@@ -22,8 +22,10 @@ class PlanAuditSpec extends SparkSpec {
     "multimodal_frames", "tpch_q22_idle_customers", "tpch_q11_important_parts",
     // PQ recall rows: the exact-L2 brute-force BASELINE deliberately
     // broadcasts the 5-row query side against the corpus (l2TopK), same as
-    // the lsh/ivf recall rows; the PQ search path itself is equi-join only
-    "sim_recall_pq", "sim_recall_pq_rerank")
+    // the lsh/ivf recall rows; the PQ search path itself is equi-join only.
+    // ivfpq: the PROBE step scores the 5 queries against the 16 coarse
+    // centroids (broadcast both-tiny); member scoring is equi-join only
+    "sim_recall_pq", "sim_recall_pq_rerank", "sim_ivfpq_topk")
 
   test("no catalog query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
