@@ -2110,6 +2110,23 @@ object Queries {
     // hash order while the running TOKEN sum fits the budget — training
     // mixes are specified in tokens, not documents, so this is the cap that
     // actually binds when assembling a corpus ("500M tokens per domain").
+    // Deterministic training-order shuffle: salted-hash shard + independent
+    // salted-hash in-shard position = a reproducible global permutation,
+    // stable per-row under corpus growth — the step that feeds the trainer.
+    ("corpus_shuffle_shards",
+      (s: SparkSession, d: String) =>
+        Layout.shuffleShards(Tables.documents(s, d), col("doc_id"), nShards = 8)
+          .select(col("doc_id"), col("shard"), col("shard_pos")),
+      Some(
+        """SELECT doc_id, shard, shard_pos FROM (
+          |  SELECT doc_id, shard,
+          |         row_number() OVER (PARTITION BY shard
+          |           ORDER BY ('0x' || substr(md5('pos:' || doc_id::varchar), 1, 15))::bigint,
+          |                    doc_id) AS shard_pos
+          |  FROM (SELECT doc_id,
+          |               (('0x' || substr(md5('shard:' || doc_id::varchar), 1, 15))::bigint % 8)::int AS shard
+          |        FROM documents))""".stripMargin)),
+
     ("corpus_token_budget",
       (s: SparkSession, d: String) => {
         val docs = Tables.documents(s, d)

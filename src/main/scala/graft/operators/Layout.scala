@@ -28,6 +28,33 @@ object Layout {
   def clusterByZ(df: DataFrame, x: Column, y: Column, bits: Int): DataFrame =
     df.orderBy(zValue(x, y, bits))
 
+  /**
+   * Deterministic training-order shuffle: the LAST step of every corpus
+   * pipeline — examples must reach the trainer in an order uncorrelated
+   * with ingestion (or any curation key), reproducibly. Each row draws its
+   * shard from one salted portable hash of its id and its position WITHIN
+   * the shard from a second, independently-salted hash (id tie-break), so
+   * (shard, shard_pos) is a deterministic global permutation: same on every
+   * run, engine, and partition count, and stable per-row under corpus
+   * growth (an appended document lands somewhere without re-shuffling
+   * existing rows across shards — only in-shard positions after it shift).
+   *
+   * Scale shape: one hash exchange on `shard` (nShards ≈ desired output
+   * files, thousands at 100 TB) + a per-shard rank window in hash order —
+   * the sort is per-shard and external-merge friendly; nothing global.
+   * Writing `partitionBy(shard)` with an in-shard sort then streams
+   * trainer-ready files straight out.
+   */
+  def shuffleShards(df: DataFrame, idCol: Column, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shard = pmod(TextOps.portableHash(
+      idCol.cast("string"), lit("shard")), lit(nShards.toLong)).cast("int")
+    val posKey = TextOps.portableHash(idCol.cast("string"), lit("pos"))
+    val w = Window.partitionBy(col("shard")).orderBy(posKey, idCol)
+    df.withColumn("shard", shard)
+      .withColumn("shard_pos", row_number().over(w))
+  }
+
   /** On-disk size of a path from the filesystem metadata — NO data scan, the
     * sizing pass a compaction job can afford at 100 TB. */
   def dirBytes(spark: org.apache.spark.sql.SparkSession, dir: String): Long = {

@@ -39,6 +39,27 @@ class LayoutSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("shuffleShards: balanced permutation, order decorrelated, growth-stable") {
+    val df = (1L to 800L).toDF("id")
+    val out = Layout.shuffleShards(df, col("id"), nShards = 8)
+      .select("id", "shard", "shard_pos").as[(Long, Int, Int)].collect()
+    // a permutation: every row placed once, positions contiguous per shard
+    assert(out.length == 800)
+    out.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq == (1 to g.length))
+    }
+    // roughly balanced shards (hash uniformity, generous tolerance)
+    assert(out.groupBy(_._2).values.forall(g => g.length > 60 && g.length < 140))
+    // decorrelated from ingestion order: within a shard, consecutive
+    // positions are not consecutive ids (a sorted-by-id order would be)
+    val shard0 = out.filter(_._2 == 0).sortBy(_._3).map(_._1)
+    assert(shard0.sliding(2).count(p => p(1) == p(0) + 1) < shard0.length / 4)
+    // growth-stable: appending rows never moves an existing row's shard
+    val grown = Layout.shuffleShards((1L to 1600L).toDF("id"), col("id"), 8)
+      .select("id", "shard").as[(Long, Int)].collect().toMap
+    assert(out.forall { case (id, shard, _) => grown(id) == shard })
+  }
+
   test("clusterByZ groups both axes: leading rows are exactly the low quadrant") {
     val grid = (for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong))
       .toDF("x", "y")
