@@ -340,21 +340,30 @@ object Similarity {
 
   /** Nearest PQ centroid per (vector, subspace) by integer squared L2,
     * deterministic tie-break on cell_id. `cents` must have (sub_id,
-    * cell_id, cellv: array<long>) — at most m·ksub rows, always broadcast.
-    * The argmin is a lexicographic min-struct aggregation, NOT a rank
-    * window: partial aggregation folds the m·ksub candidate rows map-side,
-    * so the exchange carries one row per (vec, sub) instead of ksub — the
-    * shape that matters when N is 10^10. */
+    * cell_id, cellv: array<long>) — at most m·ksub rows, always broadcast,
+    * with cell_id < 256 (production PQ's codebook size; the seeds of
+    * [[pqTrainOnSubs]] guarantee it for ksub ≤ 256).
+    *
+    * The argmin is a PRIMITIVE min over (d2 · 256 + cell_id) packed into
+    * one long — lexicographic (d2, cell_id) order preserved exactly, no
+    * overflow (d2 ≤ subDim · 2^42 ≤ 2^48 for |x| ≤ 1 at 64 dims; × 256 =
+    * 2^56 ≪ 2^63). A long min plans as HashAggregate with map-side partial
+    * combine, where the struct-min formulation falls back to SortAggregate
+    * (struct buffers aren't hash-aggregable) and pays two sorts around the
+    * exchange. The exchange carries one row per (vec, sub) instead of
+    * ksub — the shape that matters when N is 10^10. */
   def pqAssign(sv: DataFrame, cents: DataFrame,
       carry: Seq[String] = Nil): DataFrame =
     sv.join(broadcast(cents), Seq("sub_id"))
-      .withColumn("d2", l2sqLong(col("subv"), col("cellv")))
+      .withColumn("packed",
+        l2sqLong(col("subv"), col("cellv")) * lit(256L) + col("cell_id"))
       .groupBy(col("vec_id"), col("sub_id"))
-      .agg(min(struct(col("d2"), col("cell_id"))).as("best"),
+      .agg(min(col("packed")).as("packed"),
         first(col("subv")).as("subv") +:
           carry.map(c => first(col(c)).as(c)): _*)
       .select(col("vec_id") +: col("sub_id") +:
-        col("best.cell_id").as("cell_id") +: col("best.d2").as("d2") +:
+        (col("packed") % 256).cast("int").as("cell_id") +:
+        expr("packed div 256").as("d2") +:
         col("subv") +: carry.map(col): _*)
 
   /**
