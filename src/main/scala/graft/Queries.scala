@@ -2127,6 +2127,43 @@ object Queries {
           |               (('0x' || substr(md5('shard:' || doc_id::varchar), 1, 15))::bigint % 8)::int AS shard
           |        FROM documents))""".stripMargin)),
 
+    // Last-mile composition: token-budget the corpus per source, then hand
+    // the surviving docs to the trainer in deterministic shuffled order —
+    // proof the selection and layout stages compose (the oracle re-runs
+    // both in CTEs).
+    ("corpus_export_order",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val kept = Sampling.tokenBudgetPerGroup(
+          docs.withColumn("n_tokens",
+            size(TextOps.tokens(TextOps.normalize(col("text")))).cast("long")),
+          Seq(col("source")), col("doc_id"), col("n_tokens"), budget = 1500L)
+        Layout.shuffleShards(kept, col("doc_id"), nShards = 4)
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            col("shard"), col("shard_pos"))
+      },
+      Some(
+        """WITH kept AS (
+          |  SELECT doc_id, source, n_tokens FROM (
+          |    SELECT doc_id, source, n_tokens,
+          |           sum(n_tokens) OVER (
+          |             PARTITION BY source
+          |             ORDER BY ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint,
+          |                      doc_id
+          |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS cum_tokens
+          |    FROM (SELECT doc_id, source,
+          |                 len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '))::bigint AS n_tokens
+          |          FROM documents))
+          |  WHERE cum_tokens <= 1500)
+          |SELECT doc_id, source, n_tokens, shard, shard_pos FROM (
+          |  SELECT doc_id, source, n_tokens, shard,
+          |         row_number() OVER (PARTITION BY shard
+          |           ORDER BY ('0x' || substr(md5('pos:' || doc_id::varchar), 1, 15))::bigint,
+          |                    doc_id) AS shard_pos
+          |  FROM (SELECT doc_id, source, n_tokens,
+          |               (('0x' || substr(md5('shard:' || doc_id::varchar), 1, 15))::bigint % 4)::int AS shard
+          |        FROM kept))""".stripMargin)),
+
     ("corpus_token_budget",
       (s: SparkSession, d: String) => {
         val docs = Tables.documents(s, d)
