@@ -3599,7 +3599,7 @@ object Queries {
       }),
 
     // Product quantization: per-subspace codebooks (joint Lloyd, m=4 × 16
-    // dims, ksub=4, 2 iters) and the code each vector compresses to — the
+    // dims, ksub=16, 2 iters) and the code each vector compresses to — the
     // IVF-PQ memory story at 100 TB (m small ints per vector in RAM instead
     // of dim floats). The oracle retrains both codebook iterations in CTEs.
     ("sim_pq_codes",

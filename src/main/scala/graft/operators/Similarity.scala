@@ -316,16 +316,23 @@ object Similarity {
       lit(0L), (acc, v) => acc + v)
 
   /** The m contiguous equal slices of a long-array column, as an array of
-    * subvectors (index = sub_id). */
+    * subvectors (index = sub_id). Raises at runtime on a vector whose
+    * length is not divisible by m — a silent truncation here would encode
+    * and score a clipped vector with no error (and a ragged corpus would
+    * get differently-sized subspaces per row). */
   def splitSubs(vq: Column, m: Int): Column = {
     val subDim = size(vq) / m
-    transform(sequence(lit(0), lit(m - 1)), s => slice(vq, s * subDim + 1, subDim))
+    when(size(vq) % m =!= 0,
+      raise_error(concat(lit(s"vector length not divisible by m=$m subspaces: "),
+        size(vq).cast("string"))))
+      .otherwise(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(vq, s * subDim + 1, subDim)))
   }
 
   /** (vec_id, sub_id, subv): the m contiguous equal slices of each
     * QUANTIZED vector — PQ's subspace view. Pure projection + explode, no
-    * shuffle. `carry` propagates extra columns (e.g. a coarse cell id)
-    * through the explode. */
+    * shuffle. See [[subVectorsQ]] for the pre-quantized variant with
+    * carry-through columns. */
   def subVectors(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int): DataFrame =
     subVectorsQ(
@@ -393,6 +400,12 @@ object Similarity {
     * where the subvectors are already quantized differences, not raw
     * slices. */
   def pqTrainOnSubs(sv: DataFrame, ksub: Int, iters: Int): DataFrame = {
+    // [[pqAssign]]'s (d2·256 + cell) packing orders correctly only while
+    // cell ids fit under 256 (production PQ's codebook size). Out-of-range
+    // ids would bleed into the distance bits and silently corrupt the
+    // argmin — fail loudly at the API edge instead. A coarse quantizer
+    // needing more cells is ivfTopK's kmeans path, not this one.
+    require(ksub >= 1 && ksub <= 256, s"ksub must be in [1, 256], got $ksub")
     import org.apache.spark.sql.expressions.Window
     val seedW = Window.partitionBy(col("sub_id")).orderBy(col("vec_id"))
     var cent = sv.withColumn("rk", row_number().over(seedW))
@@ -563,6 +576,10 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, m: Int, ksub: Int, iters: Int, nCells: Int,
       nProbe: Int, k: Int): DataFrame = {
+    // both quantizers ride pqAssign's packed argmin — see pqTrainOnSubs
+    require(nCells >= 1 && nCells <= 256,
+      s"nCells must be in [1, 256] (packed-argmin bound), got $nCells")
+    require(nProbe >= 1 && nProbe <= nCells, s"nProbe must be in [1, $nCells]")
     import org.apache.spark.sql.expressions.Window
     val cv = corpus.select(col(idCol).as("vec_id"), quantizeVec(col(vecCol)).as("vq"))
     // coarse quantizer: a PQ with ONE subspace spanning the whole vector
