@@ -172,8 +172,10 @@ object PqOracle {
    * query, ADC over probed members only. Output matches the Spark
    * `ivfPqTopK` contract exactly.
    */
-  val ivfPqSql: String =
-    s"""WITH v AS (SELECT vec_id,
+  /** The IVF-PQ chain through `scored` (per-(query, vec) probed ADC sums) —
+    * shared by the top-k row and the re-rank recall row. */
+  private val ivfPqScored: String =
+    s"""v AS (SELECT vec_id,
        |             list_transform(embedding,
        |               x -> cast(floor(x::double * 1048576.0) AS bigint)) AS vq
        |      FROM embeddings),
@@ -207,10 +209,34 @@ object PqOracle {
        |           JOIN lut l ON l.cell0 = k.cell0 AND l.sub_id = k.sub_id
        |                     AND l.code = k.code
        |           WHERE k.vec_id != l.query_id
-       |           GROUP BY 1, 2)
+       |           GROUP BY 1, 2)""".stripMargin
+
+  val ivfPqSql: String =
+    s"""WITH $ivfPqScored
        |SELECT query_id, rank, neighbor_id, adc_d2 FROM (
        |  SELECT query_id, vec_id AS neighbor_id, adc_d2,
        |         row_number() OVER (PARTITION BY query_id
        |                            ORDER BY adc_d2, vec_id) AS rank
        |  FROM scored) WHERE rank <= 5""".stripMargin
+
+  /** IVF-PQ probe → ADC shortlist (50) → exact re-rank top-5 → recall vs
+    * brute: the complete production query path, quality-pinned. */
+  val ivfPqRerankRecallSql: String =
+    s"""WITH $ivfPqScored,
+       |cand AS (SELECT query_id, vec_id AS neighbor_id FROM (
+       |  SELECT query_id, vec_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY adc_d2, vec_id) AS rank
+       |  FROM scored) WHERE rank <= 50),
+       |rr AS (SELECT c.query_id, c.neighbor_id,
+       |              ${d2("qv.vq", "nv.vq", 64)} AS d2
+       |       FROM cand c
+       |       JOIN v qv ON qv.vec_id = c.query_id
+       |       JOIN v nv ON nv.vec_id = c.neighbor_id),
+       |rtop AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY d2, neighbor_id) AS rank
+       |  FROM rr) WHERE rank <= 5),
+       |${recallAgainst("rtop")}""".stripMargin
 }

@@ -3689,6 +3689,29 @@ object Queries {
       },
       Some(PqOracle.ivfPqSql)),
 
+    // The complete production ANN query path: IVF-PQ probe → ADC shortlist
+    // (50) → exact re-rank → recall vs brute. Re-ranking recovers ADC's
+    // ordering noise; the residue is the probe's own membership ceiling
+    // (raise nProbe, not shortlist, to move it) — the quality/cost dial a
+    // 100 TB deployment actually turns, pinned cross-engine.
+    ("sim_recall_ivfpq_rerank",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") < 5)
+        val brute = Similarity.l2TopK(q, emb, "vec_id", "embedding", 5)
+        val approx = Similarity.ivfPqRerankTopK(q, emb, "vec_id", "embedding",
+            m = 4, ksub = 16, iters = 2, nCells = 16, nProbe = 4,
+            shortlist = 50, k = 5)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        brute.select(col("query_id"), col("neighbor_id"))
+          .join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+          .withColumn("recall", col("n_hit").cast("double") / col("n_true"))
+      },
+      Some(PqOracle.ivfPqRerankRecallSql)),
+
     // Frame sampling: n evenly spaced byte windows per payload — the video
     // keyframe-extraction dataflow with the codec swapped for a byte slice.
     // Payload is ASCII-safe test data, so DuckDB verifies via substring.

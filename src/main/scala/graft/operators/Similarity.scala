@@ -532,9 +532,34 @@ object Similarity {
    */
   def pqRerankTopK(queries: DataFrame, codes: DataFrame, cents: DataFrame,
       corpus: DataFrame, idCol: String, vecCol: String, m: Int,
-      shortlist: Int, k: Int): DataFrame = {
-    val cand = pqAdcTopK(queries, codes, cents, idCol, vecCol, m, shortlist)
-      .select(col("query_id"), col("neighbor_id"))
+      shortlist: Int, k: Int): DataFrame =
+    rerankExact(
+      pqAdcTopK(queries, codes, cents, idCol, vecCol, m, shortlist)
+        .select(col("query_id"), col("neighbor_id")),
+      queries, corpus, idCol, vecCol, k)
+
+  /** [[pqRerankTopK]]'s shortlist stage swapped for the IVF-PQ composite:
+    * probe → ADC shortlist → exact re-rank, the complete production ANN
+    * query path. Re-ranking recovers ADC's ordering noise; what remains is
+    * the probe's own membership ceiling (a true neighbor outside every
+    * probed cell is unreachable at any shortlist — raise nProbe, not
+    * shortlist, to move it). */
+  def ivfPqRerankTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, m: Int, ksub: Int, iters: Int, nCells: Int,
+      nProbe: Int, shortlist: Int, k: Int): DataFrame =
+    rerankExact(
+      ivfPqTopK(queries, corpus, idCol, vecCol, m, ksub, iters, nCells,
+        nProbe, shortlist)
+        .select(col("query_id"), col("neighbor_id")),
+      queries, corpus, idCol, vecCol, k)
+
+  /** Exact re-rank of a (query_id, neighbor_id) candidate frame: only the
+    * candidates touch full-precision vectors — the broadcast side is
+    * |Q|·shortlist rows, the corpus joins on its id with no shuffle, and
+    * one rank window over the candidate set returns the true top-k of the
+    * shortlist. */
+  private def rerankExact(cand: DataFrame, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), quantizeVec(col(vecCol)).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), quantizeVec(col(vecCol)).as("cv"))
     val scored = c.join(broadcast(cand.join(broadcast(q), Seq("query_id"))),

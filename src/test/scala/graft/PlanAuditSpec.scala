@@ -25,7 +25,8 @@ class PlanAuditSpec extends SparkSpec {
     // the lsh/ivf recall rows; the PQ search path itself is equi-join only.
     // ivfpq: the PROBE step scores the 5 queries against the 16 coarse
     // centroids (broadcast both-tiny); member scoring is equi-join only
-    "sim_recall_pq", "sim_recall_pq_rerank", "sim_ivfpq_topk")
+    "sim_recall_pq", "sim_recall_pq_rerank", "sim_ivfpq_topk",
+    "sim_recall_ivfpq_rerank")
 
   test("no catalog query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
