@@ -241,6 +241,24 @@ class SimilaritySpec extends SparkSpec {
     assert(rr >= 0.6, s"re-rank recall $rr unexpectedly low")
   }
 
+  test("PQ guards: oversized codebooks and indivisible subspaces fail loudly") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(8)
+    // packed-argmin bound: cell ids must fit under 256
+    intercept[IllegalArgumentException] {
+      Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, ksub = 257, iters = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(emb, emb, "vec_id", "embedding", m = 4, ksub = 16,
+        iters = 1, nCells = 300, nProbe = 4, k = 5)
+    }
+    // 64 dims don't split into 5 subspaces — raise, never truncate
+    val ex = intercept[Exception] {
+      Similarity.subVectors(emb, "vec_id", "embedding", m = 5).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("not divisible"),
+      s"expected divisibility error, got: ${ex.getMessage}")
+  }
+
   test("IVF-PQ: full k returned, self excluded, probe restriction holds") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = emb.filter(col("vec_id") < 5)
