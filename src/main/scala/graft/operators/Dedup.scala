@@ -422,13 +422,15 @@ object Dedup {
     * non-cheap multiply-referenced projections apart, so staging caps the
     * md5-per-shingle work at once per row instead of 256×. */
   def signatureEntries(docs: DataFrame, textCol: Column, idCol: Column,
-      shingleSize: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4): DataFrame =
+      shingleSize: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4,
+      keepSig: Boolean = false): DataFrame =
     docs
       .select(idCol.as("doc_id"), minhashHashes(textCol, shingleSize).as("hs"))
       .select(col("doc_id"), minhashSignatureArrayOfHashes(col("hs"), numPerms).as("sig"))
-      .select(col("doc_id"),
+      .select(col("doc_id") +:
+        (if (keepSig) Seq(col("sig")) else Nil) :+
         posexplode(bandBucketArray(col("sig"), rowsPerBand, numPerms))
-          .as(Seq("band", "bucket")))
+          .as(Seq("band", "bucket")): _*)
 
   /** Persist signature entries as a bucketed table (append-able per batch).
     * Bucketing on `bucket` is what lets every later [[incrementalCandidates]]

@@ -23,13 +23,39 @@ import graft.model.FlightEvent
  */
 object StatefulOps {
 
-  /** Exact dedup on `idCols` with state bounded by the watermark horizon:
-    * events older than the watermark can no longer create duplicates, so
-    * their keys age out of the store. */
+  /** The stateful operators key their typed state on a LONG id; a
+    * non-numeric id would cast to null and kill the query mid-stream at
+    * encoder time ("Null value appeared in non-nullable field") — fail at
+    * construction instead. */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val ok = df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(ok, s"$op keys its state on an integral id; got " +
+      s"$idCol: ${df.schema(idCol).dataType.simpleString}")
+  }
+
+  /** Exact dedup on the (idCols, event-time) KEY with state bounded by the
+    * watermark horizon: events older than the watermark can no longer
+    * create duplicates, so their keys age out of the store. Note the key
+    * includes `timeCol` — a re-delivery of the same id carrying a perturbed
+    * timestamp is NOT dropped here (it is a different key); use
+    * [[dedupStreamById]] when the id alone must be unique. */
   def dedupStream(parsed: DataFrame, timeCol: String, watermark: String,
       idCols: Seq[String]): DataFrame =
     parsed.withWatermark(timeCol, watermark)
       .dropDuplicates(idCols :+ timeCol)
+
+  /** True id-only exact dedup: a producer retry that re-stamps the event
+    * time still drops, with state bounded by the watermark horizon
+    * (`dropDuplicatesWithinWatermark` keeps each id only until the
+    * watermark passes its first-seen time). */
+  def dedupStreamById(parsed: DataFrame, timeCol: String, watermark: String,
+      idCols: Seq[String]): DataFrame =
+    parsed.withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols)
 
   final case class RunningTotals(
       airline: String, total_flights: Long, delayed_flights: Long,
@@ -106,17 +132,13 @@ object StatefulOps {
       minEstJaccard: Double = 0.5, maxPerBucket: Int = 64,
       timeout: Option[String] = None): Dataset[NearDupHit] = {
     import docs.sparkSession.implicits._
-    val banded = docs
-      // hashes and signature staged as separate projections: the signature
-      // folds reference the hash array numPerms times, and only a bound
-      // column reference is cheap to repeat (see Dedup.minhashHashes)
-      .select(col(idCol).cast("long").as("doc_id"),
-        graft.operators.Dedup.minhashHashes(col(textCol)).as("hs"))
-      .select(col("doc_id"),
-        graft.operators.Dedup.minhashSignatureArrayOfHashes(col("hs")).as("sig"))
-      .select(col("doc_id"), col("sig"),
-        posexplode(graft.operators.Dedup.bandBucketArray(col("sig")))
-          .as(Seq("band", "bucket")))
+    requireIntegralId(docs, idCol, "nearDupStream")
+    // the staged hashes → signature → band-buckets discipline lives in ONE
+    // place (Dedup.signatureEntries, keepSig) — the batch, incremental, and
+    // streaming paths share it, so they cannot silently diverge
+    val banded = graft.operators.Dedup
+      .signatureEntries(docs, col(textCol), col(idCol).cast("long"),
+        keepSig = true)
       .select(concat_ws(":", col("band"), col("bucket")).as("bkey"),
         col("doc_id"), col("sig"))
       .as[(String, Long, Seq[Long])]
@@ -185,6 +207,7 @@ object StatefulOps {
       centroids: Array[(Int, Seq[Double])], tau: Double,
       maxPerCell: Int = 1024, timeout: Option[String] = None): Dataset[SemVerdict] = {
     import vecs.sparkSession.implicits._
+    requireIntegralId(vecs, idCol, "semanticDedupStream")
     val assigned = graft.operators.Similarity
       .assignCellsStatic(vecs, centroids, idCol, vecCol)
       .select(col("vec_id").cast("long"), col("cell_id"), col("cell_cos"),
@@ -206,8 +229,13 @@ object StatefulOps {
             rows.toSeq.sortBy(_._1).foreach { case (vecId, _, cellCos, ve, vnorm) =>
               if (!members.exists(_.vec_id == vecId)) {
                 val dup = members.exists { m =>
-                  val dot = m.ve.lazyZip(ve).map(_ * _).sum
-                  dot / (m.vnorm * vnorm) >= tau
+                  val denom = m.vnorm * vnorm
+                  // zero-norm pair: 0/0 = NaN, and SQL (Spark & DuckDB)
+                  // orders NaN above every value, so the batch pair rule
+                  // counts it as dup — mirror that (Scala NaN >= tau would
+                  // silently say false and admit unboundedly many zeros)
+                  denom == 0.0 ||
+                    m.ve.lazyZip(ve).map(_ * _).sum / denom >= tau
                 }
                 out += SemVerdict(vecId, cellId, cellCos, if (dup) 0 else 1)
                 if (!dup && members.size < maxPerCell)
@@ -222,6 +250,7 @@ object StatefulOps {
   }
 
   final case class SessionState(startMs: Long, endMs: Long, n: Long)
+  final case class SessionListState(sessions: List[SessionState])
   final case class UserSession(user_id: String, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long)
 
@@ -236,13 +265,21 @@ object StatefulOps {
    * state (distinct pages, funnels, abandonment flags) rather than plain
    * aggregates.
    *
-   * Mechanics: a micro-batch's events for a key are folded in time order —
-   * gaps inside the batch emit closed sessions immediately; the trailing
-   * open session parks in state with `setTimeoutTimestamp(end + gap)`. The
-   * timeout callback (fired once the watermark crosses it) emits and clears.
-   * If new events arrive before the callback fires but beyond the gap, the
-   * data path closes the stale session itself — both orders converge on the
-   * same session set. State per key is O(1); keys age out at watermark+gap.
+   * Mechanics: state holds the key's FULL list of open sessions (every
+   * session whose end + gap the watermark has not yet passed), not just the
+   * trailing one. Each invocation — data or timeout, the same code path —
+   * merges parked sessions with the batch's events under the transitive gap
+   * rule, then emits exactly the sessions with end + gap < watermark: those
+   * are straggler-proof (an event that could still merge into one, t ≤
+   * end + gap < wm, would be below the watermark and already filtered), and
+   * everything else re-parks. Emitting any earlier would fragment — a
+   * session gap-closed INSIDE a batch can still be extended or merged by a
+   * straggler in a LATER batch whenever the watermark delay exceeds the
+   * gap, which is exactly the built-in session_window's merge behavior.
+   * The key's single event-time timeout sits at the earliest open
+   * end + gap, so each close fires as soon as the watermark permits. State
+   * per key is O(open sessions) — bounded by watermark delay / gap; keys
+   * age out when their last session closes.
    */
   def sessionizeStream(events: DataFrame, keyCol: String, timeCol: String,
       watermark: String, gapMs: Long): Dataset[UserSession] = {
@@ -255,46 +292,44 @@ object StatefulOps {
       .select(col(keyCol).cast("string").as("k"), col(timeCol).as("t"))
       .as[(String, java.sql.Timestamp)]
     keyed.groupByKey(_._1)
-      .flatMapGroupsWithState[SessionState, UserSession](
+      .flatMapGroupsWithState[SessionListState, UserSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key: String, rows: Iterator[(String, java.sql.Timestamp)], state: GroupState[SessionState]) =>
+        (key: String, rows: Iterator[(String, java.sql.Timestamp)],
+            state: GroupState[SessionListState]) =>
           def emit(s: SessionState) = UserSession(key,
             new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n)
-          if (state.hasTimedOut) {
-            val last = state.get
-            state.remove()
-            Iterator.single(emit(last))
-          } else {
-            // Timeline interval merge, mirroring the built-in session_window
-            // exactly: the parked session (an interval) and this batch's
-            // events (points), sorted by start, fold under the gap rule with
-            // TRANSITIVE merges — a chain of stragglers bridges back into
-            // the parked session only if every hop is within the gap. A late
-            // event more than gapMs before the parked start forms its OWN
-            // earlier session (windows [t, t+gap) and [start, end+gap)
-            // don't overlap), so it cannot drag session_start arbitrarily
-            // far back — reachable whenever watermark delay > gap.
-            val items = (state.getOption.toSeq ++
-              rows.map(r => SessionState(r._2.getTime, r._2.getTime, 1L)))
-              .sortBy(s => (s.startMs, s.endMs))
-            val merged = items.foldLeft(List.empty[SessionState]) { (acc, iv) =>
-              acc match {
-                case h :: tl if iv.startMs - h.endMs <= gapMs =>
-                  SessionState(h.startMs, math.max(h.endMs, iv.endMs),
-                    h.n + iv.n) :: tl
-                case _ => iv :: acc
-              }
-            }.reverse
-            // every interval but the last is gap-closed inside the data path
-            // (or lies entirely behind the parked session) — emit now; the
-            // last parks with an event-time timeout at end + gap.
-            val out = merged.dropRight(1).map(emit)
-            merged.lastOption.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.endMs + gapMs)
+          val wm = state.getCurrentWatermarkMs()
+          // Timeline interval merge, mirroring the built-in session_window
+          // exactly: parked sessions (intervals) and this batch's events
+          // (points; none on a timeout invocation), sorted by start, fold
+          // under the gap rule with TRANSITIVE merges — a chain of
+          // stragglers bridges back into a parked session only if every hop
+          // is within the gap; an event more than gapMs from every parked
+          // interval opens its own session.
+          val parked = state.getOption.map(_.sessions).getOrElse(Nil)
+          val items = (parked ++
+            rows.map(r => SessionState(r._2.getTime, r._2.getTime, 1L)))
+            .sortBy(s => (s.startMs, s.endMs))
+          val merged = items.foldLeft(List.empty[SessionState]) { (acc, iv) =>
+            acc match {
+              case h :: tl if iv.startMs - h.endMs <= gapMs =>
+                SessionState(h.startMs, math.max(h.endMs, iv.endMs),
+                  h.n + iv.n) :: tl
+              case _ => iv :: acc
             }
-            out.iterator
+          }.reverse
+          // emit exactly the straggler-proof sessions (end + gap < wm: any
+          // event that could still merge would be below the watermark and
+          // already filtered); everything else re-parks with the key's
+          // timeout at the earliest open close time.
+          val (closed, open) = merged.partition(_.endMs + gapMs < wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionListState(open))
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.endMs + gapMs).min, wm + 1))
           }
+          closed.sortBy(_.startMs).map(emit).iterator
       }
   }
 

@@ -115,8 +115,10 @@ class StatefulOpsSpec extends SparkSpec {
       .option("checkpointLocation", Files.createTempDirectory("sess2-cp").toString)
       .outputMode(OutputMode.Append).start()
     try {
-      // 10:00 and 10:40 arrive in ONE batch: the first session must emit
-      // immediately (data path), the second parks in state
+      // 10:00 and 10:40 arrive in ONE batch: with a 0s watermark delay the
+      // batch pushes the watermark to 10:40, so the 10:00 session closes on
+      // the following no-data batch's timeout; the 10:40 session stays
+      // parked (10:50 > watermark)
       input.addData(("A", ts("2024-01-01 10:00:00")), ("A", ts("2024-01-01 10:40:00")))
       q.processAllAvailable()
       val early = spark.table("sess_split_out")
@@ -180,16 +182,15 @@ class StatefulOpsSpec extends SparkSpec {
       q.processAllAvailable()
       // two stragglers: 30 and 25 min before the parked start — within gap
       // of EACH OTHER (transitive merge into one early session) but beyond
-      // the gap from the parked session. Emitted closed immediately.
+      // the gap from the parked session. NOT emitted yet: the watermark
+      // (9:30) hasn't passed their end + gap, so a further straggler could
+      // still extend them — emitting now would fragment (session_window
+      // holds them too).
       input.addData(("A", ts("2024-01-01 10:00:00")),
         ("A", ts("2024-01-01 10:05:00")))
       q.processAllAvailable()
-      val early = spark.table("sess_straggle_out")
-        .select(col("session_start").cast("string"),
-          col("session_end").cast("string"), col("n_events"))
-        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
-      assert(early == Set(("2024-01-01 10:00:00", "2024-01-01 10:05:00", 2L)),
-        s"stragglers must form their own closed earlier session: $early")
+      assert(spark.table("sess_straggle_out").isEmpty,
+        "open sessions must park until the watermark passes end + gap")
       // the parked session is untouched by the stragglers
       input.addData(("Z", ts("2024-01-01 14:00:00"))) // watermark → 13:00
       q.processAllAvailable()
@@ -204,6 +205,44 @@ class StatefulOpsSpec extends SparkSpec {
         ("2024-01-01 10:00:00", "2024-01-01 10:05:00", 2L),
         ("2024-01-01 10:30:00", "2024-01-01 10:30:00", 1L)),
         s"parked session must keep its own start: $all")
+    } finally q.stop()
+  }
+
+  test("sessionizeStream: straggler within gap of a gap-closed session merges, not fragments") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // the round-9 review scenario: gap=10min, watermark delay=1h. Batch 1
+    // brings 10:00 and 10:40 together — the 10:00 session is gap-closed
+    // INSIDE the batch but the watermark (epoch) hasn't passed it, so it
+    // must PARK, because batch 2's straggler 10:05 (above watermark 9:40)
+    // belongs to it. Emitting it in batch 1 would fragment: session_window
+    // yields ONE session [10:00, 10:05] n=2 plus the 10:40 singleton.
+    val sessions = StatefulOps.sessionizeStream(
+      input.toDF().toDF("user", "ts"), "user", "ts",
+      watermark = "1 hour", gapMs = 10 * 60 * 1000L)
+    val q = sessions.writeStream.format("memory").queryName("sess_frag_out")
+      .option("checkpointLocation", Files.createTempDirectory("sess6-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(("A", ts("2024-01-01 10:00:00")), ("A", ts("2024-01-01 10:40:00")))
+      q.processAllAvailable()
+      input.addData(("A", ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      input.addData(("Z", ts("2024-01-01 14:00:00"))) // watermark → 13:00
+      q.processAllAvailable()
+      input.addData(("Z", ts("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("sess_frag_out")
+        .filter(col("user_id") === "A")
+        .select(col("session_start").cast("string"),
+          col("session_end").cast("string"), col("n_events"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == Set(
+        ("2024-01-01 10:00:00", "2024-01-01 10:05:00", 2L),
+        ("2024-01-01 10:40:00", "2024-01-01 10:40:00", 1L)),
+        s"straggler must merge into the parked earlier session: $got")
     } finally q.stop()
   }
 
