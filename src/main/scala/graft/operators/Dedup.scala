@@ -115,17 +115,33 @@ object Dedup {
       numPerms: Int = 16): Column =
     minhashSignatureArrayOfHashes(minhashHashes(textCol, shingleSize), numPerms)
 
+  /** In-bucket upper-triangle pair expansion over a SORTED id-array column:
+    * all (x, y) with x strictly before y, as (doc_a, doc_b) structs — the
+    * one source of truth for the batch and incremental candidate paths
+    * (their spec'd equivalence depends on this staying identical). */
+  private def pairExpansion(arrCol: String): Column =
+    expr(
+      s"""flatten(transform($arrCol, (x, i) ->
+         |  transform(slice($arrCol, i + 2, size($arrCol)), y ->
+         |    struct(x AS doc_a, y AS doc_b))))""".stripMargin)
+
   /** Per-band LSH bucket ids for a [[minhashSignatureArray]] signature —
     * the same md5-of-joined-values derivation as [[lshBuckets]], as a
     * projection. Index k of the result is band k's bucket. */
   def bandBucketArray(sig: Column, rowsPerBand: Int = 4,
-      numPerms: Int = 16): Column =
+      numPerms: Int = 16): Column = {
+    // a partial trailing band would exist in lshBuckets (ceil) but not here
+    // (floor), silently breaking the spec'd bit-identical equivalence of
+    // the projection and aggregated forms — reject instead
+    require(numPerms % rowsPerBand == 0,
+      s"rowsPerBand=$rowsPerBand must divide numPerms=$numPerms")
     array((0 until numPerms / rowsPerBand).map { k =>
       md5(concat_ws(",",
         (0 until rowsPerBand).map(j =>
           element_at(sig, k * rowsPerBand + j + 1).cast("string")): _*)
         .cast("binary"))
     }: _*)
+  }
 
   /**
    * LSH banding over [[minhashSignatures]]: group each doc's signature into
@@ -176,10 +192,7 @@ object Dedup {
     val clique = sized.filter(col("bsize") <= maxBucketSize)
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds)), y ->
-          |    struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
+      .select(explode(pairExpansion("ds")).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
     val star = sized
       .filter(col("bsize") > maxBucketSize && col("doc_id") =!= col("anchor"))
@@ -269,6 +282,11 @@ object Dedup {
       .withColumn("n", Similarity.norm(col("v")))
       .select(col("id"), col("v"), col("n"),
         posexplode(bandBuckets).as(Seq("band", "bucket")))
+      // materialize before the self-join: the two aliased sides sit below
+      // the (band, bucket) exchange, so ReuseExchange cannot dedupe them
+      // and the md5-per-plane bucket derivation would run twice (the r6
+      // recompute lesson — see semanticDedup)
+      .localCheckpoint()
     val a = v.select(col("band"), col("bucket"),
       col("id").as("doc_a"), col("v").as("va"), col("n").as("na"))
     val b = v.select(col("band"), col("bucket"),
@@ -366,11 +384,20 @@ object Dedup {
       // rounds late.
       val shortcut =
         if (iter < 2) prop.select(col("id"), col("prev"), col("comp1").as("component"))
-        else prop
-          .join(prop.select(col("id").as("comp1"), col("comp1").as("comp2")),
-            Seq("comp1"), "left")
-          .select(col("id"), col("prev"),
-            least(col("comp1"), coalesce(col("comp2"), col("comp1"))).as("component"))
+        else {
+          // materialize the frontier before the self-join: the renamed
+          // projection sits below the join exchange, so the two sides are
+          // not reuse-deduped and an un-checkpointed prop would embed TWICE
+          // in the next round's lineage — compounding to 2^k copies between
+          // localCheckpoint rounds. One frontier-sized materialization per
+          // shortcut round keeps the per-round action linear, which is the
+          // cost the O(log diameter) claim is priced on.
+          val p = prop.localCheckpoint()
+          p.join(p.select(col("id").as("comp1"), col("comp1").as("comp2")),
+              Seq("comp1"), "left")
+            .select(col("id"), col("prev"),
+              least(col("comp1"), coalesce(col("comp2"), col("comp1"))).as("component"))
+        }
       val joined = shortcut
         .withColumn("chg", (col("component") < col("prev")).cast("long"))
         .drop("prev")
@@ -483,10 +510,7 @@ object Dedup {
     val small = buckets.filter(col("bsize") <= maxBucketSize)
     // new×new clique pairs straight from the arrays — no join at all
     val newNew = small.filter(size(col("new_ds")) > 1)
-      .select(explode(expr(
-        """flatten(transform(new_ds, (x, i) ->
-          |  transform(slice(new_ds, i + 2, size(new_ds)), y ->
-          |    struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
+      .select(explode(pairExpansion("new_ds")).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
     // old×new pairs: ONE co-located pass over the index, new arrays broadcast
     val crossPairs = index
@@ -568,8 +592,14 @@ object Dedup {
     val fingerprint = (0 until bits)
       .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
       .reduce(_ + _)
+    // null text tokenizes to null; coalesce to [""] so the doc still gets
+    // a fingerprint — the same no-doc-silently-disappears contract the
+    // shingle path pins (TextOps.shingles; a null-text doc must surface in
+    // pair verdicts, not vanish from the join)
     docs.select(idCol.as("doc_id"),
-        explode(array_distinct(TextOps.tokens(TextOps.normalize(textCol)))).as("token"))
+        explode(coalesce(
+          array_distinct(TextOps.tokens(TextOps.normalize(textCol))),
+          array(lit("")))).as("token"))
       .select(col("doc_id"), TextOps.portableHash(col("token")).as("h"))
       .groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
@@ -595,19 +625,31 @@ object Dedup {
    * scale, `nCells` is chosen ~ sqrt(N) (the paper's regime) so expected
    * cell size — and with it per-task join fan-out — stays bounded; the
    * per-cell cost model is the same as the LSH bucket join's, with the
-   * cluster id as the bucket.
+   * cluster id as the bucket. A DEGENERATE cell (boilerplate pages, zero
+   * vectors collapsing into one cluster) is additionally capped: only each
+   * cell's `maxPerCell` lowest-id members act as the LOWER (dropping) side
+   * of pairs, bounding the per-cell pair space at maxPerCell · |cell|
+   * instead of |cell|² — the same resident-set rule as the streaming
+   * admission form and the LSH star fallback. Because rank follows vec_id
+   * order, the only pairs lost are overflow-vs-overflow (both ids above
+   * the cap), so results are IDENTICAL whenever cells fit the cap.
    *
    * Output: one row per vector — (vec_id, cell_id, cell_cos, sem_keep) with
    * `cell_cos` the how-prototypical score (cosine to the assigned
    * centroid) SemDeDup's keep-rule variants rank on.
    */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, trainIters: Int, tau: Double): DataFrame = {
+      nCells: Int, trainIters: Int, tau: Double,
+      maxPerCell: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cent = Similarity.kmeansCentroids(emb, idCol, vecCol, nCells, trainIters)
     val assigned = Similarity.assignCells(emb, cent, idCol, vecCol)
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("cell_id")).orderBy(col("vec_id"))))
       .localCheckpoint()
-    val a = assigned.select(col("cell_id"), col("vec_id").as("va"),
-      col("ve").as("vea"), col("vnorm").as("na"))
+    val a = assigned.filter(col("crank") <= maxPerCell)
+      .select(col("cell_id"), col("vec_id").as("va"),
+        col("ve").as("vea"), col("vnorm").as("na"))
     val b = assigned.select(col("cell_id"), col("vec_id").as("vb"),
       col("ve").as("veb"), col("vnorm").as("nb"))
     val drops = a.join(b, Seq("cell_id"))
