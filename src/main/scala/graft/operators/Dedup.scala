@@ -382,22 +382,22 @@ object Dedup {
       // never pay the extra join (measured ~27% of dedup_components at
       // sf0.1); long-chain graphs still get the O(log diameter) bound, two
       // rounds late.
+      // NOTE the self-join embeds prop twice in the round's lineage (the
+      // renamed projection sits below the join exchange, so the sides are
+      // not reuse-deduped), so between localCheckpoints the un-checkpointed
+      // tail holds up to 2^(checkpointEvery-1) = 4 copies of the oldest
+      // round's cheap frontier joins — a BOUNDED constant recompute that
+      // measured cheaper than either an eager per-round frontier
+      // materialization (+84% wall on the sf0.1 dup graph) or a tighter
+      // cadence (+43%). Do not raise checkpointEvery without re-measuring:
+      // the bound is geometric in it.
       val shortcut =
         if (iter < 2) prop.select(col("id"), col("prev"), col("comp1").as("component"))
-        else {
-          // materialize the frontier before the self-join: the renamed
-          // projection sits below the join exchange, so the two sides are
-          // not reuse-deduped and an un-checkpointed prop would embed TWICE
-          // in the next round's lineage — compounding to 2^k copies between
-          // localCheckpoint rounds. One frontier-sized materialization per
-          // shortcut round keeps the per-round action linear, which is the
-          // cost the O(log diameter) claim is priced on.
-          val p = prop.localCheckpoint()
-          p.join(p.select(col("id").as("comp1"), col("comp1").as("comp2")),
-              Seq("comp1"), "left")
-            .select(col("id"), col("prev"),
-              least(col("comp1"), coalesce(col("comp2"), col("comp1"))).as("component"))
-        }
+        else prop
+          .join(prop.select(col("id").as("comp1"), col("comp1").as("comp2")),
+            Seq("comp1"), "left")
+          .select(col("id"), col("prev"),
+            least(col("comp1"), coalesce(col("comp2"), col("comp1"))).as("component"))
       val joined = shortcut
         .withColumn("chg", (col("component") < col("prev")).cast("long"))
         .drop("prev")
@@ -644,12 +644,21 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val cent = Similarity.kmeansCentroids(emb, idCol, vecCol, nCells, trainIters)
     val assigned = Similarity.assignCells(emb, cent, idCol, vecCol)
+      .localCheckpoint()
+    // cell-size table is nCells rows — broadcast it, and pay the resident
+    // rank window ONLY over rows of cells that actually exceed the cap
+    // (none, in a healthy corpus: zero overhead on the common path)
+    val sizes = assigned.groupBy(col("cell_id")).count()
+    val flagged = assigned.join(broadcast(sizes), Seq("cell_id"))
+    val aCols = Seq(col("cell_id"), col("vec_id").as("va"),
+      col("ve").as("vea"), col("vnorm").as("na"))
+    val aSmall = flagged.filter(col("count") <= maxPerCell).select(aCols: _*)
+    val aBig = flagged.filter(col("count") > maxPerCell)
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("cell_id")).orderBy(col("vec_id"))))
-      .localCheckpoint()
-    val a = assigned.filter(col("crank") <= maxPerCell)
-      .select(col("cell_id"), col("vec_id").as("va"),
-        col("ve").as("vea"), col("vnorm").as("na"))
+      .filter(col("crank") <= maxPerCell)
+      .select(aCols: _*)
+    val a = aSmall.unionByName(aBig)
     val b = assigned.select(col("cell_id"), col("vec_id").as("vb"),
       col("ve").as("veb"), col("vnorm").as("nb"))
     val drops = a.join(b, Seq("cell_id"))
