@@ -4099,7 +4099,7 @@ object Queries {
           |  GROUP BY d1, d2, diag, isl)
           |SELECT d1, d2, max(run_tokens)::bigint AS longest_run,
           |       count(*)::bigint AS n_runs
-          |FROM runs GROUP BY d1, d2 HAVING max(run_tokens) >= 8""".stripMargin)),
+          |FROM runs WHERE run_tokens >= 8 GROUP BY d1, d2""".stripMargin)),
 
     // Substring-run REMOVAL (the cut half of Lee et al. 2021): every
     // verbatim >= 8-token run shared by a doc pair is cut from the

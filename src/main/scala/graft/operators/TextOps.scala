@@ -60,17 +60,27 @@ object TextOps {
   private def withToks(text: Column)(body: Column => Column): Column =
     element_at(transform(array(tokens(text)), body), 1)
 
+  /** Marker stopword set shared by [[textStats]] and [[qualityFilter]] —
+    * one source of truth so their stopword ratios cannot drift apart. */
+  private val markerStopwords = Seq("the", "a", "of", "and", "is")
+
   /**
    * Distinct word n-gram shingles of a normalized text, as an array column.
    * sequence is empty-safe: docs shorter than n yield a single shingle of the
    * whole text, so no document silently disappears from dedup.
    */
   def shingles(text: Column, n: Int): Column = withToks(text) { t =>
-    array_distinct(
-      when(size(t) <= n, array(concat_ws(" ", t)))
-        .otherwise(transform(
-          sequence(lit(0), size(t) - n),
-          i => concat_ws(" ", slice(t, i + 1, lit(n))))))
+    // coalesce pins the null-text case: under ANSI size(null) is null, so
+    // every branch of the expression is null for a null doc and the doc
+    // would vanish from explode consumers (LSH buckets, pair verdicts) —
+    // the documented contract is that it shingles to [""], like an empty doc
+    coalesce(
+      array_distinct(
+        when(size(t) <= n, array(concat_ws(" ", t)))
+          .otherwise(transform(
+            sequence(lit(0), size(t) - n),
+            i => concat_ws(" ", slice(t, i + 1, lit(n)))))),
+      array(lit("")))
   }
 
   /**
@@ -138,6 +148,13 @@ object TextOps {
   private def attachSkewSplit(rows: DataFrame, lookup: DataFrame, key: String,
       cntCol: String, heavyCut: Long): DataFrame = {
     val payload = lookup.columns.filterNot(_ == key)
+    // hot and cold are two filters over `marked` feeding a union, so the
+    // gram explode under `rows` runs once per branch. Deliberately NOT
+    // localCheckpoint'd: materializing the exploded frame (every gram row
+    // + payload) measured SLOWER than the second explode (+35% on the
+    // sf0.1 text gates) — a projection explode streams, a checkpoint
+    // writes the whole fan-out. The double compute is the cheaper branch
+    // of the trade at every scale where grams >> docs.
     val marked = rows.join(
       broadcast(lookup.filter(col(cntCol) >= heavyCut)), Seq(key), "left_outer")
     val hot = marked.filter(col(cntCol).isNotNull)
@@ -336,7 +353,7 @@ object TextOps {
   def textStats(docs: DataFrame, textCol: Column, idCol: Column): DataFrame = {
     val norm = normalize(textCol)
     val t = tokens(norm)
-    val stopwords = Seq("the", "a", "of", "and", "is")
+    val stopwords = markerStopwords
     docs.select(
       idCol.as("doc_id"),
       length(norm).as("n_chars"),
@@ -435,10 +452,14 @@ object TextOps {
   def substringRuns(docs: DataFrame, textCol: Column, idCol: Column,
       n: Int = 5, dfCap: Int = 64, occCap: Int = 8, minRun: Int = 8): DataFrame =
     runIslands(docs, textCol, idCol, n, dfCap, occCap)
+      // filter BEFORE grouping so n_runs counts only runs the operator's
+      // contract covers (>= minRun consecutive tokens) — an incidental
+      // shared 5-gram must not inflate the count (cutRuns already applies
+      // the same per-run gate)
+      .filter(col("run_tokens") >= minRun)
       .groupBy(col("d1"), col("d2"))
       .agg(max(col("run_tokens")).as("longest_run"),
         count(lit(1)).as("n_runs"))
-      .filter(col("longest_run") >= minRun)
 
   /** The maximal-run frame shared by [[substringRuns]] and [[cutRuns]]: one
     * row per maximal shared diagonal run between a doc pair (d1 < d2), with
@@ -689,7 +710,7 @@ object TextOps {
       minTokens: Int = 20, maxTokens: Int = 80,
       minAvgTokenLen: Double = 3.0, maxAvgTokenLen: Double = 8.0,
       maxSymbolRatio: Double = 0.1, maxDigitTokenRatio: Double = 0.2): DataFrame = {
-    val stopwords = Seq("the", "a", "of", "and", "is")
+    val stopwords = markerStopwords
     docs
       .withColumn("q_norm", normalize(textCol))
       .withColumn("q_toks", tokens(col("q_norm")))
@@ -763,7 +784,9 @@ object TextOps {
     // corpus scalars as literals: one projection-aggregate, no explode
     val statsRow = lengths.agg(count(lit(1)), sum(col("dl"))).head()
     val nDocs = statsRow.getLong(0)
-    val avgdl = statsRow.getLong(1).toDouble / nDocs
+    // empty corpus: sum is null and avgdl is 0/0 — any value works (there
+    // are no rows to score), but reading the null would NPE at construction
+    val avgdl = if (nDocs == 0) 1.0 else statsRow.getLong(1).toDouble / nDocs
     val tf = lengths
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
       .filter(col("token").isInCollection(queryTerms))
@@ -859,9 +882,16 @@ object TextOps {
    * groupBy shape instead).
    */
   def hashVectorize(text: Column, dim: Int): Column = {
-    val t = tokens(normalize(text))
-    transform(sequence(lit(0), lit(dim - 1)),
-      b => size(filter(t, tok => pmod(portableHash(tok), lit(dim)) === b)))
+    // bind the per-token bucket ids ONCE: the naive form re-evaluates
+    // portableHash (a full md5) inside the per-bucket filter lambda —
+    // dim × tokens digests per row instead of tokens (the HOF
+    // re-evaluation lesson; see [[withToks]]). Counting is then dim ×
+    // tokens INTEGER compares, md5 exactly once per token.
+    val buckets = transform(tokens(normalize(text)),
+      tok => pmod(portableHash(tok), lit(dim)))
+    element_at(transform(array(buckets), bs =>
+      transform(sequence(lit(0), lit(dim - 1)),
+        b => size(filter(bs, x => x === b)))), 1)
   }
 
   /**
@@ -920,12 +950,19 @@ object TextOps {
     val vocab = docs
       .select(explode(tokens(normalize(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("w"))
-      .select(transform(sequence(lit(1), length(col("token"))),
-        i => col("token").substr(i, lit(1))).as("syms"), col("w"))
+      .select(
+        // empty-token guard (mirrors bpeEncode's charSyms): sequence(1, 0)
+        // counts DOWN in Spark, so an empty token would char-split to a
+        // phantom ["", ""] word feeding bogus ("", "") pair counts
+        when(length(col("token")) < 1, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), length(col("token"))),
+            i => col("token").substr(i, lit(1)))).as("syms"), col("w"))
     var words = vocab.localCheckpoint()
     val rules = Seq.newBuilder[(Int, String, String, Long)]
-    for (it <- 1 to merges) {
-      val top = words
+    var it = 1
+    var exhausted = false
+    while (it <= merges && !exhausted) {
+      val topOpt = words
         .filter(size(col("syms")) >= 2)
         .select(col("w"), explode(transform(
           sequence(lit(0), size(col("syms")) - 2),
@@ -934,16 +971,24 @@ object TextOps {
         .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
         .agg(sum(col("w")).as("n"))
         .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1).head()
-      val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
-      rules += ((it, a, b, n))
-      val merged = aggregate(col("syms"),
-        array().cast("array<string>"),
-        (acc, x) =>
-          when(try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-            .otherwise(concat(acc, array(x))))
-      words = words.select(merged.as("syms"), col("w")).localCheckpoint()
+        .limit(1).collect().headOption
+      topOpt match {
+        case None =>
+          // every word fully merged (or single-char vocabulary): no pair
+          // left to count — stop with the rules found instead of crashing
+          exhausted = true
+        case Some(top) =>
+          val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+          rules += ((it, a, b, n))
+          val merged = aggregate(col("syms"),
+            array().cast("array<string>"),
+            (acc, x) =>
+              when(try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+                .otherwise(concat(acc, array(x))))
+          words = words.select(merged.as("syms"), col("w")).localCheckpoint()
+          it += 1
+      }
     }
     rules.result().toDF("iteration", "sym_a", "sym_b", "weight")
   }
