@@ -157,8 +157,20 @@ object Dedup {
       // perm is stable. We sort the struct to be order-independent.
       .agg(sort_array(collect_list(struct(col("perm"), col("minhash")))).as("sig"))
       .select(col("doc_id"), col("band"),
-        md5(concat_ws(",", transform(col("sig"), s => s("minhash").cast("string")))
-          .cast("binary")).as("bucket"))
+        // numPerms isn't statically known here (it's the signature frame's
+        // perm count), so the bandBucketArray divisibility contract is
+        // enforced at runtime: a partial trailing band (size < rowsPerBand)
+        // raises instead of silently bucketing on fewer minhashes — keeping
+        // the aggregated and projection forms bit-identical or loudly not
+        when(size(col("sig")) =!= rowsPerBand,
+          raise_error(concat(
+            lit(s"partial LSH band (rowsPerBand=$rowsPerBand must divide the"
+              + " signature's permutation count; band has "),
+            size(col("sig")).cast("string"), lit(" rows)"))))
+          .otherwise(
+            md5(concat_ws(",",
+              transform(col("sig"), s => s("minhash").cast("string")))
+              .cast("binary"))).as("bucket"))
 
   /** Candidate near-dup pairs: distinct (a < b) sharing any LSH bucket.
     * Implemented as groupBy(bucket) + in-bucket pair expansion rather than a
@@ -269,34 +281,65 @@ object Dedup {
    * [[embeddingNearDup]]. Precision is exact (every emitted pair's cosine is
    * recomputed and thresholded). Tune nBands up / rowsPerBand down for
    * recall, the reverse for cost.
+   *
+   * Hot-bucket bound (the same guard [[lshCandidates]] applies to the
+   * shingle-LSH path): a degenerate (band, bucket) — near-duplicate
+   * embedding clusters, zero/constant vectors, any cell holding O(corpus)
+   * members — would expand O(|bucket|²) pairs from the self-join. Cells
+   * larger than `maxBucketSize` therefore degrade to a STAR around the
+   * cell's min id: each member is cosine-verified against the anchor only —
+   * O(b) pairs. Precision stays exact (star edges are verified like any
+   * other); the recall trade is the same as lshCandidates' (two members of
+   * an oversized cell whose pair would pass but whose anchor edges don't are
+   * missed — in a near-duplicate cell anchor edges pass in practice).
+   * Buckets at or under the cap are byte-identical to the uncapped form.
    */
   def embeddingNearDupBucketed(embeddings: DataFrame, idCol: Column, vecCol: Column,
-      threshold: Double, nBands: Int = 4, rowsPerBand: Int = 2, dim: Int = -1): DataFrame = {
+      threshold: Double, nBands: Int = 4, rowsPerBand: Int = 2, dim: Int = -1,
+      maxBucketSize: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // dim known → plane coefficients fold to literals and each projection is
     // one codegen'd dot (Similarity.lshBandBucketsFast); dim unknown → the
     // dynamic (per-row md5) variant. Same bucket ids either way.
     val bandBuckets =
       if (dim > 0) Similarity.lshBandBucketsFast(col("v"), nBands, rowsPerBand, dim)
       else Similarity.lshBandBuckets(col("v"), nBands, rowsPerBand)
+    val byCell = Window.partitionBy(col("band"), col("bucket"))
     val v = embeddings.select(idCol.as("id"), Similarity.asDouble(vecCol).as("v"))
       .withColumn("n", Similarity.norm(col("v")))
       .select(col("id"), col("v"), col("n"),
         posexplode(bandBuckets).as(Seq("band", "bucket")))
+      // the cell-size window shares the (band, bucket) exchange the join
+      // needs anyway; computing it pre-checkpoint means the sizing pass is
+      // materialized once with the bucket ids
+      .withColumn("bsize", count(lit(1)).over(byCell))
+      .withColumn("anchor", min(col("id")).over(byCell))
       // materialize before the self-join: the two aliased sides sit below
       // the (band, bucket) exchange, so ReuseExchange cannot dedupe them
       // and the md5-per-plane bucket derivation would run twice (the r6
       // recompute lesson — see semanticDedup)
       .localCheckpoint()
-    val a = v.select(col("band"), col("bucket"),
-      col("id").as("doc_a"), col("v").as("va"), col("n").as("na"))
-    val b = v.select(col("band"), col("bucket"),
-      col("id").as("doc_b"), col("v").as("vb"), col("n").as("nb"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
+    def verified(pairs: DataFrame): DataFrame = pairs
       .select(col("doc_a"), col("doc_b"),
         (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .distinct()
+    val small = v.filter(col("bsize") <= maxBucketSize)
+    val a = small.select(col("band"), col("bucket"),
+      col("id").as("doc_a"), col("v").as("va"), col("n").as("na"))
+    val b = small.select(col("band"), col("bucket"),
+      col("id").as("doc_b"), col("v").as("vb"), col("n").as("nb"))
+    val clique = verified(
+      a.join(b, Seq("band", "bucket")).filter(col("doc_a") < col("doc_b")))
+    // oversized cells: anchor (min id) joined to every other member — the
+    // anchor side is one row per (band, bucket), so the join output is O(b)
+    val anchors = v.filter(col("bsize") > maxBucketSize && col("id") === col("anchor"))
+      .select(col("band"), col("bucket"),
+        col("id").as("doc_a"), col("v").as("va"), col("n").as("na"))
+    val members = v.filter(col("bsize") > maxBucketSize && col("id") =!= col("anchor"))
+      .select(col("band"), col("bucket"),
+        col("id").as("doc_b"), col("v").as("vb"), col("n").as("nb"))
+    val star = verified(anchors.join(members, Seq("band", "bucket")))
+    clique.unionByName(star).distinct()
   }
 
   /**

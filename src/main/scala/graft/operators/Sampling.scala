@@ -161,7 +161,13 @@ object Sampling {
     val w = Window.partitionBy(groupCols: _*)
       .orderBy(TextOps.portableHash(idCol.cast("string")), idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("cum_tokens", sum(tokenCol.cast("long")).over(w))
+    // null token counts coalesce to 0: the document is kept and consumes no
+    // budget — one deterministic treatment regardless of where the null
+    // lands in the hash order (a head-of-group null would otherwise null
+    // the whole running sum and drop the row, while a mid-group null
+    // inherited the prior cum and was kept)
+    df.withColumn("cum_tokens",
+        sum(coalesce(tokenCol.cast("long"), lit(0L))).over(w))
       .filter(col("cum_tokens") <= budget)
   }
 }

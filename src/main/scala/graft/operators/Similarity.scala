@@ -485,7 +485,23 @@ object Similarity {
       idCol: String, vecCol: String, m: Int): DataFrame = {
     val bySub = cents.groupBy(_._1).view
       .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
-    val v = corpus.select(col(idCol).as("vec_id"), quantizeVec(col(vecCol)).as("vq"))
+    // construction-time contract: the codebook must cover every subspace —
+    // a missing sub_id would otherwise surface as an opaque
+    // NoSuchElementException from bySub(s) below
+    (0 until m).foreach { s =>
+      require(bySub.contains(s),
+        s"codebook missing sub_id=$s: pqEncodeStatic needs sub_ids 0 until $m")
+    }
+    // same ragged-vector contract as pqEncode's splitSubs: raise, never
+    // silently truncate (one check per row; the slices below then divide
+    // exactly)
+    val vq0 = quantizeVec(col(vecCol))
+    val v = corpus.select(col(idCol).as("vec_id"),
+      when(size(vq0) % m =!= 0,
+        raise_error(concat(
+          lit(s"vector length not divisible by m=$m subspaces: "),
+          size(vq0).cast("string"))))
+        .otherwise(vq0).as("vq"))
     val subDim = size(col("vq")) / m
     val subCols = (0 until m).map { s =>
       val sv = slice(col("vq"), lit(s) * subDim + 1, subDim)

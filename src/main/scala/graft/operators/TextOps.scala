@@ -943,11 +943,20 @@ object TextOps {
    * rule, and one zero-shuffle merge projection. Vocabulary tables are
    * bounded (≈ millions of types at web scale) and stay distributed.
    */
-  def bpeTrain(docs: DataFrame, textCol: Column, merges: Int): DataFrame = {
-    require(merges >= 1, "need at least one merge")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val vocab = docs
+  /** The greedy left-to-right BPE merge fold — ONE definition shared by the
+    * trainer (both forms) and [[bpeEncode]], so application semantics cannot
+    * diverge: merging "aa" in "aaa" yields ["aa","a"]; `try_element_at` keeps
+    * the empty accumulator ANSI-safe. */
+  private def bpeApplyRule(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Character-segmented word-frequency vocabulary — the trainer's w0. */
+  private def bpeVocab(docs: DataFrame, textCol: Column): DataFrame =
+    docs
       .select(explode(tokens(normalize(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("w"))
       .select(
@@ -957,21 +966,30 @@ object TextOps {
         when(length(col("token")) < 1, array().cast("array<string>"))
           .otherwise(transform(sequence(lit(1), length(col("token"))),
             i => col("token").substr(i, lit(1)))).as("syms"), col("w"))
-    var words = vocab.localCheckpoint()
+
+  /** Weighted adjacent-pair counts over the current vocabulary, ranked
+    * (weight DESC, sym_a, sym_b) — the trainer's selection frame. */
+  private def bpePairCounts(words: DataFrame): DataFrame =
+    words
+      .filter(size(col("syms")) >= 2)
+      .select(col("w"), explode(transform(
+        sequence(lit(0), size(col("syms")) - 2),
+        i => struct(element_at(col("syms"), i + 1).as("a"),
+          element_at(col("syms"), i + 2).as("b")))).as("pr"))
+      .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+      .agg(sum(col("w")).as("n"))
+      .orderBy(col("n").desc, col("a"), col("b"))
+
+  def bpeTrain(docs: DataFrame, textCol: Column, merges: Int): DataFrame = {
+    require(merges >= 1, "need at least one merge")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = bpeVocab(docs, textCol).localCheckpoint()
     val rules = Seq.newBuilder[(Int, String, String, Long)]
     var it = 1
     var exhausted = false
     while (it <= merges && !exhausted) {
-      val topOpt = words
-        .filter(size(col("syms")) >= 2)
-        .select(col("w"), explode(transform(
-          sequence(lit(0), size(col("syms")) - 2),
-          i => struct(element_at(col("syms"), i + 1).as("a"),
-            element_at(col("syms"), i + 2).as("b")))).as("pr"))
-        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
-        .agg(sum(col("w")).as("n"))
-        .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1).collect().headOption
+      val topOpt = bpePairCounts(words).limit(1).collect().headOption
       topOpt match {
         case None =>
           // every word fully merged (or single-char vocabulary): no pair
@@ -980,14 +998,88 @@ object TextOps {
         case Some(top) =>
           val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
           rules += ((it, a, b, n))
-          val merged = aggregate(col("syms"),
-            array().cast("array<string>"),
-            (acc, x) =>
-              when(try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
-                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-                .otherwise(concat(acc, array(x))))
-          words = words.select(merged.as("syms"), col("w")).localCheckpoint()
+          words = words.select(bpeApplyRule(col("syms"), a, b).as("syms"),
+            col("w")).localCheckpoint()
           it += 1
+      }
+    }
+    rules.result().toDF("iteration", "sym_a", "sym_b", "weight")
+  }
+
+  /**
+   * Tokenizer-scale BPE training: [[bpeTrain]] is exact but costs one full
+   * vocabulary aggregation PER MERGE — fine as the small-merges oracle
+   * reference, unusable for a 30k-merge production tokenizer (30k sequential
+   * Spark jobs). This form amortizes: each corpus pass counts pairs ONCE,
+   * then commits a BATCH of merges from that single ranked count.
+   *
+   * Batch selection discipline (driver-side, over the collected top
+   * candidates — bounded rows): walk candidates in (weight DESC, sym_a,
+   * sym_b) rank order and accept while each pair's symbols are disjoint
+   * from every symbol — and every MERGED symbol string — already accepted
+   * this batch; STOP at the first conflict (never skip past it). The
+   * disjointness guarantee means each accepted pair's pre-batch count is
+   * still its true count when it commits (merging (a,b) only destroys pairs
+   * touching a or b and only creates pairs touching a+b), and stopping at
+   * the first conflict means no stale-counted pair is ever preferred over
+   * one whose count the batch changed. The batch is then applied as ONE
+   * projection folding the accepted rules in order — exactly the sequential
+   * application semantics ([[bpeApplyRule]] per rule, same fold as
+   * [[bpeEncode]]).
+   *
+   * Divergence contract vs exact BPE: within a batch, a pair involving a
+   * symbol CREATED by an earlier accepted rule (count ≤ that rule's count)
+   * can never be considered, so the batched rule list may differ from
+   * [[bpeTrain]]'s where such a pair would have outranked a later
+   * candidate — the standard batched-BPE approximation. `batchSize = 1` is
+   * bit-identical to [[bpeTrain]] (rules AND weights), pinned in spec.
+   *
+   * Scale shape: Spark passes (jobs) ≈ merges / effective-batch instead of
+   * merges; each pass is the same map-side-combined pair count as the exact
+   * trainer plus one driver fetch of `candidateFactor × batch` rows
+   * (bounded), and one zero-shuffle merge projection.
+   */
+  def bpeTrainBatched(docs: DataFrame, textCol: Column, merges: Int,
+      batchSize: Int = 16, candidateFactor: Int = 8): DataFrame = {
+    require(merges >= 1, "need at least one merge")
+    require(batchSize >= 1, "need a positive batch size")
+    require(candidateFactor >= 1, "need a positive candidate factor")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = bpeVocab(docs, textCol).localCheckpoint()
+    val rules = Seq.newBuilder[(Int, String, String, Long)]
+    var done = 0
+    var exhausted = false
+    while (done < merges && !exhausted) {
+      val want = math.min(batchSize, merges - done)
+      val cands = bpePairCounts(words)
+        .limit(want * candidateFactor).collect()
+      if (cands.isEmpty) { exhausted = true }
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val batch = Seq.newBuilder[(String, String, Long)]
+        var accepted = 0
+        var stopped = false
+        val it = cands.iterator
+        while (!stopped && accepted < want && it.hasNext) {
+          val r = it.next()
+          val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+          if (used.contains(a) || used.contains(b) || used.contains(a + b)) {
+            // first conflict ends the batch: this pair's count is stale now
+            stopped = true
+          } else {
+            batch += ((a, b, n)); accepted += 1
+            used += a; used += b; used += (a + b)
+          }
+        }
+        val committed = batch.result()
+        committed.foreach { case (a, b, n) =>
+          done += 1; rules += ((done, a, b, n))
+        }
+        val merged = committed.foldLeft(col("syms")) { case (syms, (a, b, _)) =>
+          bpeApplyRule(syms, a, b)
+        }
+        words = words.select(merged.as("syms"), col("w")).localCheckpoint()
       }
     }
     rules.result().toDF("iteration", "sym_a", "sym_b", "weight")
@@ -1019,16 +1111,10 @@ object TextOps {
       when(length(tok) < 1, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(1), length(tok)),
           i => tok.substr(i, lit(1))))
-    def applyRule(syms: Column, a: String, b: String): Column =
-      aggregate(syms, array().cast("array<string>"),
-        (acc, x) =>
-          when(try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-            .otherwise(concat(acc, array(x))))
     val enc = withToks(normalize(textCol)) { toks =>
       bind(flatten(transform(toks, tok =>
         rules.foldLeft(charSyms(tok)) { case (syms, (a, b)) =>
-          applyRule(syms, a, b)
+          bpeApplyRule(syms, a, b)
         }))) { flat =>
         struct(
           size(toks).as("n_tokens"),

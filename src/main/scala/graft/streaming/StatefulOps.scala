@@ -23,18 +23,28 @@ import graft.model.FlightEvent
  */
 object StatefulOps {
 
-  /** The stateful operators key their typed state on a LONG id; a
-    * non-numeric id would cast to null and kill the query mid-stream at
-    * encoder time ("Null value appeared in non-nullable field") — fail at
-    * construction instead. */
-  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+  /** The stateful operators key their typed state on a LONG id. Integral
+    * id columns pass through; a StringType id is ACCEPTED under a cast
+    * contract — every value must be numeric text, enforced per row (a
+    * non-numeric or null string raises with the operator name rather than
+    * casting to null and killing the query mid-stream at encoder time with
+    * the opaque "Null value appeared in non-nullable field"). Any other
+    * type still fails at construction. Returns the frame with `idCol`
+    * normalized to long. */
+  private def withIntegralId(df: DataFrame, idCol: String, op: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val ok = df.schema(idCol).dataType match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case _ => false
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        df.withColumn(idCol, col(idCol).cast("long"))
+      case StringType =>
+        df.withColumn(idCol,
+          when(col(idCol).cast("long").isNull,
+            raise_error(concat(lit(s"$op: id '$idCol' must be numeric text; got "),
+              coalesce(col(idCol), lit("null")))))
+            .otherwise(col(idCol).cast("long")))
+      case dt => throw new IllegalArgumentException(
+        s"$op keys its state on an integral id; got $idCol: ${dt.simpleString}")
     }
-    require(ok, s"$op keys its state on an integral id; got " +
-      s"$idCol: ${df.schema(idCol).dataType.simpleString}")
   }
 
   /** Exact dedup on the (idCols, event-time) KEY with state bounded by the
@@ -132,12 +142,12 @@ object StatefulOps {
       minEstJaccard: Double = 0.5, maxPerBucket: Int = 64,
       timeout: Option[String] = None): Dataset[NearDupHit] = {
     import docs.sparkSession.implicits._
-    requireIntegralId(docs, idCol, "nearDupStream")
+    val docsN = withIntegralId(docs, idCol, "nearDupStream")
     // the staged hashes → signature → band-buckets discipline lives in ONE
     // place (Dedup.signatureEntries, keepSig) — the batch, incremental, and
     // streaming paths share it, so they cannot silently diverge
     val banded = graft.operators.Dedup
-      .signatureEntries(docs, col(textCol), col(idCol).cast("long"),
+      .signatureEntries(docsN, col(textCol), col(idCol),
         keepSig = true)
       .select(concat_ws(":", col("band"), col("bucket")).as("bkey"),
         col("doc_id"), col("sig"))
@@ -207,9 +217,9 @@ object StatefulOps {
       centroids: Array[(Int, Seq[Double])], tau: Double,
       maxPerCell: Int = 1024, timeout: Option[String] = None): Dataset[SemVerdict] = {
     import vecs.sparkSession.implicits._
-    requireIntegralId(vecs, idCol, "semanticDedupStream")
+    val vecsN = withIntegralId(vecs, idCol, "semanticDedupStream")
     val assigned = graft.operators.Similarity
-      .assignCellsStatic(vecs, centroids, idCol, vecCol)
+      .assignCellsStatic(vecsN, centroids, idCol, vecCol)
       .select(col("vec_id").cast("long"), col("cell_id"), col("cell_cos"),
         col("ve"), col("vnorm"))
       .as[(Long, Int, Double, Seq[Double], Double)]

@@ -122,6 +122,94 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(r2(1).getString(1) == "aa" && r2(1).getString(2) == "a")
   }
 
+  test("bpeTrainBatched: batchSize=1 is bit-identical to the exact trainer") {
+    val docs = Seq((1L, "aa aa ab cd cd cd ef"), (2L, "gh gh aab"))
+      .toDF("doc_id", "text")
+    val exact = TextOps.bpeTrain(docs, col("text"), merges = 5)
+      .orderBy("iteration").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val batched = TextOps.bpeTrainBatched(docs, col("text"), merges = 5,
+        batchSize = 1)
+      .orderBy("iteration").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(batched == exact)
+  }
+
+  test("bpeTrainBatched: disjoint frequent pairs commit in one batch, matching exact") {
+    // four disjoint two-char words at distinct frequencies: exact BPE merges
+    // them in frequency order over four passes; the batched trainer must
+    // find the SAME rules (same order, same weights) in a single batch
+    val docs = Seq((1L, "ab ab ab ab cd cd cd ef ef gh"))
+      .toDF("doc_id", "text")
+    val exact = TextOps.bpeTrain(docs, col("text"), merges = 4)
+      .orderBy("iteration").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val batched = TextOps.bpeTrainBatched(docs, col("text"), merges = 4,
+        batchSize = 8)
+      .orderBy("iteration").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(batched == exact)
+    assert(exact.map(x => (x._2, x._3)).toSet ==
+      Set(("a", "b"), ("c", "d"), ("e", "f"), ("g", "h")))
+  }
+
+  test("bpeTrainBatched: a conflicting candidate ends the batch, never skips past it") {
+    // "aaa"×3 + "ab": top pair (a,a) w=6; the next-ranked pair (a,b) also
+    // involves 'a', so the first batch must commit ONLY (a,a) and the second
+    // rule must be picked from a RECOUNT — (aa,a) w=3, exactly the exact
+    // trainer's pick. Skipping past the conflict would instead commit the
+    // stale-counted (a,b).
+    val docs = Seq((1L, "aaa aaa aaa ab")).toDF("doc_id", "text")
+    val batched = TextOps.bpeTrainBatched(docs, col("text"), merges = 2,
+        batchSize = 8)
+      .orderBy("iteration").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val exact = TextOps.bpeTrain(docs, col("text"), merges = 2)
+      .orderBy("iteration").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(batched == exact)
+    assert(batched.head == ((1, "a", "a", 6L)))
+    assert(batched(1) == ((2, "aa", "a", 3L)))
+  }
+
+  test("bpeTrainBatched: Spark job count grows with batches, not merges") {
+    // 26 disjoint double-letter words → 24 merges commit in very few
+    // passes; the exact trainer needs one pair-count job per merge. Count
+    // jobs via listener: batched must launch well under half of exact's.
+    val text = ('a' to 'z').map(c => s"$c$c").mkString(" ")
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    class Counter extends org.apache.spark.scheduler.SparkListener {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        n.incrementAndGet(); ()
+      }
+    }
+    def countJobs(f: => Unit): Int = {
+      val c = new Counter
+      spark.sparkContext.addSparkListener(c)
+      try {
+        f
+        // the listener bus is async: poll until the count stops moving
+        var last = -1
+        var waited = 0
+        while (c.n.get() != last && waited < 10000) {
+          last = c.n.get(); Thread.sleep(200); waited += 200
+        }
+      } finally spark.sparkContext.removeSparkListener(c)
+      c.n.get()
+    }
+    val exactJobs = countJobs {
+      TextOps.bpeTrain(docs, col("text"), merges = 24).collect(); ()
+    }
+    val batchedJobs = countJobs {
+      TextOps.bpeTrainBatched(docs, col("text"), merges = 24,
+        batchSize = 16).collect(); ()
+    }
+    assert(batchedJobs * 2 < exactJobs,
+      s"batched trainer launched $batchedJobs jobs vs exact's $exactJobs")
+  }
+
   test("classifierScore: exact integer margin and threshold flag") {
     // dim 2: every token hashes to bucket 0 or 1; weights (+3, -2).
     // margin = 3·c0 - 2·c1 + bias — recompute per doc from the same hash.

@@ -78,6 +78,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall below the banding-math floor")
   }
 
+  test("embeddingNearDupBucketed: oversized cells degrade to an anchor star with bounded pairs") {
+    // 400 identical vectors: every (band, bucket) cell holds all 400 rows —
+    // uncapped this is 4 bands × C(400,2) ≈ 320k expanded pairs; capped it
+    // must emit exactly n-1 = 399 distinct (anchor, member) edges
+    val n = 400
+    val corpus = (0L until n.toLong).map(i => (i, Seq(1f, 2f, 3f, 4f)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDupBucketed(
+      corpus, col("vec_id"), col("embedding"), 0.9, maxBucketSize = 16)
+    val pairs = got.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.size == n - 1, s"star must emit n-1 pairs, got ${pairs.size}")
+    assert(pairs.forall { case (a, b) => a == 0L && b > 0L },
+      "every star edge must anchor at the cell's min id")
+    // connectivity contract: one component regardless of the cap
+    val comp = Dedup.connectedComponents(
+      corpus.select(col("vec_id").as("id")), got.select("doc_a", "doc_b"))
+    assert(comp.select("component").distinct().count() == 1)
+  }
+
+  test("embeddingNearDupBucketed: cap is inert on non-degenerate corpora") {
+    val rng = new scala.util.Random(13)
+    val corpus = (0L until 60L).map(i => (i, Seq.fill(16)(rng.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val capped = Dedup.embeddingNearDupBucketed(
+        corpus, col("vec_id"), col("embedding"), 0.3, maxBucketSize = 1024)
+      .select("doc_a", "doc_b", "cosine").collect().toSet
+    val uncapped = Dedup.embeddingNearDupBucketed(
+        corpus, col("vec_id"), col("embedding"), 0.3, maxBucketSize = Int.MaxValue)
+      .select("doc_a", "doc_b", "cosine").collect().toSet
+    assert(capped == uncapped)
+  }
+
   test("lshBandBucketsFast is bit-identical to the dynamic per-row-md5 variant") {
     val rng = new scala.util.Random(11)
     val corpus = (0L until 50L).map(i => (i, Seq.fill(16)(rng.nextFloat() * 2 - 1)))
