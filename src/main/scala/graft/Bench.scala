@@ -4,7 +4,12 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every catalog query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line. A warmup pass (tiny action + one full run of the
   * first query) separates JVM/codegen startup from steady-state timings;
-  * each query is then timed on a single full execution (count action).
+  * each query is then timed on BENCH_RUNS (default 2) full executions
+  * (count action) and the MIN is reported — a contended co-tenant burst
+  * hits one execution, not both, so the min is the honest steady-state
+  * number (the r9 driver artifact showed 10–29× one-off contention spikes
+  * on individual rows under a single-execution regime). The first-run
+  * timings are kept in `queries_run1` so contention drift stays visible.
   * Optional args restrict the run to the named queries (dev loop). */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,16 +39,24 @@ object Bench {
     selected.headOption.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val runs = math.max(1, sys.env.getOrElse("BENCH_RUNS", "2").toInt)
+    val timed = selected.map { case (name, fn) =>
+      val secs = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> secs
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jsonMap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val results = timed.map { case (k, ss) => k -> ss.min }
+    val qs = jsonMap(results)
+    val run1 = jsonMap(timed.map { case (k, ss) => k -> ss.head })
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
+        s""""queries":$qs,"queries_run1":$run1,"sf":"$sfDir"}"""
     println(line)
     // The driver's bench artifact keeps only the output TAIL (~2 KB), which
     // truncates the 130+-entry per-query map — persist the full line to a

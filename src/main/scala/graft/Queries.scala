@@ -1552,9 +1552,21 @@ object Queries {
     // Training-data pipeline surface: dedup / text / similarity / multimodal
     // ==========================================================================
 
+    // Exact dedup, scale default: the grouping key the shuffle carries is
+    // md5(text) — 32 hex chars per doc — not the document bytes. The
+    // text-keyed variant lives on below as the explicit small-corpus opt-in
+    // (the r9 skew-safe-default precedent).
     ("dedup_exact",
       (s: SparkSession, d: String) =>
         Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id")),
+      Some(
+        """SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id,
+          |       count(*) AS n_copies
+          |FROM documents GROUP BY 1""".stripMargin)),
+
+    ("dedup_exact_by_text",
+      (s: SparkSession, d: String) =>
+        Dedup.exactByText(Tables.documents(s, d), col("text"), col("doc_id")),
       Some(
         """SELECT text, min(doc_id) AS canonical_id, count(*) AS n_copies
           |FROM documents GROUP BY 1""".stripMargin)),
@@ -2185,6 +2197,39 @@ object Queries {
           |               len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '))::bigint AS n_tokens
           |        FROM documents))
           |WHERE cum_tokens <= 1500""".stripMargin)),
+
+    // Global token-budget source mixing: ONE total token budget split by
+    // source weights (src0-src3 weighted 3, the rest 1 → quotas
+    // floor(6000·3/28)=642 / floor(6000·1/28)=214 tokens), each source then
+    // greedy-prefix-filled in portable-hash order — the form real training
+    // mixes are specified in. Same one-exchange running-sum shape as
+    // corpus_token_budget; the quota CASE folds to plan-time literals.
+    ("corpus_token_mix",
+      (s: SparkSession, d: String) => {
+        val mix = (0 to 3).map(i => s"src$i" -> 3L) ++
+          (4 to 19).map(i => s"src$i" -> 1L)
+        Sampling.tokenMix(
+            Tables.documents(s, d).withColumn("n_tokens",
+              size(TextOps.tokens(TextOps.normalize(col("text")))).cast("long")),
+            col("source"), col("doc_id"), col("n_tokens"),
+            mix, totalBudget = 6000L)
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            col("cum_tokens"), col("mix_token_quota"))
+      },
+      Some(
+        """SELECT doc_id, source, n_tokens, cum_tokens, mix_token_quota FROM (
+          |  SELECT doc_id, source, n_tokens,
+          |         sum(n_tokens) OVER (
+          |           PARTITION BY source
+          |           ORDER BY ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint,
+          |                    doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS cum_tokens,
+          |         (CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
+          |               THEN 642 ELSE 214 END)::bigint AS mix_token_quota
+          |  FROM (SELECT doc_id, source,
+          |               len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '))::bigint AS n_tokens
+          |        FROM documents))
+          |WHERE cum_tokens <= mix_token_quota""".stripMargin)),
 
     // PII-ish redaction stats: emails and long digit runs masked; counts and
     // the redacted length verify the transform end-to-end.

@@ -23,8 +23,23 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
-  /** Exact dedup: group identical texts, keep the smallest id as canonical. */
+  /** Exact dedup at scale: group identical texts by their md5 — the key the
+    * shuffle carries is 32 hex chars per document instead of the document
+    * itself (grouping by full text moves the whole corpus's bytes through
+    * the exchange twice, partial and final). Identity is md5-exact: no
+    * normalization (that's [[byFingerprint]]), and an md5 collision merging
+    * two distinct texts is ~2^-64-improbable at any real corpus size — the
+    * standard exact-dedup trade. [[exactByText]] is the no-hash opt-in for
+    * small corpora where carrying the text key is free. */
   def exact(docs: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    docs.groupBy(md5(textCol.cast("binary")).as("text_md5"))
+      .agg(min(idCol).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Small-corpus opt-in: [[exact]] grouping on the text VALUE itself (the
+    * key survives on the output — useful when the duplicate groups are read
+    * back by content). The shuffle carries every document's full text; at
+    * corpus scale use [[exact]]. */
+  def exactByText(docs: DataFrame, textCol: Column, idCol: Column): DataFrame =
     docs.groupBy(textCol.as("text"))
       .agg(min(idCol).as("canonical_id"), count(lit(1)).as("n_copies"))
 

@@ -170,4 +170,42 @@ object Sampling {
         sum(coalesce(tokenCol.cast("long"), lit(0L))).over(w))
       .filter(col("cum_tokens") <= budget)
   }
+
+  /**
+   * GLOBAL token-budget source mixing — the form real training mixes are
+   * specified in: one total token budget ("2T tokens") split across sources
+   * by target weights ("code 3 : forums 1"), each source then filled by the
+   * greedy-prefix token rule. Composition of [[sourceMix]]'s plan-time
+   * quota arithmetic with [[tokenBudgetPerGroup]]'s running-sum cap:
+   * source s's token quota is floor(totalBudget · w_s / Σw) — exact integer
+   * arithmetic folded to a literal per source at plan time — and its
+   * documents are drawn in portable-hash order of the id while the
+   * inclusive running token sum stays within that quota. Sources absent
+   * from the mix get quota 0 (dropped). Null token counts consume no budget
+   * ([[tokenBudgetPerGroup]]'s contract). `mix_token_quota` and
+   * `cum_tokens` stay on the output — the audit trail a mix designer reads
+   * ("how full is each source's allocation").
+   *
+   * Scale shape: identical to [[tokenBudgetPerGroup]] — ONE hash exchange
+   * on the source key + a streaming running-sum window; the quota CASE is a
+   * zero-cost literal projection, so specifying the mix globally costs
+   * nothing over the per-group form.
+   */
+  def tokenMix(df: DataFrame, sourceCol: Column, idCol: Column,
+      tokenCol: Column, mix: Seq[(String, Long)], totalBudget: Long): DataFrame = {
+    require(mix.nonEmpty && mix.forall(_._2 > 0), "mix weights must be positive")
+    require(totalBudget > 0, "token budget must be positive")
+    val total = mix.map(_._2).sum
+    val quota = mix.foldLeft(lit(0L)) { case (acc, (s, w)) =>
+      when(sourceCol === s, lit(totalBudget * w / total)).otherwise(acc)
+    }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(TextOps.portableHash(idCol.cast("string")), idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("mix_token_quota", quota)
+      .withColumn("cum_tokens",
+        sum(coalesce(tokenCol.cast("long"), lit(0L))).over(w))
+      .filter(col("cum_tokens") <= col("mix_token_quota"))
+  }
 }

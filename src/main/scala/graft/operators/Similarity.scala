@@ -531,6 +531,106 @@ object Similarity {
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toSeq))
 
+  /** Collect [[ivfPqIndexBuild]]'s coarse cells into the static form
+    * [[ivfPqSearchStatic]] consumes — at most 256 rows by construction. */
+  def collectCoarse(coarse: DataFrame): Array[(Int, Seq[Long])] =
+    coarse.select(col("cell0"), col("coarsev"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toSeq))
+
+  /** Pivot [[ivfPqIndexBuild]]'s long-format codes to ONE row per vector —
+    * (vec_id, cell0, codes: array indexed by sub_id) — the at-rest layout
+    * of a serving index (m bytes/vector next to its inverted-list cell).
+    * Batch-side construction (one aggregation); the packed frame is the
+    * static side of the stream-static search join. */
+  def packCodes(codes: DataFrame): DataFrame =
+    codes.groupBy(col("vec_id"), col("cell0"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("sub_id"), col("code")))),
+        s => s.getField("code")).as("codes"))
+
+  /**
+   * Streaming-safe IVF-PQ serving — the probed-ADC search of [[ivfPqTopK]]
+   * re-expressed over STATIC artifacts ([[collectCoarse]] +
+   * [[collectCodebook]] literals, [[packCodes]] frame), completing the
+   * static-artifact ladder that [[pqEncodeStatic]] starts. Per arriving
+   * query vector:
+   *
+   *  1. probe — distances to all coarse cells fold over a ≤256-entry
+   *     literal array; `array_sort`'s natural struct order (cd2, cell0)
+   *     reproduces the batch probe window's tie-break, and `slice` keeps
+   *     the nProbe nearest. Pure projection, no window (windows are
+   *     unsupported on append streams);
+   *  2. residualize per probe (explode nProbe rows), then equi-join the
+   *     packed code frame on cell0 — a stream-static inner join, the
+   *     supported streaming shape (static side broadcastable);
+   *  3. score — adc_d2 = Σ_s d2(residual_sub_s, codeword(s, codes[s]))
+   *     evaluated per joined row from the codebook literals. No LUT
+   *     materialization, no aggregation: the sum over m subspaces is one
+   *     projection expression, exact integer arithmetic.
+   *
+   * Returns the SCORED CANDIDATE set (query_id, cell0, vec_id, adc_d2) in
+   * append mode — identical values to [[ivfPqTopK]]'s pre-rank frame on
+   * the same artifacts (parity-spec'd). The final top-k rank is a per-query
+   * window, which streams can't do without closing a window — rank
+   * downstream (`foreachBatch`, or the batch [[ivfPqTopK]] path); a serving
+   * deployment typically heap-selects in the sink anyway.
+   */
+  def ivfPqSearchStatic(queries: DataFrame, packedCodes: DataFrame,
+      coarse: Array[(Int, Seq[Long])], cents: Array[(Int, Int, Seq[Long])],
+      idCol: String, vecCol: String, m: Int, nProbe: Int): DataFrame = {
+    require(coarse.nonEmpty, "need at least one coarse cell")
+    require(nProbe >= 1 && nProbe <= coarse.length,
+      s"nProbe must be in [1, ${coarse.length}]")
+    val dim = coarse.head._2.length
+    require(coarse.forall(_._2.length == dim), "ragged coarse centroids")
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    // dense (sub, code) → codeword lookup: contiguity required so codes
+    // index by position (pqTrainOnSubs seeds cell ids 0 until ksub)
+    val bySub = cents.groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+    (0 until m).foreach { s =>
+      require(bySub.contains(s),
+        s"codebook missing sub_id=$s: needs sub_ids 0 until $m")
+      val ids = bySub(s).map(_._1).toSeq
+      require(ids == (0 until ids.length),
+        s"sub_id=$s codes not contiguous from 0: $ids")
+      require(bySub(s).forall(_._2.length == subDim),
+        s"sub_id=$s codewords must have subDim=$subDim")
+    }
+    val centArrs = (0 until m).map { s =>
+      array(bySub(s).map { case (_, cv) =>
+        array(cv.map(lit(_)): _*)
+      }: _*)
+    }
+    val coarseArr = array(coarse.sortBy(_._1).map { case (cid, cv) =>
+      struct(lit(cid).as("cell0"), array(cv.map(lit(_)): _*).as("cv"))
+    }: _*)
+    val qv0 = quantizeVec(col(vecCol))
+    val q = queries.select(col(idCol).as("query_id"),
+      when(size(qv0) =!= dim,
+        raise_error(concat(lit(s"query dim must be $dim: "),
+          size(qv0).cast("string"))))
+        .otherwise(qv0).as("qv"))
+    val scoredCells = transform(coarseArr, c =>
+      struct(l2sqLong(col("qv"), c.getField("cv")).as("cd2"),
+        c.getField("cell0").as("cell0"), c.getField("cv").as("cv")))
+    val probes = q
+      .select(col("query_id"), col("qv"),
+        explode(slice(array_sort(scoredCells), 1, nProbe)).as("p"))
+      .select(col("query_id"), col("p.cell0").as("cell0"),
+        zip_with(col("qv"), col("p.cv"), (x, y) => x - y).as("rq"))
+    val adc = (0 until m).map { s =>
+      val codeword = element_at(centArrs(s),
+        element_at(col("codes"), s + 1) + 1)
+      l2sqLong(slice(col("rq"), s * subDim + 1, subDim), codeword)
+    }.reduce(_ + _)
+    probes.join(packedCodes, Seq("cell0"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("cell0"), col("vec_id"), adc.as("adc_d2"))
+  }
+
   /**
    * ADC shortlist → exact re-rank: the production IVF-PQ serving shape.
    * Compressed codes give a cheap `shortlist`-sized candidate set per query
@@ -614,14 +714,17 @@ object Similarity {
    * one aggregation, identical to [[pqAdcTopK]] but further filtered by
    * the probed (query, cell) pairs in the lut.
    */
-  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, m: Int, ksub: Int, iters: Int, nCells: Int,
-      nProbe: Int, k: Int): DataFrame = {
+  /** IVF-PQ index construction — the training/encoding half of [[ivfPqTopK]]
+    * extracted so batch search and the streaming static-artifact path build
+    * from ONE definition (the same can't-silently-diverge discipline as the
+    * shared BPE fold). Returns (coarse cells: (cell0, coarsev) — nCells
+    * rows; residual codebook: pqTrain contract — m·ksub rows; codes:
+    * (vec_id, sub_id, code, cell0) — m rows per vector). */
+  def ivfPqIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int, nCells: Int): (DataFrame, DataFrame, DataFrame) = {
     // both quantizers ride pqAssign's packed argmin — see pqTrainOnSubs
     require(nCells >= 1 && nCells <= 256,
       s"nCells must be in [1, 256] (packed-argmin bound), got $nCells")
-    require(nProbe >= 1 && nProbe <= nCells, s"nProbe must be in [1, $nCells]")
-    import org.apache.spark.sql.expressions.Window
     val cv = corpus.select(col(idCol).as("vec_id"), quantizeVec(col(vecCol)).as("vq"))
     // coarse quantizer: a PQ with ONE subspace spanning the whole vector
     val cv1 = subVectorsQ(cv, 1)
@@ -641,6 +744,16 @@ object Similarity {
       ksub, iters)
     val codes = pqAssign(rsv, pqc, carry = Seq("cell0"))
       .select(col("vec_id"), col("sub_id"), col("cell_id").as("code"), col("cell0"))
+    (coarse, pqc, codes)
+  }
+
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, m: Int, ksub: Int, iters: Int, nCells: Int,
+      nProbe: Int, k: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, s"nProbe must be in [1, $nCells]")
+    import org.apache.spark.sql.expressions.Window
+    val (coarse, pqc, codes) =
+      ivfPqIndexBuild(corpus, idCol, vecCol, m, ksub, iters, nCells)
     // query side: probe nProbe nearest coarse cells, residualize per probe
     val qv = queries.select(col(idCol).as("query_id"), quantizeVec(col(vecCol)).as("qv"))
     val pw = Window.partitionBy(col("query_id")).orderBy(col("cd2"), col("cell0"))

@@ -61,8 +61,15 @@ class PlanAuditSpec extends SparkSpec {
       .foreach(q => assert(shuffles(q) == 0, s"$q should be shuffle-free"))
     // single-aggregation queries: exactly one exchange (partial → final)
     Seq("tpch_q1", "tpch_q6_revenue", "dedup_fingerprint", "dedup_exact",
-      "events_bitwise")
+      "dedup_exact_by_text", "events_bitwise")
       .foreach(q => assert(shuffles(q) == 1, s"$q should have exactly 1 shuffle"))
+    // the scale default groups on md5(text): the hash must sit BELOW the
+    // exchange (partial aggregate keys on it), so the shuffle carries
+    // 32-char keys, never the document bytes
+    val exactPlan = SparkEntry.queries("dedup_exact")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("md5"),
+      s"dedup_exact must group on md5(text):\n$exactPlan")
   }
 
   test("round-7 aggregation queries keep their designed exchange counts") {

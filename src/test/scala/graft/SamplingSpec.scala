@@ -135,6 +135,41 @@ class SamplingSpec extends SparkSpec {
       rows.map(_._1).sorted.toSeq)
   }
 
+  test("tokenMix: global budget split by weights, prefix-filled per source") {
+    // sources a (weight 3) and b (weight 1), total 400 → quotas 300 / 100;
+    // source c is unlisted → quota 0, dropped entirely
+    val df = (1L to 90L).map { i =>
+      val src = Seq("a", "b", "c")((i % 3).toInt)
+      (i, src, 20L)
+    }.toDF("id", "src", "n_tok")
+    val got = Sampling.tokenMix(df, col("src"), col("id"), col("n_tok"),
+      Seq("a" -> 3L, "b" -> 1L), totalBudget = 400L)
+    val rows = got.select("id", "src", "cum_tokens", "mix_token_quota")
+      .as[(Long, String, Long, Long)].collect()
+    assert(rows.forall { case (_, _, cum, q) => cum <= q })
+    val bySrc = rows.groupBy(_._2)
+    // every doc is 20 tokens: a fits 300/20=15 docs, b fits 100/20=5
+    assert(bySrc("a").length == 15 && bySrc("a").forall(_._4 == 300L))
+    assert(bySrc("b").length == 5 && bySrc("b").forall(_._4 == 100L))
+    assert(!bySrc.contains("c"))
+    // equivalent to tokenBudgetPerGroup run per source at its quota
+    val perA = Sampling.tokenBudgetPerGroup(df.filter(col("src") === "a"),
+      Seq(col("src")), col("id"), col("n_tok"), budget = 300L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(bySrc("a").map(_._1).sorted.toSeq == perA)
+    // null token counts consume no budget: with a budget that fits all of
+    // source b's non-null tokens (29×20=580 ≤ 1000), the null-token doc is
+    // kept and the source's final cum reflects only the non-null docs
+    val withNull = df.withColumn("n_tok",
+      when(col("id") === 1L, lit(null)).otherwise(col("n_tok")))
+    val gotNull = Sampling.tokenMix(withNull, col("src"), col("id"),
+      col("n_tok"), Seq("a" -> 3L, "b" -> 1L), totalBudget = 4000L)
+      .filter(col("src") === "b")
+    assert(gotNull.filter(col("id") === 1L).count() == 1)
+    assert(gotNull.count() == 30)
+    assert(gotNull.agg(max(col("cum_tokens"))).as[Long].collect()(0) == 580L)
+  }
+
   test("priorityPerGroup: per-group caps, weight bias, exact determinism") {
     // two groups; in each, ids <= 100 carry weight 100 and the rest weight 1
     val df = (1L to 400L).map { i =>

@@ -356,6 +356,55 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming IVF-PQ serving matches batch ivfPqTopK's scored candidates") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(48)
+    val (m, ksub, iters, nCells, nProbe) = (2, 4, 2, 4, 2)
+    // batch search trains its quantizers in-query through the SAME
+    // deterministic builder the static artifacts come from, so equal inputs
+    // must yield equal candidate scores. k = corpus size exposes the whole
+    // scored frame for comparison.
+    val queryIds = Seq(3L, 17L, 29L)
+    val queries = emb.filter(col("vec_id").isInCollection(queryIds))
+    val batch = Similarity.ivfPqTopK(queries, emb, "vec_id", "embedding",
+        m, ksub, iters, nCells, nProbe, k = 48)
+      .select("query_id", "neighbor_id", "adc_d2")
+      .as[(Long, Long, Long)].collect().toSet
+    // static artifacts: build once batch-side, collect, pack
+    val (coarse, pqc, codes) = Similarity.ivfPqIndexBuild(
+      emb, "vec_id", "embedding", m, ksub, iters, nCells)
+    val coarseArr = Similarity.collectCoarse(coarse)
+    val codebook = Similarity.collectCodebook(pqc)
+    val packed = Similarity.packCodes(codes).localCheckpoint()
+    // the projection form on a batch frame first
+    val static0 = Similarity.ivfPqSearchStatic(queries, packed, coarseArr,
+        codebook, "vec_id", "embedding", m, nProbe)
+      .select("query_id", "vec_id", "adc_d2")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(static0 == batch, s"static batch run diverges: ${static0 -- batch} / ${batch -- static0}")
+    // and identically on an append-mode stream across micro-batches
+    val qRows = queries.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val input = MemoryStream[(Long, Seq[Float])]
+    val served = Similarity.ivfPqSearchStatic(
+      input.toDF().toDF("vec_id", "embedding"), packed, coarseArr,
+      codebook, "vec_id", "embedding", m, nProbe)
+    val q = served.writeStream.format("memory").queryName("ivfpq_out")
+      .option("checkpointLocation", Files.createTempDirectory("ivfpq-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(qRows.take(1): _*)
+      q.processAllAvailable()
+      input.addData(qRows.drop(1): _*)
+      q.processAllAvailable()
+      val got = spark.table("ivfpq_out")
+        .select("query_id", "vec_id", "adc_d2")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == batch, "streamed IVF-PQ candidates diverge from batch")
+    } finally q.stop()
+  }
+
   test("streaming semantic dedup admits a vector similar only to a rejected one") {
     implicit val sqlCtx = spark.sqlContext
     // A~B (reject B), B~C but A!~C: admission keeps C — the retained-set

@@ -27,11 +27,18 @@ class TextDedupSpec extends SparkSpec {
   }
 
   test("exact dedup groups identical texts and keeps min id") {
+    // scale default groups on md5(text): same groups, 32-char shuffle key
     val r = Dedup.exact(docs((5L, "same"), (2L, "same"), (9L, "other")),
       col("text"), col("doc_id"))
-      .filter(col("text") === "same").collect()(0)
+      .filter(col("text_md5") === md5(lit("same").cast("binary"))).collect()(0)
     assert(r.getAs[Long]("canonical_id") == 2L)
     assert(r.getAs[Long]("n_copies") == 2L)
+    // the text-keyed opt-in keeps the content key on the output
+    val t = Dedup.exactByText(docs((5L, "same"), (2L, "same"), (9L, "other")),
+      col("text"), col("doc_id"))
+      .filter(col("text") === "same").collect()(0)
+    assert(t.getAs[Long]("canonical_id") == 2L)
+    assert(t.getAs[Long]("n_copies") == 2L)
   }
 
   test("fingerprint dedup is whitespace/case-insensitive") {
