@@ -3829,6 +3829,80 @@ object Queries {
           |       CASE WHEN doc_id % 7 = 0 THEN -1.0 ELSE least(32, length(text))::double END AS n_pixel_bytes
           |FROM documents""".stripMargin)),
 
+    // A SECOND real decode through the MediaCodec seam — toy GAUD audio
+    // (RIFF-header spirit: 4-byte magic, u32 BE sample rate, u16 BE
+    // channels, 1-byte samples) — proving the seam generalizes across media
+    // types. Every 5th doc gets a corrupted magic, every 4th has zero
+    // channels; both take the -1 reject lane. The oracle recomputes the
+    // expected header fields from the same doc_id arithmetic — an
+    // independent derivation, never the bytes.
+    ("multimodal_decode_audio",
+      (s: SparkSession, d: String) => {
+        val rate = (col("doc_id") % 48000 + 8000).cast("int")
+        val ch = (col("doc_id") % 4).cast("int")
+        val magic = when(col("doc_id") % 5 === 0, lit("XAUD")).otherwise(lit("GAUD"))
+        val withPayload = Tables.documents(s, d).withColumn("payload",
+          concat(magic.cast("binary"),
+            unhex(lpad(hex(rate), 8, "0")),
+            unhex(lpad(hex(ch), 4, "0")),
+            substring(col("text").cast("binary"), 1, 24)))
+        Multimodal.extractFeatures(withPayload, col("doc_id"), col("payload"),
+            Multimodal.GaudHeaderCodec())
+          .select(col("media_id"),
+            col("features")(0).as("sample_rate"), col("features")(1).as("channels"),
+            col("features")(2).as("n_sample_bytes"), col("features")(3).as("n_frames"))
+      },
+      Some(
+        """SELECT doc_id AS media_id,
+          |       CASE WHEN doc_id % 5 = 0 OR doc_id % 4 = 0 THEN -1.0
+          |            ELSE (doc_id % 48000 + 8000)::double END AS sample_rate,
+          |       CASE WHEN doc_id % 5 = 0 OR doc_id % 4 = 0 THEN -1.0
+          |            ELSE (doc_id % 4)::double END AS channels,
+          |       CASE WHEN doc_id % 5 = 0 OR doc_id % 4 = 0 THEN -1.0
+          |            ELSE least(24, length(text))::double END AS n_sample_bytes,
+          |       CASE WHEN doc_id % 5 = 0 OR doc_id % 4 = 0 THEN -1.0
+          |            ELSE (least(24, length(text)) // (doc_id % 4))::double END AS n_frames
+          |FROM documents""".stripMargin)),
+
+    // Per-window audio frame features: the GAUD sample region cut into
+    // 8-byte windows, each reduced to exact integer byte stats — the
+    // energy-per-window extractor dataflow. Reject-lane payloads (bad
+    // magic / zero channels) emit zero windows; the oracle recomputes the
+    // same windows from the text bytes via character arithmetic (ASCII-safe
+    // test data, the multimodal_frames precedent).
+    ("multimodal_audio_frames",
+      (s: SparkSession, d: String) => {
+        val rate = (col("doc_id") % 48000 + 8000).cast("int")
+        val ch = (col("doc_id") % 4).cast("int")
+        val magic = when(col("doc_id") % 5 === 0, lit("XAUD")).otherwise(lit("GAUD"))
+        val withPayload = Tables.documents(s, d).withColumn("payload",
+          concat(magic.cast("binary"),
+            unhex(lpad(hex(rate), 8, "0")),
+            unhex(lpad(hex(ch), 4, "0")),
+            substring(col("text").cast("binary"), 1, 24)))
+        Multimodal.audioFrameFeatures(withPayload, col("doc_id"), col("payload"),
+          windowBytes = 8)
+      },
+      Some(
+        """WITH s AS (
+          |  SELECT doc_id, substring(text, 1, 24) AS smp
+          |  FROM documents
+          |  WHERE doc_id % 5 <> 0 AND doc_id % 4 <> 0 AND length(text) > 0),
+          |w AS (
+          |  SELECT doc_id, i::int AS frame_idx,
+          |         substring(smp, (i * 8 + 1)::int, 8) AS win
+          |  FROM s CROSS JOIN (SELECT unnest(range(0, 3)) AS i)
+          |  WHERE i * 8 < length(smp))
+          |SELECT doc_id AS media_id, frame_idx,
+          |       length(win)::int AS n_bytes,
+          |       list_sum(list_transform(range(1, length(win) + 1),
+          |         j -> ord(win[j])))::bigint AS byte_sum,
+          |       list_min(list_transform(range(1, length(win) + 1),
+          |         j -> ord(win[j])))::bigint AS byte_min,
+          |       list_max(list_transform(range(1, length(win) + 1),
+          |         j -> ord(win[j])))::bigint AS byte_max
+          |FROM w""".stripMargin)),
+
     // ==========================================================================
     // Window-shape coverage beyond the reference: sliding + session windows
     // ==========================================================================

@@ -96,6 +96,74 @@ object Multimodal {
     }
   }
 
+  /**
+   * A second real codec through the SAME seam — toy "GAUD" audio (RIFF/WAV
+   * header spirit), proof the [[MediaCodec]] abstraction generalizes across
+   * media types, not just the image decode. Layout (big-endian):
+   * {{{
+   *   bytes 0-3   magic "GAUD" (ASCII)
+   *   bytes 4-7   sample_rate (uint32, big-endian)
+   *   bytes 8-9   channels (uint16, big-endian)
+   *   bytes 10... sample payload (1 byte per sample, interleaved)
+   * }}}
+   * Features: [sample_rate, channels, n_sample_bytes, n_frames] with
+   * n_frames = floor(n_sample_bytes / channels) — all integer-valued
+   * doubles, exact cross-engine. Reject lane (all -1, rows kept): magic
+   * mismatch, header truncated below 10 bytes, or channels == 0 (a frame
+   * count would divide by it). Same codegen'd substring/hex/conv pattern
+   * as [[GimgHeaderCodec]] — batch and streaming alike.
+   */
+  final case class GaudHeaderCodec() extends MediaCodec {
+    def name: String = "gaud-header"
+    def featureDims: Int = 4
+    def decode(payload: Column): Column = {
+      def beUint(start: Int, len: Int): Column =
+        conv(hex(substring(payload, start, len)), 16, 10).cast("double")
+      val channels = beUint(9, 2)
+      val sampleBytes = greatest(length(payload) - 10, lit(0)).cast("double")
+      when(substring(payload, 1, 4) === lit("GAUD".getBytes("US-ASCII")) &&
+          length(payload) >= 10 && channels > 0,
+        array(beUint(5, 4), channels, sampleBytes,
+          floor(sampleBytes / channels)))
+        .otherwise(array(lit(-1.0), lit(-1.0), lit(-1.0), lit(-1.0)))
+    }
+  }
+
+  /**
+   * Per-window frame features over a GAUD sample payload — the audio
+   * analogue of [[sampleFrames]] with a real per-byte reduction instead of
+   * an opaque slice: the sample region (bytes 10+) is cut into consecutive
+   * `windowBytes`-byte windows and each window emits exact integer stats
+   * over its unsigned byte values (n, sum, min, max) — the
+   * energy-per-window dataflow of a real feature extractor, with the DSP
+   * swapped for byte arithmetic this container can run. Invalid payloads
+   * (per [[GaudHeaderCodec]]'s reject rule) emit ZERO windows. Pure
+   * projection + explode — no shuffle, streams as-is; the payload never
+   * survives past the per-window stats.
+   */
+  def audioFrameFeatures(df: DataFrame, idCol: Column, binCol: Column,
+      windowBytes: Int = 8): DataFrame = {
+    require(windowBytes >= 1, "need a positive window size")
+    val valid = element_at(GaudHeaderCodec().decode(binCol), 1) >= 0
+    val samples = binCol.substr(lit(11), length(binCol))
+    val nWin = ceil(length(samples).cast("double") / windowBytes).cast("int")
+    val windows = when(valid && length(samples) > 0,
+      transform(sequence(lit(0), nWin - 1), i => {
+        val win = samples.substr(i * windowBytes + 1, lit(windowBytes))
+        val bytes = transform(sequence(lit(1), length(win)),
+          j => conv(hex(substring(win, j, lit(1))), 16, 10).cast("long"))
+        struct(length(win).as("n_bytes"),
+          aggregate(bytes, lit(0L), (acc, b) => acc + b).as("byte_sum"),
+          array_min(bytes).as("byte_min"),
+          array_max(bytes).as("byte_max"))
+      })).otherwise(array().cast(
+        "array<struct<n_bytes:int,byte_sum:bigint,byte_min:bigint,byte_max:bigint>>"))
+    df.select(idCol.as("media_id"), posexplode(windows).as(Seq("frame_idx", "f")))
+      .select(col("media_id"), col("frame_idx"),
+        col("f.n_bytes").as("n_bytes"), col("f.byte_sum").as("byte_sum"),
+        col("f.byte_min").as("byte_min"), col("f.byte_max").as("byte_max"))
+  }
+
   /** Feature extraction: metadata + decoded features, payload dropped
     * before anything downstream can shuffle it. Codec-agnostic: the output
     * schema is identical for every [[MediaCodec]] impl. */

@@ -102,6 +102,56 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(got(6L) == Seq(-1.0, -1.0, -1.0, -1.0))
   }
 
+  private def gaud(magic: String, rate: Long, ch: Int, samples: Array[Byte]): Array[Byte] =
+    magic.getBytes("US-ASCII") ++
+      Array(((rate >> 24) & 0xff).toByte, ((rate >> 16) & 0xff).toByte,
+        ((rate >> 8) & 0xff).toByte, (rate & 0xff).toByte,
+        ((ch >> 8) & 0xff).toByte, (ch & 0xff).toByte) ++ samples
+
+  test("GaudHeaderCodec decodes hand-built audio headers exactly; rejects load the -1 lane") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, gaud("GAUD", 44100L, 2, Array.fill(10)(0x10.toByte))),
+      (2L, gaud("GAUD", 8000L, 1, Array.emptyByteArray)),   // header only
+      (3L, gaud("GAUD", 65536L, 3, Array.fill(7)(0x01.toByte))), // rate > u16
+      (4L, gaud("WAVE", 44100L, 2, Array.fill(10)(0x10.toByte))), // bad magic
+      (5L, gaud("GAUD", 44100L, 0, Array.fill(10)(0x10.toByte))), // zero channels
+      (6L, "GAUD".getBytes("US-ASCII") ++ Array[Byte](0x00, 0x00)), // truncated header
+      (7L, Array.emptyByteArray))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.extractFeatures(rows, col("doc_id"), col("payload"),
+        Multimodal.GaudHeaderCodec())
+      .select(col("media_id"), col("features"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got(1L) == Seq(44100.0, 2.0, 10.0, 5.0))
+    assert(got(2L) == Seq(8000.0, 1.0, 0.0, 0.0))
+    assert(got(3L) == Seq(65536.0, 3.0, 7.0, 2.0)) // floor(7/3)
+    Seq(4L, 5L, 6L, 7L).foreach { id =>
+      assert(got(id) == Seq(-1.0, -1.0, -1.0, -1.0), s"doc $id must reject")
+    }
+  }
+
+  test("audioFrameFeatures: exact per-window byte stats; rejects emit no windows") {
+    import spark.implicits._
+    // 11 sample bytes in 4-byte windows → 3 windows of sizes 4, 4, 3
+    val samples = Array[Byte](1, 2, 3, 4, 10, 20, 30, 40, 5, 6, 7)
+    val rows = Seq(
+      (1L, gaud("GAUD", 16000L, 1, samples)),
+      (2L, gaud("XAUD", 16000L, 1, samples)), // bad magic: zero windows
+      (3L, gaud("GAUD", 16000L, 1, Array.emptyByteArray))) // no samples
+      .toDF("doc_id", "payload")
+    val got = Multimodal.audioFrameFeatures(rows, col("doc_id"), col("payload"),
+        windowBytes = 4)
+      .as[(Long, Int, Int, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    assert(!got.contains(2L) && !got.contains(3L))
+    val f = got(1L).sortBy(_._2).map(t => (t._2, t._3, t._4, t._5, t._6)).toSeq
+    assert(f == Seq(
+      (0, 4, 10L, 1L, 4L),
+      (1, 4, 100L, 10L, 40L),
+      (2, 3, 18L, 5L, 7L)))
+  }
+
   test("metadata (n_bytes, content_hash) is codec-independent ground truth") {
     val meta = Multimodal.extractFeatures(
         docs, col("doc_id"), col("payload"), ByteStatsCodec)
