@@ -3903,6 +3903,108 @@ object Queries {
           |         j -> ord(win[j])))::bigint AS byte_max
           |FROM w""".stripMargin)),
 
+    // Nearest-neighbor resize over complete GIMG images: the resized 2×2
+    // raster is pinned by exact integer stats — the position-weighted byte
+    // sum makes the sampled byte SEQUENCE observable, so a wrong
+    // nearest-neighbor index cannot hide behind a matching total. Every 6th
+    // doc gets a corrupted magic and every 9th a one-byte-short pixel
+    // payload; both (and null texts) must take the -1 reject lane. The
+    // oracle re-derives the sampling arithmetic over the text characters
+    // (ASCII-safe test data, the multimodal_frames precedent).
+    ("multimodal_resize",
+      (s: SparkSession, d: String) => {
+        val w = (col("doc_id") % 4 + 1).cast("long")
+        val h = (col("doc_id") % 3 + 1).cast("long")
+        val ch = (col("doc_id") % 2 + 1).cast("long")
+        val full = (w * h * ch).cast("int")
+        val pixLen = when(col("doc_id") % 9 === 0, full - 1).otherwise(full)
+        val magic = when(col("doc_id") % 6 === 0, lit("XIMG")).otherwise(lit("GIMG"))
+        val withPayload = Tables.documents(s, d).withColumn("payload",
+          concat(magic.cast("binary"),
+            unhex(lpad(hex(w), 4, "0")),
+            unhex(lpad(hex(h), 4, "0")),
+            unhex(lpad(hex(ch), 2, "0")),
+            rpad(col("text"), 24, "x").cast("binary").substr(lit(1), pixLen)))
+        Multimodal.imageResizeNearest(withPayload, col("doc_id"), col("payload"),
+          outW = 2, outH = 2)
+      },
+      Some(
+        """WITH px AS (
+          |  SELECT doc_id,
+          |         (doc_id % 4 + 1)::bigint AS w,
+          |         (doc_id % 3 + 1)::bigint AS h,
+          |         (doc_id % 2 + 1)::bigint AS ch,
+          |         substring(rpad(text, 24, 'x'), 1,
+          |           ((doc_id % 4 + 1) * (doc_id % 3 + 1) * (doc_id % 2 + 1))::int) AS pix
+          |  FROM documents
+          |  WHERE doc_id % 6 <> 0 AND doc_id % 9 <> 0 AND text IS NOT NULL),
+          |v AS (
+          |  SELECT doc_id, ch,
+          |         flatten(list_transform(range(0, 4), p ->
+          |           list_transform(range(0, ch), j ->
+          |             ord(substr(pix,
+          |               (((((p // 2) * h) // 2) * w + ((p % 2) * w) // 2) * ch + j + 1)::int,
+          |               1))::bigint))) AS vals
+          |  FROM px)
+          |SELECT doc_id AS media_id,
+          |       2::bigint AS out_w, 2::bigint AS out_h, ch AS channels,
+          |       len(vals)::bigint AS n_out_bytes,
+          |       list_sum(vals)::bigint AS byte_sum,
+          |       list_sum(list_transform(range(1, len(vals) + 1),
+          |         i -> (i - 1) * vals[i]))::bigint AS pos_weighted_sum,
+          |       list_min(vals)::bigint AS byte_min,
+          |       list_max(vals)::bigint AS byte_max
+          |FROM v
+          |UNION ALL
+          |SELECT doc_id, -1, -1, -1, -1, -1, -1, -1, -1
+          |FROM documents
+          |WHERE doc_id % 6 = 0 OR doc_id % 9 = 0 OR text IS NULL""".stripMargin)),
+
+    // Per-channel pixel stats (the mean-RGB / per-band-energy extractor):
+    // channel k reads every C-th pixel-region byte. Odd docs carry a
+    // one-byte-truncated payload and must still yield exact stats over their
+    // COMPLETE pixels (decode-what's-there), while bad-magic docs (every
+    // 5th) and null texts emit zero rows.
+    ("multimodal_channel_stats",
+      (s: SparkSession, d: String) => {
+        val w = (col("doc_id") % 3 + 1).cast("long")
+        val h = (col("doc_id") % 2 + 1).cast("long")
+        val ch = (col("doc_id") % 3 + 1).cast("long")
+        val pixLen = (w * h * ch - col("doc_id") % 2).cast("int")
+        val magic = when(col("doc_id") % 5 === 0, lit("XIMG")).otherwise(lit("GIMG"))
+        val withPayload = Tables.documents(s, d).withColumn("payload",
+          concat(magic.cast("binary"),
+            unhex(lpad(hex(w), 4, "0")),
+            unhex(lpad(hex(h), 4, "0")),
+            unhex(lpad(hex(ch), 2, "0")),
+            rpad(col("text"), 18, "x").cast("binary").substr(lit(1), pixLen)))
+        Multimodal.imageChannelStats(withPayload, col("doc_id"), col("payload"))
+      },
+      Some(
+        """WITH px AS (
+          |  SELECT doc_id,
+          |         (doc_id % 3 + 1)::bigint AS w,
+          |         (doc_id % 2 + 1)::bigint AS h,
+          |         (doc_id % 3 + 1)::bigint AS ch,
+          |         substring(rpad(text, 18, 'x'), 1,
+          |           ((doc_id % 3 + 1) * (doc_id % 2 + 1) * (doc_id % 3 + 1)
+          |             - doc_id % 2)::int) AS pix
+          |  FROM documents
+          |  WHERE doc_id % 5 <> 0 AND text IS NOT NULL),
+          |c AS (
+          |  SELECT doc_id, ch, pix,
+          |         least(w * h, length(pix) // ch)::bigint AS n_pix,
+          |         unnest(range(0, ch)) AS channel
+          |  FROM px)
+          |SELECT doc_id AS media_id, channel::int AS channel, n_pix,
+          |       list_sum(list_transform(range(0, n_pix),
+          |         i -> ord(substr(pix, (i * ch + channel + 1)::int, 1))))::bigint AS byte_sum,
+          |       list_min(list_transform(range(0, n_pix),
+          |         i -> ord(substr(pix, (i * ch + channel + 1)::int, 1))))::bigint AS byte_min,
+          |       list_max(list_transform(range(0, n_pix),
+          |         i -> ord(substr(pix, (i * ch + channel + 1)::int, 1))))::bigint AS byte_max
+          |FROM c WHERE n_pix > 0""".stripMargin)),
+
     // ==========================================================================
     // Window-shape coverage beyond the reference: sliding + session windows
     // ==========================================================================

@@ -164,6 +164,105 @@ object Multimodal {
         col("f.byte_min").as("byte_min"), col("f.byte_max").as("byte_max"))
   }
 
+  /**
+   * Nearest-neighbor resize over GIMG pixel data — the "resize" leg of the
+   * decode / feature-extract / resize / frame-sample quartet, and the first
+   * op here that reads PIXELS (not just headers): output pixel (oy, ox)
+   * samples input pixel (⌊oy·H/outH⌋, ⌊ox·W/outW⌋), all `channels` bytes.
+   * The resized image is reduced in place to exact integer stats (count,
+   * sum, position-weighted sum, min, max over the sampled bytes, in output
+   * raster order) — the position-weighted sum pins the exact byte SEQUENCE,
+   * so a wrong sampling index cannot hide behind a matching sum. The full
+   * resized payload never materializes into a row (at 100 TB the payload
+   * stays in the scan's codegen locals; only `4 + outW·outH` longs survive).
+   *
+   * Reject lane (all -1, rows kept): bad magic, truncated header, zero
+   * dims/channels, or an INCOMPLETE pixel payload (fewer than W·H·C pixel
+   * bytes — nearest-neighbor would sample past the end). Pure codegen'd
+   * substring/hex/conv like the codecs — batch and streaming alike.
+   */
+  def imageResizeNearest(df: DataFrame, idCol: Column, binCol: Column,
+      outW: Int, outH: Int): DataFrame = {
+    require(outW >= 1 && outH >= 1, "need positive output dimensions")
+    def beUint(start: Int, len: Int): Column =
+      conv(hex(substring(binCol, start, len)), 16, 10).cast("long")
+    val w = beUint(5, 2)
+    val h = beUint(7, 2)
+    val c = beUint(9, 1)
+    val valid = substring(binCol, 1, 4) === lit("GIMG".getBytes("US-ASCII")) &&
+      length(binCol) >= 9 && w > 0 && h > 0 && c > 0 &&
+      length(binCol).cast("long") - 9L >= w * h * c
+    // outW·outH is a plan-time literal, so the sampled-pixel array is a
+    // fixed-width concat of per-pixel byte slices — no data-dependent fanout
+    val pixelArrays = (0 until outH * outW).map { p =>
+      val oy = (p / outW).toLong
+      val ox = (p % outW).toLong
+      val sy = ((lit(oy) * h) / lit(outH.toLong)).cast("long")
+      val sx = ((lit(ox) * w) / lit(outW.toLong)).cast("long")
+      val base = lit(10L) + (sy * w + sx) * c
+      transform(sequence(lit(0), (c - 1).cast("int")), j =>
+        conv(hex(binCol.substr((base + j).cast("int"), lit(1))), 16, 10).cast("long"))
+    }
+    val vals = flatten(array(pixelArrays: _*))
+    val posw = aggregate(
+      zip_with(vals, sequence(lit(0L), size(vals).cast("long") - 1L), (v, i) => v * i),
+      lit(0L), (acc, x) => acc + x)
+    val stats = when(valid, struct(
+        lit(outW.toLong).as("out_w"), lit(outH.toLong).as("out_h"), c.as("channels"),
+        size(vals).cast("long").as("n_out_bytes"),
+        aggregate(vals, lit(0L), (acc, x) => acc + x).as("byte_sum"),
+        posw.as("pos_weighted_sum"),
+        array_min(vals).as("byte_min"), array_max(vals).as("byte_max")))
+      .otherwise(struct(
+        lit(-1L).as("out_w"), lit(-1L).as("out_h"), lit(-1L).as("channels"),
+        lit(-1L).as("n_out_bytes"), lit(-1L).as("byte_sum"),
+        lit(-1L).as("pos_weighted_sum"), lit(-1L).as("byte_min"),
+        lit(-1L).as("byte_max")))
+    df.select(idCol.as("media_id"), stats.as("r"))
+      .select(col("media_id"), col("r.out_w").as("out_w"), col("r.out_h").as("out_h"),
+        col("r.channels").as("channels"), col("r.n_out_bytes").as("n_out_bytes"),
+        col("r.byte_sum").as("byte_sum"),
+        col("r.pos_weighted_sum").as("pos_weighted_sum"),
+        col("r.byte_min").as("byte_min"), col("r.byte_max").as("byte_max"))
+  }
+
+  /**
+   * Per-channel pixel statistics over GIMG payloads — channel-separated
+   * feature extraction (the mean-RGB / per-band-energy dataflow): channel k
+   * reads bytes at pixel-region offsets i·C + k for i in 0 until nPix,
+   * where nPix = min(W·H, ⌊available_bytes/C⌋) — a TRUNCATED payload still
+   * yields exact stats over its complete pixels instead of rejecting
+   * (decode-what's-there, the partial-frame convention of real media
+   * pipelines). Reject-lane payloads (bad magic / truncated header / zero
+   * dims) and images with zero complete pixels emit NO rows. One row per
+   * (media_id, channel); projection + explode, no shuffle, payload dropped
+   * at the stats.
+   */
+  def imageChannelStats(df: DataFrame, idCol: Column, binCol: Column): DataFrame = {
+    def beUint(start: Int, len: Int): Column =
+      conv(hex(substring(binCol, start, len)), 16, 10).cast("long")
+    val w = beUint(5, 2)
+    val h = beUint(7, 2)
+    val c = beUint(9, 1)
+    val valid = substring(binCol, 1, 4) === lit("GIMG".getBytes("US-ASCII")) &&
+      length(binCol) >= 9 && w > 0 && h > 0 && c > 0
+    val nPix = least(w * h, ((length(binCol).cast("long") - 9L) / c).cast("long"))
+    val perChannel = when(valid && nPix > 0,
+      transform(sequence(lit(0), (c - 1).cast("int")), k => {
+        val bytes = transform(sequence(lit(0L), nPix - 1L), i =>
+          conv(hex(binCol.substr((lit(10L) + i * c + k).cast("int"), lit(1))), 16, 10)
+            .cast("long"))
+        struct(nPix.as("n_pix"),
+          aggregate(bytes, lit(0L), (acc, b) => acc + b).as("byte_sum"),
+          array_min(bytes).as("byte_min"), array_max(bytes).as("byte_max"))
+      })).otherwise(array().cast(
+        "array<struct<n_pix:bigint,byte_sum:bigint,byte_min:bigint,byte_max:bigint>>"))
+    df.select(idCol.as("media_id"), posexplode(perChannel).as(Seq("channel", "s")))
+      .select(col("media_id"), col("channel"), col("s.n_pix").as("n_pix"),
+        col("s.byte_sum").as("byte_sum"), col("s.byte_min").as("byte_min"),
+        col("s.byte_max").as("byte_max"))
+  }
+
   /** Feature extraction: metadata + decoded features, payload dropped
     * before anything downstream can shuffle it. Codec-agnostic: the output
     * schema is identical for every [[MediaCodec]] impl. */

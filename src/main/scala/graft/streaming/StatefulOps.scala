@@ -343,6 +343,80 @@ object StatefulOps {
       }
   }
 
+  final case class BudgetState(cumAll: Long, cumAdmitted: Long)
+  final case class BudgetVerdict(group_key: String, doc_id: Long, n_tokens: Long,
+      cum_tokens: Long, admitted: Int)
+
+  /**
+   * Streaming token-budget admission — the continuous-ingest form of
+   * [[graft.operators.Sampling.tokenBudgetPerGroup]]: each group key holds a
+   * running token sum in state and every arriving document gets an
+   * admit/reject verdict immediately, across micro-batch boundaries (the
+   * batch form needs the whole group present to rank it; a stream never
+   * has that).
+   *
+   * Two admission rules, same trade as the batch family:
+   *  - `skipOver = false` (default): the batch PREFIX rule — the running sum
+   *    accumulates EVERY arrival's tokens and a document is admitted while
+   *    the inclusive sum stays within `budget`. Feeding the batch's
+   *    portable-hash draw order reproduces `tokenBudgetPerGroup` verdict for
+   *    verdict (the parity spec pins this); `cum_tokens` is the all-arrivals
+   *    sum, the batch audit column.
+   *  - `skipOver = true`: best-effort FILL — only ADMITTED tokens count, so
+   *    a document that would cross the budget is rejected but a later,
+   *    smaller one still fits. Admits a superset of the prefix rule;
+   *    `cum_tokens` is the admitted sum (how full the budget actually is).
+   *
+   * Within a micro-batch, rows process in (portable-hash(id), id) order —
+   * the batch draw order — so a single-batch replay of a group is
+   * bit-identical to the batch operator; across batches the order is
+   * arrival order, which is the semantic a stream admits under anyway.
+   * Null token counts consume no budget (the batch contract). State per
+   * key is two longs; keys idle past `timeout` age out in production
+   * (processing-time timeout — None under deterministic harnesses, which
+   * never quiesce otherwise).
+   */
+  def tokenBudgetStream(docs: DataFrame, groupCol: String, idCol: String,
+      tokenCol: String, budget: Long, skipOver: Boolean = false,
+      timeout: Option[String] = None): Dataset[BudgetVerdict] = {
+    require(budget > 0, "token budget must be positive")
+    import docs.sparkSession.implicits._
+    val docsN = withIntegralId(docs, idCol, "tokenBudgetStream")
+    val prepped = docsN.select(
+      col(groupCol).cast("string").as("g"),
+      col(idCol).cast("long").as("doc_id"),
+      coalesce(col(tokenCol).cast("long"), lit(0L)).as("n_tokens"),
+      graft.operators.TextOps.portableHash(col(idCol).cast("string")).as("h"))
+      .as[(String, Long, Long, Long)]
+    val mode = if (timeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+               else GroupStateTimeout.NoTimeout
+    prepped.groupByKey(_._1)
+      .flatMapGroupsWithState[BudgetState, BudgetVerdict](OutputMode.Append, mode) {
+        (key: String, rows: Iterator[(String, Long, Long, Long)],
+            state: GroupState[BudgetState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(BudgetState(0L, 0L))
+            val out = List.newBuilder[BudgetVerdict]
+            // batch draw order within the micro-batch
+            rows.toSeq.sortBy(r => (r._4, r._2)).foreach { case (_, id, tok, _) =>
+              val cumAll = st.cumAll + tok
+              val admit = if (skipOver) st.cumAdmitted + tok <= budget
+                          else cumAll <= budget
+              val cumAdm = if (admit) st.cumAdmitted + tok else st.cumAdmitted
+              out += BudgetVerdict(key, id, tok,
+                if (skipOver) cumAdm else cumAll, if (admit) 1 else 0)
+              st = BudgetState(cumAll, cumAdm)
+            }
+            state.update(st)
+            timeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Typed view of the parsed stream for the stateful operators. */
   def typed(parsed: DataFrame): Dataset[FlightEvent] = {
     import parsed.sparkSession.implicits._

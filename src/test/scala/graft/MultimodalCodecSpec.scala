@@ -152,6 +152,52 @@ class MultimodalCodecSpec extends SparkSpec {
       (2, 3, 18L, 5L, 7L)))
   }
 
+  private def gimgPix(magic: String, w: Int, h: Int, ch: Int, pix: Array[Byte]): Array[Byte] =
+    magic.getBytes("US-ASCII") ++
+      Array(((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+        ((h >> 8) & 0xff).toByte, (h & 0xff).toByte, ch.toByte) ++ pix
+
+  test("imageResizeNearest: exact sampled-byte stats; incomplete payloads reject") {
+    import spark.implicits._
+    // 3×2 image, 2 channels, pixel bytes 10..21; resize to 2×2 samples
+    // pixels (0,0),(0,1),(1,0),(1,1) -> linear 0,1,3,4 -> bytes
+    // [10,11,12,13,16,17,18,19] in output raster order
+    val pix = Array.tabulate(12)(i => (10 + i).toByte)
+    val rows = Seq(
+      (1L, gimgPix("GIMG", 3, 2, 2, pix)),
+      (2L, gimgPix("GIMG", 3, 2, 2, pix.dropRight(1))), // incomplete -> reject
+      (3L, gimgPix("XIMG", 3, 2, 2, pix)),              // bad magic -> reject
+      (4L, gimgPix("GIMG", 1, 1, 1, Array[Byte](42))))  // 1×1 upsample: all windows hit it
+      .toDF("doc_id", "payload")
+    val got = Multimodal.imageResizeNearest(rows, col("doc_id"), col("payload"), 2, 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(got(1L) == ((1L, 2L, 2L, 2L, 8L, 116L, 464L, 10L, 19L)))
+    assert(got(4L) == ((4L, 2L, 2L, 1L, 4L, 168L, 252L, 42L, 42L)))
+    Seq(2L, 3L).foreach { id =>
+      assert(got(id) == ((id, -1L, -1L, -1L, -1L, -1L, -1L, -1L, -1L)), s"doc $id must reject")
+    }
+  }
+
+  test("imageChannelStats: per-channel stats over complete pixels only; rejects emit no rows") {
+    import spark.implicits._
+    val pix = Array.tabulate(12)(i => (10 + i).toByte)
+    val rows = Seq(
+      (1L, gimgPix("GIMG", 3, 2, 2, pix)),
+      (2L, gimgPix("GIMG", 3, 2, 2, pix.dropRight(1))), // 11 bytes -> 5 complete pixels
+      (3L, gimgPix("XIMG", 3, 2, 2, pix)),              // bad magic: zero rows
+      (4L, gimgPix("GIMG", 3, 2, 2, Array[Byte](7))))   // under one pixel: zero rows
+      .toDF("doc_id", "payload")
+    val got = Multimodal.imageChannelStats(rows, col("doc_id"), col("payload"))
+      .as[(Long, Int, Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    assert(!got.contains(3L) && !got.contains(4L))
+    assert(got(1L).sortBy(_._2).map(t => (t._2, t._3, t._4, t._5, t._6)).toSeq ==
+      Seq((0, 6L, 90L, 10L, 20L), (1, 6L, 96L, 11L, 21L)))
+    assert(got(2L).sortBy(_._2).map(t => (t._2, t._3, t._4, t._5, t._6)).toSeq ==
+      Seq((0, 5L, 70L, 10L, 18L), (1, 5L, 75L, 11L, 19L)))
+  }
+
   test("metadata (n_bytes, content_hash) is codec-independent ground truth") {
     val meta = Multimodal.extractFeatures(
         docs, col("doc_id"), col("payload"), ByteStatsCodec)

@@ -507,4 +507,73 @@ class StreamingCorpusSpec extends SparkSpec {
       assert(kept == Set(1L, 3L))
     } finally q.stop()
   }
+
+  test("tokenBudgetStream prefix rule matches batch tokenBudgetPerGroup across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1L to 40L).map(i =>
+      (if (i % 2 == 0) "code" else "web", i, (i % 7) * 10 + 5))
+    val df = rows.toDF("source", "doc_id", "n_tokens")
+    val budget = 300L
+    val batchKept = Sampling.tokenBudgetPerGroup(df, Seq(col("source")),
+        col("doc_id"), col("n_tokens"), budget)
+      .select(col("source"), col("doc_id"), col("cum_tokens"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(batchKept.nonEmpty && batchKept.size < rows.size,
+      "stress must exercise both kept and dropped documents")
+    // arrival follows each group's portable-hash draw order, split across
+    // two micro-batches — the one ordering under which batch and stream
+    // must agree verdict for verdict
+    val ordered = df
+      .withColumn("h", TextOps.portableHash(col("doc_id").cast("string")))
+      .orderBy(col("source"), col("h"), col("doc_id"))
+      .select(col("source"), col("doc_id"), col("n_tokens"))
+      .as[(String, Long, Long)].collect()
+    val byGroup = ordered.groupBy(_._1).values.toSeq
+    val batch1 = byGroup.flatMap(g => g.take(g.length / 2))
+    val batch2 = byGroup.flatMap(g => g.drop(g.length / 2))
+
+    val input = MemoryStream[(String, Long, Long)]
+    val streamed = StatefulOps.tokenBudgetStream(
+      input.toDF().toDF("source", "doc_id", "n_tokens"),
+      "source", "doc_id", "n_tokens", budget)
+    val q = streamed.writeStream.format("memory").queryName("budget_out")
+      .option("checkpointLocation", Files.createTempDirectory("budget-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val verdicts = spark.table("budget_out")
+        .as[(String, Long, Long, Long, Int)].collect()
+      assert(verdicts.length == rows.size, "every arrival gets a verdict")
+      val admitted = verdicts.filter(_._5 == 1)
+        .map(v => (v._1, v._2, v._4)).toSet
+      assert(admitted == batchKept, s"stream $admitted != batch $batchKept")
+    } finally q.stop()
+  }
+
+  test("tokenBudgetStream skipOver admits later smaller docs past a rejected big one") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long)]
+    val streamed = StatefulOps.tokenBudgetStream(
+      input.toDF().toDF("source", "doc_id", "n_tokens"),
+      "source", "doc_id", "n_tokens", budget = 300L, skipOver = true)
+    val q = streamed.writeStream.format("memory").queryName("budget_skip_out")
+      .option("checkpointLocation", Files.createTempDirectory("budget-skip-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // one doc per micro-batch: arrival order is the admission order
+      Seq(("s", 1L, 200L), ("s", 2L, 150L), ("s", 3L, 100L)).foreach { r =>
+        input.addData(r)
+        q.processAllAvailable()
+      }
+      val got = spark.table("budget_skip_out")
+        .as[(String, Long, Long, Long, Int)].collect()
+        .sortBy(_._2).map(v => (v._2, v._4, v._5)).toSeq
+      // 200 admitted; 150 would cross (350 > 300) -> rejected, does NOT
+      // consume budget; 100 fits the remaining 100 exactly
+      assert(got == Seq((1L, 200L, 1), (2L, 200L, 0), (3L, 300L, 1)))
+    } finally q.stop()
+  }
 }
