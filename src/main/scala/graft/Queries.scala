@@ -4006,6 +4006,58 @@ object Queries {
           |FROM c WHERE n_pix > 0""".stripMargin)),
 
     // ==========================================================================
+    // Web-corpus curation: URL canonicalization, URL dedup, domain rollups
+    // ==========================================================================
+
+    // URLs are synthesized from doc_id arithmetic (the multimodal_decode
+    // precedent) with every normalization hazard present: mixed case,
+    // explicit :443, trailing slashes, #fragments, tracking-only query
+    // strings, an occasionally-kept real parameter, and a multi-label
+    // public suffix. The oracle re-derives the CANONICAL form from the
+    // same arithmetic — an independent derivation that never runs the
+    // normalizer.
+    ("web_url_normalize",
+      (s: SparkSession, d: String) => {
+        val url = webUrl()
+        Tables.documents(s, d)
+          .select(col("doc_id"), Web.normalizeUrl(url).as("url_norm"),
+            Web.hostOf(url).as("host"),
+            Web.registeredDomain(Web.hostOf(url)).as("registered_domain"))
+      },
+      Some(
+        s"""WITH u AS ($webUrlCanonCte)
+          |SELECT doc_id, concat('https://', host, path, q) AS url_norm,
+          |       host, registered_domain
+          |FROM u""".stripMargin)),
+
+    // URL-level exact dedup, the C4 first pass: one keeper (min doc_id)
+    // per canonical URL + the collapsed-copy count. The synthesized key
+    // space is deliberately smaller than the corpus so real collisions
+    // exist — case/port/slash/tracking variants of one page collapse.
+    ("web_url_dedup",
+      (s: SparkSession, d: String) =>
+        Web.urlDedup(Tables.documents(s, d), col("doc_id"), webUrl()),
+      Some(
+        s"""WITH u AS ($webUrlCanonCte)
+          |SELECT concat('https://', host, path, q) AS url_norm,
+          |       min(doc_id) AS doc_id, count(*) AS n_copies
+          |FROM u GROUP BY 1""".stripMargin)),
+
+    // Per-registered-domain rollup: the table domain allow/block lists and
+    // per-domain sampling budgets key on. n_docs > n_urls shows crawl
+    // near-duplicate pressure per domain.
+    ("web_domain_stats",
+      (s: SparkSession, d: String) =>
+        Web.domainStats(Tables.documents(s, d), col("doc_id"), webUrl(),
+          col("n_chars")),
+      Some(
+        s"""WITH u AS ($webUrlCanonCte)
+          |SELECT registered_domain, count(*) AS n_docs,
+          |       count(DISTINCT concat('https://', host, path, q)) AS n_urls,
+          |       sum(n_chars)::bigint AS total_chars
+          |FROM u GROUP BY 1""".stripMargin)),
+
+    // ==========================================================================
     // Window-shape coverage beyond the reference: sliding + session windows
     // ==========================================================================
 
@@ -4587,6 +4639,38 @@ object Queries {
       |                                          i -> array_to_string(toks[i + 1:i + 3], ' ')) END) AS shingle
       |        FROM toks))
       |""".stripMargin
+
+  /** Synthesized raw URL per document row — every canonicalization hazard
+    * on a deterministic doc_id schedule: mixed-case scheme/host, www and
+    * multi-label-suffix variants, explicit :443, shared /p/N paths (real
+    * dedup collisions), trailing slash, tracking-only query with an
+    * occasionally-kept real parameter, #fragment. */
+  private def webUrl(): Column =
+    concat(lit("HTTPS://"),
+      when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("")),
+      col("source"),
+      when(col("doc_id") % 3 === 0, lit(".CO.UK")).otherwise(lit(".COM")),
+      when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+      lit("/p/"), (col("doc_id") % 5).cast("string"),
+      when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=feed&ref=tw"),
+      when(col("doc_id") % 11 === 0, lit("&page=2")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit("")))
+
+  /** DuckDB CTE body deriving the CANONICAL parts of [[webUrl]] from the
+    * same doc_id arithmetic — independent of the Spark normalizer: the
+    * scheme/case/port/slash/fragment/tracking hazards never appear, the
+    * kept parameter and multi-label suffix do. */
+  private lazy val webUrlCanonCte: String =
+    """SELECT doc_id, n_chars,
+      |       concat(CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END, source,
+      |              CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END) AS host,
+      |       concat('/p/', (doc_id % 5)::varchar) AS path,
+      |       CASE WHEN doc_id % 11 = 0 THEN '?page=2' ELSE '' END AS q,
+      |       concat(source,
+      |              CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END)
+      |         AS registered_domain
+      |FROM documents""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.map { case (n, f, _) => n -> f }.toMap
