@@ -4057,6 +4057,54 @@ object Queries {
           |       sum(n_chars)::bigint AS total_chars
           |FROM u GROUP BY 1""".stripMargin)),
 
+    // Sub-document exact dedup (the C4 span-level pass): every 4th doc gets
+    // a 16-token boilerplate header — exactly two 8-token chunks, so the
+    // corpus-wide keeper election must collapse ~125 copies of each to one
+    // while the organic chunks survive. The oracle re-runs the whole chain
+    // (tile → keeper election → per-doc reassembly) in CTEs, with the
+    // kept-text md5 pinning chunk ORDER, not just membership.
+    ("dedup_paragraphs",
+      (s: SparkSession, d: String) => {
+        val boiler = "terms of service apply all rights reserved contact us " +
+          "for more information today please read carefully"
+        val withBoiler = Tables.documents(s, d).withColumn("text2",
+          when(col("doc_id") % 4 === 0, concat(lit(boiler + " "), col("text")))
+            .otherwise(col("text")))
+        Dedup.paragraphDedup(withBoiler, col("text2"), col("doc_id"),
+          chunkTokens = 8)
+      },
+      Some(
+        """WITH d2 AS (
+          |  SELECT doc_id,
+          |         CASE WHEN doc_id % 4 = 0
+          |           THEN concat('terms of service apply all rights reserved ',
+          |                       'contact us for more information today ',
+          |                       'please read carefully ', text)
+          |           ELSE text END AS text
+          |  FROM documents),
+          |toks AS (
+          |  SELECT doc_id,
+          |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+          |                      ' ') AS t
+          |  FROM d2),
+          |ch AS (
+          |  SELECT doc_id, i::int AS chunk_id,
+          |         array_to_string(t[(i * 8 + 1)::int:(i * 8 + 8)::int], ' ') AS chunk_text,
+          |         least(8, len(t) - i * 8)::int AS chunk_tokens
+          |  FROM toks CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+          |  WHERE i = 0 OR i * 8 < len(t)),
+          |k AS (
+          |  SELECT *, row_number() OVER (PARTITION BY chunk_text
+          |                               ORDER BY doc_id, chunk_id) AS rn
+          |  FROM ch)
+          |SELECT doc_id, count(*) AS n_chunks,
+          |       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::bigint AS n_kept,
+          |       sum(CASE WHEN rn = 1 THEN chunk_tokens ELSE 0 END)::bigint AS kept_tokens,
+          |       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END,
+          |                               ' ' ORDER BY chunk_id), ''))
+          |         AS kept_text_hash
+          |FROM k GROUP BY doc_id""".stripMargin)),
+
     // ==========================================================================
     // Window-shape coverage beyond the reference: sliding + session windows
     // ==========================================================================

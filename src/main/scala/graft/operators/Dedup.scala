@@ -48,6 +48,56 @@ object Dedup {
     docs.groupBy(TextOps.fingerprint(textCol).as("fingerprint"))
       .agg(min(idCol).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /**
+   * SUB-document exact dedup — the C4 span-level pass that document-level
+   * dedup cannot express: documents are tiled into non-overlapping
+   * `chunkTokens`-token chunks ([[TextOps.chunkWindows]] with stride =
+   * window, so every token belongs to exactly one chunk) and each distinct
+   * chunk keeps ONE occurrence corpus-wide — the (min doc_id, min chunk_id)
+   * one, deterministic. Repeated boilerplate paragraphs (license headers,
+   * nav text, TOS footers) collapse to a single copy while the documents
+   * around them survive. Output is per document: chunk counts before/after,
+   * surviving token count, and the md5 of the reassembled kept text (kept
+   * chunks re-joined in chunk order) — the audit row a curation pipeline
+   * logs, with the reassembled text itself one `concat_ws` away.
+   *
+   * Scale shape: keeper election is a map-side-combinable min-struct
+   * aggregation on the chunk md5 — a corpus-wide hot chunk (the same TOS
+   * paragraph in a billion docs) partial-aggregates to one row per map
+   * task instead of flooding one reducer (the skew discipline; a
+   * row_number window over the hash would put the whole hot key in one
+   * task). The join back is on the md5 with exactly one keeper row per
+   * hash — no pair blow-up possible — and the shuffle carries 32-char
+   * hashes plus the chunk text only as far as the per-doc reassembly.
+   */
+  def paragraphDedup(docs: DataFrame, textCol: Column, idCol: Column,
+      chunkTokens: Int): DataFrame = {
+    val chunks = TextOps.chunkWindows(
+        docs.select(idCol.as("doc_id"), textCol.as("text")),
+        col("text"), col("doc_id"), chunkTokens, chunkTokens)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+        col("chunk_tokens"), md5(col("chunk_text").cast("binary")).as("chash"))
+    val keepers = chunks
+      .groupBy(col("chash"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("k"))
+      .select(col("chash"), col("k.doc_id").as("k_doc"),
+        col("k.chunk_id").as("k_chunk"))
+    chunks.join(keepers, Seq("chash"))
+      .withColumn("keep",
+        (col("doc_id") === col("k_doc") && col("chunk_id") === col("k_chunk"))
+          .cast("int"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("keep")).as("n_kept"),
+        sum(col("chunk_tokens") * col("keep")).as("kept_tokens"),
+        md5(concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(col("keep") === 1,
+                struct(col("chunk_id"), col("chunk_text"))))),
+            s => s.getField("chunk_text"))).cast("binary")).as("kept_text_hash"))
+  }
+
   /** Mersenne prime 2^31-1: the permutation modulus. a*h stays < 2^62, so
     * the (a*h+b) mod p arithmetic is exact in int64 in every engine. */
   val MinhashPrime: Long = 2147483647L

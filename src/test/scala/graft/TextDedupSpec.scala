@@ -328,4 +328,22 @@ class TextDedupSpec extends SparkSpec {
     assert(TextOps.substringRuns(d, col("text"), col("doc_id"), dfCap = 6)
       .count() == 15L)
   }
+
+  test("paragraphDedup: corpus-wide chunk keeper election + ordered reassembly hash") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = docs(
+      (1L, "a b c d e f g h"),   // two chunks, both kept (first occurrence)
+      (2L, "a b c d x y z w"),   // first chunk dups doc 1's -> only x y z w kept
+      (3L, "a b c d e f g h"),   // full duplicate of doc 1 -> nothing kept
+      (4L, "m m m m m m m m"))   // intra-doc duplicate chunk -> one kept
+    val got = Dedup.paragraphDedup(d, col("text"), col("doc_id"), chunkTokens = 4)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(got(1L) == ((2L, 2L, 8L, md5hex("a b c d e f g h"))))
+    assert(got(2L) == ((2L, 1L, 4L, md5hex("x y z w"))))
+    assert(got(3L) == ((2L, 0L, 0L, md5hex(""))))
+    assert(got(4L) == ((2L, 1L, 4L, md5hex("m m m m"))))
+  }
 }
