@@ -99,27 +99,58 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("skew-safe text operators: no whole-partition window, heavy keys broadcast") {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     // The load-bearing scale assertions are the Window absence and the
-    // heavy-key BroadcastHashJoin; exchange count is an UPPER BOUND over
-    // collected ShuffleExchange nodes (textual union-branch duplication
-    // canonicalizes to reused stages under AQE, and exact printed counts
-    // break spuriously on Spark/optimizer-version changes). Since r9 the
-    // DEFAULT text_boilerplate / text_lm_score rows plan this shape.
+    // heavy-key BroadcastHashJoin; exchange count is an UPPER BOUND
+    // (textual union-branch duplication canonicalizes to reused stages
+    // under AQE, and exact printed counts break spuriously on
+    // Spark/optimizer-version changes). Counted from the printed plan —
+    // a ShuffleExchangeLike collect() sees 0 nodes through the
+    // un-executed AdaptiveSparkPlanExec boundary, making the bound
+    // vacuous (the r10 fix). Since r9 the DEFAULT text_boilerplate /
+    // text_lm_score rows plan this shape.
     Seq("text_boilerplate" -> 10, "text_lm_score" -> 10,
       "text_boilerplate_skewsafe" -> 10, "text_lm_score_skewsafe" -> 10)
       .foreach { case (q, maxEx) =>
-        val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
-        val planStr = plan.toString
+        val planStr = SparkEntry.queries(q)(spark, sfDir)
+          .queryExecution.executedPlan.toString
         // the scale property: the hot key's rows take the broadcast path and
         // the frame never flows through a whole-partition window
         assert(!planStr.contains("Window"), s"$q must not plan a window:\n$planStr")
         assert(planStr.contains("BroadcastHashJoin"),
           s"$q must broadcast the heavy-key table:\n$planStr")
-        val nEx = plan.collect { case e: ShuffleExchangeLike => e }.length
+        val nEx = Seq("Exchange hashpartitioning", "Exchange SinglePartition",
+          "Exchange rangepartitioning")
+          .map(p => planStr.sliding(p.length).count(_ == p)).sum
         assert(nEx <= maxEx,
           s"$q expected at most $maxEx exchanges, got $nEx")
       }
+  }
+
+  test("round-10 rows keep their designed exchange counts") {
+    // printed-plan counting (the round-7 helper): ShuffleExchangeLike
+    // collect() can't see through AdaptiveSparkPlanExec's planning boundary
+    // pre-execution, so an un-executed plan collects 0 nodes
+    def shuffles(name: String): Int = {
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+      Seq("Exchange hashpartitioning", "Exchange SinglePartition", "Exchange rangepartitioning")
+        .map(p => plan.sliding(p.length).count(_ == p)).sum
+    }
+    // pixel / URL projections: zero shuffle, payload never crosses a wire
+    Seq("multimodal_resize", "multimodal_channel_stats",
+      "multimodal_decode_audio", "multimodal_audio_frames",
+      "web_url_normalize")
+      .foreach(q => assert(shuffles(q) == 0, s"$q should be shuffle-free"))
+    // url dedup: one partial→final aggregation on the canonical key
+    assert(shuffles("web_url_dedup") == 1,
+      "web_url_dedup should be a single partial-aggregated exchange")
+    // domain rollup: distinct-count expansion = (domain,url) then domain
+    assert(shuffles("web_domain_stats") == 2,
+      "web_domain_stats should plan the two-phase distinct aggregate")
+    // chunk dedup: keeper agg on chash + chunks-side join exchange + per-doc
+    // agg; the keeper side reuses its aggregation partitioning (UPPER bound
+    // — AQE may broadcast the keeper side and drop the join exchange)
+    assert(shuffles("dedup_paragraphs") <= 3,
+      s"dedup_paragraphs grew beyond its 3-exchange design: ${shuffles("dedup_paragraphs")}")
   }
 
   test("hot-path projections stay inside whole-stage codegen") {
