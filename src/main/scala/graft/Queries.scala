@@ -4105,6 +4105,35 @@ object Queries {
           |         AS kept_text_hash
           |FROM k GROUP BY doc_id""".stripMargin)),
 
+    // Per-doc top-3 salient terms by integer-exact tf-idf: rational idf
+    // floor(n_docs·2^20/df) (no cross-engine ln), dfCap=380 drops the
+    // near-universal stopword-like terms (most of this corpus's 31-term
+    // vocabulary sits at df≈380-402 of 500 docs), term-ascending tie-break
+    // pins the top-k set bit-stable.
+    ("text_tfidf_topk",
+      (s: SparkSession, d: String) =>
+        TextOps.tfidfTopTerms(Tables.documents(s, d), col("text"),
+          col("doc_id"), k = 3, minDf = 1L, dfCap = 380L),
+      Some(
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+          |                             ' ')) AS term
+          |  FROM documents),
+          |tf AS (SELECT doc_id, term, count(*)::bigint AS tf FROM toks GROUP BY 1, 2),
+          |dft AS (SELECT term, count(*)::bigint AS df FROM tf GROUP BY 1
+          |        HAVING count(*) BETWEEN 1 AND 380),
+          |n AS (SELECT count(*)::bigint AS n_docs FROM documents),
+          |s AS (
+          |  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+          |         tf.tf * ((n.n_docs * 1048576) // dft.df) AS score_scaled
+          |  FROM tf JOIN dft USING (term) CROSS JOIN n),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+          |                                   ORDER BY score_scaled DESC, term) AS rank
+          |      FROM s)
+          |SELECT doc_id, rank::int AS rank, term, tf, df, score_scaled::bigint AS score_scaled
+          |FROM r WHERE rank <= 3""".stripMargin)),
+
     // ==========================================================================
     // Window-shape coverage beyond the reference: sliding + session windows
     // ==========================================================================

@@ -774,6 +774,56 @@ object TextOps {
    * explode), the per-term document frequencies are a 3-row broadcast, and
    * the per-doc mix is a fixed-order sum — no corpus-sized state anywhere.
    */
+  /**
+   * Per-document top-k salient terms by tf-idf — keyword extraction, the
+   * per-doc complement of [[bm25]]'s query-side scoring: tf from the doc's
+   * own tokens, idf from the corpus document frequency, `dfCap` dropping
+   * stopword-like terms that appear in (nearly) every document and `minDf`
+   * dropping hapax noise — the standard curation knobs.
+   *
+   * Integer-exact scoring discipline: idf is the RATIONAL form
+   * `floor(n_docs · idfScale / df)` (a pure integer floor-div, identical in
+   * every engine) rather than `ln(n_docs/df)` — same ranking family,
+   * monotone decreasing in df, and free of the cross-engine transcendental
+   * 1-ulp hazard the conventions comment bans. `score_scaled = tf · idf`;
+   * ties break on the term (ascending), so the top-k set is bit-stable.
+   * Exact while `n_docs · idfScale < 2^63` (idfScale = 2^20 → corpora to
+   * ~8.8e12 docs).
+   *
+   * Scale shape: two map-side-combinable aggregations (tf on (doc, term),
+   * df on term — hot stopword terms partial-aggregate before the exchange),
+   * one equi-join on term with exactly one df row per term (no blow-up),
+   * a 1-row broadcast for n_docs, and a per-doc window (bounded by the
+   * doc's distinct-term count, never corpus-sized).
+   */
+  def tfidfTopTerms(docs: DataFrame, textCol: Column, idCol: Column, k: Int,
+      minDf: Long = 1L, dfCap: Long = Long.MaxValue,
+      idfScale: Long = 1L << 20): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    require(minDf >= 1L && dfCap >= minDf, "need 1 <= minDf <= dfCap")
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(idCol.as("doc_id"), explode(tokens(normalize(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val nDocs = docs.select(idCol.as("doc_id"))
+      .agg(count(lit(1)).as("n_docs"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= dfCap)
+      .crossJoin(broadcast(nDocs)) // provably 1-row scalar side
+      // `div` is the integer floor-division operator — (n_docs·scale)/df as
+      // a double would lose exactness past 2^53
+      .withColumn("idf_scaled", expr(s"(n_docs * ${idfScale}L) div df"))
+      .select(col("term"), col("df"), col("idf_scaled"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_scaled").desc, col("term"))
+    tf.join(dfT, Seq("term"))
+      .withColumn("score_scaled", col("tf") * col("idf_scaled"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("score_scaled"))
+  }
+
   def bm25(docs: DataFrame, textCol: Column, idCol: Column,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty && queryTerms == queryTerms.distinct,

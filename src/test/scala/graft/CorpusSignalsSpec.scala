@@ -366,4 +366,30 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("tfidfTopTerms: rational-idf scores, term tie-break, df gates") {
+    val docs = Seq(
+      (1L, "apple banana banana"),
+      (2L, "apple cherry"),
+      (3L, "apple durian cherry cherry"),
+      (4L, "elderberry")).toDF("doc_id", "text")
+    // n_docs=4, S=2^20: idf apple=(4S)//3=1398101, banana/durian/elderberry=4S,
+    // cherry=2S; doc 3 ties cherry (2·2S) with durian (1·4S) -> term asc
+    val got = TextOps.tfidfTopTerms(docs, col("text"), col("doc_id"), k = 2)
+      .as[(Long, Int, String, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._6)).toSeq).toMap
+    assert(got(1L) == Seq(("banana", 2L * 4194304L), ("apple", 1398101L)))
+    assert(got(2L) == Seq(("cherry", 2097152L), ("apple", 1398101L)))
+    assert(got(3L) == Seq(("cherry", 4194304L), ("durian", 4194304L)))
+    assert(got(4L) == Seq(("elderberry", 4194304L)))
+    // dfCap drops the near-universal term, minDf the hapaxes
+    val capped = TextOps.tfidfTopTerms(docs, col("text"), col("doc_id"),
+        k = 2, dfCap = 2L)
+      .as[(Long, Int, String, Long, Long, Long)].collect().map(_._3).toSet
+    assert(!capped.contains("apple") && capped.contains("cherry"))
+    val minned = TextOps.tfidfTopTerms(docs, col("text"), col("doc_id"),
+        k = 3, minDf = 2L)
+      .as[(Long, Int, String, Long, Long, Long)].collect().map(_._3).toSet
+    assert(minned == Set("apple", "cherry"))
+  }
 }

@@ -26,7 +26,9 @@ class PlanAuditSpec extends SparkSpec {
     // ivfpq: the PROBE step scores the 5 queries against the 16 coarse
     // centroids (broadcast both-tiny); member scoring is equi-join only
     "sim_recall_pq", "sim_recall_pq_rerank", "sim_ivfpq_topk",
-    "sim_recall_ivfpq_rerank")
+    "sim_recall_ivfpq_rerank",
+    // tfidf: the n_docs corpus scalar is a provably 1-row broadcast side
+    "text_tfidf_topk")
 
   test("no catalog query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
