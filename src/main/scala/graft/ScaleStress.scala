@@ -42,7 +42,15 @@ object ScaleStress {
     // per-copy by injectivity) and the broadcast-model DSIR weights
     "text_substring_runs", "text_dsir_weights",
     // r9: the cut half — same bounded pair space + per-doc interval sweep
-    "text_substring_cut")
+    "text_substring_cut",
+    // r10: chunk-keeper election (hot-chunk min-struct agg + hash join
+    // back; the boilerplate chunks get k× hotter per copy — exactly the
+    // skew the map-side partial must absorb), canonical-URL dedup (the
+    // synthesized key space is doc_id-mod-driven so it stays CONSTANT
+    // under scaling: k× recrawl pressure per URL, the hot-key agg shape),
+    // and the tf-idf chain (31-term vocab per copy-rewrite → k×31 terms,
+    // per-doc windows unchanged)
+    "dedup_paragraphs", "web_url_dedup", "text_tfidf_topk")
 
   def scaledCorpus(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = Tables.documents(spark, baseDir)
@@ -52,9 +60,13 @@ object ScaleStress {
         (col("doc_id") + lit(i.toLong * idSpan)).as("doc_id"),
         // injective token rewrite: copy-local shingles, Jaccard preserved
         regexp_replace(col("text"), "(\\S+)", s"$$1_c$i").as("text"),
-        // lang survives the rewrite so distribution-conditioned operators
-        // (text_dsir_weights targets the English slice) stress unchanged
-        col("lang"))
+        // lang/source survive the rewrite so distribution-conditioned
+        // operators (text_dsir_weights targets the English slice, the web
+        // rows key URLs on source) stress unchanged; n_chars recomputed
+        // from the rewritten text (the ScaleAll rule)
+        col("lang"), col("source"),
+        length(regexp_replace(col("text"), "(\\S+)", s"$$1_c$i")).cast("long")
+          .as("n_chars"))
     }.reduce(_ unionByName _)
   }
 

@@ -508,6 +508,35 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming URL dedup: canonical-key dropDuplicates collapses crawl variants") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Web
+    val input = MemoryStream[(Long, String, String)] // (doc_id, url, event_time)
+    // normalizeUrl is a pure projection, so the batch canonicalization
+    // composes directly into the watermarked streaming dedup — the C4 URL
+    // pass as a continuous-ingest job with state bounded by the horizon
+    val deduped = input.toDF().toDF("doc_id", "url", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+      .withColumn("url_norm", Web.normalizeUrl(col("url")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("url_norm")
+    val q = deduped.writeStream.format("memory").queryName("url_out")
+      .option("checkpointLocation", Files.createTempDirectory("url-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (1L, "https://a.com/p?b=2&a=1", "2024-01-01 10:00:00"),
+        (2L, "HTTPS://A.COM:443/p/?a=1&b=2&utm_x=9", "2024-01-01 10:00:05"))
+      q.processAllAvailable()
+      input.addData( // later micro-batch: still the same canonical key
+        (3L, "https://a.com/p?a=1&b=2&fbclid=zz", "2024-01-01 10:00:10"),
+        (4L, "https://b.com/p?a=1&b=2", "2024-01-01 10:00:15"))
+      q.processAllAvailable()
+      val kept = spark.table("url_out").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 4L))
+    } finally q.stop()
+  }
+
   test("tokenBudgetStream prefix rule matches batch tokenBudgetPerGroup across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val rows = (1L to 40L).map(i =>
