@@ -4357,6 +4357,35 @@ object Queries {
           |       p.purchase_value AS asof_purchase_value
           |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin)),
 
+    // Interval (range) join via bucketed equi-join: purchases landing in the
+    // 6-hour window after each error by the same user, aggregated per error.
+    // The bucket width matches the window span, so each interval registers
+    // in at most 2 buckets and the exact predicate filters the slack — the
+    // scale-safe form of a join Spark would otherwise plan as a nested-loop
+    // theta-join. The oracle IS that theta-join, directly in DuckDB.
+    ("events_interval_join",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("user_id"),
+            col("ts").as("start_ts"),
+            (col("ts") + expr("INTERVAL 6 HOURS")).as("end_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"), col("value"))
+        IntervalJoin.intervalJoin(purchases, errors, "p_ts", "start_ts",
+            "end_ts", keys = Seq("user_id"), bucketWidthSec = 21600L)
+          .groupBy(col("error_id"))
+          .agg(count(lit(1)).as("n_purchases"), sumDec(col("value")).as("sum_value"))
+      },
+      Some(
+        """SELECT e.event_id AS error_id, count(*) AS n_purchases,
+          |       cast(sum(cast(p.value AS decimal(18,2))) AS double) AS sum_value
+          |FROM events e JOIN events p
+          |  ON p.user_id = e.user_id
+          | AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 6 HOURS
+          |WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+          |GROUP BY 1""".stripMargin)),
+
     // SimHash near-dup endpoint: Hamming distance between consecutive docs'
     // fingerprints (bit_count of xor — identical in both engines).
     ("dedup_simhash_pairs",
