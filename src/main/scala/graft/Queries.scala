@@ -4386,6 +4386,32 @@ object Queries {
           |WHERE e.event_type = 'error' AND p.event_type = 'purchase'
           |GROUP BY 1""".stripMargin)),
 
+    // Percentile-band length gate per source: keep docs whose token count
+    // sits in [p10, p90] of their source's distribution — computed from the
+    // per-source length HISTOGRAM (documents never sort; the window input
+    // is distinct lengths), joined back exactly. The oracle uses DuckDB's
+    // native percent_rank over the full partition — same min-rank/(n-1)
+    // definition, so the histogram form must reproduce it bit for bit.
+    ("corpus_length_gate",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        Sampling.percentileGate(docs, col("source"), col("doc_id"),
+          size(TextOps.tokens(TextOps.normalize(col("text")))),
+          lo = 0.1, hi = 0.9)
+      },
+      Some(
+        """WITH b AS (
+          |  SELECT doc_id, source,
+          |         len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+          |                          ' '))::bigint AS gate_value
+          |  FROM documents),
+          |r AS (SELECT doc_id, source AS grp, gate_value,
+          |             percent_rank() OVER (PARTITION BY source
+          |                                  ORDER BY gate_value) AS pct_rank
+          |      FROM b)
+          |SELECT doc_id, grp, gate_value, pct_rank FROM r
+          |WHERE pct_rank >= 0.1 AND pct_rank <= 0.9""".stripMargin)),
+
     // SimHash near-dup endpoint: Hamming distance between consecutive docs'
     // fingerprints (bit_count of xor — identical in both engines).
     ("dedup_simhash_pairs",

@@ -191,6 +191,48 @@ object Sampling {
    * zero-cost literal projection, so specifying the mix globally costs
    * nothing over the per-group form.
    */
+  /**
+   * Percentile-band gate per group — "keep documents between the p10 and
+   * p90 of their source's length distribution", the outlier-trimming
+   * curation gate (too-short = fragments, too-long = concatenation junk),
+   * generalized to any numeric column. A row is kept when its exact
+   * `percent_rank` within the group — (min-rank − 1)/(n − 1), ties share a
+   * rank, single-row groups rank 0 — lies in [lo, hi]. The rank is an
+   * exact integer ratio, so the double it lands in is identical in every
+   * engine (correctly-rounded integer division — no transcendental hazard).
+   *
+   * Scale shape — the skew discipline: a direct `percent_rank() OVER
+   * (PARTITION BY group ORDER BY value)` sorts each ENTIRE group in one
+   * task (a billion-doc source = one straggler). Instead the rank comes
+   * from the group's value HISTOGRAM: aggregate (group, value) counts
+   * (map-side-combinable — the exchange carries distinct values, not
+   * documents), run the running-sum window over histogram rows (bounded by
+   * distinct values per group), and equi-join the rank back. Documents
+   * never sort; the window input is the histogram.
+   */
+  def percentileGate(df: DataFrame, groupCol: Column, idCol: Column,
+      valueCol: Column, lo: Double, hi: Double): DataFrame = {
+    require(lo >= 0.0 && hi <= 1.0 && lo <= hi, "need 0 <= lo <= hi <= 1")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(idCol.as("doc_id"), groupCol.as("grp"),
+      valueCol.cast("long").as("gate_value"))
+    val byVal = Window.partitionBy(col("grp")).orderBy(col("gate_value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("grp"))
+    val hist = base.groupBy(col("grp"), col("gate_value"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(byVal))
+      .withColumn("n_total", sum(col("cnt")).over(whole))
+      .withColumn("pct_rank",
+        when(col("n_total") === 1, lit(0.0))
+          .otherwise((col("cum") - col("cnt")).cast("double") /
+            (col("n_total") - 1).cast("double")))
+      .select(col("grp"), col("gate_value"), col("pct_rank"))
+    base.join(hist, Seq("grp", "gate_value"))
+      .filter(col("pct_rank") >= lo && col("pct_rank") <= hi)
+      .select(col("doc_id"), col("grp"), col("gate_value"), col("pct_rank"))
+  }
+
   def tokenMix(df: DataFrame, sourceCol: Column, idCol: Column,
       tokenCol: Column, mix: Seq[(String, Long)], totalBudget: Long): DataFrame = {
     require(mix.nonEmpty && mix.forall(_._2 > 0), "mix weights must be positive")

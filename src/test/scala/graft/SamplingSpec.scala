@@ -189,4 +189,27 @@ class SamplingSpec extends SparkSpec {
     assert(sampled.select("id").as[Long].collect().sorted.toSeq ==
       again.select("id").as[Long].collect().sorted.toSeq)
   }
+
+  test("percentileGate: histogram ranks equal percent_rank; ties share; single-row group ranks 0") {
+    // g: values 1,2,2,3,4 -> pct 0, .25, .25, .75, 1.0; h: one row -> 0
+    val df = Seq(
+      ("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 2L), ("g", 4L, 3L), ("g", 5L, 4L),
+      ("h", 6L, 99L))
+      .toDF("grp", "id", "v")
+    val got = Sampling.percentileGate(df, col("grp"), col("id"), col("v"),
+        lo = 0.2, hi = 0.8)
+      .select("doc_id", "pct_rank").as[(Long, Double)].collect().toMap
+    assert(got == Map(2L -> 0.25, 3L -> 0.25, 4L -> 0.75))
+    // lo = 0 admits the single-row group and every minimum
+    val all = Sampling.percentileGate(df, col("grp"), col("id"), col("v"),
+        lo = 0.0, hi = 1.0)
+      .select("doc_id", "pct_rank").as[(Long, Double)].collect().toMap
+    assert(all(6L) == 0.0 && all(1L) == 0.0 && all.size == 6)
+    // property: the histogram form reproduces the engine's own percent_rank
+    import org.apache.spark.sql.expressions.Window
+    val direct = df.withColumn("pr", percent_rank().over(
+        Window.partitionBy(col("grp")).orderBy(col("v"))))
+      .select("id", "pr").as[(Long, Double)].collect().toMap
+    assert(all == direct.map { case (k, v) => k -> v })
+  }
 }
