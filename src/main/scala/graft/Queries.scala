@@ -4412,6 +4412,28 @@ object Queries {
           |SELECT doc_id, grp, gate_value, pct_rank FROM r
           |WHERE pct_rank >= 0.1 AND pct_rank <= 0.9""".stripMargin)),
 
+    // The same band as a per-source THRESHOLD artifact (one row per source)
+    // — what a streaming gate broadcast-joins against arriving documents;
+    // `BETWEEN v_lo AND v_hi` admits exactly the rows the gate keeps.
+    ("corpus_length_thresholds",
+      (s: SparkSession, d: String) =>
+        Sampling.percentileThresholds(Tables.documents(s, d), col("source"),
+          size(TextOps.tokens(TextOps.normalize(col("text")))),
+          lo = 0.1, hi = 0.9),
+      Some(
+        """WITH b AS (
+          |  SELECT source,
+          |         len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+          |                          ' '))::bigint AS gate_value
+          |  FROM documents),
+          |r AS (SELECT source AS grp, gate_value,
+          |             percent_rank() OVER (PARTITION BY source
+          |                                  ORDER BY gate_value) AS pr
+          |      FROM b)
+          |SELECT grp, min(CASE WHEN pr >= 0.1 THEN gate_value END)::bigint AS v_lo,
+          |       max(CASE WHEN pr <= 0.9 THEN gate_value END)::bigint AS v_hi
+          |FROM r GROUP BY 1""".stripMargin)),
+
     // SimHash near-dup endpoint: Hamming distance between consecutive docs'
     // fingerprints (bit_count of xor — identical in both engines).
     ("dedup_simhash_pairs",

@@ -213,13 +213,22 @@ object Sampling {
   def percentileGate(df: DataFrame, groupCol: Column, idCol: Column,
       valueCol: Column, lo: Double, hi: Double): DataFrame = {
     require(lo >= 0.0 && hi <= 1.0 && lo <= hi, "need 0 <= lo <= hi <= 1")
-    import org.apache.spark.sql.expressions.Window
     val base = df.select(idCol.as("doc_id"), groupCol.as("grp"),
       valueCol.cast("long").as("gate_value"))
+    base.join(rankHistogram(base), Seq("grp", "gate_value"))
+      .filter(col("pct_rank") >= lo && col("pct_rank") <= hi)
+      .select(col("doc_id"), col("grp"), col("gate_value"), col("pct_rank"))
+  }
+
+  /** Per-(group, value) exact percent_rank from the value histogram — the
+    * shared core of [[percentileGate]] and [[percentileThresholds]].
+    * Input needs `grp` and `gate_value` columns. */
+  private def rankHistogram(base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byVal = Window.partitionBy(col("grp")).orderBy(col("gate_value"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.partitionBy(col("grp"))
-    val hist = base.groupBy(col("grp"), col("gate_value"))
+    base.groupBy(col("grp"), col("gate_value"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(byVal))
       .withColumn("n_total", sum(col("cnt")).over(whole))
@@ -228,9 +237,28 @@ object Sampling {
           .otherwise((col("cum") - col("cnt")).cast("double") /
             (col("n_total") - 1).cast("double")))
       .select(col("grp"), col("gate_value"), col("pct_rank"))
-    base.join(hist, Seq("grp", "gate_value"))
-      .filter(col("pct_rank") >= lo && col("pct_rank") <= hi)
-      .select(col("doc_id"), col("grp"), col("gate_value"), col("pct_rank"))
+  }
+
+  /**
+   * The percentile band as a per-group VALUE-THRESHOLD artifact —
+   * `[v_lo, v_hi]` = the smallest value at-or-above rank `lo` and the
+   * largest at-or-below `hi`. Because percent_rank is monotone in the value
+   * and ties share a rank, `value BETWEEN v_lo AND v_hi` admits EXACTLY the
+   * rows [[percentileGate]] keeps — but as a tiny static table (one row per
+   * group) a STREAMING gate broadcast-joins against arriving documents, the
+   * operational train-then-serve shape (thresholds freeze at training time;
+   * re-derive on drift). A group whose histogram leaves the band empty
+   * yields null thresholds — `between` is then never true, matching the
+   * batch gate dropping every row.
+   */
+  def percentileThresholds(df: DataFrame, groupCol: Column, valueCol: Column,
+      lo: Double, hi: Double): DataFrame = {
+    require(lo >= 0.0 && hi <= 1.0 && lo <= hi, "need 0 <= lo <= hi <= 1")
+    val base = df.select(groupCol.as("grp"), valueCol.cast("long").as("gate_value"))
+    rankHistogram(base)
+      .groupBy(col("grp"))
+      .agg(min(when(col("pct_rank") >= lo, col("gate_value"))).as("v_lo"),
+        max(when(col("pct_rank") <= hi, col("gate_value"))).as("v_hi"))
   }
 
   def tokenMix(df: DataFrame, sourceCol: Column, idCol: Column,

@@ -508,6 +508,42 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming length gate via static percentile thresholds matches batch percentileGate") {
+    implicit val sqlCtx = spark.sqlContext
+    // lengths 1..20 in one source: p10-p90 band = values 3..19 by
+    // percent_rank; the streaming gate must admit exactly the batch set
+    val rows = (1L to 20L).map(i => (i, ("tok " * i.toInt).trim, "s1"))
+    val batchDocs = rows.toDF("doc_id", "text", "source")
+    val lenCol = size(TextOps.tokens(TextOps.normalize(col("text"))))
+    val batchKept = Sampling.percentileGate(batchDocs, col("source"),
+        col("doc_id"), lenCol, lo = 0.1, hi = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+
+    // thresholds freeze as a batch-trained artifact; the stream
+    // broadcast-joins and range-filters — a pure stream-static shape
+    val thresholds = Sampling.percentileThresholds(batchDocs, col("source"),
+      lenCol, lo = 0.1, hi = 0.9)
+    val input = MemoryStream[(Long, String, String)]
+    val streamed = input.toDF().toDF("doc_id", "text", "source")
+      .withColumn("grp", col("source"))
+      .withColumn("gate_value", lenCol.cast("long"))
+      .join(broadcast(thresholds), Seq("grp"))
+      .filter(col("gate_value").between(col("v_lo"), col("v_hi")))
+      .select("doc_id")
+    val q = streamed.writeStream.format("memory").queryName("len_gate_out")
+      .option("checkpointLocation", Files.createTempDirectory("len-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows.take(10): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(10): _*)
+      q.processAllAvailable()
+      val got = spark.table("len_gate_out").as[Long].collect().toSet
+      assert(got == batchKept, s"stream $got != batch $batchKept")
+      assert(batchKept.nonEmpty && batchKept.size < rows.size)
+    } finally q.stop()
+  }
+
   test("streaming URL dedup: canonical-key dropDuplicates collapses crawl variants") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Web
