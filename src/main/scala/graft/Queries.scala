@@ -3221,6 +3221,93 @@ object Queries {
           |      FROM s)
           |WHERE "rank" <= 5""".stripMargin)),
 
+    // SQ8 scalar-quantized search: the cheapest ANN tier — corpus + queries
+    // quantized to int8 with ONE corpus-trained symmetric scale, scored by
+    // integer dot products (4× smaller vectors, integer-only loop, and —
+    // unlike the LSH/IVF pruning tiers — every candidate is still scored).
+    // Fully integer-exact: rank, neighbor and iscore carry no float anywhere.
+    ("sim_topk_int8",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.int8TopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5)
+          .select(col("query_id"), col("rank").cast("int").as("rank"),
+            col("neighbor_id"), col("iscore"))
+      },
+      Some(
+        """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS ve
+          |           FROM embeddings),
+          |a AS (SELECT max(list_aggregate(list_transform(ve, x -> abs(x)), 'max')) AS amax
+          |      FROM v),
+          |l AS (SELECT vec_id,
+          |             list_transform(ve, x -> CASE WHEN amax = 0 THEN 0
+          |               ELSE round(x / amax * 127.0)::int END) AS lv
+          |      FROM v CROSS JOIN a),
+          |q AS (SELECT * FROM l WHERE vec_id < 10),
+          |s AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |         list_sum(list_transform(generate_series(1, len(q.lv)),
+          |           i -> (q.lv[i] * c.lv[i])::bigint))::bigint AS iscore
+          |  FROM q CROSS JOIN l c WHERE q.vec_id != c.vec_id)
+          |SELECT query_id, cast("rank" AS int) AS "rank", neighbor_id, iscore
+          |FROM (SELECT query_id, neighbor_id, iscore,
+          |             row_number() OVER (PARTITION BY query_id
+          |                                ORDER BY iscore DESC, neighbor_id) AS "rank"
+          |      FROM s)
+          |WHERE "rank" <= 5""".stripMargin)),
+
+    // SQ8 recall gate against the exact-MIPS baseline (raw inner product —
+    // the score the integer dot approximates; cosine would be the wrong
+    // baseline for a corpus with varying norms). Quantization only reorders
+    // near-ties, so recall sits far above the pruning tiers.
+    ("sim_recall_int8",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") < 10)
+        val brute = Similarity.dotTopK(q, emb, "vec_id", "embedding", 5)
+        val approx = Similarity.int8TopK(q, emb, "vec_id", "embedding", 5)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        brute.select(col("query_id"), col("neighbor_id"))
+          .join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+          .withColumn("recall", col("n_hit").cast("double") / col("n_true"))
+      },
+      Some(
+        """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS ve
+          |           FROM embeddings),
+          |a AS (SELECT max(list_aggregate(list_transform(ve, x -> abs(x)), 'max')) AS amax
+          |      FROM v),
+          |l AS (SELECT vec_id,
+          |             list_transform(ve, x -> CASE WHEN amax = 0 THEN 0
+          |               ELSE round(x / amax * 127.0)::int END) AS lv
+          |      FROM v CROSS JOIN a),
+          |q AS (SELECT * FROM v WHERE vec_id < 10),
+          |brute AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+          |             list_dot_product(q.ve, c.ve) DESC, c.vec_id) AS rnk
+          |    FROM q CROSS JOIN v c WHERE q.vec_id != c.vec_id)
+          |  WHERE rnk <= 5),
+          |ql AS (SELECT * FROM l WHERE vec_id < 10),
+          |approx AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+          |             list_sum(list_transform(generate_series(1, len(q.lv)),
+          |               i -> (q.lv[i] * c.lv[i])::bigint)) DESC, c.vec_id) AS rnk
+          |    FROM ql q CROSS JOIN l c WHERE q.vec_id != c.vec_id)
+          |  WHERE rnk <= 5)
+          |SELECT b.query_id,
+          |       count(*) AS n_true,
+          |       cast(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_hit,
+          |       cast(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS double)
+          |         / count(*) AS recall
+          |FROM brute b
+          |LEFT JOIN approx a ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+          |GROUP BY 1""".stripMargin)),
+
     // ---- Embedding transforms: normalize / quantize / project -------------
     // Array columns stay internal; the oracle compares scalar derivations
     // (norms, first elements, integer checksums) — all bit-exact because both

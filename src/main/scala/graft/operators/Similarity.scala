@@ -798,6 +798,96 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("d2"))
   }
 
+  /** Exact inner-product (MIPS) brute-force top-k — the full-precision
+    * baseline [[int8TopK]]'s recall is gated against. Same broadcast shape
+    * as [[cosineTopK]], metric swapped for the raw dot product (the score
+    * SQ8's integer dot approximates; cosine would be the wrong baseline for
+    * a corpus whose norms vary). */
+  def dotTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("qv"), col("cv")).as("score"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
+  /** Symmetric global-scale int8 levels: `round(x / amax · 127)` with the
+    * corpus-wide `amax = max |x|` — every element lands in [-127, 127] by
+    * construction (no clamp branch), and a degenerate all-zero corpus
+    * (amax = 0) maps to level 0. The SYMMETRIC scheme (zero-point = 0) is
+    * what makes the integer dot product rank-faithful: the reconstructed
+    * dot is `(amax/127)² · Σ lq·lc` — one POSITIVE query-independent factor,
+    * so ranking by the integer sum IS ranking by the reconstructed inner
+    * product. An affine scheme (per-dim min/max, like [[Embeddings
+    * .quantizeInt8]]'s storage form) would add query-dependent cross terms
+    * and break that equivalence. */
+  def int8Levels(vec: Column, amax: Double): Column =
+    if (amax == 0.0) transform(vec, _ => lit(0))
+    else transform(vec, x => round(x / lit(amax) * lit(127.0)).cast("int"))
+
+  /** Integer dot product of two int-level arrays as a long — exact in any
+    * engine (per-element products ≤ 127² fit int; the running sum is long). */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Corpus-wide symmetric-quantization scale `max |x|` — SQ8's single
+    * trained artifact. One full-scan aggregation collected as ONE double
+    * (the [[Embeddings.minMaxStats]] precedent: a bounded driver collect of
+    * O(1) model state, folded into the plan as a literal so the level
+    * projection is pure codegen — no scalar cross-join in the plan at all).
+    * A deployment computes this once per index build and stores it next to
+    * the quantized corpus; the catalog row recomputes it in-query under the
+    * honest-recompute convention. */
+  def int8Amax(corpus: DataFrame, vecCol: Column): Double =
+    corpus.select(array_max(transform(asDouble(vecCol), x => abs(x))).as("va"))
+      .agg(max(col("va"))).head.getDouble(0)
+
+  /**
+   * SQ8 scalar-quantized brute-force top-k: the cheapest tier of the ANN
+   * ladder (4× smaller vectors than float32, integer-only score loop),
+   * sitting between exact brute force and PQ/ADC on the quality–cost curve.
+   * Corpus and queries are quantized with the SAME corpus-trained scale
+   * ([[int8Levels]]); each pair costs one integer dot product; ranking is
+   * by integer score desc with id tie-break — fully integer-exact, so the
+   * emitted (rank, neighbor, iscore) triples are bit-identical across
+   * engines with NO float tolerance anywhere.
+   *
+   * Scale shape: identical to [[cosineTopK]] — the O(10) query side is
+   * broadcast, the corpus never shuffles, one rank window over |Q|·k-ish
+   * scored rows. At 100 TB the quantized corpus is the thing that makes
+   * this tier matter: a 64-dim int8 corpus is 64 B/vector, so a scan tier
+   * that would thrash on float32 stays memory-resident 4× longer, and the
+   * integer loop vectorizes. Recall vs the exact-MIPS baseline is measured
+   * by `sim_recall_int8` — quantization noise only reorders near-ties, so
+   * recall sits far above the LSH/IVF pruning tiers (which DROP candidates;
+   * SQ8 scores every one, just coarser).
+   */
+  def int8TopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val amax = int8Amax(corpus, col(vecCol))
+    val q = queries.select(col(idCol).as("query_id"),
+      int8Levels(asDouble(col(vecCol)), amax).as("ql"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      int8Levels(asDouble(col(vecCol)), amax).as("cl"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        intDot(col("ql"), col("cl")).as("iscore"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("iscore").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("iscore"))
+  }
+
   /** Bucketed ANN top-k: same contract as [[cosineTopK]] but joins on the
     * LSH bucket, so each query only scores its bucket's corpus rows. */
   def bucketedTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,

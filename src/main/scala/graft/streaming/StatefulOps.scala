@@ -417,6 +417,57 @@ object StatefulOps {
       }
   }
 
+  /**
+   * Watermarked STREAM-STREAM interval join — the streaming analogue of
+   * [[graft.operators.IntervalJoin.intervalJoin]]: every point row joined
+   * to every interval row containing it (half-open `start <= t < end`)
+   * within equal keys, as both sides arrive.
+   *
+   * Structured Streaming can only bound join STATE when the condition
+   * relates the two event-time columns in both directions, so the caller
+   * declares `maxSpanSec`, a hard upper bound on interval length, and the
+   * join condition carries the derived two-sided range
+   * `start <= t AND t <= start + maxSpan` alongside the exact predicate —
+   * that is what lets each side's state age out at
+   * (watermark − maxSpan) instead of growing forever. The bound is
+   * ENFORCED, not trusted: an interval longer than `maxSpanSec` would be
+   * silently truncated to its first `maxSpanSec` of matches, so the
+   * interval side raises on such a row instead (fail loudly over quietly
+   * wrong — the batch operator has no such constraint, use it for
+   * unbounded spans).
+   *
+   * Output: inner join only — late points beyond the watermark are dropped
+   * by the engine, exactly once per (point, interval) match (no tiling, so
+   * no dedup concern). Scale shape: both sides shuffle on the equi-keys;
+   * per-key state is bounded by arrival rate × (watermark + maxSpan).
+   */
+  def intervalJoinStream(points: DataFrame, intervals: DataFrame,
+      pointTime: String, startCol: String, endCol: String,
+      keys: Seq[String], maxSpanSec: Long,
+      watermark: String): DataFrame = {
+    require(maxSpanSec >= 1, "need a positive max interval span")
+    require(keys.nonEmpty, "stream-stream interval join needs equi-keys")
+    val overlap = points.columns.toSet
+      .intersect(intervals.columns.toSet) -- keys
+    require(overlap.isEmpty,
+      s"non-key columns appear on both sides: ${overlap.mkString(", ")}")
+    val p = points.withWatermark(pointTime, watermark).alias("gp")
+    val i = intervals
+      .withColumn(endCol,
+        when(col(endCol).cast("long") > col(startCol).cast("long") + maxSpanSec,
+          raise_error(concat(lit(s"intervalJoinStream: interval span exceeds " +
+            s"maxSpanSec=$maxSpanSec at start="), col(startCol).cast("string"))))
+          .otherwise(col(endCol)))
+      .withWatermark(startCol, watermark).alias("gi")
+    val cond = (keys.map(k => s"gp.`$k` = gi.`$k`") ++ Seq(
+      s"gp.`$pointTime` >= gi.`$startCol`",
+      s"gp.`$pointTime` < gi.`$endCol`",
+      s"gp.`$pointTime` <= gi.`$startCol` + interval $maxSpanSec seconds"))
+      .mkString(" AND ")
+    val joined = p.join(i, expr(cond), "inner")
+    keys.foldLeft(joined)((d, k) => d.drop(i(k)))
+  }
+
   /** Typed view of the parsed stream for the stateful operators. */
   def typed(parsed: DataFrame): Dataset[FlightEvent] = {
     import parsed.sparkSession.implicits._

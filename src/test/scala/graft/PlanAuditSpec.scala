@@ -27,6 +27,10 @@ class PlanAuditSpec extends SparkSpec {
     // centroids (broadcast both-tiny); member scoring is equi-join only
     "sim_recall_pq", "sim_recall_pq_rerank", "sim_ivfpq_topk",
     "sim_recall_ivfpq_rerank",
+    // SQ8: both the integer-dot search and its exact-MIPS recall baseline
+    // broadcast the O(10) query side against the corpus (brute-force tier
+    // by design; the amax scale is a folded literal, not a plan node)
+    "sim_topk_int8", "sim_recall_int8",
     // tfidf: the n_docs corpus scalar is a provably 1-row broadcast side
     "text_tfidf_topk")
 

@@ -328,4 +328,50 @@ class SimilaritySpec extends SparkSpec {
     assert(frames.count() == 4)
     assert(frames.select(max(col("frame_idx"))).as[Int].collect()(0) == 3)
   }
+
+  test("int8TopK: exactly-representable levels reproduce the exact MIPS ranking") {
+    // every element is k/127 of amax=127 → levels round-trip with zero error,
+    // so the integer ranking must equal the full-precision dot ranking
+    val corpus = vecs(
+      (0L, Seq(127f, 0f)),
+      (1L, Seq(100f, 10f)),
+      (2L, Seq(50f, 50f)),
+      (3L, Seq(0f, 127f)),
+      (4L, Seq(-127f, 0f)))
+    val q = corpus.filter(col("vec_id") === 0)
+    val int8 = Similarity.int8TopK(q, corpus, "vec_id", "embedding", 4)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    val exact = Similarity.dotTopK(q, corpus, "vec_id", "embedding", 4)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(int8 == exact && int8 == Seq(1L, 2L, 3L, 4L))
+    // iscore is the raw integer dot: q=(127,0) · c1=(100,10) = 12700
+    val s1 = Similarity.int8TopK(q, corpus, "vec_id", "embedding", 4)
+      .filter(col("neighbor_id") === 1).select("iscore").as[Long].collect()(0)
+    assert(s1 == 12700L)
+  }
+
+  test("int8TopK: all-zero corpus (amax = 0) maps to level 0 with zero scores") {
+    val corpus = vecs((0L, Seq(0f, 0f)), (1L, Seq(0f, 0f)), (2L, Seq(0f, 0f)))
+    val got = Similarity.int8TopK(corpus.filter(col("vec_id") === 0), corpus,
+      "vec_id", "embedding", 2)
+    assert(got.count() == 2)
+    assert(got.select("iscore").as[Long].collect().forall(_ == 0L))
+    // ties broken by neighbor id
+    assert(got.orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+      == Seq(1L, 2L))
+  }
+
+  test("int8TopK recall vs exact MIPS is near-perfect on random vectors") {
+    val rng = new scala.util.Random(7)
+    val corpus = (0L until 60L).map(i =>
+      (i, Seq.fill(8)(rng.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") < 5)
+    val exact = Similarity.dotTopK(q, corpus, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.int8TopK(q, corpus, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // SQ8 scores EVERY candidate (no pruning) — only near-ties can flip
+    assert(recall >= 0.8, s"recall $recall")
+  }
 }

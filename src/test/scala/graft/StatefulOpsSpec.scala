@@ -283,4 +283,80 @@ class StatefulOpsSpec extends SparkSpec {
         s"stream sessions $got != batch session_window $oracle")
     } finally q.stop()
   }
+
+  test("intervalJoinStream: batch parity, boundary semantics, exactly-once matches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val pIn = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val iIn = MemoryStream[(String, java.sql.Timestamp, java.sql.Timestamp, Long)]
+    val joined = StatefulOps.intervalJoinStream(
+      pIn.toDF().toDF("user", "t", "point_id"),
+      iIn.toDF().toDF("user", "start", "end", "iv_id"),
+      "t", "start", "end", keys = Seq("user"), maxSpanSec = 3600L,
+      // generous delay: the out-of-order arrivals below must NOT be dropped
+      // as late (late-drop behavior is the engine's, not under test here)
+      watermark = "2 hours")
+    val q = joined.writeStream.format("memory").queryName("ivj_out")
+      .option("checkpointLocation", Files.createTempDirectory("ivj-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    // points: p1 inside both overlapping A-intervals; p2 exactly at an end
+    // (excluded); p3 exactly at a start (included); p4 wrong user
+    val points = Seq(
+      ("A", ts("2024-01-01 10:10:00"), 1L),
+      ("A", ts("2024-01-01 10:30:00"), 2L),
+      ("A", ts("2024-01-01 10:15:00"), 3L),
+      ("B", ts("2024-01-01 10:10:00"), 4L))
+    val intervals = Seq(
+      ("A", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00"), 10L),
+      ("A", ts("2024-01-01 10:15:00"), ts("2024-01-01 10:45:00"), 11L),
+      ("C", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 12L))
+    try {
+      // interleave across micro-batches, intervals arriving after points
+      pIn.addData(points.take(2))
+      q.processAllAvailable()
+      iIn.addData(intervals.take(2))
+      q.processAllAvailable()
+      pIn.addData(points.drop(2))
+      iIn.addData(intervals.drop(2))
+      q.processAllAvailable()
+      val got = spark.table("ivj_out").select("point_id", "iv_id")
+        .as[(Long, Long)].collect().toSeq.sorted
+      val oracle = graft.operators.IntervalJoin.intervalJoin(
+          points.toDF("user", "t", "point_id"),
+          intervals.toDF("user", "start", "end", "iv_id"),
+          "t", "start", "end", keys = Seq("user"), bucketWidthSec = 600L)
+        .select("point_id", "iv_id").as[(Long, Long)].collect().toSeq.sorted
+      assert(got == oracle, s"stream $got != batch $oracle")
+      // p1 only in iv 10 (before iv 11 opens), p2 only in iv 11
+      // (end-exclusive on iv 10), p3 in both (start-inclusive on iv 11)
+      assert(got == Seq((1L, 10L), (2L, 11L), (3L, 10L), (3L, 11L)))
+    } finally q.stop()
+  }
+
+  test("intervalJoinStream: an interval longer than maxSpanSec raises") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val pIn = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val iIn = MemoryStream[(String, java.sql.Timestamp, java.sql.Timestamp, Long)]
+    val joined = StatefulOps.intervalJoinStream(
+      pIn.toDF().toDF("user", "t", "point_id"),
+      iIn.toDF().toDF("user", "start", "end", "iv_id"),
+      "t", "start", "end", keys = Seq("user"), maxSpanSec = 60L,
+      watermark = "0 seconds")
+    val q = joined.writeStream.format("memory").queryName("ivj_bad_out")
+      .option("checkpointLocation", Files.createTempDirectory("ivjb-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      pIn.addData(("A", ts("2024-01-01 10:00:30"), 1L))
+      iIn.addData(("A", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 2L))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("interval span exceeds")), msgs(e).mkString("; "))
+    } finally q.stop()
+  }
 }
