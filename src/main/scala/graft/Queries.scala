@@ -2716,31 +2716,25 @@ object Queries {
           split.filter(col("split") === "train"),
           col("text"), col("doc_id"), n = 3, threshold = 0.9)
       },
-      Some(
-        """WITH toks AS (
-          |  SELECT doc_id,
-          |         ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint % 100 AS b,
-          |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
-          |  FROM documents),
-          |sh AS (
-          |  SELECT DISTINCT doc_id, b, shingle FROM (
-          |    SELECT doc_id, b,
-          |           unnest(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
-          |                  ELSE list_transform(range(0, len(toks) - 2),
-          |                                      i -> array_to_string(toks[i + 1:i + 3], ' ')) END) AS shingle
-          |    FROM toks)),
-          |train AS (SELECT DISTINCT shingle FROM sh WHERE b < 80),
-          |tst AS (SELECT doc_id, shingle FROM sh WHERE b >= 90),
-          |ov AS (
-          |  SELECT t.doc_id, count(*)::bigint AS n_shingles,
-          |         sum(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END)::bigint AS n_overlap
-          |  FROM tst t LEFT JOIN train tr ON t.shingle = tr.shingle
-          |  GROUP BY 1)
-          |SELECT doc_id, n_shingles, n_overlap,
-          |       cast(n_overlap AS double) / n_shingles AS overlap_ratio,
-          |       (CASE WHEN cast(n_overlap AS double) / n_shingles >= 0.9
-          |             THEN 1 ELSE 0 END)::int AS contaminated
-          |FROM ov""".stripMargin)),
+      Some(contaminationOracleSql)),
+
+    // The at-scale decontamination form: training shingles pre-filtered
+    // through a bloom sketch of the (tiny) test shingle set — a scalar-
+    // subquery probe that kills non-candidate shingles map-side, BEFORE the
+    // distinct's exchange. Blooms have no false negatives and the exact
+    // equi-join removes false positives, so the result is row-identical to
+    // text_contamination — same oracle SQL, same hash.
+    ("text_contamination_bloom",
+      (s: SparkSession, d: String) => {
+        val split = Sampling.hashSplit(Tables.documents(s, d), col("doc_id"),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        TextOps.contaminationBloom(
+          split.filter(col("split") === "test"),
+          split.filter(col("split") === "train"),
+          col("text"), col("doc_id"), n = 3, threshold = 0.9,
+          expectedItems = 1L << 17)
+      },
+      Some(contaminationOracleSql)),
 
     // Bigram LM scoring (log-free perplexity stand-in): corpus bigram model,
     // per-doc mean conditional probability quantized to integer
@@ -4897,6 +4891,36 @@ object Queries {
       lit("?utm_source=feed&ref=tw"),
       when(col("doc_id") % 11 === 0, lit("&page=2")).otherwise(lit("")),
       when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit("")))
+
+  /** The train/test contamination oracle — shared VERBATIM by
+    * `text_contamination` and `text_contamination_bloom`: the bloom variant
+    * is exact (no false negatives + exact verify join), so both rows must
+    * hash-match this one SQL. */
+  private lazy val contaminationOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint % 100 AS b,
+      |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, b, shingle FROM (
+      |    SELECT doc_id, b,
+      |           unnest(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+      |                  ELSE list_transform(range(0, len(toks) - 2),
+      |                                      i -> array_to_string(toks[i + 1:i + 3], ' ')) END) AS shingle
+      |    FROM toks)),
+      |train AS (SELECT DISTINCT shingle FROM sh WHERE b < 80),
+      |tst AS (SELECT doc_id, shingle FROM sh WHERE b >= 90),
+      |ov AS (
+      |  SELECT t.doc_id, count(*)::bigint AS n_shingles,
+      |         sum(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END)::bigint AS n_overlap
+      |  FROM tst t LEFT JOIN train tr ON t.shingle = tr.shingle
+      |  GROUP BY 1)
+      |SELECT doc_id, n_shingles, n_overlap,
+      |       cast(n_overlap AS double) / n_shingles AS overlap_ratio,
+      |       (CASE WHEN cast(n_overlap AS double) / n_shingles >= 0.9
+      |             THEN 1 ELSE 0 END)::int AS contaminated
+      |FROM ov""".stripMargin
 
   /** DuckDB CTE body deriving the CANONICAL parts of [[webUrl]] from the
     * same doc_id arithmetic — independent of the Spark normalizer: the

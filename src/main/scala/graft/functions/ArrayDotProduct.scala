@@ -87,4 +87,27 @@ object GraftFunctions {
     * candidates exactly for an order-independent final answer. */
   def mg_candidates(key: Column, capacity: Int): Column =
     bridge.column(MisraGries(bridge.expression(key), capacity).toAggregateExpression())
+
+  /** Aggregate: bloom membership sketch over LONG inputs (hash strings with
+    * `xxhash64` first) — Spark's own runtime-join-filter aggregate
+    * ([[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]]),
+    * lifted to the Column API (the SQL names `bloom_agg`/`bloom_might_contain`
+    * are also registered by [[graft.plans.GraftExtensions]]). ~1 byte/item at
+    * the default ~3 % false-positive rate; no false negatives ever. */
+  def bloom_agg(c: Column, expectedItems: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    bridge.column(new BloomFilterAggregate(bridge.expression(c),
+      Literal(expectedItems)).toAggregateExpression())
+  }
+
+  /** Membership probe against a [[bloom_agg]] sketch. Spark requires the
+    * sketch side to be a CONSTANT or scalar subquery (pass
+    * `sketchDf.scalar()` or a collected `lit(bytes)`) — that is what lets
+    * the probe compile to a map-side filter with no join in the plan. */
+  def bloom_might_contain(sketch: Column, value: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    bridge.column(BloomFilterMightContain(
+      bridge.expression(sketch), bridge.expression(value)))
+  }
 }

@@ -242,8 +242,55 @@ object TextOps {
       explode(shingles(normalize(textCol), n)).as("shingle"))
     val trainSh = train
       .select(explode(shingles(normalize(textCol), n)).as("shingle"))
-      .distinct()
-      .withColumn("hit", lit(1L))
+    contaminationScore(testSh, trainSh, threshold)
+  }
+
+  /**
+   * [[contamination]] with the training side pre-filtered through a bloom
+   * sketch of the TEST shingle set — the at-scale form of benchmark
+   * decontamination. The asymmetry this exploits: the held-out benchmark is
+   * tiny (thousands of docs) while the training corpus is the 100 TB side,
+   * and [[contamination]] pays a full distinct + equi-join over EVERY
+   * distinct training shingle even though almost none can match. Here the
+   * test shingles aggregate into one bloom sketch
+   * ([[graft.functions.GraftFunctions.bloom_agg]] — Spark's own runtime
+   * join-filter aggregate, exposed as a column function), attached to the
+   * training scan as a SCALAR SUBQUERY, and training shingles that cannot
+   * be in the test set (the overwhelming majority) die map-side BEFORE the
+   * distinct's exchange — the same plan shape Spark's AQE runtime bloom
+   * filter injects for selective joins, applied where the optimizer cannot
+   * see it (the "join" here is buried under an explode + distinct).
+   *
+   * EXACT, not approximate: blooms have no false negatives, so every true
+   * match survives the pre-filter, and false positives are eliminated by
+   * the exact equi-join that follows — the output is row-for-row identical
+   * to [[contamination]] (spec-pinned, and the catalog row shares
+   * [[contamination]]'s DuckDB oracle verbatim). `expectedItems` sizes the
+   * sketch (~1 byte/item at the default 3 % FPP); undersizing degrades the
+   * prune rate, never correctness.
+   */
+  def contaminationBloom(test: DataFrame, train: DataFrame, textCol: Column,
+      idCol: Column, n: Int = 3, threshold: Double = 0.9,
+      expectedItems: Long = 1L << 20): DataFrame = {
+    import graft.functions.GraftFunctions
+    val testSh = test.select(idCol.as("doc_id"),
+      explode(shingles(normalize(textCol), n)).as("shingle"))
+    val sketch = testSh.select(col("shingle")).distinct()
+      .agg(GraftFunctions.bloom_agg(xxhash64(col("shingle")), expectedItems).as("bf"))
+      .scalar()
+    val trainSh = train
+      .select(explode(shingles(normalize(textCol), n)).as("shingle"))
+      .filter(GraftFunctions.bloom_might_contain(sketch, xxhash64(col("shingle"))))
+    contaminationScore(testSh, trainSh, threshold)
+  }
+
+  /** Shared tail of the contamination family: distinct the training
+    * shingles, left-join the per-doc test shingles against them, score
+    * coverage. Kept as ONE implementation so the bloom-prefiltered form is
+    * identical-by-construction to the exact form after its prefilter. */
+  private def contaminationScore(testSh: DataFrame, trainShRaw: DataFrame,
+      threshold: Double): DataFrame = {
+    val trainSh = trainShRaw.distinct().withColumn("hit", lit(1L))
     testSh.join(trainSh, Seq("shingle"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),

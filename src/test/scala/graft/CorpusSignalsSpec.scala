@@ -67,6 +67,35 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(r(1).getDouble(3) == 0.0 && r(1).getInt(4) == 0)
   }
 
+  test("contaminationBloom: row-identical to the exact form; probe is a map-side filter") {
+    // mixed corpus: verbatim leak, partial overlap, disjoint — plus enough
+    // filler that the bloom prune actually has non-candidates to kill
+    val train = ((1L, "the quick brown fox jumps over the lazy dog") +:
+      (100L until 160L).map(i => (i, s"filler train doc $i with its own unique words w$i v$i")))
+      .toDF("doc_id", "text")
+    val test = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "completely novel held out material here"),
+      (12L, "the quick brown fox went somewhere else entirely")
+    ).toDF("doc_id", "text")
+    val exact = TextOps.contamination(test, train, col("text"), col("doc_id"),
+      n = 3, threshold = 0.9).orderBy("doc_id").collect().toSeq
+    val bloom = TextOps.contaminationBloom(test, train, col("text"), col("doc_id"),
+      n = 3, threshold = 0.9, expectedItems = 1024L).orderBy("doc_id").collect().toSeq
+    assert(bloom == exact, s"bloom form diverged:\n$bloom\nvs\n$exact")
+    // the probe must be in the plan as a filter expression, not a join
+    val plan = TextOps.contaminationBloom(test, train, col("text"), col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+  }
+
+  test("contaminationBloom: empty test side yields empty output, no crash") {
+    val train = Seq((1L, "some training words here")).toDF("doc_id", "text")
+    val test = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.contaminationBloom(test, train, col("text"), col("doc_id"))
+      .count() == 0L)
+  }
+
   test("lmScore: hand-computed bigram probabilities") {
     // corpus bigrams: "a b" ×1, "a c" ×1 → P(b|a) = P(c|a) = 1/2 exactly;
     // each doc's mean = 0.5 (the 2^30 quantization is exact for 1/2)
