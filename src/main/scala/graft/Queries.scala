@@ -3445,6 +3445,41 @@ object Queries {
            |FROM r3""".stripMargin
       }),
 
+    // Triangle counting by degree-ordered orientation (compact-forward):
+    // the O(m^1.5) wedge bound that survives celebrity nodes — each edge
+    // directed low→high in (degree, node) order caps every out-degree at
+    // O(√m). Graph: parts co-purchased within an order (first two
+    // lineitems, so the per-order pair expansion is bounded at 1). The
+    // oracle re-runs orientation + wedge closing in CTEs; all-long outputs.
+    ("graph_triangles",
+      (s: SparkSession, d: String) => {
+        val li = Tables.lineitem(s, d).filter(col("l_linenumber") <= 2)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val e = li.alias("x")
+          .join(li.alias("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+        Graph.triangleCount(e)
+      },
+      Some(
+        """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+          |            FROM lineitem WHERE l_linenumber <= 2),
+          |e0 AS (SELECT DISTINCT x.pk AS u, y.pk AS v
+          |       FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+          |deg AS (SELECT node, count(*)::bigint AS deg
+          |        FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+          |        GROUP BY 1),
+          |o AS (SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e0.u < e0.v)
+          |                  THEN e0.u ELSE e0.v END AS src,
+          |             CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e0.u < e0.v)
+          |                  THEN e0.v ELSE e0.u END AS dst
+          |      FROM e0 JOIN deg du ON du.node = e0.u JOIN deg dv ON dv.node = e0.v),
+          |w AS (SELECT a.dst AS u, b.dst AS v
+          |      FROM o a JOIN o b ON a.src = b.src AND a.dst < b.dst)
+          |SELECT (SELECT count(*)::bigint FROM deg) AS n_nodes,
+          |       (SELECT count(*)::bigint FROM e0) AS n_edges,
+          |       (SELECT count(*)::bigint FROM w) AS n_wedges,
+          |       (SELECT count(*)::bigint FROM w JOIN e0 USING (u, v)) AS n_triangles""".stripMargin)),
+
     // Min-max feature scaling: per-dimension corpus min/max fitted eagerly
     // to plan-time literals (the bm25-scalars pattern — no 1-row broadcast
     // join), transform stays a zero-shuffle projection. Scalar projections

@@ -66,4 +66,67 @@ object Graph {
     }
     ranks.withColumn("rank_norm", col("rank").cast("double") / lit(RankScale.toDouble))
   }
+
+  /**
+   * Global triangle count over an UNDIRECTED simple graph, by
+   * degree-ordered edge orientation (the compact-forward / node-iterator
+   * algorithm): the scalable form of the clustering / community-density
+   * signal.
+   *
+   * Why orientation is the whole story at scale: the naive wedge join
+   * (neighbors-of-neighbors) explodes Σ deg(v)² pairs — a single celebrity
+   * node with 10M neighbors yields 10¹⁴ wedges. Orienting every edge from
+   * its lower-ranked endpoint to its higher-ranked one under the TOTAL
+   * order (degree, node) makes every node's OUT-degree O(√m) — a node of
+   * degree d > √(2m) cannot have d higher-ranked neighbors of degree ≥ d —
+   * so the wedge space is Σ outdeg(v)² ≤ O(m^1.5), the theoretical optimum,
+   * REGARDLESS of skew. Each triangle then has exactly one apex (its
+   * lowest-ranked vertex — the orientation is acyclic, so each triangle's
+   * three edges form one length-2 path plus its closing edge) and is
+   * counted exactly once, no /3 or /6 correction.
+   *
+   * Input contract: `src`/`dst` columns; direction, duplicates, and
+   * self-loops are all normalized away first (canonical u < v edge set).
+   * Output: ONE row — n_nodes, n_edges (canonical), n_wedges (oriented
+   * length-2 paths — the work actually done), n_triangles. All exact longs.
+   *
+   * Plan shape: degree = one map-side-combined aggregation; orientation =
+   * two equi-joins of the edge list to the (node, degree) table; wedges =
+   * one self-equi-join on the oriented source; closing = one equi-join of
+   * wedges against the canonical edge set; then a single global-count
+   * collapse. No window over neighbor lists, no per-node array
+   * materialization — a hot node's edges stay spread across tasks.
+   */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e0 = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = e0.select(col("u").as("node"))
+      .unionAll(e0.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orientation: src = the (deg, node)-lexicographically smaller endpoint
+    val o = e0
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("v")).otherwise(col("u")).as("dst"))
+    // wedges from a shared apex; dst-order dedup halves the pair space and
+    // lines the wedge up with the canonical (u < v) closing edge
+    val wedges = o.alias("a")
+      .join(o.alias("b"), col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .select(col("a.dst").as("u"), col("b.dst").as("v"))
+    val closed = wedges.join(e0, Seq("u", "v"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = e0.agg(count(lit(1)).as("n_edges"))
+    val nWedges = wedges.agg(count(lit(1)).as("n_wedges"))
+    val nTris = closed.agg(count(lit(1)).as("n_triangles"))
+    // four 1-row frames — the cross joins are scalar assembly, not data flow
+    nNodes.crossJoin(broadcast(nEdges)).crossJoin(broadcast(nWedges))
+      .crossJoin(broadcast(nTris))
+  }
 }

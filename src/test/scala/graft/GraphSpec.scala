@@ -52,6 +52,47 @@ class GraphSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("triangleCount: hand-counted graphs — K4, square+diagonal, triangle-free") {
+    // K4: 4 triangles, 4 nodes, 6 edges
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a != b } yield (a.toLong, b.toLong))
+      .toDF("src", "dst") // both directions + no self-loops: normalization's job
+    val r4 = Graph.triangleCount(k4).collect()(0)
+    assert((r4.getAs[Long]("n_nodes"), r4.getAs[Long]("n_edges"),
+      r4.getAs[Long]("n_triangles")) == ((4L, 6L, 4L)))
+    // square with one diagonal: 2 triangles; wedge count is the oriented
+    // work bound, strictly under the naive Σdeg² blowup
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)).toDF("src", "dst")
+    val rs = Graph.triangleCount(sq).collect()(0)
+    assert(rs.getAs[Long]("n_edges") == 5L && rs.getAs[Long]("n_triangles") == 2L)
+    // triangle-free: a 4-cycle — all degrees tie, id order orients 1→2 and
+    // 1→4, so exactly ONE wedge forms and fails to close (a star would be
+    // the degenerate case: every edge points INTO the hub, zero wedges)
+    val cyc4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val rst = Graph.triangleCount(cyc4).collect()(0)
+    assert(rst.getAs[Long]("n_triangles") == 0L && rst.getAs[Long]("n_wedges") == 1L)
+  }
+
+  test("triangleCount: orientation bounds wedge work on a celebrity node") {
+    // hub connected to 40 leaves, leaves form a 40-cycle: naive wedges at
+    // the hub alone = C(40,2) = 780; degree-orientation gives the hub NO
+    // out-edges (its degree 40 outranks every leaf's 3), so oriented wedge
+    // count stays small while the triangle count (each cycle edge + hub)
+    // is exact
+    val hub = (1L to 40L).map(i => (0L, i))
+    val cycle = (1L to 40L).map(i => (i, if (i == 40L) 1L else i + 1))
+    val r = Graph.triangleCount((hub ++ cycle).toDF("src", "dst")).collect()(0)
+    assert(r.getAs[Long]("n_triangles") == 40L) // one per cycle edge
+    assert(r.getAs[Long]("n_wedges") <= 200L,
+      s"orientation failed to bound wedges: ${r.getAs[Long]("n_wedges")}")
+  }
+
+  test("triangleCount: duplicate/reversed/self-loop edges normalize away") {
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (2L, 2L))
+      .toDF("src", "dst")
+    val r = Graph.triangleCount(messy).collect()(0)
+    assert(r.getAs[Long]("n_edges") == 3L && r.getAs[Long]("n_triangles") == 1L)
+  }
+
   test("labelCentroids: hand-computed quantized means") {
     val docs = Seq(
       (0, Seq(1.0f, -2.0f)),

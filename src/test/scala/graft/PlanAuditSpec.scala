@@ -31,6 +31,9 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast the O(10) query side against the corpus (brute-force tier
     // by design; the amax scale is a folded literal, not a plan node)
     "sim_topk_int8", "sim_recall_int8",
+    // triangle count: the final assembly cross-joins four 1-row global
+    // counts — scalar stitching, not data flow
+    "graph_triangles",
     // tfidf: the n_docs corpus scalar is a provably 1-row broadcast side
     "text_tfidf_topk")
 
