@@ -4329,6 +4329,43 @@ object Queries {
           |WINDOW w AS (PARTITION BY user_id ORDER BY ts
           |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin)),
 
+    // Exponentially time-decayed per-user activity: each event weighted
+    // 2^-floor(age_hours) relative to the user's LATEST event — the recency
+    // signal feature stores keep (EMA-style engagement) in integer-exact
+    // form: weights are exact powers of two scaled by 2^30, so the per-user
+    // sum is an order-independent long. The CASE clamps k before the shift
+    // (both engines mask shift amounts mod 64 — an unguarded `>> k` at
+    // k ≥ 64 silently wraps). One window + one aggregation, both on the
+    // user_id exchange.
+    ("events_decayed_counts",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("tu"))
+          .withColumn("tmax", max(col("tu")).over(w))
+          .withColumn("k", expr("(tmax - tu) div 3600000000"))
+          .withColumn("ws",
+            expr("CASE WHEN k >= 31 THEN 0L ELSE shiftright(1073741824L, cast(k AS int)) END"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("ws")).as("decayed_scaled"))
+          .withColumn("decayed",
+            col("decayed_scaled").cast("double") / lit(1073741824.0))
+      },
+      Some(
+        """WITH e AS (SELECT user_id, epoch_us(ts::timestamp) AS tu FROM events),
+          |m AS (SELECT user_id, tu,
+          |             max(tu) OVER (PARTITION BY user_id) AS tmax FROM e),
+          |k AS (SELECT user_id, (tmax - tu) // 3600000000 AS k FROM m),
+          |w AS (SELECT user_id,
+          |             CASE WHEN k >= 31 THEN 0
+          |                  ELSE 1073741824 >> k END AS ws FROM k)
+          |SELECT user_id, count(*)::bigint AS n_events,
+          |       sum(ws)::bigint AS decayed_scaled,
+          |       sum(ws) / 1073741824.0 AS decayed
+          |FROM w GROUP BY 1""".stripMargin)),
+
     // Session window: 30-minute inactivity gap per user; session end = last
     // event + gap (Spark session_window semantics, reproduced via a
     // lag/cumsum session id in the oracle).

@@ -50,7 +50,11 @@ object ScaleStress {
     // under scaling: k× recrawl pressure per URL, the hot-key agg shape),
     // and the tf-idf chain (31-term vocab per copy-rewrite → k×31 terms,
     // per-doc windows unchanged)
-    "dedup_paragraphs", "web_url_dedup", "text_tfidf_topk")
+    "dedup_paragraphs", "web_url_dedup", "text_tfidf_topk",
+    // r10b: decontamination both ways — the bloom prefilter's prune rate
+    // should WIDEN its lead as the train side grows (test side stays a
+    // fixed fraction; every non-candidate train shingle dies map-side)
+    "text_contamination", "text_contamination_bloom")
 
   def scaledCorpus(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = Tables.documents(spark, baseDir)

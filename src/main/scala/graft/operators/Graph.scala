@@ -98,15 +98,22 @@ object Graph {
    * materialization — a hot node's edges stay spread across tasks.
    */
   def triangleCount(edges: DataFrame): DataFrame = {
+    // materialized once: e0 feeds the degree table, both orientation joins,
+    // the closing join and the edge count — without the checkpoint each of
+    // those subtrees would re-run the normalize+distinct (and the aliased
+    // self-join sides sit below the exchange, where ReuseExchange cannot
+    // dedupe them — the embeddingNearDupBucketed lesson)
     val e0 = edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint()
     val deg = e0.select(col("u").as("node"))
       .unionAll(e0.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    // orientation: src = the (deg, node)-lexicographically smaller endpoint
+    // orientation: src = the (deg, node)-lexicographically smaller endpoint;
+    // materialized so the wedge self-join's two sides read it, not re-join it
     val o = e0
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
@@ -115,18 +122,22 @@ object Graph {
           col("u")).otherwise(col("v")).as("src"),
         when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
           col("v")).otherwise(col("u")).as("dst"))
+      .localCheckpoint()
     // wedges from a shared apex; dst-order dedup halves the pair space and
-    // lines the wedge up with the canonical (u < v) closing edge
+    // lines the wedge up with the canonical (u < v) closing edge. The
+    // closing probe is a LEFT join so ONE pass over the wedge space yields
+    // both the wedge count and the triangle count (e0 is distinct, so the
+    // join cannot inflate the wedge rows).
     val wedges = o.alias("a")
       .join(o.alias("b"), col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
       .select(col("a.dst").as("u"), col("b.dst").as("v"))
-    val closed = wedges.join(e0, Seq("u", "v"))
+    val closedAgg = wedges
+      .join(e0.withColumn("hit", lit(1)), Seq("u", "v"), "left")
+      .agg(count(lit(1)).as("n_wedges"), count(col("hit")).as("n_triangles"))
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     val nEdges = e0.agg(count(lit(1)).as("n_edges"))
-    val nWedges = wedges.agg(count(lit(1)).as("n_wedges"))
-    val nTris = closed.agg(count(lit(1)).as("n_triangles"))
-    // four 1-row frames — the cross joins are scalar assembly, not data flow
-    nNodes.crossJoin(broadcast(nEdges)).crossJoin(broadcast(nWedges))
-      .crossJoin(broadcast(nTris))
+    // three 1-row frames — the cross joins are scalar assembly, not data flow
+    nNodes.crossJoin(broadcast(nEdges)).crossJoin(broadcast(closedAgg))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"))
   }
 }
