@@ -436,17 +436,23 @@ object StatefulOps {
    * wrong — the batch operator has no such constraint, use it for
    * unbounded spans).
    *
-   * Output: inner join only — late points beyond the watermark are dropped
-   * by the engine, exactly once per (point, interval) match (no tiling, so
-   * no dedup concern). Scale shape: both sides shuffle on the equi-keys;
-   * per-key state is bounded by arrival rate × (watermark + maxSpan).
+   * Output: exactly once per (point, interval) match (no tiling, so no
+   * dedup concern); late points beyond the watermark are dropped by the
+   * engine. `joinType` "inner" (default) emits matches only; "left_outer"
+   * also emits each UNMATCHED point — with nulls on the interval side —
+   * once the watermark proves no matching interval can still arrive (the
+   * outside-any-window detector a monitoring pipeline wants). Scale shape:
+   * both sides shuffle on the equi-keys; per-key state is bounded by
+   * arrival rate × (watermark + maxSpan).
    */
   def intervalJoinStream(points: DataFrame, intervals: DataFrame,
       pointTime: String, startCol: String, endCol: String,
       keys: Seq[String], maxSpanSec: Long,
-      watermark: String): DataFrame = {
+      watermark: String, joinType: String = "inner"): DataFrame = {
     require(maxSpanSec >= 1, "need a positive max interval span")
     require(keys.nonEmpty, "stream-stream interval join needs equi-keys")
+    require(Set("inner", "left_outer")(joinType),
+      s"joinType must be inner or left_outer, got $joinType")
     val overlap = points.columns.toSet
       .intersect(intervals.columns.toSet) -- keys
     require(overlap.isEmpty,
@@ -464,7 +470,7 @@ object StatefulOps {
       s"gp.`$pointTime` < gi.`$endCol`",
       s"gp.`$pointTime` <= gi.`$startCol` + interval $maxSpanSec seconds"))
       .mkString(" AND ")
-    val joined = p.join(i, expr(cond), "inner")
+    val joined = p.join(i, expr(cond), joinType)
     keys.foldLeft(joined)((d, k) => d.drop(i(k)))
   }
 

@@ -334,6 +334,41 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinStream left_outer: unmatched point emits nulls after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val pIn = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val iIn = MemoryStream[(String, java.sql.Timestamp, java.sql.Timestamp, Long)]
+    val joined = StatefulOps.intervalJoinStream(
+      pIn.toDF().toDF("user", "t", "point_id"),
+      iIn.toDF().toDF("user", "start", "end", "iv_id"),
+      "t", "start", "end", keys = Seq("user"), maxSpanSec = 600L,
+      watermark = "0 seconds", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ivj_lo_out")
+      .option("checkpointLocation", Files.createTempDirectory("ivjlo-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // p1 covered by an interval; p2 outside every interval
+      pIn.addData(("A", ts("2024-01-01 10:05:00"), 1L),
+        ("A", ts("2024-01-01 10:20:00"), 2L))
+      iIn.addData(("A", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 7L))
+      q.processAllAvailable()
+      // push both watermarks far past p2 + maxSpan so its no-match is proven
+      pIn.addData(("Z", ts("2024-01-01 12:00:00"), 99L))
+      iIn.addData(("Z", ts("2024-01-01 12:00:00"), ts("2024-01-01 12:01:00"), 98L))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("ivj_lo_out")
+        .filter(col("user") === "A")
+        .select(col("point_id"), col("iv_id"))
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toSet
+      assert(got == Set((1L, 7L), (2L, -1L)),
+        s"expected match + null-padded unmatched point, got $got")
+    } finally q.stop()
+  }
+
   test("intervalJoinStream: an interval longer than maxSpanSec raises") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
