@@ -68,12 +68,76 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Native codegen'd integer dot product over two `array<int>` columns,
+ * summing into a LONG — [[ArrayDotProduct]]'s exact-arithmetic sibling for
+ * quantized-level vectors (SQ8/PQ codes). The built-in
+ * `aggregate(zip_with(...))` chain is a HigherOrderFunction — CodegenFallback,
+ * two interpreted closures and an allocated intermediate array per row —
+ * which is the difference between a memory-bound and a compute-bound scan
+ * when the expression runs |queries|×|corpus| times. Per-element products
+ * fit int (the caller's levels are within ±127 — but the long accumulator
+ * is widened BEFORE the multiply anyway, so even full-range int inputs
+ * cannot overflow); the sum is an exact long in both the interpreted and
+ * generated paths.
+ */
+case class ArrayDotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"array_dot_long requires (array<int>, array<int>), got ($l, $r)")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "array_dot_long"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += x.getInt(i).toLong * y.getInt(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long) $a.getInt($i) * $b.getInt($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotLong =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.graft.bridge
 
   /** Column-level API (classic-backend column from a catalyst expression). */
   def array_dot(a: Column, b: Column): Column =
     bridge.column(ArrayDotProduct(bridge.expression(a), bridge.expression(b)))
+
+  /** Exact integer dot of two array<int> columns as a long — codegen'd. */
+  def array_dot_long(a: Column, b: Column): Column =
+    bridge.column(ArrayDotLong(bridge.expression(a), bridge.expression(b)))
 
   /** Aggregate: the k largest values of `sortKey` (struct for multi-key
     * ordering) as a descending array — O(keys·k) through the shuffle instead

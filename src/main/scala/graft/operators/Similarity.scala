@@ -833,10 +833,12 @@ object Similarity {
     else transform(vec, x => round(x / lit(amax) * lit(127.0)).cast("int"))
 
   /** Integer dot product of two int-level arrays as a long — exact in any
-    * engine (per-element products ≤ 127² fit int; the running sum is long). */
+    * engine, via the native codegen'd expression (the
+    * `aggregate(zip_with(...))` chain it replaces is a CodegenFallback
+    * HigherOrderFunction — two interpreted closures per element in the
+    * |Q|×|corpus| hot loop; see [[graft.functions.ArrayDotLong]]). */
   def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.array_dot_long(a, b)
 
   /** Corpus-wide symmetric-quantization scale `max |x|` — SQ8's single
     * trained artifact. One full-scan aggregation collected as ONE double

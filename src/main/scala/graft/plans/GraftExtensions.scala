@@ -23,6 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
       (children: Seq[Expression]) => ArrayDotProduct(children.head, children(1))))
     ext.injectFunction((
+      FunctionIdentifier("array_dot_long"),
+      new ExpressionInfo(classOf[graft.functions.ArrayDotLong].getName, "array_dot_long"),
+      (children: Seq[Expression]) =>
+        graft.functions.ArrayDotLong(children.head, children(1))))
+    ext.injectFunction((
       FunctionIdentifier("topk_by"),
       new ExpressionInfo(classOf[graft.functions.BoundedTopK].getName, "topk_by"),
       (children: Seq[Expression]) => {

@@ -25,6 +25,34 @@ class FunctionsSpec extends SparkSpec {
     assert(native == builtin) // incl. bit-exact sum and null propagation
   }
 
+  test("array_dot_long: exact integer dot, null propagation, no int overflow") {
+    val df = Seq(
+      (Some(Seq(127, -127, 50)), Some(Seq(127, 127, 2))),
+      (None, Some(Seq(1)))
+    ).toDF("a", "b")
+    val got = df.select(GraftFunctions.array_dot_long(col("a"), col("b")))
+      .as[Option[Long]].collect().toSeq
+    assert(got == Seq(Some(127L * 127 - 127L * 127 + 100L), None))
+    // full-range ints: each product overflows int but not the long sum
+    val big = Seq((Seq(Int.MaxValue, Int.MaxValue), Seq(2, 2))).toDF("a", "b")
+    val s = big.select(GraftFunctions.array_dot_long(col("a"), col("b")))
+      .as[Long].collect()(0)
+    assert(s == 2L * Int.MaxValue * 2)
+  }
+
+  test("array_dot_long matches the aggregate(zip_with) chain on random levels") {
+    val rng = new scala.util.Random(11)
+    val df = (1 to 50).map(_ =>
+      (Seq.fill(16)(rng.nextInt(255) - 127), Seq.fill(16)(rng.nextInt(255) - 127)))
+      .toDF("a", "b")
+    val builtin = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x * y).cast("long")),
+        lit(0L), (s, x) => s + x)).as[Long].collect().toSeq
+    val native = df.select(GraftFunctions.array_dot_long(col("a"), col("b")))
+      .as[Long].collect().toSeq
+    assert(native == builtin)
+  }
+
   test("topk_by keeps the k largest with struct ordering, across partitions") {
     val df = (1L to 1000L).map(i => (i % 7, (i * 37 % 1000).toDouble, i))
       .toDF("key", "value", "id").repartition(8) // force partial/final + serde
