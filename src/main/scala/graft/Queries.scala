@@ -3445,6 +3445,55 @@ object Queries {
            |FROM r3""".stripMargin
       }),
 
+    // Personalized PageRank: teleport mass restricted to a seed set (every
+    // 10th customer) — seed-biased importance over the same bipartite
+    // purchase graph; non-seeds hold purely inherited mass. Oracle unrolls
+    // the same three iterations with the seed-gated base term.
+    ("graph_ppr",
+      (s: SparkSession, d: String) => {
+        val lo = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey"),
+            concat(lit("c"), col("o_custkey").cast("string")).as("c"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("sv"))
+        val edges = lo.select(col("c").as("src"), col("sv").as("dst"))
+          .union(lo.select(col("sv").as("src"), col("c").as("dst")))
+          .distinct()
+        val seeds = lo.filter(col("o_custkey") % 10 === 0)
+          .select(col("c")).distinct()
+        Graph.personalizedPageRank(edges, seeds, iterations = 3)
+      },
+      Some {
+        val base = (Graph.RankScale * 3) / 20
+        def iter(prev: String, n: Int): String =
+          s"""c$n AS (SELECT src, rank // outdeg AS contrib FROM $prev JOIN outdeg ON node = src),
+             |i$n AS (SELECT dst, sum(contrib)::bigint AS inb FROM edges JOIN c$n USING (src) GROUP BY 1),
+             |r$n AS (SELECT node, is_seed,
+             |               CASE WHEN is_seed = 1 THEN ${base} ELSE 0 END
+             |                 + (coalesce(inb, 0) // 20) * 17 + ((coalesce(inb, 0) % 20) * 17) // 20 AS rank
+             |        FROM nodes LEFT JOIN i$n ON node = dst),
+             |""".stripMargin
+        s"""WITH lo AS (
+           |  SELECT DISTINCT o_custkey, 'c' || o_custkey AS c, 's' || l_suppkey AS sv
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |edges AS (SELECT c AS src, sv AS dst FROM lo
+           |          UNION
+           |          SELECT sv AS src, c AS dst FROM lo),
+           |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+           |seeds AS (SELECT DISTINCT c AS node FROM lo WHERE o_custkey % 10 = 0),
+           |nodes AS (SELECT n.node, CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+           |          FROM (SELECT DISTINCT node
+           |                FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges)) n
+           |          LEFT JOIN seeds s ON s.node = n.node),
+           |r0 AS (SELECT node, is_seed,
+           |              CASE WHEN is_seed = 1 THEN ${Graph.RankScale} ELSE 0 END AS rank
+           |       FROM nodes),
+           |${iter("r0", 1)}${iter("r1", 2)}${iter("r2", 3).stripSuffix(",\n")}
+           |SELECT node, is_seed::int AS is_seed, rank::bigint AS rank,
+           |       rank / ${Graph.RankScale}.0 AS rank_norm
+           |FROM r3""".stripMargin
+      }),
+
     // Triangle counting by degree-ordered orientation (compact-forward):
     // the O(m^1.5) wedge bound that survives celebrity nodes — each edge
     // directed low→high in (degree, node) order caps every out-degree at

@@ -68,6 +68,50 @@ object Graph {
   }
 
   /**
+   * Personalized PageRank: [[pageRank]] with the teleport mass restricted
+   * to a SEED set — the seed-biased importance a crawl pipeline uses to
+   * rank the frontier "from" trusted sources (and a feature-store standby
+   * for related-item scoring). Same integer discipline end-to-end: the
+   * only change is the base term — `0.15·scale` lands on seed nodes only,
+   * non-seeds keep purely inherited mass (so a node unreachable from every
+   * seed settles at exactly 0, a property the spec pins).
+   *
+   * `seeds` is a 1-column frame of node ids; it joins into the node frame
+   * once (broadcast when small — the usual case) and the per-iteration
+   * dataflow is identical to [[pageRank]]'s.
+   */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val e = edges.select(col("src"), col("dst"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val seedSet = seeds.toDF("node").distinct().withColumn("is_seed", lit(1))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(seedSet, Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(0)).as("is_seed"))
+    val base = (RankScale * 3) / 20
+    var ranks = nodes.withColumn("rank",
+      when(col("is_seed") === 1, lit(RankScale)).otherwise(lit(0L)))
+    for (_ <- 1 to iterations) {
+      val contrib = ranks
+        .join(outdeg, col("node") === col("src"))
+        .selectExpr("src", "rank div outdeg AS contrib")
+      val inbound = e.join(contrib, "src")
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("inb"))
+      ranks = nodes
+        .join(inbound, col("node") === col("dst"), "left")
+        .select(col("node"), col("is_seed"),
+          coalesce(col("inb"), lit(0L)).as("inb"))
+        .selectExpr("node", "is_seed",
+          s"CASE WHEN is_seed = 1 THEN ${base}L ELSE 0L END" +
+            " + (inb div 20) * 17 + ((inb % 20) * 17) div 20 AS rank")
+    }
+    ranks.select(col("node"), col("is_seed"), col("rank"),
+      (col("rank").cast("double") / lit(RankScale.toDouble)).as("rank_norm"))
+  }
+
+  /**
    * Global triangle count over an UNDIRECTED simple graph, by
    * degree-ordered edge orientation (the compact-forward / node-iterator
    * algorithm): the scalable form of the clustering / community-density

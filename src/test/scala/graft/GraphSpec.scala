@@ -52,6 +52,26 @@ class GraphSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("personalizedPageRank: unreachable-from-seeds node is exactly 0; all-seeds = pageRank") {
+    // a -> b -> c chain plus isolated pair d <-> e; seed = {a}
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "c"), ("d", "e"), ("e", "d"))
+      .toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val r = Graph.personalizedPageRank(edges, seeds, iterations = 3).collect()
+      .map(row => row.getString(0) -> row.getLong(2)).toMap
+    assert(r("d") == 0L && r("e") == 0L, "mass must not reach the seedless component")
+    assert(r("a") == (Graph.RankScale * 3) / 20) // no in-edges: base only
+    assert(r("b") > 0L && r("c") > 0L, "downstream of the seed inherits mass")
+    // seeding EVERY node reduces to plain pageRank, rank for rank
+    val all = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val ppr = Graph.personalizedPageRank(edges, all, iterations = 3)
+      .select("node", "rank").collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val pr = Graph.pageRank(edges, iterations = 3)
+      .select("node", "rank").collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(ppr == pr)
+  }
+
   test("triangleCount: hand-counted graphs — K4, square+diagonal, triangle-free") {
     // K4: 4 triangles, 4 nodes, 6 edges
     val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a != b } yield (a.toLong, b.toLong))
