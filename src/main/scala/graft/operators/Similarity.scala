@@ -890,6 +890,29 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("iscore"))
   }
 
+  /**
+   * SQ8 serving projection against STATIC artifacts — the streaming side of
+   * [[int8TopK]], completing the static ladder ([[assignCellsStatic]] /
+   * [[pqEncodeStatic]] / [[ivfPqSearchStatic]]): the caller passes the
+   * stored corpus scale (`amax`, trained once at index build) and a small
+   * query frame; every arriving vector is quantized and scored against the
+   * broadcast queries in one stateless projection + broadcast join — legal
+   * in append-mode streams. No ranking here: a global top-k needs bounded
+   * cross-batch state, so serving pipelines feed these scores to
+   * `topk_by` per micro-batch or to a downstream store. Scores are
+   * bit-identical to [[int8TopK]]'s for the same amax (spec-pinned).
+   */
+  def int8ScoreStatic(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, amax: Double): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      int8Levels(asDouble(col(vecCol)), amax).as("ql"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      int8Levels(asDouble(col(vecCol)), amax).as("cl"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        intDot(col("ql"), col("cl")).as("iscore"))
+  }
+
   /** Bucketed ANN top-k: same contract as [[cosineTopK]] but joins on the
     * LSH bucket, so each query only scores its bucket's corpus rows. */
   def bucketedTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,

@@ -405,6 +405,36 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SQ8 scoring matches batch int8TopK's scored frame (static amax)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(40)
+    val queryIds = Seq(2L, 11L, 23L)
+    val queries = emb.filter(col("vec_id").isInCollection(queryIds))
+    // k = corpus size exposes the whole scored frame for comparison
+    val batch = Similarity.int8TopK(queries, emb, "vec_id", "embedding", k = 40)
+      .select("query_id", "neighbor_id", "iscore")
+      .as[(Long, Long, Long)].collect().toSet
+    val amax = Similarity.int8Amax(emb, col("embedding"))
+    val rows = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val input = MemoryStream[(Long, Seq[Float])]
+    val scored = Similarity.int8ScoreStatic(
+      input.toDF().toDF("vec_id", "embedding"), queries, "vec_id", "embedding", amax)
+    val q = scored.writeStream.format("memory").queryName("sq8_out")
+      .option("checkpointLocation", Files.createTempDirectory("sq8-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows.take(17): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(17): _*)
+      q.processAllAvailable()
+      val got = spark.table("sq8_out")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == batch, "streamed SQ8 scores diverge from batch")
+    } finally q.stop()
+  }
+
   test("streaming semantic dedup admits a vector similar only to a rejected one") {
     implicit val sqlCtx = spark.sqlContext
     // A~B (reject B), B~C but A!~C: admission keeps C — the retained-set
