@@ -70,7 +70,10 @@ class PlanAuditSpec extends SparkSpec {
       .foreach(q => assert(shuffles(q) == 0, s"$q should be shuffle-free"))
     // single-aggregation queries: exactly one exchange (partial → final)
     Seq("tpch_q1", "tpch_q6_revenue", "dedup_fingerprint", "dedup_exact",
-      "dedup_exact_by_text", "events_bitwise")
+      "dedup_exact_by_text", "events_bitwise",
+      // window max + final aggregation both hash on user_id — the agg must
+      // reuse the window's exchange, not add its own
+      "events_decayed_counts")
       .foreach(q => assert(shuffles(q) == 1, s"$q should have exactly 1 shuffle"))
     // the scale default groups on md5(text): the hash must sit BELOW the
     // exchange (partial aggregate keys on it), so the shuffle carries
