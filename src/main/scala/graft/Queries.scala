@@ -3130,6 +3130,107 @@ object Queries {
           |      CROSS JOIN dglob g
           |      WHERE c.n_tokens_after >= 10 AND w.mean_weight >= g.gmean)""".stripMargin)),
 
+    // Pipeline v4 — the ROUND-10 operator families composed end-to-end:
+    // boilerplate-planted corpus → chunk-level exact dedup (kept TEXT
+    // reassembled, not just hashed) → train/test hash split → train-side
+    // decontamination against the test split's shingles (drop ratio ≥ 0.5)
+    // → per-source greedy token budget over the SURVIVING kept tokens. The
+    // oracle recomputes every stage in CTEs: tile → election → reassembly →
+    // split → shingle overlap → hash-ordered running-sum admission.
+    ("corpus_pipeline_v4",
+      (s: SparkSession, d: String) => {
+        val boiler = "terms of service apply all rights reserved contact us " +
+          "for more information today please read carefully"
+        val base = Tables.documents(s, d)
+        val withBoiler = base.withColumn("text2",
+          when(col("doc_id") % 4 === 0, concat(lit(boiler + " "), col("text")))
+            .otherwise(col("text")))
+        val kept = Dedup.paragraphDedupText(withBoiler, col("text2"),
+            col("doc_id"), chunkTokens = 8)
+          .join(base.select(col("doc_id"), col("source")), "doc_id")
+        val split = Sampling.hashSplit(kept, col("doc_id"),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        val train = split.filter(col("split") === "train")
+        val test = split.filter(col("split") === "test")
+        // contamination()'s param names are benchmark-oriented: the frame
+        // whose PER-DOC overlap is measured is `test`. Here that frame is
+        // the TRAIN split (we drop leaking train docs), measured against
+        // the test split's shingle set.
+        val decon = TextOps.contamination(train, test, col("kept_text"),
+            col("doc_id"), n = 3, threshold = 0.5)
+          .select(col("doc_id"), col("overlap_ratio"), col("contaminated"))
+        val survivors = train.join(decon, "doc_id")
+          .filter(col("contaminated") === 0)
+        Sampling.tokenBudgetPerGroup(survivors, Seq(col("source")),
+            col("doc_id"), col("kept_tokens"), budget = 600L)
+          .select(col("doc_id"), col("source"), col("kept_tokens"),
+            col("overlap_ratio"), col("cum_tokens"))
+      },
+      Some(
+        """WITH d2 AS (
+          |  SELECT doc_id,
+          |         CASE WHEN doc_id % 4 = 0
+          |           THEN concat('terms of service apply all rights reserved ',
+          |                       'contact us for more information today ',
+          |                       'please read carefully ', text)
+          |           ELSE text END AS text
+          |  FROM documents),
+          |toks AS (
+          |  SELECT doc_id,
+          |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+          |                      ' ') AS t
+          |  FROM d2),
+          |ch AS (
+          |  SELECT doc_id, i::int AS chunk_id,
+          |         array_to_string(t[(i * 8 + 1)::int:(i * 8 + 8)::int], ' ') AS chunk_text,
+          |         least(8, len(t) - i * 8)::int AS chunk_tokens
+          |  FROM toks CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+          |  WHERE i = 0 OR i * 8 < len(t)),
+          |k AS (
+          |  SELECT *, row_number() OVER (PARTITION BY chunk_text
+          |                               ORDER BY doc_id, chunk_id) AS rn
+          |  FROM ch),
+          |keptx AS (
+          |  SELECT doc_id,
+          |         coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END,
+          |                             ' ' ORDER BY chunk_id), '') AS kept_text,
+          |         sum(CASE WHEN rn = 1 THEN chunk_tokens ELSE 0 END)::bigint AS kept_tokens
+          |  FROM k GROUP BY doc_id),
+          |kd AS (
+          |  SELECT x.doc_id, x.kept_text, x.kept_tokens, d.source,
+          |         ('0x' || substr(md5(x.doc_id::varchar), 1, 15))::bigint % 100 AS b
+          |  FROM keptx x JOIN documents d ON d.doc_id = x.doc_id),
+          |ksh AS (
+          |  SELECT doc_id, b, shingle FROM (
+          |    SELECT doc_id, b,
+          |           unnest(CASE WHEN len(kt) <= 3 THEN [array_to_string(kt, ' ')]
+          |                  ELSE list_transform(range(0, len(kt) - 2),
+          |                                      i -> array_to_string(kt[i + 1:i + 3], ' ')) END) AS shingle
+          |    FROM (SELECT doc_id, b,
+          |                 string_split(regexp_replace(trim(lower(kept_text)), '\s+', ' ', 'g'),
+          |                              ' ') AS kt
+          |          FROM kd))),
+          |trsh AS (SELECT DISTINCT doc_id, shingle FROM ksh WHERE b < 80),
+          |tesh AS (SELECT DISTINCT shingle FROM ksh WHERE b >= 90),
+          |ov AS (
+          |  SELECT t.doc_id, count(*)::bigint AS n_sh,
+          |         sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END)::bigint AS n_ov
+          |  FROM trsh t LEFT JOIN tesh e ON t.shingle = e.shingle
+          |  GROUP BY 1),
+          |surv AS (
+          |  SELECT kd.doc_id, kd.source, kd.kept_tokens,
+          |         cast(ov.n_ov AS double) / ov.n_sh AS overlap_ratio
+          |  FROM kd JOIN ov ON ov.doc_id = kd.doc_id
+          |  WHERE kd.b < 80 AND cast(ov.n_ov AS double) / ov.n_sh < 0.5),
+          |adm AS (
+          |  SELECT doc_id, source, kept_tokens, overlap_ratio,
+          |         sum(kept_tokens) OVER (PARTITION BY source
+          |           ORDER BY ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint, doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS cum_tokens
+          |  FROM surv)
+          |SELECT doc_id, source, kept_tokens, overlap_ratio, cum_tokens
+          |FROM adm WHERE cum_tokens <= 600""".stripMargin)),
+
     // Gopher-style quality battery: every rule's metric + verdict per doc.
     ("text_quality_filter",
       (s: SparkSession, d: String) =>

@@ -71,6 +71,44 @@ object Dedup {
    * hashes plus the chunk text only as far as the per-doc reassembly.
    */
   def paragraphDedup(docs: DataFrame, textCol: Column, idCol: Column,
+      chunkTokens: Int): DataFrame =
+    chunkKeepers(docs, textCol, idCol, chunkTokens)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("keep")).as("n_kept"),
+        sum(col("chunk_tokens") * col("keep")).as("kept_tokens"),
+        md5(keptReassembly.cast("binary")).as("kept_text_hash"))
+
+  /** [[paragraphDedup]] returning the reassembled KEPT TEXT itself (not its
+    * md5) — the form downstream pipeline stages consume (shingling,
+    * quality gates, token budgeting all need the surviving tokens, not a
+    * fingerprint). Same election, same chunk-order reassembly; a doc whose
+    * every chunk lost its election keeps the empty string. */
+  def paragraphDedupText(docs: DataFrame, textCol: Column, idCol: Column,
+      chunkTokens: Int): DataFrame =
+    chunkKeepers(docs, textCol, idCol, chunkTokens)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("keep")).as("n_kept"),
+        sum(col("chunk_tokens") * col("keep")).as("kept_tokens"),
+        keptReassembly.as("kept_text"))
+
+  /** Chunk-order reassembly of the elected chunks — the ONE definition both
+    * aggregate forms share (their spec'd hash/text agreement depends on
+    * it). collect_list skips the nulls the `when` leaves for losers. */
+  private def keptReassembly: Column =
+    concat_ws(" ",
+      transform(
+        array_sort(collect_list(
+          when(col("keep") === 1,
+            struct(col("chunk_id"), col("chunk_text"))))),
+        s => s.getField("chunk_text")))
+
+  /** Shared head of the paragraph-dedup family: tile into chunks, elect one
+    * keeper per distinct chunk md5 (min-struct aggregation — map-side
+    * combinable, hot chunks partial to one row per task), flag each chunk
+    * row keep/lose. */
+  private def chunkKeepers(docs: DataFrame, textCol: Column, idCol: Column,
       chunkTokens: Int): DataFrame = {
     val chunks = TextOps.chunkWindows(
         docs.select(idCol.as("doc_id"), textCol.as("text")),
@@ -86,16 +124,6 @@ object Dedup {
       .withColumn("keep",
         (col("doc_id") === col("k_doc") && col("chunk_id") === col("k_chunk"))
           .cast("int"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(col("keep")).as("n_kept"),
-        sum(col("chunk_tokens") * col("keep")).as("kept_tokens"),
-        md5(concat_ws(" ",
-          transform(
-            array_sort(collect_list(
-              when(col("keep") === 1,
-                struct(col("chunk_id"), col("chunk_text"))))),
-            s => s.getField("chunk_text"))).cast("binary")).as("kept_text_hash"))
   }
 
   /** Mersenne prime 2^31-1: the permutation modulus. a*h stays < 2^62, so

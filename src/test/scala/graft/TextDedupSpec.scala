@@ -345,5 +345,14 @@ class TextDedupSpec extends SparkSpec {
     assert(got(2L) == ((2L, 1L, 4L, md5hex("x y z w"))))
     assert(got(3L) == ((2L, 0L, 0L, md5hex(""))))
     assert(got(4L) == ((2L, 1L, 4L, md5hex("m m m m"))))
+    // the text-returning form reassembles the SAME kept text the hash form
+    // fingerprints — the one contract the shared-internals refactor pins
+    val texts = Dedup.paragraphDedupText(d, col("text"), col("doc_id"), chunkTokens = 4)
+      .select("doc_id", "kept_text").as[(Long, String)].collect().toMap
+    assert(texts == Map(1L -> "a b c d e f g h", 2L -> "x y z w",
+      3L -> "", 4L -> "m m m m"))
+    texts.foreach { case (id, t) =>
+      assert(md5hex(t) == got(id)._4, s"hash/text disagree for doc $id")
+    }
   }
 }
