@@ -53,8 +53,9 @@ object ScaleStress {
     "dedup_paragraphs", "web_url_dedup", "text_tfidf_topk",
     // r10b: decontamination both ways — the bloom prefilter's prune rate
     // should WIDEN its lead as the train side grows (test side stays a
-    // fixed fraction; every non-candidate train shingle dies map-side)
-    "text_contamination", "text_contamination_bloom")
+    // fixed fraction; every non-candidate train shingle dies map-side) —
+    // and the v4 composition (chunk-dedup → decon → token budget)
+    "text_contamination", "text_contamination_bloom", "corpus_pipeline_v4")
 
   def scaledCorpus(spark: SparkSession, baseDir: String, k: Int): DataFrame = {
     val base = Tables.documents(spark, baseDir)

@@ -32,29 +32,31 @@ object CorpusSource {
 
   /** The wire schema parsed out of each line. `doc_id` as STRING first so a
     * non-integral id is OUR reject (`missing_id`), not a silent from_json
-    * null that would masquerade as `malformed`. The `_corr` field is
-    * from_json's corrupt-record channel: from_json is PERMISSIVE inside
+    * null that would masquerade as `malformed`. The `__graft_corrupt` field
+    * is from_json's corrupt-record channel: from_json is PERMISSIVE inside
     * (garbage parses to an all-null struct, NOT a null struct), so without
-    * it a malformed line would be indistinguishable from `{}`. */
+    * it a malformed line would be indistinguishable from `{}`. The name is
+    * deliberately implausible as a wire field — a real JSON key with this
+    * exact name would land in the channel and misread as malformed. */
   private val wireSchema: StructType = StructType(Seq(
     StructField("doc_id", StringType),
     StructField("text", StringType),
     StructField("lang", StringType),
     StructField("source", StringType),
-    StructField("_corr", StringType)))
+    StructField("__graft_corrupt", StringType)))
 
   /** Parse a one-string-column (`value`) frame of JSONL lines. Pure
     * projection — safe under batch and streaming alike. */
   def parseJsonl(raw: DataFrame): DataFrame = {
     val parsed = from_json(col("value"), wireSchema,
-      Map("columnNameOfCorruptRecord" -> "_corr"))
+      Map("columnNameOfCorruptRecord" -> "__graft_corrupt"))
     raw
       .withColumn("p", parsed)
       // try_cast: under ANSI mode a plain cast would THROW on non-integral
       // id text — the dead-letter contract wants a reject row instead
       .withColumn("doc_id", expr("try_cast(p.doc_id AS long)"))
       .withColumn("reject_reason",
-        when(col("p").isNull || col("p._corr").isNotNull, lit("malformed"))
+        when(col("p").isNull || col("p.__graft_corrupt").isNotNull, lit("malformed"))
           .when(col("doc_id").isNull, lit("missing_id"))
           .when(col("p.text").isNull, lit("missing_text")))
       .select(
