@@ -1681,6 +1681,48 @@ object Queries {
           |  SELECT id, lbl FROM r)
           |GROUP BY 1""".stripMargin)),
 
+    // SOFT dedup: downweight near-duplicate cluster members instead of
+    // dropping them — weight_scaled = floor(2^20 / cluster_size), so a
+    // cluster contributes ~one document's worth of sampling mass in total
+    // (the repetition-aware alternative to hard dedup when duplicates
+    // carry signal, e.g. quotation frequency). Unique docs keep the full
+    // 2^20. Integer floor-div — exact cross-engine. One aggregation on the
+    // component key + a join back; the cluster table is |components| rows.
+    ("dedup_soft_weights",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val cands = Dedup.lshCandidates(Dedup.lshBuckets(
+          Dedup.minhashSignatures(docs, col("text"), col("doc_id"))))
+        val dupPairs = Dedup.ngramJaccard(cands, docs, col("text"), col("doc_id"))
+          .filter(col("jaccard") >= 0.8).select(col("doc_a"), col("doc_b"))
+        val comp = Dedup.connectedComponents(docs.select(col("doc_id").as("id")), dupPairs)
+          .select(col("id").as("doc_id"), col("component"))
+        val sizes = comp.groupBy(col("component"))
+          .agg(count(lit(1)).as("cluster_size"))
+        comp.join(sizes, "component")
+          .select(col("doc_id"), col("component"), col("cluster_size"),
+            expr("1048576L div cluster_size").as("weight_scaled"))
+      },
+      Some(lshCandCtes + nearDupVerifyCtes +
+        """, comp AS (
+          |  SELECT id AS doc_id, min(lbl) AS component
+          |  FROM (
+          |    WITH RECURSIVE r(id, lbl) AS (
+          |      SELECT doc_id, doc_id FROM documents
+          |      UNION
+          |      SELECT e.src, r.lbl
+          |      FROM (SELECT doc_a AS src, doc_b AS dst FROM verified WHERE jaccard >= 0.8
+          |            UNION ALL
+          |            SELECT doc_b AS src, doc_a AS dst FROM verified WHERE jaccard >= 0.8) e
+          |      JOIN r ON r.id = e.dst)
+          |    SELECT id, lbl FROM r)
+          |  GROUP BY 1),
+          |cs AS (SELECT component, count(*)::bigint AS cluster_size
+          |       FROM comp GROUP BY 1)
+          |SELECT comp.doc_id, comp.component, cs.cluster_size,
+          |       (1048576 // cs.cluster_size)::bigint AS weight_scaled
+          |FROM comp JOIN cs USING (component)""".stripMargin)),
+
     // Canonical-document selection: within each transitive duplicate
     // cluster, keep the highest-quality document (quality-score argmax,
     // doc_id tie-break) instead of the smallest id — what a corpus builder
