@@ -1723,6 +1723,69 @@ object Queries {
           |       (1048576 // cs.cluster_size)::bigint AS weight_scaled
           |FROM comp JOIN cs USING (component)""".stripMargin)),
 
+    // Soft dedup × token budget: the admission pass counts each document's
+    // tokens DOWNWEIGHTED by its cluster (weighted = n_tokens·w >> 20,
+    // integer floor), so a near-dup cluster burns ~one document's tokens of
+    // a source's budget no matter how many copies the crawl has — the
+    // budget discipline soft dedup exists to feed. Same hash-ordered
+    // running-sum shape as corpus_token_budget, cum over weighted tokens.
+    ("dedup_soft_budget",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val cands = Dedup.lshCandidates(Dedup.lshBuckets(
+          Dedup.minhashSignatures(docs, col("text"), col("doc_id"))))
+        val dupPairs = Dedup.ngramJaccard(cands, docs, col("text"), col("doc_id"))
+          .filter(col("jaccard") >= 0.8).select(col("doc_a"), col("doc_b"))
+        val comp = Dedup.connectedComponents(docs.select(col("doc_id").as("id")), dupPairs)
+          .select(col("id").as("doc_id"), col("component"))
+        val sizes = comp.groupBy(col("component"))
+          .agg(count(lit(1)).as("cluster_size"))
+        val weighted = docs
+          .withColumn("n_tokens",
+            size(TextOps.tokens(TextOps.normalize(col("text")))).cast("long"))
+          .join(comp, "doc_id").join(sizes, "component")
+          .withColumn("weighted_tokens",
+            expr("(n_tokens * (1048576L div cluster_size)) div 1048576"))
+        Sampling.tokenBudgetPerGroup(weighted, Seq(col("source")),
+            col("doc_id"), col("weighted_tokens"), budget = 800L)
+          .select(col("doc_id"), col("source"), col("cluster_size"),
+            col("n_tokens"), col("weighted_tokens"), col("cum_tokens"))
+      },
+      Some(lshCandCtes + nearDupVerifyCtes +
+        """, comp AS (
+          |  SELECT id AS doc_id, min(lbl) AS component
+          |  FROM (
+          |    WITH RECURSIVE r(id, lbl) AS (
+          |      SELECT doc_id, doc_id FROM documents
+          |      UNION
+          |      SELECT e.src, r.lbl
+          |      FROM (SELECT doc_a AS src, doc_b AS dst FROM verified WHERE jaccard >= 0.8
+          |            UNION ALL
+          |            SELECT doc_b AS src, doc_a AS dst FROM verified WHERE jaccard >= 0.8) e
+          |      JOIN r ON r.id = e.dst)
+          |    SELECT id, lbl FROM r)
+          |  GROUP BY 1),
+          |cs AS (SELECT component, count(*)::bigint AS cluster_size
+          |       FROM comp GROUP BY 1),
+          |wt AS (
+          |  SELECT d.doc_id, d.source, cs.cluster_size,
+          |         len(string_split(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g'),
+          |                          ' '))::bigint AS n_tokens,
+          |         (len(string_split(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g'),
+          |                           ' '))::bigint
+          |            * (1048576 // cs.cluster_size)) // 1048576 AS weighted_tokens
+          |  FROM documents d
+          |  JOIN comp ON comp.doc_id = d.doc_id
+          |  JOIN cs USING (component))
+          |SELECT doc_id, source, cluster_size, n_tokens,
+          |       weighted_tokens::bigint AS weighted_tokens, cum_tokens
+          |FROM (
+          |  SELECT *, sum(weighted_tokens) OVER (PARTITION BY source
+          |            ORDER BY ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint, doc_id
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS cum_tokens
+          |  FROM wt)
+          |WHERE cum_tokens <= 800""".stripMargin)),
+
     // Canonical-document selection: within each transitive duplicate
     // cluster, keep the highest-quality document (quality-score argmax,
     // doc_id tie-break) instead of the smallest id — what a corpus builder
