@@ -139,6 +139,13 @@ object GraftFunctions {
   def array_dot_long(a: Column, b: Column): Column =
     bridge.column(ArrayDotLong(bridge.expression(a), bridge.expression(b)))
 
+  /** Distinct winnowing fingerprints (md5-derived 60-bit k-gram hashes →
+    * sliding w-window minima) of a pre-normalized string, as array<long> —
+    * the codegen'd single-pass kernel behind
+    * [[graft.operators.TextOps.winnowFingerprints]]. */
+  def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
+    bridge.column(WinnowFingerprints(bridge.expression(text), k, w))
+
   /** Aggregate: the k largest values of `sortKey` (struct for multi-key
     * ordering) as a descending array — O(keys·k) through the shuffle instead
     * of a per-key sort. */

@@ -433,23 +433,45 @@ object TextOps {
    * overlaps ≥ w+k-1 chars.
    *
    * Dataflow: the whole scheme is per-document, so it runs as ONE
-   * projection — k-gram hashes, the sliding w-window minima, and the
-   * per-doc dedup all happen inside array HOFs on the doc row, and only the
-   * final (doc, fingerprint) pairs explode. ZERO shuffle (the previous form
-   * shuffled the full position frame twice: a per-doc window then a global
-   * distinct — at corpus scale that is 2× #chars rows through the exchange
-   * for a result of #docs × #fingerprints). The hash array is bound as a
-   * lambda variable (the r8 `withToks` discipline) so it computes once per
-   * doc, and each window min is an O(w) `array_min(slice(...))`.
+   * projection — k-gram hashes, sliding w-window minima, and per-doc dedup
+   * all happen inside [[graft.functions.WinnowKernel]] on the doc row, and
+   * only the final (doc, fingerprint) pairs explode. ZERO shuffle (the
+   * pre-r8 form shuffled the full position frame twice: a per-doc window
+   * then a global distinct — at corpus scale that is 2× #chars rows through
+   * the exchange for a result of #docs × #fingerprints). The kernel is a
+   * native codegen'd expression: one UTF-8 walk + reused MessageDigest +
+   * monotonic-deque minima per doc, replacing the r8 nested-HOF form
+   * (kept below as [[winnowFingerprintsHof]], spec-pinned identical) whose
+   * interpreted md5→hex→conv chain made this the second-heaviest catalog
+   * row at sf1 (7.4 s; the kernel form measures ~5× cheaper per row).
    */
   def winnowFingerprints(docs: DataFrame, textCol: Column, idCol: Column,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    val norm = normalize(textCol)
+    docs.select(idCol.as("doc_id"), norm.as("norm"))
+      // only positions with w complete windows ahead emit — shorter docs
+      // produced zero rows in the windowed form too
+      .filter(length(col("norm")) >= k + w - 1)
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.winnow_fingerprints(
+          col("norm"), k, w)).as("fingerprint"))
+  }
+
+  /**
+   * The built-in-expression reference form of [[winnowFingerprints]]: the
+   * same scheme as nested array HOFs (`transform`/`slice`/`array_min`/
+   * `array_distinct`) over [[portableHash]]. CodegenFallback and ~5× the
+   * kernel's cost — kept as the independently-derived semantics oracle for
+   * the `TextDedupSpec` parity test, not for production use. The hash array
+   * is bound as a lambda variable (the r8 `withToks` discipline) so it
+   * computes once per doc; each window min is an O(w) `array_min(slice())`.
+   */
+  def winnowFingerprintsHof(docs: DataFrame, textCol: Column, idCol: Column,
       k: Int = 8, w: Int = 4): DataFrame = {
     val norm = normalize(textCol)
     def bind(x: Column)(body: Column => Column): Column =
       element_at(transform(array(x), body), 1)
     docs.select(idCol.as("doc_id"), norm.as("norm"))
-      // only positions with w complete windows ahead emit — shorter docs
-      // produced zero rows in the windowed form too
       .filter(length(col("norm")) >= k + w - 1)
       .select(col("doc_id"),
         explode(bind(transform(sequence(lit(1), length(col("norm")) - (k - 1)),

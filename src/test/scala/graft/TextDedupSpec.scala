@@ -132,6 +132,29 @@ class TextDedupSpec extends SparkSpec {
     assert((fp(1L) & fp(5L)).isEmpty)
   }
 
+  test("native winnow kernel equals the HOF reference form, incl. multi-byte") {
+    // Edge lengths around k+w-1=11 chars, repeated-char monotonic-deque
+    // stress, multi-byte chars (UTF-8 byte offsets vs char positions), and
+    // in-doc duplicate window minima (distinct semantics).
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "aaaaaaaaaaaaaaaaaaaaaaaa"),
+      (3L, "abcdefghijk"),  // exactly k+w-1 → one window
+      (4L, "abcdefghij"),   // one short → zero windows
+      (5L, "héllo wörld — süßes straße naïve café über çay"),
+      (6L, "日本語のテキストをウィンドウで指紋化するテストです"),
+      (7L, "mix of ascii and ünïcödé characters in one document"),
+      (8L, "ab ab ab ab ab ab ab ab ab ab ab ab"))
+    for ((k, w) <- Seq((8, 4), (5, 3), (3, 7), (1, 1))) {
+      val native = TextOps.winnowFingerprints(d, col("text"), col("doc_id"), k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val hof = TextOps.winnowFingerprintsHof(d, col("text"), col("doc_id"), k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(native == hof, s"k=$k w=$w")
+      assert(native.nonEmpty)
+    }
+  }
+
   test("projection-form minhash and band buckets equal the aggregated forms") {
     val d = docs(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
