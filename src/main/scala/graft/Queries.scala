@@ -5111,7 +5111,122 @@ object Queries {
         Tables.events(s, d).groupBy(col("event_type"))
           .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
             countDistinct(col("user_id")).as("exact_users")),
-      None)
+      None),
+
+    // Count-Min point-frequency estimates (Cormode/Muthukrishnan 2005):
+    // d=4 × w=256 counters over event user_ids, then the min-over-depths
+    // upper bound per distinct user. Unlike HLL, the ESTIMATE is a pure
+    // function of md5-derived bucket hashes — DuckDB rebuilds the identical
+    // d×w table and the oracle gates the approximation itself. The sketch,
+    // not the key domain, is what shuffles (≤ d·w rows per partition after
+    // the partial aggregate) and the probe side broadcasts the d·w table.
+    ("sketch_countmin_users",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        val cms = Sketches.countMinSketch(ev, col("user_id"), 4, 256)
+        Sketches.countMinEstimate(cms, ev, col("user_id"), 4, 256)
+          .withColumnRenamed("key", "user_id")
+      },
+      Some(
+        """WITH ds AS (SELECT unnest(range(0, 4)) AS depth),
+          |h AS (
+          |  SELECT depth,
+          |         ('0x' || substr(md5(depth::varchar || ':' || user_id::varchar), 1, 15))::bigint
+          |           % 256 AS bucket
+          |  FROM events CROSS JOIN ds),
+          |cms AS (SELECT depth, bucket, count(*) AS cnt FROM h GROUP BY 1, 2),
+          |kb AS (
+          |  SELECT DISTINCT user_id, depth,
+          |         ('0x' || substr(md5(depth::varchar || ':' || user_id::varchar), 1, 15))::bigint
+          |           % 256 AS bucket
+          |  FROM events CROSS JOIN ds)
+          |SELECT user_id, min(coalesce(cnt, 0))::bigint AS est_count
+          |FROM kb LEFT JOIN cms USING (depth, bucket)
+          |GROUP BY 1""".stripMargin)),
+
+    // KMV / bottom-k distinct estimate (Bar-Yossef et al. 2002) per
+    // language over the distinct-token domain: k=64 smallest md5-derived
+    // hashes per group through one partial/final aggregate pair (O(k) state
+    // per mapper — the custom KMinValues aggregate), estimate
+    // (k-1)·2^60/h_k emitted alongside the sketch state it derives from.
+    // Every output — including the double — is a deterministic function of
+    // the hashes ((k-1)·2^60 is exact in double, the division is one IEEE
+    // op), so the oracle gates the estimator, not just the sketch.
+    ("sketch_kmv_tokens",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        Sketches.kmvDistinct(
+          docs.select(col("lang"),
+            explode(TextOps.tokens(TextOps.normalize(col("text")))).as("tok")),
+          col("lang"), col("tok"), 64)
+          .withColumnRenamed("grp", "lang")
+      },
+      Some(
+        """WITH tok AS (
+          |  SELECT lang,
+          |         unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS tk
+          |  FROM documents),
+          |h AS (SELECT DISTINCT lang, ('0x' || substr(md5(tk), 1, 15))::bigint AS h FROM tok),
+          |r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h)
+          |SELECT lang, count(*)::int AS n_kept, max(h) AS kth_min,
+          |       CASE WHEN count(*) < 64 THEN count(*)::double
+          |            ELSE 63::double * 1152921504606846976::double / max(h)::double END
+          |         AS est_distinct
+          |FROM r WHERE rn <= 64 GROUP BY 1""".stripMargin)),
+
+    // KMV set-overlap probe (Beyer et al. 2007's ratio estimator) between
+    // the even- and odd-doc_id halves of the corpus over the distinct
+    // 3-shingle domain: per-side bottom-k sketches built in ONE corpus scan
+    // (conditional inputs to two KMinValues aggregates), union k-mins by
+    // array merge on the single result row, intersection scaled by the
+    // fraction of union k-mins present in both sides — the train/test
+    // contamination-rate shape that never joins or shuffles the shingle
+    // domain itself. n_common_kmins is integer-exact; the est_* doubles
+    // follow the single-IEEE-op discipline and hash-match the oracle.
+    ("sketch_kmv_overlap",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        Sketches.kmvOverlap(
+          docs.select(col("doc_id"),
+            explode(TextOps.shingles(col("text"), 3)).as("sh")),
+          col("doc_id") % 2 === 0, col("doc_id") % 2 =!= 0, col("sh"), 64)
+      },
+      Some(shingleCte +
+        """, hs AS (
+          |  SELECT doc_id % 2 = 0 AS in_a,
+          |         ('0x' || substr(md5(shingle), 1, 15))::bigint AS h
+          |  FROM shingle_rows),
+          |ka AS (SELECT h FROM (
+          |  SELECT DISTINCT h FROM hs WHERE in_a) ORDER BY h LIMIT 64),
+          |kb AS (SELECT h FROM (
+          |  SELECT DISTINCT h FROM hs WHERE NOT in_a) ORDER BY h LIMIT 64),
+          |ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+          |       ORDER BY h LIMIT 64),
+          |st AS (
+          |  SELECT (SELECT count(*) FROM ka)::int AS n_a,
+          |         (SELECT count(*) FROM kb)::int AS n_b,
+          |         (SELECT count(*) FROM ku)::int AS n_u,
+          |         (SELECT count(*) FROM ku
+          |          WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb))::int
+          |           AS n_common_kmins,
+          |         (SELECT max(h) FROM ka) AS hka,
+          |         (SELECT max(h) FROM kb) AS hkb,
+          |         (SELECT max(h) FROM ku) AS hku)
+          |SELECT n_a, n_b, n_u, n_common_kmins,
+          |       CASE WHEN n_a < 64 THEN n_a::double
+          |            ELSE 63::double * 1152921504606846976::double / hka::double END
+          |         AS est_distinct_a,
+          |       CASE WHEN n_b < 64 THEN n_b::double
+          |            ELSE 63::double * 1152921504606846976::double / hkb::double END
+          |         AS est_distinct_b,
+          |       CASE WHEN n_u < 64 THEN n_u::double
+          |            ELSE 63::double * 1152921504606846976::double / hku::double END
+          |         AS est_distinct_union,
+          |       n_common_kmins::double / n_u::double *
+          |         (CASE WHEN n_u < 64 THEN n_u::double
+          |               ELSE 63::double * 1152921504606846976::double / hku::double END)
+          |         AS est_intersection
+          |FROM st""".stripMargin))
   )
 
   /** DuckDB MinHash signature SQL generated from the SAME (a,b) constants as

@@ -159,6 +159,14 @@ object GraftFunctions {
   def mg_candidates(key: Column, capacity: Int): Column =
     bridge.column(MisraGries(bridge.expression(key), capacity).toAggregateExpression())
 
+  /** Aggregate: k-minimum-values distinct sketch over LONG hash inputs —
+    * the k smallest DISTINCT hashes as an ascending array. O(k) state per
+    * buffer; mergeable and comparable (unlike HLL registers), which is what
+    * the KMV distinct / overlap estimators in
+    * [[graft.operators.Sketches]] build on. */
+  def kmin_values(hash: Column, k: Int): Column =
+    bridge.column(KMinValues(bridge.expression(hash), k).toAggregateExpression())
+
   /** Aggregate: bloom membership sketch over LONG inputs (hash strings with
     * `xxhash64` first) — Spark's own runtime-join-filter aggregate
     * ([[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]]),

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/**
+ * Fixed-size sketch operators — the bounded-state summaries a 100 TB
+ * pipeline uses where an exact group-by's key space is the problem, not the
+ * row count. Completes the engine's sketch suite (HLL `approx_distinct_*`,
+ * Misra-Gries frequent items, Bloom decontamination prefilter, rank
+ * histogram percentiles) with two members whose ESTIMATES are themselves
+ * deterministic and cross-engine exact — both are pure functions of
+ * md5-derived hashes, so DuckDB recomputes the identical sketch and the
+ * identical estimate, and the oracle gate applies to the approximation
+ * itself (unlike HLL, whose register layout is engine-private):
+ *
+ *  - Count-Min (Cormode/Muthukrishnan 2005): d×w counters, point-frequency
+ *    upper bounds. State through the shuffle is ≤ d·w longs per partition
+ *    REGARDLESS of key cardinality — the frequency table for a key domain
+ *    that would itself be a 100 TB group-by.
+ *  - KMV / bottom-k (Bar-Yossef et al. 2002; Beyer et al. 2007): the k
+ *    smallest distinct hash VALUES. Mergeable like HLL but also
+ *    comparable — two sketches' value sets support union/intersection
+ *    estimates, i.e. a train/test overlap-rate probe that never joins the
+ *    underlying corpora.
+ *
+ * No reference analogue (the reference's only aggregations are windowed
+ * count/mean, `FlightEventAggregator.java:219-308`); this is extension
+ * surface in the training-data-pipeline direction.
+ */
+object Sketches {
+
+  /** 2^60 as a double — exact (power of two); the portable-hash value space. */
+  private val HashSpace: Double = 1152921504606846976L.toDouble
+
+  // ==========================================================================
+  // Count-Min
+  // ==========================================================================
+
+  /** Per-depth bucket of `key` under the salted portable hash — row d of the
+    * CMS for this key. 60-bit md5-derived hash, non-negative, so `%` and
+    * `pmod` agree (DuckDB mirrors with the same `d:key` salt concat). */
+  private def cmBucket(key: Column, d: Column, width: Int): Column =
+    TextOps.portableHash(key, d) % width
+
+  /**
+   * Build a Count-Min sketch over `keyCol` occurrences: one row per
+   * (depth, bucket) with the collision-summed count. Each input row fans
+   * out to `depth` (bucket) rows in-task, then the partial aggregate
+   * combines to ≤ depth·width rows per partition before the single
+   * exchange — the sketch, not the data, is what shuffles.
+   */
+  def countMinSketch(df: DataFrame, keyCol: Column,
+      depth: Int = 4, width: Int = 512): DataFrame = {
+    require(depth >= 1 && width >= 1, s"need depth,width >= 1, got $depth,$width")
+    df.select(keyCol.cast("string").as("k"))
+      .select(posexplode(transform(sequence(lit(0), lit(depth - 1)),
+        d => cmBucket(col("k"), d, width))).as(Seq("depth", "bucket")))
+      .groupBy(col("depth"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
+   * Point-frequency estimates for `keys` (one row per distinct key) against
+   * a [[countMinSketch]]: est = min over depths of the key's bucket count —
+   * the classic CMS upper bound (never under-counts; over-counts only by
+   * collision mass). The sketch side is ≤ depth·width rows and broadcasts;
+   * the keys side never shuffles. Buckets no key hashed into during the
+   * build read as 0.
+   */
+  def countMinEstimate(sketch: DataFrame, keys: DataFrame, keyCol: Column,
+      depth: Int = 4, width: Int = 512): DataFrame =
+    keys.select(keyCol.as("key")).distinct()
+      .select(col("key"), posexplode(transform(sequence(lit(0), lit(depth - 1)),
+        d => cmBucket(col("key").cast("string"), d, width))).as(Seq("depth", "bucket")))
+      .join(broadcast(sketch), Seq("depth", "bucket"), "left")
+      .groupBy(col("key"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+
+  // ==========================================================================
+  // KMV / bottom-k
+  // ==========================================================================
+
+  /** KMV distinct estimate from an ascending k-min array: exact size while
+    * the sketch is unsaturated (it has seen every distinct hash), else
+    * (k-1)·2⁶⁰ / h₍k₎. Both factors are exact doubles ((k-1)·2⁶⁰ is a small
+    * int times a power of two) and the division is one IEEE op, so DuckDB's
+    * `(k-1)::double * 2^60::double / hk::double` reproduces it bit-for-bit. */
+  private def kmvEstimate(kmins: Column, k: Int): Column =
+    when(size(kmins) < k, size(kmins).cast("double"))
+      .otherwise(lit((k - 1).toDouble * HashSpace) /
+        element_at(kmins, k).cast("double"))
+
+  /**
+   * Per-group KMV distinct-count estimate over `valueCol`: one partial/final
+   * aggregate pair carrying ≤ k longs per (mapper, group), with the
+   * estimate — not just the sketch — emitted. `n_kept`/`kth_min` expose the
+   * sketch state the estimate derives from (and are what the oracle pins).
+   */
+  def kmvDistinct(df: DataFrame, groupCol: Column, valueCol: Column,
+      k: Int = 64): DataFrame =
+    df.select(groupCol.as("grp"),
+        TextOps.portableHash(valueCol.cast("string")).as("h"))
+      .groupBy(col("grp"))
+      .agg(GraftFunctions.kmin_values(col("h"), k).as("kmins"))
+      .select(col("grp"),
+        size(col("kmins")).as("n_kept"),
+        element_at(col("kmins"), size(col("kmins"))).as("kth_min"),
+        kmvEstimate(col("kmins"), k).as("est_distinct"))
+
+  /**
+   * KMV set-overlap estimate between the `sideA` and `sideB` partitions of
+   * the corpus, over the distinct `valueCol` domain (shingles, tokens, URLs):
+   * builds one bottom-k sketch per side (a 2-row aggregate), merges them into
+   * the UNION's k-min set, and scales the union estimate by the fraction ρ of
+   * union k-mins present in BOTH sides (Beyer et al. 2007's ratio estimator):
+   *
+   *   n̂_union = (k-1)·2⁶⁰ / h₍k₎(A∪B);  n̂_inter = ρ·n̂_union;
+   *   jaccard ≈ ρ.
+   *
+   * One row out: the two sketches never exceed k values each, so the
+   * combine step is a 1×1-row join of provably-single-row aggregates —
+   * the overlap probe costs two corpus scans and O(k) state, vs the exact
+   * form's full distinct-domain shuffle + join. `n_common_kmins` (= ρ·k
+   * while saturated) is integer-exact; est doubles follow the single-IEEE-op
+   * discipline above.
+   */
+  def kmvOverlap(df: DataFrame, sideA: Column, sideB: Column,
+      valueCol: Column, k: Int = 64): DataFrame = {
+    val hashed = df.select(sideA.as("in_a"), sideB.as("in_b"),
+      TextOps.portableHash(valueCol.cast("string")).as("h"))
+    val sketches = hashed.agg(
+      GraftFunctions.kmin_values(when(col("in_a"), col("h")), k).as("ka"),
+      GraftFunctions.kmin_values(when(col("in_b"), col("h")), k).as("kb"))
+    val union = slice(array_sort(array_union(col("ka"), col("kb"))), 1, k)
+    sketches.select(col("ka"), col("kb"), union.as("ku"))
+      .select(
+        size(col("ka")).as("n_a"), size(col("kb")).as("n_b"),
+        size(col("ku")).as("n_u"),
+        size(filter(col("ku"), h =>
+          array_contains(col("ka"), h) && array_contains(col("kb"), h)))
+          .as("n_common_kmins"),
+        kmvEstimate(col("ka"), k).as("est_distinct_a"),
+        kmvEstimate(col("kb"), k).as("est_distinct_b"),
+        kmvEstimate(col("ku"), k).as("est_distinct_union"))
+      .withColumn("est_intersection",
+        col("n_common_kmins").cast("double") / col("n_u").cast("double")
+          * col("est_distinct_union"))
+  }
+}

@@ -95,4 +95,56 @@ class SketchSpec extends SparkSpec {
     val merged = left.mergeInPlace(right)
     assert(merged.estimateCount("hot") >= 1000L)
   }
+
+  test("Sketches.countMin: upper bound always; exact at collision-free width") {
+    import graft.operators.Sketches
+    val rows = Seq.fill(500)("hot") ++ (1 to 100).map(i => s"r$i")
+    val df = rows.toDF("k").repartition(8)
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (width <- Seq(16, 4096)) {
+      val cms = Sketches.countMinSketch(df, col("k"), 4, width)
+      val est = Sketches.countMinEstimate(cms, df, col("k"), 4, width)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      exact.foreach { case (k, c) =>
+        assert(est(k) >= c, s"CMS underestimated $k at width $width")
+      }
+      if (width == 4096) // 101 keys in 4×4096 buckets: collisions ~ none
+        assert(est("hot") == 500L && est("r1") == 1L)
+    }
+    // sketch is the bounded-state summary: ≤ depth·width rows regardless of input
+    val small = Sketches.countMinSketch(df, col("k"), 4, 16)
+    assert(small.count() <= 4L * 16)
+  }
+
+  test("Sketches.kmvDistinct: exact below k, tight estimate above") {
+    import graft.operators.Sketches
+    val df = (1 to 2000).map(i => ("g" + (i % 2), s"v${(i / 2) % (if (i % 2 == 0) 40 else 1000)}"))
+      .toDF("g", "v").repartition(8)
+    val got = Sketches.kmvDistinct(df, col("g"), col("v"), 64)
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getDouble(3))).toMap
+    // g0 has 40 distinct values < k → sketch unsaturated → exact count
+    assert(got("g0")._1 == 40 && got("g0")._2 == 40.0)
+    // g1 has 1000 distinct → saturated; KMV with k=64 has ~1/sqrt(62) ≈ 13%
+    // relative std error — assert a generous 4-sigma band
+    assert(got("g1")._1 == 64)
+    assert(got("g1")._2 > 500 && got("g1")._2 < 2000, s"est=${got("g1")._2}")
+  }
+
+  test("Sketches.kmvOverlap: identical sides → jaccard 1; disjoint → 0") {
+    import graft.operators.Sketches
+    val same = (1 to 500).map(i => (true, true, s"v$i")).toDF("a", "b", "v")
+    val r1 = Sketches.kmvOverlap(same, col("a"), col("b"), col("v"), 64).head()
+    assert(r1.getAs[Int]("n_common_kmins") == 64)
+    assert(r1.getAs[Double]("est_intersection") == r1.getAs[Double]("est_distinct_union"))
+    val disj = ((1 to 300).map(i => (true, false, s"x$i")) ++
+      (1 to 300).map(i => (false, true, s"y$i"))).toDF("a", "b", "v").repartition(6)
+    val r2 = Sketches.kmvOverlap(disj, col("a"), col("b"), col("v"), 64).head()
+    assert(r2.getAs[Int]("n_common_kmins") == 0)
+    assert(r2.getAs[Double]("est_intersection") == 0.0)
+    // half-overlap: common values must surface with a plausible ratio
+    val half = ((1 to 400).map(i => (true, i <= 200, s"c$i"))).toDF("a", "b", "v")
+    val r3 = Sketches.kmvOverlap(half, col("a"), col("b"), col("v"), 64).head()
+    val jac = r3.getAs[Int]("n_common_kmins").toDouble / r3.getAs[Int]("n_u")
+    assert(jac > 0.2 && jac < 0.8, s"jaccard=$jac") // true 0.5, k=64 noise band
+  }
 }
