@@ -671,4 +671,56 @@ class StreamingCorpusSpec extends SparkSpec {
       assert(got == Seq((1L, 200L, 1), (2L, 200L, 0), (3L, 300L, 1)))
     } finally q.stop()
   }
+
+  test("streaming KMV sketch matches batch kmvDistinct across micro-batches") {
+    // The KMinValues TypedImperativeAggregate is mergeable, so the batch
+    // builder runs unchanged on a streaming frame in Complete mode — the
+    // sketch state (≤ k longs per group) IS the streaming state, and the
+    // final estimate must be the estimate batch computes over all rows.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)] // (grp, value)
+    val streamed = graft.operators.Sketches.kmvDistinct(
+      input.toDF().toDF("grp", "v"), col("grp"), col("v"), k = 16)
+    val q = streamed.writeStream.format("memory").queryName("kmv_out")
+      .option("checkpointLocation", Files.createTempDirectory("kmv-cp").toString)
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val batch1 = (1 to 30).map(i => ("a", s"v$i")) ++ (1 to 5).map(i => ("b", s"w$i"))
+      val batch2 = (20 to 60).map(i => ("a", s"v$i")) ++ (1 to 5).map(i => ("b", s"w$i"))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*) // overlaps batch1: set semantics must hold
+      q.processAllAvailable()
+      val got = spark.table("kmv_out")
+        .as[(String, Int, Long, Double)].collect().toSet
+      val expected = graft.operators.Sketches.kmvDistinct(
+        (batch1 ++ batch2).toDF("grp", "v"), col("grp"), col("v"), k = 16)
+        .as[(String, Int, Long, Double)].collect().toSet
+      assert(got == expected)
+      // group b saw 5 distinct < k → the streaming estimate is EXACT
+      assert(got.find(_._1 == "b").get._4 == 5.0)
+    } finally q.stop()
+  }
+
+  test("streaming Count-Min sketch matches the batch build across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val streamed = graft.operators.Sketches.countMinSketch(
+      input.toDF().toDF("k"), col("k"), depth = 4, width = 32)
+    val q = streamed.writeStream.format("memory").queryName("cms_out")
+      .option("checkpointLocation", Files.createTempDirectory("cms-cp").toString)
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val batch1 = Seq.fill(40)("hot") ++ (1 to 10).map(i => s"r$i")
+      val batch2 = Seq.fill(60)("hot") ++ (5 to 15).map(i => s"r$i")
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      val got = spark.table("cms_out")
+        .as[(Int, Long, Long)].collect().toSet
+      val expected = graft.operators.Sketches.countMinSketch(
+        (batch1 ++ batch2).toDF("k"), col("k"), depth = 4, width = 32)
+        .as[(Int, Long, Long)].collect().toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
 }
