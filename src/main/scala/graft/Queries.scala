@@ -129,6 +129,34 @@ object Queries {
       |  FROM events)
       |""".stripMargin
 
+  /** DuckDB CTE chain recomputing the LSH-candidate kNN graph (k=5, 4 bands
+    * × 2 planes, the dedup_embedding_near plane family): `g` is the ranked
+    * edge set (src_id, dst_id, cosine, rank ≤ 5). Shared by `sim_knn_graph`
+    * and `emb_knn_density`. */
+  private val knnGraphCte =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS ve
+      |           FROM embeddings),
+      |n AS (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nn FROM v),
+      |bb AS (
+      |  SELECT vec_id, ve, nn, band,
+      |         list_sum(list_transform(generate_series(0, 1), j ->
+      |           CASE WHEN list_sum(list_transform(generate_series(0, len(ve) - 1), d ->
+      |                  ve[d + 1] * ((('0x' || substr(md5((band * 2 + j) || ':' || d), 1, 15))::bigint
+      |                                / 1.152921504606846976e18) * 2 - 1))) >= 0
+      |                THEN cast(pow(2.0, j) AS bigint) ELSE 0 END))::bigint AS bucket
+      |  FROM n CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+      |pairs AS (
+      |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS dst_id,
+      |         list_dot_product(a.ve, b.ve) / (a.nn * b.nn) AS cosine
+      |  FROM bb a JOIN bb b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      |g AS (
+      |  SELECT src_id, dst_id, cosine,
+      |         row_number() OVER (PARTITION BY src_id
+      |                            ORDER BY cosine DESC, dst_id)::int AS rank
+      |  FROM pairs QUALIFY rank <= 5)
+      |""".stripMargin
+
   // ==========================================================================
   // The catalog
   // ==========================================================================
@@ -2138,6 +2166,34 @@ object Queries {
           |             ('0x' || substr(md5(doc_id::varchar), 1, 15))::bigint % 100 AS b
           |      FROM documents)""".stripMargin)),
 
+    // Leakage-safe split: the split key is the NEAR-DUP COMPONENT, so a test
+    // document's near-copy can never land in train (the contamination mode a
+    // per-doc hash split cannot prevent). Chains the standard LSH → verify →
+    // components oracle CTEs into the hash-split CASE.
+    ("split_leakage_safe",
+      (s: SparkSession, d: String) =>
+        Sampling.leakageSafeSplit(Tables.documents(s, d), col("doc_id"),
+          col("text"), Seq("train" -> 80, "val" -> 10, "test" -> 10)),
+      Some(lshCandCtes + nearDupVerifyCtes +
+        """, comp AS (
+          |  SELECT id AS doc_id, min(lbl) AS component
+          |  FROM (
+          |    WITH RECURSIVE r(id, lbl) AS (
+          |      SELECT doc_id, doc_id FROM documents
+          |      UNION
+          |      SELECT e.src, r.lbl
+          |      FROM (SELECT doc_a AS src, doc_b AS dst FROM verified WHERE jaccard >= 0.8
+          |            UNION ALL
+          |            SELECT doc_b AS src, doc_a AS dst FROM verified WHERE jaccard >= 0.8) e
+          |      JOIN r ON r.id = e.dst)
+          |    SELECT id, lbl FROM r)
+          |  GROUP BY 1)
+          |SELECT doc_id, component,
+          |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+          |FROM (SELECT doc_id, component,
+          |             ('0x' || substr(md5(component::varchar), 1, 15))::bigint % 100 AS b
+          |      FROM comp)""".stripMargin)),
+
     // Weighted sample without replacement (priority sampling, Duffield-Lund-
     // Thorup): 200 docs drawn with probability increasing in token count —
     // the "prefer long/high-quality documents" primitive. Priority = u/w from
@@ -2198,6 +2254,65 @@ object Queries {
           |                    event_id) AS rn
           |  FROM events)
           |WHERE rn <= 100""".stripMargin)),
+
+    // Dataset-card profile: one row per source with the integer-exact
+    // aggregates a corpus release note reports — docs, total tokens,
+    // distinct languages, quality-pass count, distinct text fingerprints
+    // (the exact-dup diagnostic). One grouped aggregation over the quality
+    // metrics frame (distinct counts plan as the two-phase expand).
+    ("corpus_profile",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        TextOps.qualityFilter(docs, col("text"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens").cast("long")).as("total_tokens"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(col("quality_keep").cast("long")).as("n_quality"),
+            countDistinct(md5(col("text"))).as("n_unique_texts"))
+      },
+      Some(qualityMetricsCtes("documents") +
+        """SELECT d.source,
+          |       count(*)::bigint AS n_docs,
+          |       sum(m.n_tokens)::bigint AS total_tokens,
+          |       count(DISTINCT d.lang)::bigint AS n_langs,
+          |       sum(CASE WHEN m.n_tokens BETWEEN 20 AND 80
+          |                 AND m.avg_token_len BETWEEN 3.0 AND 8.0
+          |                 AND m.symbol_ratio <= 0.1 AND m.digit_token_ratio <= 0.2
+          |                 AND m.n_stopwords >= 1 THEN 1 ELSE 0 END)::bigint AS n_quality,
+          |       count(DISTINCT md5(d.text))::bigint AS n_unique_texts
+          |FROM documents d JOIN qmetrics m USING (doc_id)
+          |GROUP BY 1""".stripMargin)),
+
+    // Snapshot diff: crawl A (doc_id % 10 <> 0) vs crawl B (doc_id % 7 <> 3,
+    // with every %5==0 doc's text revised) classified added / removed /
+    // changed / unchanged by md5 fingerprint — the incremental-reprocessing
+    // audit ("re-embed only changed docs"). One full-outer equi-join;
+    // payloads never cross the wire, only fingerprints.
+    ("corpus_snapshot_diff",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val a = docs.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"), md5(col("text")).as("fp"))
+        val b = docs.filter(col("doc_id") % 7 =!= 3)
+          .select(col("doc_id"),
+            md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text"))).as("fp"))
+        Layout.snapshotDiff(a, b, "doc_id")
+      },
+      Some(
+        """WITH a AS (
+          |  SELECT doc_id, md5(text) AS fp_a FROM documents WHERE doc_id % 10 <> 0),
+          |b AS (
+          |  SELECT doc_id,
+          |         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS fp_b
+          |  FROM documents WHERE doc_id % 7 <> 3)
+          |SELECT doc_id AS id, fp_a, fp_b,
+          |       CASE WHEN fp_a IS NULL THEN 'added'
+          |            WHEN fp_b IS NULL THEN 'removed'
+          |            WHEN fp_a = fp_b THEN 'unchanged'
+          |            ELSE 'changed' END AS status
+          |FROM a FULL OUTER JOIN b USING (doc_id)""".stripMargin)),
 
     // Per-source corpus balancing: resample documents to target source
     // proportions — src0-src3 weighted 3, the rest 1, budget 280 → quotas
@@ -2607,10 +2722,7 @@ object Queries {
     ("text_classifier_score",
       (s: SparkSession, d: String) =>
         TextOps.classifierScore(Tables.documents(s, d), col("text"),
-          col("doc_id"),
-          weights = Seq(5L, -3L, 7L, 2L, -8L, 4L, 1L, -2L, 6L, -5L, 3L, 9L,
-            -1L, -4L, 8L, 2L),
-          bias = -40L, threshold = 0L),
+          col("doc_id"), weights = clfWeights, bias = -40L, threshold = 0L),
       Some(
         """WITH t AS (
           |  SELECT doc_id,
@@ -2630,6 +2742,66 @@ object Queries {
           |SELECT doc_id, margin,
           |       (CASE WHEN margin >= 0 THEN 1 ELSE 0 END)::int AS clf_keep
           |FROM m""".stripMargin)),
+
+    // Exact tie-aware ROC AUC of the hash-classifier margin predicting the
+    // quality gate: Mann–Whitney with average ranks, kept in integer 2× form
+    // (auc_num2 / auc_den2 exact longs; auc is their one IEEE division).
+    // Aggregates BY SCORE first — the unpartitioned rank window runs over
+    // the distinct-margin frame, never the corpus.
+    ("eval_auc_classifier",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val scored = TextOps.classifierScore(docs, col("text"), col("doc_id"),
+          weights = clfWeights, bias = -40L, threshold = 0L)
+        val labels = TextOps.qualityFilter(docs, col("text"))
+          .select(col("doc_id"), col("quality_keep"))
+        Eval.aucExact(scored.join(labels, "doc_id"),
+          col("margin"), col("quality_keep"))
+      },
+      Some(clfLabelCtes +
+        """, bysc AS (
+          |  SELECT score, count(*)::bigint AS c, sum(label)::bigint AS p
+          |  FROM joined GROUP BY 1),
+          |cum AS (
+          |  SELECT score, c, p,
+          |         coalesce(sum(c) OVER (ORDER BY score
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+          |           AS cum_below
+          |  FROM bysc),
+          |agg AS (
+          |  SELECT sum(p)::bigint AS n_pos, sum(c - p)::bigint AS n_neg,
+          |         sum(p * (2 * cum_below + c + 1))::bigint AS sum2ranks
+          |  FROM cum)
+          |SELECT n_pos, n_neg,
+          |       (sum2ranks - n_pos * (n_pos + 1))::bigint AS auc_num2,
+          |       (2 * n_pos * n_neg)::bigint AS auc_den2,
+          |       CASE WHEN n_pos * n_neg <> 0
+          |            THEN (sum2ranks - n_pos * (n_pos + 1))::double
+          |                   / (2 * n_pos * n_neg) END AS auc
+          |FROM agg""".stripMargin)),
+
+    // Calibration table for the same (margin, quality) pair: 10 fixed-width
+    // bins over the observed margin range (exact long floor division), with
+    // per-bin counts and empirical positive rate — the reliability-diagram /
+    // threshold-tuning artifact.
+    ("eval_calibration_bins",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val scored = TextOps.classifierScore(docs, col("text"), col("doc_id"),
+          weights = clfWeights, bias = -40L, threshold = 0L)
+        val labels = TextOps.qualityFilter(docs, col("text"))
+          .select(col("doc_id"), col("quality_keep"))
+        Eval.calibrationBins(scored.join(labels, "doc_id"),
+          col("margin"), col("quality_keep"), nBins = 10)
+      },
+      Some(clfLabelCtes +
+        """, bounds AS (SELECT min(score) AS smin, max(score) AS smax FROM joined)
+          |SELECT ((score - smin) * 10 // (smax - smin + 1))::bigint AS bin,
+          |       count(*)::bigint AS n, sum(label)::bigint AS n_pos,
+          |       min(score)::bigint AS score_lo, max(score)::bigint AS score_hi,
+          |       sum(label)::double / count(*) AS pos_rate
+          |FROM joined CROSS JOIN bounds
+          |GROUP BY 1""".stripMargin)),
 
     // BPE encode: apply the 3 trained merges to every document (greedy
     // left-to-right, training order — the encode half of the tokenizer
@@ -3507,6 +3679,74 @@ object Queries {
           |FROM brute b
           |LEFT JOIN approx a ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
           |GROUP BY 1""".stripMargin)),
+
+    // Corpus self-kNN graph: every document's 5 nearest in-corpus neighbors
+    // drawn from the banded-hyperplane LSH candidate set (same planes/bands
+    // as dedup_embedding_near, same hot-bucket cap discipline). The graph is
+    // DEFINED by the algorithm (planes, bands, cap, id tie-break), so the
+    // oracle recomputes the identical projections; recall vs the exact
+    // brute-force graph is a spec-measured property, not the gate. At sf0.01
+    // every (band, bucket) holds ≤ ~162 rows, far under the 1024 cap, so the
+    // capped star never fires here and the oracle needn't model it (the
+    // degenerate-corpus spec covers that path).
+    ("sim_knn_graph",
+      (s: SparkSession, d: String) =>
+        Similarity.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 5, nBands = 4, rowsPerBand = 2, dim = 64),
+      Some(knnGraphCte +
+        "SELECT src_id, rank, dst_id, cosine FROM g")),
+
+    // kNN-density outlier gate: mean top-k neighbor cosine below tau marks a
+    // document as isolated in embedding space (off-topic / garbled / badly
+    // embedded) — evaluated in fixed point (Σ floor(cosine·2^30) ≥
+    // floor(tau·2^30)·n) so the gate is order-free exact long arithmetic,
+    // never a float mean whose partial-sum order differs between engines.
+    // tau = 0.31 ≈ the corpus median mean-top-5 cosine.
+    ("emb_knn_density",
+      (s: SparkSession, d: String) =>
+        Similarity.knnDensityGate(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 5, tau = 0.31, nBands = 4, rowsPerBand = 2, dim = 64),
+      Some(knnGraphCte +
+        """, d AS (SELECT src_id, sum(floor(cosine * 1073741824)::bigint)::bigint AS density_q,
+          |              count(*) AS knn_n
+          |       FROM g GROUP BY 1)
+          |SELECT v.vec_id AS src_id,
+          |       coalesce(d.density_q, 0) AS density_q,
+          |       coalesce(d.knn_n, 0) AS knn_n,
+          |       (CASE WHEN coalesce(d.knn_n, 0) > 0
+          |               AND coalesce(d.density_q, 0) >= 332859965 * coalesce(d.knn_n, 0)
+          |             THEN 1 ELSE 0 END)::int AS dense_keep
+          |FROM v LEFT JOIN d ON d.src_id = v.vec_id""".stripMargin)),
+
+    // Mutual-kNN clustering: components over the MUTUAL kNN edges (a↔b in
+    // each other's top-k) — mutuality stops hub docs welding unrelated
+    // neighborhoods together. cluster_id = min member id; cluster_size feeds
+    // diversity sampling / soft-dedup downweighting.
+    ("sim_knn_clusters",
+      (s: SparkSession, d: String) =>
+        Similarity.knnClusters(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 5, nBands = 4, rowsPerBand = 2, dim = 64),
+      Some(knnGraphCte +
+        """, m AS (
+          |  SELECT a.src_id AS doc_a, a.dst_id AS doc_b
+          |  FROM g a JOIN g b ON b.src_id = a.dst_id AND b.dst_id = a.src_id
+          |  WHERE a.src_id < a.dst_id),
+          |comp AS (
+          |  SELECT id AS vec_id, min(lbl) AS cluster_id
+          |  FROM (
+          |    WITH RECURSIVE r(id, lbl) AS (
+          |      SELECT vec_id, vec_id FROM embeddings
+          |      UNION
+          |      SELECT e.s, r.lbl
+          |      FROM (SELECT doc_a AS s, doc_b AS t FROM m
+          |            UNION ALL
+          |            SELECT doc_b AS s, doc_a AS t FROM m) e
+          |      JOIN r ON r.id = e.t)
+          |    SELECT id, lbl FROM r)
+          |  GROUP BY 1)
+          |SELECT vec_id, cluster_id,
+          |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+          |FROM comp""".stripMargin)),
 
     // ---- Embedding transforms: normalize / quantize / project -------------
     // Array columns stay internal; the oracle compares scalar derivations
@@ -5300,6 +5540,43 @@ object Queries {
       |         len(list_filter(toks, x -> x IN ('the','a','of','and','is')))::int AS n_stopwords
       |  FROM qt)
       |""".stripMargin
+
+  /** The catalog's fixed hash-classifier weight vector (text_classifier_score
+    * and both eval rows — one definition so they cannot drift). */
+  private val clfWeights: Seq[Long] =
+    Seq(5L, -3L, 7L, 2L, -8L, 4L, 1L, -2L, 6L, -5L, 3L, 9L, -1L, -4L, 8L, 2L)
+
+  /** DuckDB CTEs producing the (score = classifier margin, label = quality
+    * gate) frame `joined` — the input both eval rows aggregate. Mirrors
+    * [[TextOps.classifierScore]] (clfWeights, bias −40) joined to
+    * [[TextOps.qualityFilter]]'s default-threshold verdict. */
+  private lazy val clfLabelCtes: String =
+    qualityMetricsCtes("documents") +
+      """, ct AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |cw AS (SELECT [5, -3, 7, 2, -8, 4, 1, -2, 6, -5, 3, 9, -1, -4, 8, 2] AS wv),
+        |cv AS (
+        |  SELECT doc_id,
+        |         list_transform(range(0, 16),
+        |           b -> len(list_filter(toks,
+        |                  tok -> ('0x' || substr(md5(tok), 1, 15))::bigint % 16 = b))) AS vec
+        |  FROM ct),
+        |cm AS (
+        |  SELECT doc_id,
+        |         (list_sum(list_transform(range(0, 16), i -> vec[i + 1] * wv[i + 1])) - 40)::bigint AS margin
+        |  FROM cv CROSS JOIN cw),
+        |labels AS (
+        |  SELECT doc_id,
+        |         (CASE WHEN n_tokens BETWEEN 20 AND 80 AND avg_token_len BETWEEN 3.0 AND 8.0
+        |               AND symbol_ratio <= 0.1 AND digit_token_ratio <= 0.2
+        |               AND n_stopwords >= 1 THEN 1 ELSE 0 END) AS label
+        |  FROM qmetrics),
+        |joined AS (
+        |  SELECT cm.margin AS score, l.label
+        |  FROM cm JOIN labels l USING (doc_id))
+        |""".stripMargin
 
   /** Shared DuckDB CTE: distinct 3-gram word shingles per document, matching
     * [[TextOps.shingles]] exactly (incl. the short-document whole-text case). */

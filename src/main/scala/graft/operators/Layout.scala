@@ -85,6 +85,27 @@ object Layout {
     * (broadcast when the update batch is small, the common case) plus a
     * union; nothing is collected. Duplicate keys WITHIN `updates` are the
     * caller's bug — both rows survive, same as SQL MERGE's multi-match. */
+  /**
+   * Snapshot diff: classify every id across two corpus snapshots by
+   * fingerprint — `added` (only in b), `removed` (only in a), `changed`
+   * (both, fingerprints differ), `unchanged` — the crawl-to-crawl change
+   * audit behind incremental reprocessing ("re-embed only changed docs")
+   * and dataset-release notes. One full-outer equi-join on the id;
+   * fingerprints (which the caller computes — md5 of the payload, an etag,
+   * a version hash) must be NON-NULL, and only they cross the wire, never
+   * the payload. Both inputs must expose `idCol` and a `fp` column.
+   */
+  def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String): DataFrame = {
+    val l = a.select(col(idCol).as("id"), col("fp").as("fp_a"))
+    val r = b.select(col(idCol).as("id"), col("fp").as("fp_b"))
+    l.join(r, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("fp_a").isNull, lit("added"))
+          .when(col("fp_b").isNull, lit("removed"))
+          .when(col("fp_a") === col("fp_b"), lit("unchanged"))
+          .otherwise(lit("changed")))
+  }
+
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
     base.join(updates.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(updates)

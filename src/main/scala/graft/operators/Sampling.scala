@@ -34,6 +34,30 @@ object Sampling {
   }
 
   /**
+   * Leakage-safe train/val/test split: assign splits by the hash of each
+   * document's NEAR-DUP COMPONENT, not its own id, so near-duplicates can
+   * never straddle the train/test boundary — the contamination mode a
+   * per-doc [[hashSplit]] cannot prevent (a test document's near-copy in
+   * train is memorization leakage that survives exact dedup). Components
+   * come from the standard capped LSH → exact-Jaccard-verify → min-label
+   * chain (`Dedup.lshCandidates` / `ngramJaccard` / `connectedComponents`),
+   * so the pair space is bounded and singleton docs (the vast majority)
+   * flow through as their own component. Output: (doc_id, component,
+   * split); split is a pure function of the component id, so re-runs after
+   * adding data never reshuffle existing components between splits.
+   */
+  def leakageSafeSplit(docs: DataFrame, idCol: Column, textCol: Column,
+      fractions: Seq[(String, Int)], tau: Double = 0.8): DataFrame = {
+    val cands = Dedup.lshCandidates(Dedup.lshBuckets(
+      Dedup.minhashSignatures(docs, textCol, idCol)))
+    val dupPairs = Dedup.ngramJaccard(cands, docs, textCol, idCol)
+      .filter(col("jaccard") >= tau).select(col("doc_a"), col("doc_b"))
+    val comp = Dedup.connectedComponents(docs.select(idCol.as("id")), dupPairs)
+    hashSplit(comp, col("component"), fractions)
+      .select(col("id").as("doc_id"), col("component"), col("split"))
+  }
+
+  /**
    * Priority sampling (Duffield–Lund–Thorup, "Priority sampling for
    * estimation of arbitrary subset sums", JACM 2007): a weighted sample of
    * `k` rows WITHOUT replacement. Each row draws a deterministic uniform

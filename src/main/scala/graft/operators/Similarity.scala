@@ -934,4 +934,187 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
+
+  /**
+   * Corpus self-kNN graph over LSH candidates: every document's k
+   * most-similar in-corpus neighbors, drawn from the banded-hyperplane
+   * candidate set ([[lshBandBucketsFast]], the same bands + hot-bucket cap
+   * discipline as `Dedup.embeddingNearDupBucketed`). The kNN graph is the
+   * backbone of SemDeDup-style cluster pruning, diversity sampling, and
+   * kNN-density outlier gates over a training corpus.
+   *
+   * Scale shape: candidates come from the (band, bucket) equi-join —
+   * Σ|bucket|² pair space, never corpus² — with oversized buckets degraded
+   * to a bidirectional anchor star (every member keeps the anchor as a
+   * candidate and the anchor sees all members, O(|bucket|) pairs). Pairs
+   * dedupe on (src, dst) across bands, then one window ranks per src. The
+   * corpus never broadcasts and never crosses itself; the only exchanges
+   * are the (band, bucket) join key and the final src_id rank partition.
+   *
+   * The graph is DEFINED by this algorithm (planes, bands, cap, tie-break),
+   * so the DuckDB oracle recomputes the same projections; recall vs the
+   * exact brute-force graph is a measured property (spec), not the
+   * correctness gate. Ties rank by neighbor id ascending.
+   */
+  def knnGraph(embeddings: DataFrame, idCol: String, vecCol: String, k: Int,
+      nBands: Int = 4, rowsPerBand: Int = 2, dim: Int = -1,
+      maxBucketSize: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bandBuckets =
+      if (dim > 0) lshBandBucketsFast(col("v"), nBands, rowsPerBand, dim)
+      else lshBandBuckets(col("v"), nBands, rowsPerBand)
+    val byCell = Window.partitionBy(col("band"), col("bucket"))
+    // materialized once pre-join for the same ReuseExchange reason as the
+    // dedup path: the two aliased join sides would otherwise recompute the
+    // md5-per-plane bucket derivation
+    val v = embeddings.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("n", norm(col("v")))
+      .select(col("id"), col("v"), col("n"),
+        posexplode(bandBuckets).as(Seq("band", "bucket")))
+      .withColumn("bsize", count(lit(1)).over(byCell))
+      .withColumn("anchor", min(col("id")).over(byCell))
+      .localCheckpoint()
+    def srcSide(df: DataFrame) = df.select(col("band"), col("bucket"),
+      col("id").as("src_id"), col("v").as("sv"), col("n").as("sn"))
+    def dstSide(df: DataFrame) = df.select(col("band"), col("bucket"),
+      col("id").as("dst_id"), col("v").as("dv"), col("n").as("dn"))
+    val small = v.filter(col("bsize") <= maxBucketSize)
+    val clique = srcSide(small).join(dstSide(small), Seq("band", "bucket"))
+      .filter(col("src_id") =!= col("dst_id"))
+    val anchors = v.filter(col("bsize") > maxBucketSize && col("id") === col("anchor"))
+    val members = v.filter(col("bsize") > maxBucketSize && col("id") =!= col("anchor"))
+    // bidirectional star: member→anchor keeps every member connected;
+    // anchor→member lets the anchor rank its full cell
+    val star = srcSide(anchors).join(dstSide(members), Seq("band", "bucket"))
+      .unionByName(srcSide(members).join(dstSide(anchors), Seq("band", "bucket")))
+    val pairs = clique.unionByName(star)
+      .select(col("src_id"), col("dst_id"),
+        (dot(col("sv"), col("dv")) / (col("sn") * col("dn"))).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cosine").desc, col("dst_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src_id"), col("rank"), col("dst_id"), col("cosine"))
+  }
+
+  /**
+   * Streaming/serving face of [[knnGraph]]: arriving vectors join the STATIC
+   * corpus's precomputed (band, bucket) index and emit per-candidate cosine
+   * scores — a stateless projection + stream-static equi-join, so it runs
+   * identically under `read` and `readStream` in append mode (the
+   * [[int8ScoreStatic]] / `ivfPqSearchStatic` ladder convention). No rank,
+   * no dedup across bands here: both need cross-row state; serving
+   * pipelines take DISTINCT + top-k per micro-batch downstream (parity with
+   * the batch graph's pre-rank pair set is spec-pinned). The static side is
+   * bucketed once per (re)build — at 100 TB the corpus index is a bucketed
+   * table, and each arriving row touches only its ≤ nBands buckets.
+   */
+  def knnCandidatesStatic(corpusIndex: DataFrame, arrivals: DataFrame,
+      idCol: String, vecCol: String, nBands: Int = 4, rowsPerBand: Int = 2,
+      dim: Int = -1): DataFrame = {
+    def buckets(c: Column) =
+      if (dim > 0) lshBandBucketsFast(c, nBands, rowsPerBand, dim)
+      else lshBandBuckets(c, nBands, rowsPerBand)
+    val a = arrivals.select(col(idCol).as("src_id"), asDouble(col(vecCol)).as("sv"))
+      .withColumn("sn", norm(col("sv")))
+      .select(col("src_id"), col("sv"), col("sn"),
+        posexplode(buckets(col("sv"))).as(Seq("band", "bucket")))
+    a.join(corpusIndex, Seq("band", "bucket"))
+      .filter(col("src_id") =!= col("dst_id"))
+      .select(col("src_id"), col("dst_id"), col("band"),
+        (dot(col("sv"), col("dv")) / (col("sn") * col("dn"))).as("cosine"))
+  }
+
+  /** The static (band, bucket) corpus index [[knnCandidatesStatic]] joins:
+    * one row per (corpus vector, band) with the member's vector and norm.
+    * Built once per corpus (re)build; bit-identical bucket ids to
+    * [[knnGraph]]'s candidate derivation. */
+  def knnCorpusIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nBands: Int = 4, rowsPerBand: Int = 2, dim: Int = -1): DataFrame = {
+    def buckets(c: Column) =
+      if (dim > 0) lshBandBucketsFast(c, nBands, rowsPerBand, dim)
+      else lshBandBuckets(c, nBands, rowsPerBand)
+    corpus.select(col(idCol).as("dst_id"), asDouble(col(vecCol)).as("dv"))
+      .withColumn("dn", norm(col("dv")))
+      .select(col("dst_id"), col("dv"), col("dn"),
+        posexplode(buckets(col("dv"))).as(Seq("band", "bucket")))
+  }
+
+  /**
+   * Mutual-kNN clustering: connected components over the MUTUAL edges of
+   * [[knnGraph]] (a↔b both rank within each other's top-k). Mutuality is
+   * the standard symmetrization that keeps hub documents from welding
+   * unrelated neighborhoods into one giant cluster — a hub ranks in
+   * thousands of top-k lists, but ranks back only its own k. Output:
+   * (vec_id, cluster_id = min member id, cluster_size), the
+   * diversity-sampling / SemDeDup-style grouping primitive (sample n per
+   * cluster, or downweight by cluster_size like `dedup_soft_weights`).
+   *
+   * Scale shape: the graph is ≤ k rows per doc, the mutual filter is a
+   * self-semi-join on the graph's own (src, dst) keys, and components run
+   * the frontier-only min-label loop (`Dedup.connectedComponents`) — every
+   * stage is proportional to corpus·k, never corpus².
+   */
+  def knnClusters(embeddings: DataFrame, idCol: String, vecCol: String, k: Int,
+      nBands: Int = 4, rowsPerBand: Int = 2, dim: Int = -1,
+      maxBucketSize: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = knnGraph(embeddings, idCol, vecCol, k, nBands, rowsPerBand, dim,
+      maxBucketSize).select(col("src_id"), col("dst_id"))
+      // materialize: the mutual semi-join references the graph twice, and
+      // the graph's tail is the whole LSH + rank chain
+      .localCheckpoint()
+    val mutual = e.join(
+        e.select(col("dst_id").as("src_id"), col("src_id").as("dst_id")),
+        Seq("src_id", "dst_id"), "left_semi")
+      .filter(col("src_id") < col("dst_id"))
+      .select(col("src_id").as("doc_a"), col("dst_id").as("doc_b"))
+    val comp = Dedup.connectedComponents(
+      embeddings.select(col(idCol).as("id")), mutual)
+    comp.select(col("id").as("vec_id"), col("component").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+  }
+
+  /** Fixed-point scale for kNN-density sums: floor(cosine · 2^30) per edge.
+    * Each per-edge cosine is a deterministic left-fold of doubles (identical
+    * cross-engine — the [[cosineTopK]] convention), so its floor is an exact
+    * long, and the per-document SUM of longs is order-free — unlike a
+    * floating avg, whose partial-sum order differs between engines. */
+  val DensityScale: Long = 1L << 30
+
+  /**
+   * kNN-density outlier gate on top of [[knnGraph]]: a document whose mean
+   * top-k neighbor cosine falls below `tau` sits in a sparse region of
+   * embedding space — the standard embedding-side filter for off-topic /
+   * garbled / mis-embedded documents in corpus curation. Documents with NO
+   * LSH candidates at all (empty kNN row set) are maximally isolated and
+   * gate to keep = 0.
+   *
+   * The gate is evaluated in fixed point: density_q = Σ floor(cosine·2^30)
+   * over the document's ≤ k graph edges (order-free exact long), and
+   * dense_keep = density_q ≥ floor(tau·2^30)·knn_n — the quantized form of
+   * mean-cosine ≥ tau over the ACTUAL candidate count, so sparse-but-
+   * consistent neighborhoods aren't penalized twice. One aggregation on the
+   * graph's src_id partitioning + a left join back to the corpus id scan.
+   */
+  def knnDensityGate(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, tau: Double, nBands: Int = 4, rowsPerBand: Int = 2,
+      dim: Int = -1, maxBucketSize: Int = 1024): DataFrame = {
+    val tauQ = math.floor(tau * DensityScale).toLong
+    val g = knnGraph(embeddings, idCol, vecCol, k, nBands, rowsPerBand, dim,
+      maxBucketSize)
+    val density = g.groupBy(col("src_id"))
+      .agg(sum(floor(col("cosine") * lit(DensityScale)).cast("long")).as("density_q"),
+        count(lit(1)).as("knn_n"))
+    embeddings.select(col(idCol).as("src_id"))
+      .join(density, Seq("src_id"), "left")
+      .select(col("src_id"),
+        coalesce(col("density_q"), lit(0L)).as("density_q"),
+        coalesce(col("knn_n"), lit(0L)).as("knn_n"),
+        when(coalesce(col("knn_n"), lit(0L)) > 0 &&
+            coalesce(col("density_q"), lit(0L)) >= lit(tauQ) * col("knn_n"),
+          lit(1)).otherwise(lit(0)).as("dense_keep"))
+  }
 }

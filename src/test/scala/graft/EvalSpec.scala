@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Eval
+
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("aucExact: perfect separation is 1, anti-separation is 0") {
+    val perfect = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1)).toDF("score", "label")
+    val p = Eval.aucExact(perfect, col("score"), col("label"))
+      .select("n_pos", "n_neg", "auc_num2", "auc_den2", "auc")
+      .as[(Long, Long, Long, Long, Double)].collect()(0)
+    assert(p == ((2L, 2L, 8L, 8L, 1.0)))
+    val anti = Seq((1L, 1), (2L, 1), (3L, 0), (4L, 0)).toDF("score", "label")
+    assert(Eval.aucExact(anti, col("score"), col("label"))
+      .select("auc").as[Double].collect()(0) == 0.0)
+  }
+
+  test("aucExact: ties take average ranks (hand-computed 2x integers)") {
+    // scores [1,1,2,2] labels [0,1,0,1]: avg ranks 1.5 / 3.5 for the tied
+    // groups -> U = 2, AUC = 0.5; in 2x form num2 = 4, den2 = 8
+    val df = Seq((1L, 0), (1L, 1), (2L, 0), (2L, 1)).toDF("score", "label")
+    val r = Eval.aucExact(df, col("score"), col("label"))
+      .select("n_pos", "n_neg", "auc_num2", "auc_den2", "auc")
+      .as[(Long, Long, Long, Long, Double)].collect()(0)
+    assert(r == ((2L, 2L, 4L, 8L, 0.5)))
+  }
+
+  test("aucExact: single-class input yields null auc, zero denominator") {
+    val df = Seq((1L, 1), (2L, 1)).toDF("score", "label")
+    val r = Eval.aucExact(df, col("score"), col("label")).collect()(0)
+    assert(r.getLong(1) == 0L && r.getLong(3) == 0L && r.isNullAt(4))
+  }
+
+  test("aucExact agrees with the per-row rank definition on random data") {
+    val rng = new scala.util.Random(13)
+    val rows = (1 to 300).map { _ =>
+      val s = rng.nextInt(20).toLong // heavy ties
+      (s, if (rng.nextDouble() < (s + 1) / 25.0) 1 else 0)
+    }
+    val df = rows.toDF("score", "label")
+    val got = Eval.aucExact(df, col("score"), col("label"))
+      .select("auc").as[Double].collect()(0)
+    // reference: average-rank Mann-Whitney computed driver-side
+    val sorted = rows.sortBy(_._1)
+    val ranks = scala.collection.mutable.Map[Long, Double]()
+    var i = 0
+    while (i < sorted.length) {
+      val s = sorted(i)._1
+      val j = sorted.indexWhere(_._1 != s, i) match { case -1 => sorted.length case x => x }
+      ranks(s) = (i + 1 + j).toDouble / 2 // avg of ranks i+1..j
+      i = j
+    }
+    val nPos = rows.count(_._2 == 1); val nNeg = rows.length - nPos
+    val sumPos = rows.filter(_._2 == 1).map(r => ranks(r._1)).sum
+    val expected = (sumPos - nPos.toDouble * (nPos + 1) / 2) / (nPos.toDouble * nNeg)
+    assert(math.abs(got - expected) < 1e-12, s"$got vs $expected")
+  }
+
+  test("calibrationBins: fixed-width integer bins with counts and rates") {
+    val df = (0L until 10L).map(s => (s, if (s >= 5) 1 else 0)).toDF("score", "label")
+    val got = Eval.calibrationBins(df, col("score"), col("label"), nBins = 5)
+      .orderBy("bin")
+      .select("bin", "n", "n_pos", "score_lo", "score_hi", "pos_rate")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 0L, 0L, 1L, 0.0), (1L, 2L, 0L, 2L, 3L, 0.0),
+      (2L, 2L, 1L, 4L, 5L, 0.5), (3L, 2L, 2L, 6L, 7L, 1.0),
+      (4L, 2L, 2L, 8L, 9L, 1.0)))
+  }
+
+  test("calibrationBins: constant score degenerates to one bin") {
+    val df = Seq((7L, 0), (7L, 1), (7L, 1)).toDF("score", "label")
+    val got = Eval.calibrationBins(df, col("score"), col("label"), nBins = 10)
+      .select("bin", "n", "n_pos").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 3L, 2L)))
+  }
+}

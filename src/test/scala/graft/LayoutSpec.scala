@@ -70,4 +70,16 @@ class LayoutSpec extends SparkSpec {
     assert(sorted.take(64).forall { case (x, y) => x < 8 && y < 8 })
     assert(sorted.takeRight(64).forall { case (x, y) => x >= 8 && y >= 8 })
   }
+
+  test("snapshotDiff classifies added / removed / changed / unchanged") {
+    import org.apache.spark.sql.functions.col
+    val a = Seq((1L, "fA"), (2L, "fB"), (3L, "fC")).toDF("doc_id", "fp")
+    val b = Seq((2L, "fB"), (3L, "fC2"), (4L, "fD")).toDF("doc_id", "fp")
+    val got = Layout.snapshotDiff(a, b, "doc_id")
+      .select("id", "status").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    // id survives the full-outer join on BOTH unmatched sides
+    assert(Layout.snapshotDiff(a, b, "doc_id").filter(col("id").isNull).count() == 0)
+  }
 }

@@ -212,4 +212,33 @@ class SamplingSpec extends SparkSpec {
       .select("id", "pr").as[(Long, Double)].collect().toMap
     assert(all == direct.map { case (k, v) => k -> v })
   }
+
+  test("leakageSafeSplit: near-duplicates always share a split; singletons follow component hash") {
+    // 40 distinct tokens; doc 2 appends ONE token -> 3-shingle Jaccard 38/39
+    val dupText = (1 to 40).map(j => s"body_$j").mkString(" ")
+    val docs = Seq(
+      (1L, dupText),
+      (2L, dupText + " extra")) ++
+      (3L to 12L).map(i =>
+        (i, s"totally distinct document number $i " +
+          (1 to 20).map(j => s"tok_${i}_$j").mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val got = Sampling.leakageSafeSplit(df, col("doc_id"), col("text"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select("doc_id", "component", "split")
+      .as[(Long, Long, String)].collect()
+    assert(got.length == 12)
+    val byId = got.map(r => r._1 -> r).toMap
+    // the near-dup pair collapses to one component and one split
+    assert(byId(1L)._2 == 1L && byId(2L)._2 == 1L)
+    assert(byId(1L)._3 == byId(2L)._3)
+    // singletons keep their own id as component and split purely by its hash
+    (3L to 12L).foreach { i =>
+      assert(byId(i)._2 == i)
+      val expected = Sampling.hashSplit(Seq(i).toDF("component"),
+        col("component"), Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select("split").as[String].collect()(0)
+      assert(byId(i)._3 == expected, s"doc $i")
+    }
+  }
 }

@@ -723,4 +723,36 @@ class StreamingCorpusSpec extends SparkSpec {
       assert(got == expected)
     } finally q.stop()
   }
+
+  test("streaming kNN candidates over the static index match the batch graph's pair set") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
+    // batch truth: the pre-rank candidate pair set of the kNN graph is the
+    // distinct same-bucket (src, dst, cosine) pairs — recompute it as
+    // knnGraph with k = corpus size (rank never filters)
+    val batch = Similarity.knnGraph(emb, "vec_id", "embedding", k = 50,
+      nBands = 4, rowsPerBand = 2, dim = 64)
+      .select("src_id", "dst_id").as[(Long, Long)].collect().toSet
+    val index = Similarity.knnCorpusIndex(emb, "vec_id", "embedding",
+      nBands = 4, rowsPerBand = 2, dim = 64).localCheckpoint()
+    val rows = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val input = MemoryStream[(Long, Seq[Float])]
+    val served = Similarity.knnCandidatesStatic(index,
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      nBands = 4, rowsPerBand = 2, dim = 64)
+    val q = served.writeStream.format("memory").queryName("knn_out")
+      .option("checkpointLocation", Files.createTempDirectory("knn-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows.take(23): _*); q.processAllAvailable()
+      input.addData(rows.drop(23): _*); q.processAllAvailable()
+      // distinct across bands happens downstream per the operator contract
+      val got = spark.table("knn_out")
+        .select("src_id", "dst_id").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(got == batch, "streamed kNN candidates diverge from batch graph pairs")
+    } finally q.stop()
+  }
 }
