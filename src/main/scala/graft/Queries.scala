@@ -1618,6 +1618,53 @@ object Queries {
           Dedup.minhashSignatures(Tables.documents(s, d), col("text"), col("doc_id")))),
       Some(lshCandCtes + "SELECT doc_a, doc_b FROM cand")),
 
+    // Asymmetric containment on the LSH candidate pairs: |A∩B|/|A| vs
+    // |A∩B|/|B| — a HIGH one-sided containment with a lower Jaccard is the
+    // quote/subset signature (doc B embeds doc A) that symmetric Jaccard
+    // misses. Same bounded candidate space and shingle-set join as the
+    // verify step; only the projection differs.
+    ("dedup_containment",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val cands = Dedup.lshCandidates(Dedup.lshBuckets(
+          Dedup.minhashSignatures(docs, col("text"), col("doc_id"))))
+        Dedup.ngramJaccard(cands, docs, col("text"), col("doc_id"))
+          .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
+            col("n_b"),
+            (col("n_inter").cast("double") / col("n_a")).as("containment_a"),
+            (col("n_inter").cast("double") / col("n_b")).as("containment_b"))
+          .filter(col("containment_a") >= 0.9 || col("containment_b") >= 0.9)
+      },
+      Some(lshCandCtes + nearDupVerifyCtes +
+        """SELECT doc_a, doc_b, n_inter, n_a, n_b,
+          |       n_inter::double / n_a AS containment_a,
+          |       n_inter::double / n_b AS containment_b
+          |FROM verified
+          |WHERE n_inter::double / n_a >= 0.9 OR n_inter::double / n_b >= 0.9""".stripMargin)),
+
+    // Corpus n-gram diversity per source: distinct shingles / total per-doc
+    // distinct shingle instances — the self-repetition (self-BLEU-ish)
+    // dataset-card metric that flags template-heavy sources. One explode +
+    // grouped distinct-count.
+    ("text_ngram_diversity",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        docs.select(col("source"),
+            explode(TextOps.shingles(col("text"), 3)).as("shingle"))
+          .groupBy(col("source"))
+          .agg(countDistinct(col("shingle")).as("n_distinct"),
+            count(lit(1)).as("n_total"))
+          .withColumn("diversity",
+            col("n_distinct").cast("double") / col("n_total"))
+      },
+      Some(shingleCte +
+        """SELECT d.source,
+          |       count(DISTINCT s.shingle)::bigint AS n_distinct,
+          |       count(*)::bigint AS n_total,
+          |       count(DISTINCT s.shingle)::double / count(*) AS diversity
+          |FROM shingle_rows s JOIN documents d USING (doc_id)
+          |GROUP BY 1""".stripMargin)),
+
     // ---- End-to-end near-dup pipeline: the thing a user actually runs -----
     // LSH candidates → exact n-gram-Jaccard verification → keep/drop verdict.
     // Everything upstream (signatures, banding, candidate bounding) feeds
@@ -2313,6 +2360,50 @@ object Queries {
           |            WHEN fp_a = fp_b THEN 'unchanged'
           |            ELSE 'changed' END AS status
           |FROM a FULL OUTER JOIN b USING (doc_id)""".stripMargin)),
+
+    // Gate-agreement matrix: the 2×2×2 contingency of the three independent
+    // keep verdicts — text-quality gate, hash-classifier gate, and
+    // embedding kNN-density gate — over the SAME corpus (doc_id ≡ vec_id in
+    // the fixtures). The diagnostic that shows whether filters are
+    // redundant or complementary before a pipeline multiplies them; three
+    // per-doc projections joined on the id, one 8-cell aggregation.
+    ("corpus_gate_matrix",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val q = TextOps.qualityFilter(docs, col("text"))
+          .select(col("doc_id"), col("quality_keep"))
+        val c = TextOps.classifierScore(docs, col("text"), col("doc_id"),
+            weights = clfWeights, bias = -40L, threshold = 0L)
+          .select(col("doc_id"), col("clf_keep"))
+        val dd = Similarity.knnDensityGate(Tables.embeddings(s, d), "vec_id",
+            "embedding", k = 5, tau = 0.31, nBands = 4, rowsPerBand = 2,
+            dim = 64)
+          .select(col("src_id").as("doc_id"), col("dense_keep"))
+        q.join(c, "doc_id").join(dd, "doc_id")
+          .groupBy(col("quality_keep"), col("clf_keep"), col("dense_keep"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(knnGraphCte + ", " +
+        clfLabelCtes.trim.stripPrefix("WITH") +
+        """, dd AS (SELECT src_id,
+          |            sum(floor(cosine * 1073741824)::bigint)::bigint AS density_q,
+          |            count(*) AS knn_n
+          |       FROM g GROUP BY 1),
+          |gate AS (
+          |  SELECT m.doc_id,
+          |         (CASE WHEN m.n_tokens BETWEEN 20 AND 80
+          |                AND m.avg_token_len BETWEEN 3.0 AND 8.0
+          |                AND m.symbol_ratio <= 0.1 AND m.digit_token_ratio <= 0.2
+          |                AND m.n_stopwords >= 1 THEN 1 ELSE 0 END)::int AS quality_keep,
+          |         (CASE WHEN cm.margin >= 0 THEN 1 ELSE 0 END)::int AS clf_keep,
+          |         (CASE WHEN coalesce(k.knn_n, 0) > 0
+          |                AND coalesce(k.density_q, 0) >= 332859965 * coalesce(k.knn_n, 0)
+          |               THEN 1 ELSE 0 END)::int AS dense_keep
+          |  FROM qmetrics m
+          |  JOIN cm USING (doc_id)
+          |  LEFT JOIN dd k ON k.src_id = m.doc_id)
+          |SELECT quality_keep, clf_keep, dense_keep, count(*)::bigint AS n
+          |FROM gate GROUP BY 1, 2, 3""".stripMargin)),
 
     // Per-source corpus balancing: resample documents to target source
     // proportions — src0-src3 weighted 3, the rest 1, budget 280 → quotas

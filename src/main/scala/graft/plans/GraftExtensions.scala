@@ -83,6 +83,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         agg.toAggregateExpression()
       }))
+    // literal-int extractor shared by the k-parameterized injections
+    def litInt(e: Expression, what: String): Int = {
+      if (!e.foldable)
+        throw new IllegalArgumentException(s"$what must be an int literal")
+      e.eval(null) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"$what must be an int literal, got $other")
+      }
+    }
+    ext.injectFunction((
+      FunctionIdentifier("kmin_values"),
+      new ExpressionInfo(classOf[graft.functions.KMinValues].getName, "kmin_values"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "kmin_values(hash, k) takes exactly two arguments")
+        graft.functions.KMinValues(children.head,
+          litInt(children(1), "kmin_values k")).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[graft.functions.WinnowFingerprints].getName,
+        "winnow_fingerprints"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "winnow_fingerprints(text, k, w) takes exactly three arguments")
+        graft.functions.WinnowFingerprints(children.head,
+          litInt(children(1), "winnow_fingerprints k"),
+          litInt(children(2), "winnow_fingerprints w"))
+      }))
     ext.injectFunction((
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(

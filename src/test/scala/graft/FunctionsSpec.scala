@@ -106,4 +106,36 @@ class FunctionsSpec extends SparkSpec {
       SparkSession.setActiveSession(spark)
     }
   }
+
+  test("kmin_values and winnow_fingerprints resolve in plain SQL with GraftExtensions") {
+    import org.apache.spark.sql.SparkSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val extSpark = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.plans.GraftExtensions())
+        .getOrCreate()
+      // kmv: bottom-2 distinct longs of {5,3,3,9,1}
+      extSpark.range(0, 5).selectExpr("element_at(array(5L,3L,3L,9L,1L), cast(id AS int) + 1) AS h")
+        .createOrReplaceTempView("kmv_t")
+      val kmv = extSpark.sql("SELECT kmin_values(h, 2) AS ks FROM kmv_t")
+        .collect()(0).getSeq[Long](0).toSeq
+      assert(kmv == Seq(1L, 3L))
+      // winnow: SQL form matches the Column API form on the same string
+      val sql = extSpark.sql(
+        "SELECT winnow_fingerprints('abcdefgabcdefg', 3, 4) AS fp")
+        .collect()(0).getSeq[Long](0).toSet
+      val api = extSpark.range(1)
+        .select(graft.functions.GraftFunctions.winnow_fingerprints(
+          org.apache.spark.sql.functions.lit("abcdefgabcdefg"), 3, 4).as("fp"))
+        .collect()(0).getSeq[Long](0).toSet
+      assert(sql == api && sql.nonEmpty)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
 }

@@ -35,7 +35,9 @@ class PlanAuditSpec extends SparkSpec {
     // counts — scalar stitching, not data flow
     "graph_triangles",
     // tfidf: the n_docs corpus scalar is a provably 1-row broadcast side
-    "text_tfidf_topk")
+    "text_tfidf_topk",
+    // calibration: the (smin, smax) bounds side is one global-aggregate row
+    "eval_calibration_bins")
 
   test("no catalog query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -163,6 +165,36 @@ class PlanAuditSpec extends SparkSpec {
     // — AQE may broadcast the keeper side and drop the join exchange)
     assert(shuffles("dedup_paragraphs") <= 3,
       s"dedup_paragraphs grew beyond its 3-exchange design: ${shuffles("dedup_paragraphs")}")
+  }
+
+  test("seventh-wave rows keep their designed exchange counts") {
+    def shuffles(name: String): Int = {
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+      Seq("Exchange hashpartitioning", "Exchange SinglePartition", "Exchange rangepartitioning")
+        .map(p => plan.sliding(p.length).count(_ == p)).sum
+    }
+    // kNN graph: (band,bucket) join both sides + pair distinct + rank window
+    // (the bucket-derivation window exchange runs once, inside the
+    // checkpoint); density adds the per-src agg + corpus join-back;
+    // clustering adds the mutual semi-join atop its own checkpointed graph
+    assert(shuffles("sim_knn_graph") <= 4,
+      s"sim_knn_graph grew beyond design: ${shuffles("sim_knn_graph")}")
+    assert(shuffles("emb_knn_density") <= 6,
+      s"emb_knn_density grew beyond design: ${shuffles("emb_knn_density")}")
+    assert(shuffles("sim_knn_clusters") <= 6,
+      s"sim_knn_clusters grew beyond design: ${shuffles("sim_knn_clusters")}")
+    // eval rows: one by-score aggregation, the tiny distinct-score window,
+    // final global agg (AUC) / bin aggregation (calibration)
+    assert(shuffles("eval_auc_classifier") <= 4,
+      s"eval_auc_classifier grew beyond design: ${shuffles("eval_auc_classifier")}")
+    assert(shuffles("eval_calibration_bins") <= 4,
+      s"eval_calibration_bins grew beyond design: ${shuffles("eval_calibration_bins")}")
+    // dataset card: grouped agg with two distinct-count expansions
+    assert(shuffles("corpus_profile") <= 4,
+      s"corpus_profile grew beyond design: ${shuffles("corpus_profile")}")
+    // snapshot diff: one full-outer equi-join (2 sides) + AQE finalization
+    assert(shuffles("corpus_snapshot_diff") <= 4,
+      s"corpus_snapshot_diff grew beyond design: ${shuffles("corpus_snapshot_diff")}")
   }
 
   test("hot-path projections stay inside whole-stage codegen") {
