@@ -133,9 +133,13 @@ object Queries {
     * × 2 planes, the dedup_embedding_near plane family): `g` is the ranked
     * edge set (src_id, dst_id, cosine, rank ≤ 5). Shared by `sim_knn_graph`
     * and `emb_knn_density`. */
-  private val knnGraphCte =
-    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS ve
-      |           FROM embeddings),
+  private val knnGraphCte = knnGraphCteOver("embeddings")
+
+  /** [[knnGraphCte]] with the corpus CTE/table name parameterized, for
+    * compositions that run the graph over a FILTERED survivor set. */
+  private def knnGraphCteOver(table: String, k: Int = 5): String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS ve
+      |           FROM $table),
       |n AS (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nn FROM v),
       |bb AS (
       |  SELECT vec_id, ve, nn, band,
@@ -154,7 +158,7 @@ object Queries {
       |  SELECT src_id, dst_id, cosine,
       |         row_number() OVER (PARTITION BY src_id
       |                            ORDER BY cosine DESC, dst_id)::int AS rank
-      |  FROM pairs QUALIFY rank <= 5)
+      |  FROM pairs QUALIFY rank <= $k)
       |""".stripMargin
 
   // ==========================================================================
@@ -3498,6 +3502,86 @@ object Queries {
           |      CROSS JOIN dglob g
           |      WHERE c.n_tokens_after >= 10 AND w.mean_weight >= g.gmean)""".stripMargin)),
 
+    // Pipeline v5 — the text gates composed with the embedding-side
+    // diversity stage: quality ∧ classifier gate picks the survivors, the
+    // mutual-kNN clustering runs over the SURVIVOR embedding set only
+    // (buckets are per-vector, so filtering first is semantics-preserving
+    // AND the scale win — the graph pair space shrinks with the gate), and
+    // each cluster elects its densest member as the representative. Output:
+    // the survivor representatives with cluster id, fixed-point density,
+    // and token count — the frame a curation run would hand to a budget or
+    // export stage. Oracle: the full gate chain, then the graph/component/
+    // density CTEs re-instantiated over the kept subset.
+    ("corpus_pipeline_v5",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val q = TextOps.qualityFilter(docs, col("text"))
+          .select(col("doc_id"), col("quality_keep"), col("n_tokens"))
+        // recall-leaning threshold (−60, ~top half of margins): v5's
+        // classifier stage is a coarse prefilter ahead of the diversity
+        // stage, not the strict gate the eval rows measure at 0
+        val c = TextOps.classifierScore(docs, col("text"), col("doc_id"),
+          weights = clfWeights, bias = -40L, threshold = -60L)
+          .select(col("doc_id"), col("clf_keep"))
+        val kept = q.join(c, "doc_id")
+          .filter(col("quality_keep") === 1 && col("clf_keep") === 1)
+          .select(col("doc_id").as("vec_id"), col("n_tokens"))
+        val embKept = Tables.embeddings(s, d).join(kept, Seq("vec_id"))
+        // k = 3: mutual-kNN degree drives cluster granularity — at k = 5
+        // this corpus chains into a handful of mega-clusters; 3 keeps the
+        // sample a sample
+        Similarity.diverseSample(embKept, "vec_id", "embedding", k = 3,
+            nBands = 4, rowsPerBand = 2, dim = 64)
+          .filter(col("rep_keep") === 1)
+          .join(kept, Seq("vec_id"))
+          .select(col("vec_id"), col("cluster_id"), col("density_q"),
+            col("n_tokens"))
+      },
+      Some(clfLabelCtes +
+        """, kept AS (
+          |  SELECT m.doc_id, m.n_tokens
+          |  FROM qmetrics m JOIN cm USING (doc_id)
+          |  WHERE m.n_tokens BETWEEN 20 AND 80 AND m.avg_token_len BETWEEN 3.0 AND 8.0
+          |    AND m.symbol_ratio <= 0.1 AND m.digit_token_ratio <= 0.2
+          |    AND m.n_stopwords >= 1 AND cm.margin >= -60),
+          |emb_kept AS (
+          |  SELECT e.vec_id, e.embedding FROM embeddings e
+          |  JOIN kept k ON e.vec_id = k.doc_id),
+          |""".stripMargin +
+        knnGraphCteOver("emb_kept", k = 3).stripPrefix("WITH ") +
+        """, mm AS (
+          |  SELECT a.src_id AS doc_a, a.dst_id AS doc_b
+          |  FROM g a JOIN g b ON b.src_id = a.dst_id AND b.dst_id = a.src_id
+          |  WHERE a.src_id < a.dst_id),
+          |comp AS (
+          |  SELECT id AS vec_id, min(lbl) AS cluster_id
+          |  FROM (
+          |    WITH RECURSIVE r(id, lbl) AS (
+          |      SELECT vec_id, vec_id FROM emb_kept
+          |      UNION
+          |      SELECT e.s, r.lbl
+          |      FROM (SELECT doc_a AS s, doc_b AS t FROM mm
+          |            UNION ALL
+          |            SELECT doc_b AS s, doc_a AS t FROM mm) e
+          |      JOIN r ON r.id = e.t)
+          |    SELECT id, lbl FROM r)
+          |  GROUP BY 1),
+          |dens AS (
+          |  SELECT src_id, sum(floor(cosine * 1073741824)::bigint)::bigint AS density_q
+          |  FROM g GROUP BY 1),
+          |j AS (
+          |  SELECT c.vec_id, c.cluster_id, coalesce(d.density_q, 0) AS density_q
+          |  FROM comp c LEFT JOIN dens d ON d.src_id = c.vec_id),
+          |reps AS (
+          |  SELECT vec_id, cluster_id, density_q
+          |  FROM (SELECT vec_id, cluster_id, density_q,
+          |               row_number() OVER (PARTITION BY cluster_id
+          |                 ORDER BY density_q DESC, vec_id) AS rn
+          |        FROM j)
+          |  WHERE rn = 1)
+          |SELECT r.vec_id, r.cluster_id, r.density_q, k.n_tokens
+          |FROM reps r JOIN kept k ON k.doc_id = r.vec_id""".stripMargin)),
+
     // Pipeline v4 — the ROUND-10 operator families composed end-to-end:
     // boilerplate-planted corpus → chunk-level exact dedup (kept TEXT
     // reassembled, not just hashed) → train/test hash split → train-side
@@ -3838,6 +3922,44 @@ object Queries {
           |SELECT vec_id, cluster_id,
           |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
           |FROM comp""".stripMargin)),
+
+    // Diversity sampling: one representative per mutual-kNN cluster — the
+    // member with the highest fixed-point kNN density (most central), ties
+    // to the lowest id. The graph is built once and shared between the
+    // component and density passes.
+    ("sim_diverse_sample",
+      (s: SparkSession, d: String) =>
+        Similarity.diverseSample(Tables.embeddings(s, d), "vec_id",
+          "embedding", k = 5, nBands = 4, rowsPerBand = 2, dim = 64),
+      Some(knnGraphCte +
+        """, m AS (
+          |  SELECT a.src_id AS doc_a, a.dst_id AS doc_b
+          |  FROM g a JOIN g b ON b.src_id = a.dst_id AND b.dst_id = a.src_id
+          |  WHERE a.src_id < a.dst_id),
+          |comp AS (
+          |  SELECT id AS vec_id, min(lbl) AS cluster_id
+          |  FROM (
+          |    WITH RECURSIVE r(id, lbl) AS (
+          |      SELECT vec_id, vec_id FROM embeddings
+          |      UNION
+          |      SELECT e.s, r.lbl
+          |      FROM (SELECT doc_a AS s, doc_b AS t FROM m
+          |            UNION ALL
+          |            SELECT doc_b AS s, doc_a AS t FROM m) e
+          |      JOIN r ON r.id = e.t)
+          |    SELECT id, lbl FROM r)
+          |  GROUP BY 1),
+          |dens AS (
+          |  SELECT src_id, sum(floor(cosine * 1073741824)::bigint)::bigint AS density_q
+          |  FROM g GROUP BY 1),
+          |j AS (
+          |  SELECT c.vec_id, c.cluster_id, coalesce(d.density_q, 0) AS density_q
+          |  FROM comp c LEFT JOIN dens d ON d.src_id = c.vec_id)
+          |SELECT vec_id, cluster_id, density_q,
+          |       (CASE WHEN row_number() OVER (PARTITION BY cluster_id
+          |                ORDER BY density_q DESC, vec_id) = 1
+          |             THEN 1 ELSE 0 END)::int AS rep_keep
+          |FROM j""".stripMargin)),
 
     // ---- Embedding transforms: normalize / quantize / project -------------
     // Array columns stay internal; the oracle compares scalar derivations

@@ -1060,21 +1060,57 @@ object Similarity {
       nBands: Int = 4, rowsPerBand: Int = 2, dim: Int = -1,
       maxBucketSize: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = knnGraph(embeddings, idCol, vecCol, k, nBands, rowsPerBand, dim,
-      maxBucketSize).select(col("src_id"), col("dst_id"))
-      // materialize: the mutual semi-join references the graph twice, and
-      // the graph's tail is the whole LSH + rank chain
-      .localCheckpoint()
+    val g = knnGraph(embeddings, idCol, vecCol, k, nBands, rowsPerBand, dim,
+      maxBucketSize)
+    mutualComponents(g, embeddings.select(col(idCol).as("id")))
+      .select(col("id").as("vec_id"), col("component").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+  }
+
+  /** Components over the MUTUAL edges of a kNN graph frame (src_id, dst_id,
+    * …): the shared tail of [[knnClusters]] and [[diverseSample]]. The edge
+    * projection is materialized because the mutual semi-join references it
+    * twice and the graph's tail is the whole LSH + rank chain. */
+  private def mutualComponents(g: DataFrame, nodes: DataFrame): DataFrame = {
+    val e = g.select(col("src_id"), col("dst_id")).localCheckpoint()
     val mutual = e.join(
         e.select(col("dst_id").as("src_id"), col("src_id").as("dst_id")),
         Seq("src_id", "dst_id"), "left_semi")
       .filter(col("src_id") < col("dst_id"))
       .select(col("src_id").as("doc_a"), col("dst_id").as("doc_b"))
-    val comp = Dedup.connectedComponents(
-      embeddings.select(col(idCol).as("id")), mutual)
+    Dedup.connectedComponents(nodes, mutual)
+  }
+
+  /**
+   * Diversity sampling over the mutual-kNN clustering: ONE representative
+   * per cluster — the member with the highest kNN density (fixed-point
+   * Σ floor(cosine·2^30) over its graph edges, ties → lowest id), i.e. the
+   * most central member, not an arbitrary one. Output is the full corpus
+   * with (cluster_id, density_q, rep_keep) so callers can either filter
+   * rep_keep = 1 (hard diversity sample) or weight by it. Builds the kNN
+   * graph ONCE and shares it between the component and density passes —
+   * the composition a naive knnClusters × knnDensityGate call would pay
+   * twice for.
+   */
+  def diverseSample(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, nBands: Int = 4, rowsPerBand: Int = 2, dim: Int = -1,
+      maxBucketSize: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = knnGraph(embeddings, idCol, vecCol, k, nBands, rowsPerBand, dim,
+      maxBucketSize).localCheckpoint()
+    val comp = mutualComponents(g, embeddings.select(col(idCol).as("id")))
+    val density = g.groupBy(col("src_id"))
+      .agg(sum(floor(col("cosine") * lit(DensityScale)).cast("long"))
+        .as("density_q"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("density_q").desc, col("vec_id"))
     comp.select(col("id").as("vec_id"), col("component").as("cluster_id"))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .join(density.select(col("src_id").as("vec_id"), col("density_q")),
+        Seq("vec_id"), "left")
+      .withColumn("density_q", coalesce(col("density_q"), lit(0L)))
+      .withColumn("rep_keep",
+        (row_number().over(w) === 1).cast("int"))
   }
 
   /** Fixed-point scale for kNN-density sums: floor(cosine · 2^30) per edge.

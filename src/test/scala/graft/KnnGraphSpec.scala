@@ -110,6 +110,23 @@ class KnnGraphSpec extends SparkSpec {
     assert((10L until 16L).forall(i => byId(i)._2 == 10L && byId(i)._3 == 6L))
   }
 
+  test("diverseSample: one representative per cluster, ties to lowest id") {
+    // same two-cluster fixture as knnClusters: identical in-cluster vectors
+    // make every member's density equal, so the tie-break elects the min id
+    val a = (0L until 6L).map(i => (i, Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)))
+    val b = (10L until 16L).map(i => (i, Seq(0f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)))
+    val corpus = (a ++ b).toDF("vec_id", "embedding")
+    val got = Similarity.diverseSample(corpus, "vec_id", "embedding", k = 5,
+      nBands = 4, rowsPerBand = 2, dim = 8)
+      .select("vec_id", "cluster_id", "rep_keep")
+      .as[(Long, Long, Int)].collect()
+    assert(got.length == 12)
+    val reps = got.filter(_._3 == 1).map(r => r._2 -> r._1).toMap
+    assert(reps == Map(0L -> 0L, 10L -> 10L))
+    // exactly one representative per cluster
+    assert(got.groupBy(_._2).forall { case (_, rows) => rows.count(_._3 == 1) == 1 })
+  }
+
   test("knnClusters: edge-free corpus stays all-singleton") {
     val corpus = Seq((1L, Seq.fill(8)(1.0f))).toDF("vec_id", "embedding")
     val got = Similarity.knnClusters(corpus, "vec_id", "embedding", k = 3,
