@@ -40,10 +40,17 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val runs = math.max(1, sys.env.getOrElse("BENCH_RUNS", "2").toInt)
+    // a failed execution is REPORTED, never silently timed as if it passed
+    // (the r10 lesson: a non-converging query was swallowed into a plausible-
+    // looking 142 s row)
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val timed = selected.map { case (name, fn) =>
       val secs = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> secs
@@ -54,9 +61,10 @@ object Bench {
     val qs = jsonMap(results)
     val run1 = jsonMap(timed.map { case (k, ss) => k -> ss.head })
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
-        s""""queries":$qs,"queries_run1":$run1,"sf":"$sfDir"}"""
+        s""""queries":$qs,"queries_run1":$run1,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // The driver's bench artifact keeps only the output TAIL (~2 KB), which
     // truncates the 130+-entry per-query map — persist the full line to a

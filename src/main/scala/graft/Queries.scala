@@ -4600,6 +4600,53 @@ object Queries {
           |             substring(text, ((i * length(text)) // 4 + 1)::int, 16) AS f
           |      FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS i))""".stripMargin)),
 
+    // Container decode with an OFFSET INDEX (toy GVID): variable-size GIMG
+    // frames behind a uint32 index table, every 2nd frame located through
+    // the index and header-decoded — offset indirection, the real-container
+    // step past fixed-stride slicing. Spark must parse the actual bytes it
+    // built (index + per-frame headers); the oracle recomputes the
+    // generation SCHEDULE (the decode_header convention). Corrupt containers
+    // (doc_id % 13, XVID magic) emit zero frames.
+    ("multimodal_video_frames",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val n = (col("doc_id") % 4 + 1).cast("int")
+        def w(i: Column) = ((col("doc_id") + lit(7L) * i) % 300 + 1).cast("int")
+        def h(i: Column) = ((col("doc_id") + lit(11L) * i) % 200 + 1).cast("int")
+        def pix(i: Column) = ((col("doc_id") + i) % 5).cast("int")
+        def fsize(i: Column) = lit(9L) + pix(i).cast("long")
+        def frame(i: Column) = concat(
+          lit("GIMG".getBytes("US-ASCII")),
+          unhex(lpad(hex(w(i)), 4, "0")),
+          unhex(lpad(hex(h(i)), 4, "0")),
+          unhex(lit("01")),
+          lit("AAAA").substr(lit(1), pix(i)).cast("binary"))
+        val idxSeq = sequence(lit(0), n - 1)
+        def offset(i: Column) = aggregate(
+          filter(idxSeq, j => j < i), lit(0L), (acc, j) => acc + fsize(j))
+        val emptyBin = lit(Array.empty[Byte])
+        val indexBytes = aggregate(
+          transform(idxSeq, i => unhex(lpad(hex(offset(i)), 8, "0"))),
+          emptyBin, (acc, b) => concat(acc, b))
+        val framesBytes = aggregate(
+          transform(idxSeq, i => frame(i)), emptyBin, (acc, b) => concat(acc, b))
+        val magic = when(col("doc_id") % 13 === 0,
+          lit("XVID".getBytes("US-ASCII")))
+          .otherwise(lit("GVID".getBytes("US-ASCII")))
+        val payload = concat(magic, unhex(lpad(hex(n), 4, "0")),
+          indexBytes, framesBytes)
+        Multimodal.videoFrameHeaders(docs.withColumn("payload", payload),
+          col("doc_id"), col("payload"), stride = 2)
+      },
+      Some(
+        """SELECT doc_id AS media_id, i::int AS frame_idx,
+          |       ((doc_id + 7 * i) % 300 + 1)::double AS width,
+          |       ((doc_id + 11 * i) % 200 + 1)::double AS height,
+          |       1.0 AS channels,
+          |       ((doc_id + i) % 5)::double AS n_pixel_bytes
+          |FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
+          |WHERE doc_id % 13 <> 0 AND i < doc_id % 4 + 1 AND i % 2 = 0""".stripMargin)),
+
     // ---- Multimodal plumbing: binary payload → metadata + stub features ---
     ("multimodal_features",
       (s: SparkSession, d: String) => {

@@ -480,79 +480,122 @@ object Dedup {
    * most `checkpointEvery - 1` cheap join layers, which costs less than a
    * full materialization per round.
    */
-  def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20,
-      checkpointEvery: Int = 3): DataFrame = {
-    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
-    // Symmetrize in ONE pass over `pairs` (explode of both directions) — a
-    // union of two selects references the pair plan twice, and when `pairs`
-    // is the tail of the whole LSH+verify chain the checkpoint action would
-    // run that chain twice for the same rows.
-    val edges = pairs
+  /**
+   * Stats-severing materialization for ITERATED plans: `localCheckpoint`
+   * truncates lineage but deliberately PRESERVES Catalyst size estimates
+   * through the cut (so AQE keeps planning well after a checkpoint). In a
+   * loop whose body joins a frame with itself that preservation is fatal:
+   * join size estimates MULTIPLY, so the carried sizeInBytes SQUARES every
+   * round — measured in r10, by the 7th components round the BigInt had
+   * ~30M digits and the driver spent two MINUTES inside
+   * BigInteger.multiply while the actual data was 2k rows. Re-wrapping the
+   * checkpointed RDD in a fresh createDataFrame resets the estimate to the
+   * default, at the cost of an InternalRow↔Row conversion on reads —
+   * linear in the (small) label frame and irrelevant next to the planning
+   * blow-up it prevents. Use for frames that feed back into a loop; plain
+   * localCheckpoint remains right for once-through materializations.
+   */
+  private def checkpointFresh(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    df.sparkSession.createDataFrame(ck.rdd, df.schema)
+  }
+
+  /**
+   * Connected components by alternating LARGE-STAR / SMALL-STAR rewrites
+   * (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
+   * 2014): each round rewrites the edge set toward stars centered on
+   * component minima — large-star points every larger neighbor of u at
+   * m(u) = min(N(u) ∪ {u}); small-star points the smaller-or-equal
+   * neighbors (and u itself) at m(u). Converges when the edge set is
+   * stable (all stars), in O(log² n) rounds with small constants —
+   * measured 10 rounds on a 2 000-node id-PERMUTED chain and 6 on a
+   * random graph.
+   *
+   * This replaced r2's min-label propagation + pointer jumping, which is
+   * O(diameter) ROUNDS on adversarial id layouts no matter how labels are
+   * pointer-jumped (a label chain bottoms out at the current local
+   * minimum, so the component min still travels ONE edge-hop per round).
+   * The r10 discovery: a mutual-kNN graph — whose ids are uncorrelated
+   * with its chain structure — blew past the round budget at sf0.1 while
+   * every near-clique DUP graph (ids correlated, diameter tiny) converged
+   * in 2-3 rounds and hid the defect. The id-sequential 10k-chain spec
+   * ALSO hid it: sequential ids make label jumps align with graph edges.
+   * `ComponentsScaleSpec`'s permuted-chain test pins the fix.
+   *
+   * Scale shape per round: two groupBy(min) aggregations + two equi-joins
+   * + distinct — all map-side-combinable hash exchanges on node ids; the
+   * intermediate edge set stays O(n + m) (the paper's invariant). Every
+   * round's frames are re-materialized through [[checkpointFresh]], which
+   * severs Catalyst size-estimate lineage — `localCheckpoint` PRESERVES
+   * stats through the cut, and iterated self-referencing joins SQUARE
+   * them until the driver spends minutes in BigInteger.multiply (measured:
+   * a 30M-digit sizeInBytes by round 7 of the old loop over 2k rows).
+   * Convergence detection is an order-free edge-set signature
+   * (count + bit_xor of xxhash64) — one action per round.
+   */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    val sym = pairs.filter(col("doc_a") =!= col("doc_b"))
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint()
-    // Only nodes with at least one edge can change label — iterate over that
-    // (typically tiny) frontier and union the untouched singletons back in at
-    // the end. In a near-dup corpus the dup graph is a small fraction of the
-    // corpus, so this keeps every iteration's shuffles proportional to the
-    // number of duplicates, not the corpus size.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).localCheckpoint()
+    var e = checkpointFresh(sym.distinct())
+
+    // m(u) = min(N(u) ∪ {u}) per node present in the edge set
+    def mins(edges: DataFrame): DataFrame = edges
+      .groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src"), least(col("mn"), col("src")).as("m"))
+
+    def bidirectional(ab: DataFrame): DataFrame = ab
+      .filter(col("a") =!= col("b"))
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+
+    def largeStar(edges: DataFrame): DataFrame = bidirectional(
+      edges.join(mins(edges), "src")
+        .filter(col("dst") > col("src") && col("dst") =!= col("m"))
+        .select(col("dst").as("a"), col("m").as("b")))
+
+    def smallStar(edges: DataFrame): DataFrame = {
+      val m = mins(edges)
+      bidirectional(
+        edges.join(m, "src")
+          .filter(col("dst") <= col("src") && col("dst") =!= col("m"))
+          .select(col("dst").as("a"), col("m").as("b"))
+          .unionByName(m.filter(col("src") =!= col("m"))
+            .select(col("src").as("a"), col("m").as("b"))))
+    }
+
+    // order-free exact-set signature: (row count, xor of row hashes)
+    def signature(edges: DataFrame): (Long, Long) = {
+      val r = edges.agg(count(lit(1)),
+        expr("coalesce(bit_xor(xxhash64(src, dst)), 0L)")).first()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var sig = signature(e)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("component").as("ncomp")), "dst")
-        .groupBy(col("src")).agg(min(col("ncomp")).as("nmin"))
-      val prop = labels
-        .join(neighborMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
-        .select(col("id"), col("component").as("prev"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("comp1"))
-      // Pointer shortcutting (path halving): follow the freshly-propagated
-      // label one extra hop through the same frame — comp1 is always the id
-      // of a frontier node, so the self-lookup is total on matches and a
-      // left join covers roots pointing at themselves. Applied from round 2
-      // on: near-clique dup graphs converge in 2-3 propagation rounds and
-      // never pay the extra join (measured ~27% of dedup_components at
-      // sf0.1); long-chain graphs still get the O(log diameter) bound, two
-      // rounds late.
-      // NOTE the self-join embeds prop twice in the round's lineage (the
-      // renamed projection sits below the join exchange, so the sides are
-      // not reuse-deduped), so between localCheckpoints the un-checkpointed
-      // tail holds up to 2^(checkpointEvery-1) = 4 copies of the oldest
-      // round's cheap frontier joins — a BOUNDED constant recompute that
-      // measured cheaper than either an eager per-round frontier
-      // materialization (+84% wall on the sf0.1 dup graph) or a tighter
-      // cadence (+43%). Do not raise checkpointEvery without re-measuring:
-      // the bound is geometric in it.
-      val shortcut =
-        if (iter < 2) prop.select(col("id"), col("prev"), col("comp1").as("component"))
-        else prop
-          .join(prop.select(col("id").as("comp1"), col("comp1").as("comp2")),
-            Seq("comp1"), "left")
-          .select(col("id"), col("prev"),
-            least(col("comp1"), coalesce(col("comp2"), col("comp1"))).as("component"))
-      val joined = shortcut
-        .withColumn("chg", (col("component") < col("prev")).cast("long"))
-        .drop("prev")
-      val updated =
-        if ((iter + 1) % checkpointEvery == 0) joined.localCheckpoint() else joined
-      // The round's one action: count label changes. Over a checkpoint round
-      // the data is already materialized; otherwise this recomputes the few
-      // un-checkpointed layers.
-      val nChanged = updated.agg(coalesce(sum(col("chg")), lit(0L))).first().getLong(0)
-      converged = nChanged == 0L
-      labels = updated.drop("chg")
+      val next = checkpointFresh(smallStar(checkpointFresh(largeStar(e))))
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      e = next
       iter += 1
     }
     if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter iterations — " +
-          "with per-round path halving this means a component of diameter " +
-          "beyond ~2^maxIter; raise maxIter (returning partial labels would " +
-          "silently split real components)")
+        s"connectedComponents did not converge in $maxIter star rounds — " +
+          "large-star/small-star needs O(log² n) rounds, so this suggests " +
+          "a pathological input; raise maxIter (returning partial labels " +
+          "would silently split real components)")
+    val labels = e.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("mn"), col("src")).as("component"))
     nodes.select(col("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))

@@ -79,12 +79,6 @@ object Layout {
     parts
   }
 
-  /** Keyed upsert as a pure frame transform: rows of `base` whose key
-    * appears in `updates` are replaced; new keys append. The MERGE
-    * WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT core — one anti-join
-    * (broadcast when the update batch is small, the common case) plus a
-    * union; nothing is collected. Duplicate keys WITHIN `updates` are the
-    * caller's bug — both rows survive, same as SQL MERGE's multi-match. */
   /**
    * Snapshot diff: classify every id across two corpus snapshots by
    * fingerprint — `added` (only in b), `removed` (only in a), `changed`
@@ -106,6 +100,12 @@ object Layout {
           .otherwise(lit("changed")))
   }
 
+  /** Keyed upsert as a pure frame transform: rows of `base` whose key
+    * appears in `updates` are replaced; new keys append. The MERGE
+    * WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT core — one anti-join
+    * (broadcast when the update batch is small, the common case) plus a
+    * union; nothing is collected. Duplicate keys WITHIN `updates` are the
+    * caller's bug — both rows survive, same as SQL MERGE's multi-match. */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
     base.join(updates.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(updates)
@@ -135,6 +135,39 @@ object Layout {
     merged.write.mode("errorifexists").parquet(s"$tableDir/v$next")
     next
   }
+
+  /**
+   * Sharded training-data export with a verification manifest: write `df`
+   * as one parquet partition per hash shard in the [[shuffleShards]]
+   * training order, then read the WRITTEN files back and emit a manifest of
+   * per-shard row counts and order-free content checksums (bit_xor over
+   * xxhash64 of id and shard position). The manifest certifies what landed
+   * on disk — not what the job intended to write — so a later re-read diff
+   * against it is the export integrity check; it is written as JSON next to
+   * the data and returned. Scale shape: one shard exchange for the write
+   * (file-per-shard, in-shard training order via the partition-local sort)
+   * + one aggregation over the re-read for the manifest.
+   */
+  def exportShards(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+      idColName: String, nShards: Int, outDir: String): DataFrame = {
+    val sharded = shuffleShards(df, col(idColName), nShards)
+    sharded.repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("shard_pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/data")
+    val manifest = shardManifest(spark.read.parquet(s"$outDir/data"), idColName)
+    manifest.coalesce(1).write.mode("overwrite").json(s"$outDir/manifest")
+    manifest
+  }
+
+  /** Per-shard (n_rows, checksum) of a sharded export frame: the re-read
+    * side of the [[exportShards]] integrity check. Checksum is bit_xor of
+    * xxhash64(id, shard_pos) — order-free, so any row loss, duplication, or
+    * position corruption flips it regardless of read order. */
+  def shardManifest(written: DataFrame, idColName: String): DataFrame =
+    written.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr(s"bit_xor(xxhash64(cast($idColName AS string), shard_pos))")
+          .as("checksum"))
 
   /** Latest version directory of a [[mergeIntoParquet]] table. */
   def latestVersion(spark: org.apache.spark.sql.SparkSession,

@@ -290,6 +290,64 @@ object Multimodal {
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "frame_bytes")
 
+  /**
+   * Container decode with an OFFSET INDEX — the step past [[sampleFrames]]'
+   * fixed-stride slicing that real video containers require: frames have
+   * variable sizes, so the container carries an index table and frame
+   * extraction is offset indirection, not arithmetic on the payload length.
+   * Toy "GVID" layout (big-endian):
+   * {{{
+   *   bytes 0-3            magic "GVID" (ASCII)
+   *   bytes 4-5            n_frames (uint16, big-endian)
+   *   bytes 6..6+4n-1      index: per-frame uint32 OFFSET of the frame,
+   *                        relative to the first byte after the index
+   *   bytes 6+4n...        frames region; frame i is a GIMG blob
+   *                        ([[GimgHeaderCodec]]-decodable)
+   * }}}
+   * Every `stride`-th frame (0, stride, 2·stride, …) is located through the
+   * index and its GIMG header decoded — one row per sampled frame:
+   * (media_id, frame_idx, width, height, channels, n_pixel_bytes).
+   *
+   * Reject lanes mirror the codec discipline at both levels: an invalid
+   * CONTAINER (bad magic, header or index truncated) emits ZERO frames
+   * (the [[audioFrameFeatures]] rule); an invalid FRAME inside a valid
+   * container (offset past the end, frame bytes failing the GIMG check)
+   * emits its row with the GIMG -1 reject features — container damage and
+   * frame damage stay distinguishable downstream. Pure codegen'd
+   * substring/hex/conv; zero shuffle; the payload never survives the
+   * projection. Batch and streaming alike.
+   */
+  def videoFrameHeaders(df: DataFrame, idCol: Column, binCol: Column,
+      stride: Int = 1): DataFrame = {
+    require(stride >= 1, "need a positive frame stride")
+    def beUint(start: Column, len: Int): Column =
+      conv(hex(binCol.substr(start, lit(len))), 16, 10).cast("long")
+    val nFrames = beUint(lit(5), 2)
+    val containerOk = substring(binCol, 1, 4) === lit("GVID".getBytes("US-ASCII")) &&
+      length(binCol) >= 6 && nFrames > 0 &&
+      length(binCol).cast("long") >= lit(6L) + lit(4L) * nFrames
+    // 1-based position of the frames region
+    val base = lit(7L) + lit(4L) * nFrames
+    val offsetAt = (i: Column) => beUint(lit(7L) + lit(4L) * i, 4)
+    val sampled = filter(sequence(lit(0L), nFrames - 1L),
+      i => i % lit(stride.toLong) === 0L)
+    val frames = when(containerOk,
+      transform(sampled, i => {
+        val off = offsetAt(i)
+        val end = when(i === nFrames - 1L, length(binCol).cast("long") - base + 1L)
+          .otherwise(offsetAt(i + 1L))
+        struct(i.cast("int").as("frame_idx"),
+          binCol.substr((base + off).cast("int"),
+            greatest(end - off, lit(0L)).cast("int")).as("frame_bytes"))
+      })).otherwise(array().cast("array<struct<frame_idx:int,frame_bytes:binary>>"))
+    df.select(idCol.as("media_id"), explode(frames).as("f"))
+      .select(col("media_id"), col("f.frame_idx").as("frame_idx"),
+        GimgHeaderCodec().decode(col("f.frame_bytes")).as("hdr"))
+      .select(col("media_id"), col("frame_idx"),
+        col("hdr")(0).as("width"), col("hdr")(1).as("height"),
+        col("hdr")(2).as("channels"), col("hdr")(3).as("n_pixel_bytes"))
+  }
+
   /** Repartition a payload-bearing frame so each partition carries roughly
     * `targetBytes` of binary data — row-count partitioning is wrong when row
     * sizes vary by orders of magnitude.

@@ -6,12 +6,13 @@ import graft.operators.Dedup
 /**
  * Large-diameter stress for [[Dedup.connectedComponents]]: a pathological
  * chain corpus (every doc near-dups ONLY its neighbor) is the worst case
- * for min-label propagation — O(diameter) rounds, i.e. 10k rounds for a
- * 10k-doc chain, each a full shuffle epoch on a real cluster. The
- * per-round pointer-shortcutting (path halving) step bounds it at
- * O(log diameter): this spec pins a 10 000-node chain converging within 16
- * rounds (halving active from round 2; 2^14 ≫ 10^4), labels exact. Near-clique dup graphs (the common
- * case) are unaffected — they close in 2-4 rounds either way.
+ * for naive min-label propagation — O(diameter) rounds, i.e. 10k shuffle
+ * epochs for a 10k-doc chain. The large-star/small-star rewrite bounds it
+ * at O(log² n) rounds: this spec pins a 10 000-node id-SEQUENTIAL chain
+ * within 16 star rounds and (the adversarial case that broke the previous
+ * pointer-jumping design) a 2 000-node id-PERMUTED chain within the
+ * default budget. Near-clique dup graphs (the common case) close in a
+ * handful of rounds either way.
  */
 class ComponentsScaleSpec extends SparkSpec {
   import spark.implicits._
@@ -22,14 +23,35 @@ class ComponentsScaleSpec extends SparkSpec {
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val t0 = System.nanoTime()
     // maxIter=16 IS the assertion: plain propagation would need 9 999
-    // rounds; path halving (from round 2) must close the chain in
-    // ceil(log2(d)) + epsilon
+    // rounds; the star rewrites must close the chain in O(log² n)
     val comp = Dedup.connectedComponents(nodes, pairs, maxIter = 16)
     val labels = comp.select(col("component")).distinct().as[Long].collect().toSeq
     val sec = (System.nanoTime() - t0) / 1e9
     info(f"10k chain: $sec%.1f s wall, converged within 16 rounds")
     assert(labels == Seq(1L), s"chain must collapse to one component, got $labels")
     assert(comp.count() == n)
+  }
+
+  test("id-PERMUTED chain converges fast (the r10 non-convergence class)") {
+    // The id-sequential chain above is secretly easy: label chains align
+    // with graph edges, so pointer jumps double along the path. With ids
+    // RANDOMLY PERMUTED along the chain — the shape a mutual-kNN graph
+    // actually produces — plain min-label propagation moves the component
+    // min ONE edge-hop per round no matter how labels are pointer-jumped
+    // (the r10 bug: corpus_pipeline_v5's graph blew past maxIter and the
+    // bench recorded the 142 s failure as a plausible time). Hash-to-min
+    // label links merge hub clusters in ~2-3 rounds per O(log n) merge
+    // level; a 2 000-node permuted chain must close inside the default
+    // 50-round budget (it needs ~25 — plain propagation would need 2 000).
+    val n = 2000
+    val rng = new scala.util.Random(41)
+    val perm = rng.shuffle((0L until n.toLong).toVector)
+    val nodes = perm.toDF("id")
+    val pairs = (0 until n - 1).map(i => (perm(i), perm(i + 1))).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(nodes, pairs)
+    val labels = comp.select(col("component")).distinct().as[Long].collect().toSeq
+    assert(labels == Seq(0L), s"permuted chain must collapse to component 0, got $labels")
+    assert(comp.count() == n.toLong)
   }
 
   test("branching structure: star + chain + clique mix resolves to exact minima") {

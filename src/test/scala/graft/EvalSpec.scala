@@ -58,6 +58,26 @@ class EvalSpec extends SparkSpec {
     assert(math.abs(got - expected) < 1e-12, s"$got vs $expected")
   }
 
+  test("aucExact is invariant under strictly increasing score transforms") {
+    val rng = new scala.util.Random(29)
+    val rows = (1 to 200).map(_ => (rng.nextInt(30).toLong - 15, rng.nextInt(2)))
+    val df = rows.toDF("score", "label")
+    val base = Eval.aucExact(df, col("score"), col("label"))
+      .select("auc").as[Double].collect()(0)
+    // AUC is rank-based: any strictly increasing transform preserves it
+    val scaled = Eval.aucExact(df, col("score") * 3 + 7, col("label"))
+      .select("auc").as[Double].collect()(0)
+    assert(scaled == base)
+    val cubed = Eval.aucExact(df,
+        col("score") * col("score") * col("score"), col("label"))
+      .select("auc").as[Double].collect()(0)
+    assert(cubed == base)
+    // ...and a DECREASING transform flips it around 1/2
+    val negated = Eval.aucExact(df, -col("score"), col("label"))
+      .select("auc").as[Double].collect()(0)
+    assert(math.abs((negated + base) - 1.0) < 1e-12)
+  }
+
   test("calibrationBins: fixed-width integer bins with counts and rates") {
     val df = (0L until 10L).map(s => (s, if (s >= 5) 1 else 0)).toDF("score", "label")
     val got = Eval.calibrationBins(df, col("score"), col("label"), nBins = 5)

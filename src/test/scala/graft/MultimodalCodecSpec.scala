@@ -208,4 +208,58 @@ class MultimodalCodecSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(meta == metaStub)
   }
+
+  private def gimgFrame(w: Int, h: Int, pixels: Int): Array[Byte] =
+    "GIMG".getBytes("US-ASCII") ++
+      Array(((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+        ((h >> 8) & 0xff).toByte, (h & 0xff).toByte, 1.toByte) ++
+      Array.fill(pixels)(0x41.toByte)
+
+  private def gvid(magic: String, frames: Seq[Array[Byte]],
+      offsetsOverride: Option[Seq[Int]] = None): Array[Byte] = {
+    val offsets = offsetsOverride.getOrElse(
+      frames.map(_.length).scanLeft(0)(_ + _).init)
+    def be32(v: Int) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    magic.getBytes("US-ASCII") ++
+      Array(((frames.length >> 8) & 0xff).toByte, (frames.length & 0xff).toByte) ++
+      offsets.flatMap(be32) ++ frames.flatten
+  }
+
+  test("videoFrameHeaders: index-located variable-size frames decode exactly") {
+    import spark.implicits._
+    val frames = Seq(gimgFrame(10, 20, 3), gimgFrame(30, 40, 0), gimgFrame(50, 60, 5))
+    val rows = Seq((1L, gvid("GVID", frames))).toDF("doc_id", "payload")
+    val all = Multimodal.videoFrameHeaders(rows, col("doc_id"), col("payload"))
+      .select("frame_idx", "width", "height", "channels", "n_pixel_bytes")
+      .as[(Int, Double, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(all == Seq(
+      (0, 10.0, 20.0, 1.0, 3.0),
+      (1, 30.0, 40.0, 1.0, 0.0),
+      (2, 50.0, 60.0, 1.0, 5.0)))
+    // stride 2 samples frames 0 and 2 only
+    val strided = Multimodal.videoFrameHeaders(rows, col("doc_id"),
+        col("payload"), stride = 2)
+      .select("frame_idx").as[Int].collect().sorted.toSeq
+    assert(strided == Seq(0, 2))
+  }
+
+  test("videoFrameHeaders: container damage emits zero frames; frame damage rejects per-frame") {
+    import spark.implicits._
+    val frames = Seq(gimgFrame(10, 20, 3), gimgFrame(30, 40, 0))
+    val rows = Seq(
+      (1L, gvid("XVID", frames)),                       // bad magic
+      (2L, gvid("GVID", frames).take(9)),               // index truncated
+      (3L, "GVID".getBytes("US-ASCII") ++ Array[Byte](0x00)), // header truncated
+      // LYING index: frame 0's offset points past the payload end — that
+      // frame must take the GIMG reject lane while frame 1 decodes fine
+      (4L, gvid("GVID", frames, Some(Seq(9999, frames.head.length)))))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.videoFrameHeaders(rows, col("doc_id"), col("payload"))
+      .select("media_id", "frame_idx", "width")
+      .as[(Long, Int, Double)].collect()
+    assert(!got.exists(r => r._1 == 1L || r._1 == 2L || r._1 == 3L))
+    val doc4 = got.filter(_._1 == 4L).map(r => r._2 -> r._3).toMap
+    assert(doc4 == Map(0 -> -1.0, 1 -> 30.0))
+  }
 }
