@@ -134,6 +134,21 @@ object PqOracle {
     s"""WITH $trained
        |SELECT vec_id, sub_id, cell_id AS code FROM a2""".stripMargin
 
+  /** PQ codes restricted to the snapshot-diff RE-ENCODE set (added/changed
+    * docs of crawl B vs crawl A, the corpus_snapshot_diff schedule) — the
+    * incremental-serving oracle: same trained codebook, delta-only encode. */
+  val incrementalCodesSql: String =
+    s"""WITH $trained,
+       |sa AS (SELECT doc_id, md5(text) AS fp_a FROM documents WHERE doc_id % 10 <> 0),
+       |sb AS (SELECT doc_id,
+       |              md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS fp_b
+       |       FROM documents WHERE doc_id % 7 <> 3),
+       |delta AS (
+       |  SELECT doc_id FROM sa FULL OUTER JOIN sb USING (doc_id)
+       |  WHERE fp_a IS NULL OR (fp_b IS NOT NULL AND fp_a <> fp_b))
+       |SELECT a2.vec_id, a2.sub_id, a2.cell_id AS code
+       |FROM a2 JOIN delta ON delta.doc_id = a2.vec_id""".stripMargin
+
   val adcSql: String =
     s"""WITH $trained,
        |$adcScored

@@ -4480,6 +4480,34 @@ object Queries {
       },
       Some(PqOracle.codesSql)),
 
+    // Incremental re-encode: the snapshot diff (corpus_snapshot_diff's
+    // schedule) picks the added/changed docs of crawl B, and ONLY those are
+    // PQ-encoded against the STATIC codebook (collectCodebook +
+    // pqEncodeStatic — the serving-side artifact path). The operational
+    // shape of "re-embed only what changed": delta discovery is one
+    // full-outer fingerprint join, the encode touches |delta| vectors, and
+    // unchanged docs keep their stored codes.
+    ("corpus_incremental_codes",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val emb = Tables.embeddings(s, d)
+        val a = docs.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"), md5(col("text")).as("fp"))
+        val b = docs.filter(col("doc_id") % 7 =!= 3)
+          .select(col("doc_id"),
+            md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text"))).as("fp"))
+        val delta = Layout.snapshotDiff(a, b, "doc_id")
+          .filter(col("status").isin("added", "changed"))
+          .select(col("id").as("vec_id"))
+        val codebook = Similarity.collectCodebook(
+          Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, ksub = 16,
+            iters = 2))
+        Similarity.pqEncodeStatic(emb.join(delta, Seq("vec_id")), codebook,
+          "vec_id", "embedding", m = 4)
+      },
+      Some(PqOracle.incrementalCodesSql)),
+
     // ADC top-k over the PQ codes: query exact, corpus compressed, distance
     // = sum over subspaces of the precomputed query→codeword partial — the
     // lookup-table trick as a broadcast join, zero corpus shuffle before
