@@ -40,31 +40,47 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val runs = math.max(1, sys.env.getOrElse("BENCH_RUNS", "2").toInt)
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg
     // a failed execution is REPORTED, never silently timed as if it passed
     // (the r10 lesson: a non-converging query was swallowed into a plausible-
-    // looking 142 s row)
+    // looking 142 s row) — and its elapsed time (often a fast exception) is
+    // EXCLUDED from the timing aggregates so a failing query can't deflate
+    // the total; `failed` carries the signal, `queries` carries null.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    val timed = selected.map { case (name, fn) =>
-      val secs = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    val timed: Seq[(String, Seq[Option[Double]])] =
+      selected.toSeq.map { case (name, fn) =>
+        val secs: Seq[Option[Double]] = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            None
+          }
         }
-        (System.nanoTime() - t0) / 1e9
+        name -> secs
       }
-      name -> secs
+    def jsonMap(m: Iterable[(String, Option[Double])]): String =
+      m.map { case (k, v) =>
+        s"\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+      }.mkString("{", ",", "}")
+    val results = timed.map { case (k, ss) =>
+      val ok = ss.flatten
+      k -> (if (ok.nonEmpty) Some(ok.min) else None)
     }
-    def jsonMap(m: Iterable[(String, Double)]): String =
-      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val results = timed.map { case (k, ss) => k -> ss.min }
     val qs = jsonMap(results)
     val run1 = jsonMap(timed.map { case (k, ss) => k -> ss.head })
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.flatMap(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val loadEnd = loadAvg
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
-        s""""queries":$qs,"queries_run1":$run1,"failed":$failedJson,"sf":"$sfDir"}"""
+        s""""queries":$qs,"queries_run1":$run1,"failed":$failedJson,""" +
+        s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,"sf":"$sfDir"}"""
     println(line)
     // The driver's bench artifact keeps only the output TAIL (~2 KB), which
     // truncates the 130+-entry per-query map — persist the full line to a

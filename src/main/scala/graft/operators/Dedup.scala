@@ -534,7 +534,14 @@ object Dedup {
    * (count + bit_xor of xxhash64) — one action per round.
    */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30): DataFrame =
+    connectedComponentsWithRounds(nodes, pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of star rounds it took to
+    * converge — the scale-growth telemetry BASELINE.md tracks (round count,
+    * not wall, is what grows if the algorithm degrades with corpus size). */
+  def connectedComponentsWithRounds(nodes: DataFrame, pairs: DataFrame,
+      maxIter: Int = 30): (DataFrame, Int) = {
     val sym = pairs.filter(col("doc_a") =!= col("doc_b"))
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
@@ -583,7 +590,13 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val next = checkpointFresh(smallStar(checkpointFresh(largeStar(e))))
       val nextSig = signature(next)
-      converged = nextSig == sig
+      // the signature is only a FAST PRE-CHECK: a (count, xor-of-hash)
+      // collision between distinct successive edge sets would otherwise
+      // stop the loop early and silently emit wrong labels. Both frames
+      // are distinct + checkpointed and their counts match when the sigs
+      // do, so one one-sided EXCEPT (empty ⟺ set-equal) settles it
+      // exactly — paid at most once per run, on the round that converges.
+      converged = nextSig == sig && next.except(e).isEmpty
       sig = nextSig
       e = next
       iter += 1
@@ -596,9 +609,10 @@ object Dedup {
           "would silently split real components)")
     val labels = e.groupBy(col("src")).agg(min(col("dst")).as("mn"))
       .select(col("src").as("id"), least(col("mn"), col("src")).as("component"))
-    nodes.select(col("id"))
+    val out = nodes.select(col("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    (out, iter)
   }
 
   // ------------------------------------------------------------------------

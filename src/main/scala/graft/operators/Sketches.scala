@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MetadataBuilder
 import graft.functions.GraftFunctions
 
 /**
@@ -54,11 +55,18 @@ object Sketches {
   def countMinSketch(df: DataFrame, keyCol: Column,
       depth: Int = 4, width: Int = 512): DataFrame = {
     require(depth >= 1 && width >= 1, s"need depth,width >= 1, got $depth,$width")
+    // (depth, width) ride along as schema metadata on `cnt` so an estimate
+    // probe against a mismatched grid fails loudly at plan time instead of
+    // silently hashing into the wrong buckets (min(coalesce(cnt,0)) would
+    // often read 0 — an undetectable wrong answer).
+    val gridMeta = new MetadataBuilder()
+      .putLong("cm_depth", depth.toLong).putLong("cm_width", width.toLong)
+      .build()
     df.select(keyCol.cast("string").as("k"))
       .select(posexplode(transform(sequence(lit(0), lit(depth - 1)),
         d => cmBucket(col("k"), d, width))).as(Seq("depth", "bucket")))
       .groupBy(col("depth"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt", gridMeta))
   }
 
   /**
@@ -70,13 +78,25 @@ object Sketches {
    * build read as 0.
    */
   def countMinEstimate(sketch: DataFrame, keys: DataFrame, keyCol: Column,
-      depth: Int = 4, width: Int = 512): DataFrame =
+      depth: Int = 4, width: Int = 512): DataFrame = {
+    // Driver-side, zero-execution grid check against the metadata stamped by
+    // countMinSketch. A foreign sketch frame without the stamp is trusted
+    // (documented caller contract), but a stamped mismatch is a hard error.
+    val meta = sketch.schema.fields.find(_.name == "cnt").map(_.metadata)
+    meta.filter(m => m.contains("cm_depth") && m.contains("cm_width"))
+      .foreach { m =>
+        val (sd, sw) = (m.getLong("cm_depth"), m.getLong("cm_width"))
+        require(sd == depth && sw == width,
+          s"Count-Min grid mismatch: sketch was built with depth=$sd,width=$sw " +
+            s"but estimate was asked with depth=$depth,width=$width")
+      }
     keys.select(keyCol.as("key")).distinct()
       .select(col("key"), posexplode(transform(sequence(lit(0), lit(depth - 1)),
         d => cmBucket(col("key").cast("string"), d, width))).as(Seq("depth", "bucket")))
       .join(broadcast(sketch), Seq("depth", "bucket"), "left")
       .groupBy(col("key"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
 
   // ==========================================================================
   // KMV / bottom-k
@@ -106,7 +126,12 @@ object Sketches {
       .agg(GraftFunctions.kmin_values(col("h"), k).as("kmins"))
       .select(col("grp"),
         size(col("kmins")).as("n_kept"),
-        element_at(col("kmins"), size(col("kmins"))).as("kth_min"),
+        // a group whose values are all null has an EMPTY k-min buffer;
+        // element_at index 0 throws, so guard — kth_min reads null there
+        // (kmvEstimate is already safe: its size<k branch short-circuits
+        // to 0.0 before the element_at is reached)
+        when(size(col("kmins")) > 0,
+          element_at(col("kmins"), size(col("kmins")))).as("kth_min"),
         kmvEstimate(col("kmins"), k).as("est_distinct"))
 
   /**

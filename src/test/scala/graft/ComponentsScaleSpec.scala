@@ -33,16 +33,15 @@ class ComponentsScaleSpec extends SparkSpec {
   }
 
   test("id-PERMUTED chain converges fast (the r10 non-convergence class)") {
-    // The id-sequential chain above is secretly easy: label chains align
-    // with graph edges, so pointer jumps double along the path. With ids
-    // RANDOMLY PERMUTED along the chain — the shape a mutual-kNN graph
-    // actually produces — plain min-label propagation moves the component
-    // min ONE edge-hop per round no matter how labels are pointer-jumped
-    // (the r10 bug: corpus_pipeline_v5's graph blew past maxIter and the
-    // bench recorded the 142 s failure as a plausible time). Hash-to-min
-    // label links merge hub clusters in ~2-3 rounds per O(log n) merge
-    // level; a 2 000-node permuted chain must close inside the default
-    // 50-round budget (it needs ~25 — plain propagation would need 2 000).
+    // The id-sequential chain above is secretly easy: min-ids travel with
+    // graph edges. With ids RANDOMLY PERMUTED along the chain — the shape
+    // a mutual-kNN graph actually produces — plain min-label propagation
+    // moves the component min ONE edge-hop per round (the r10 bug:
+    // corpus_pipeline_v5's graph blew past maxIter and the bench recorded
+    // the 142 s failure as a plausible time). The large-star/small-star
+    // rewrites (Kiveris et al. 2014) contract the permuted chain in
+    // O(log² n) rounds; a 2 000-node permuted chain must close inside the
+    // default 30-round budget (measured ~10 — plain propagation needs 2 000).
     val n = 2000
     val rng = new scala.util.Random(41)
     val perm = rng.shuffle((0L until n.toLong).toVector)

@@ -147,4 +147,39 @@ class SketchSpec extends SparkSpec {
     val jac = r3.getAs[Int]("n_common_kmins").toDouble / r3.getAs[Int]("n_u")
     assert(jac > 0.2 && jac < 0.8, s"jaccard=$jac") // true 0.5, k=64 noise band
   }
+
+  test("Sketches.kmvDistinct: all-null group yields empty sketch, not a crash") {
+    import graft.operators.Sketches
+    // a group whose values are ALL null has an empty k-min buffer;
+    // element_at(kmins, 0) used to throw 'SQL array indices start at 1'
+    // and fail the whole query on legal input
+    val df = Seq(("g0", Some("a")), ("g0", Some("b")),
+      ("gnull", None), ("gnull", None)).toDF("g", "v")
+    val got = Sketches.kmvDistinct(df, col("g"), col("v"), 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), Option(r.get(2)), r.getDouble(3))).toMap
+    assert(got("g0")._1 == 2 && got("g0")._3 == 2.0)
+    assert(got("gnull")._1 == 0, "all-null group keeps zero hashes")
+    assert(got("gnull")._2.isEmpty, "kth_min must be null on an empty sketch")
+    assert(got("gnull")._3 == 0.0, "estimate of an all-null group is 0")
+  }
+
+  test("Sketches.countMinEstimate: grid mismatch vs stamped sketch fails loudly") {
+    import graft.operators.Sketches
+    val df = (1 to 100).map(i => s"k${i % 10}").toDF("k")
+    val cms = Sketches.countMinSketch(df, col("k"), 4, 256)
+    // matching grid: fine
+    Sketches.countMinEstimate(cms, df, col("k"), 4, 256).count()
+    // mismatched width: the metadata stamp makes this a plan-time error
+    // instead of silently-wrong min(coalesce(cnt,0)) estimates
+    val ex = intercept[IllegalArgumentException] {
+      Sketches.countMinEstimate(cms, df, col("k"), 4, 512)
+    }
+    assert(ex.getMessage.contains("grid mismatch"))
+    // a foreign (unstamped) sketch frame is trusted — caller contract
+    // (a bare alias PROPAGATES metadata, so strip it explicitly)
+    val foreign = cms.select(col("depth"), col("bucket"),
+      col("cnt").as("cnt", org.apache.spark.sql.types.Metadata.empty))
+    Sketches.countMinEstimate(foreign, df, col("k"), 4, 512).count()
+  }
 }
