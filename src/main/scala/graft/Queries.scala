@@ -1989,6 +1989,64 @@ object Queries {
           |WHERE NOT EXISTS (SELECT 1 FROM verified v
           |                  WHERE v.doc_b = d.doc_id AND v.jaccard >= 0.8)""".stripMargin)),
 
+    // Incremental COMPONENTS admission — the label-side twin of
+    // dedup_incremental and the production answer to the catalog's
+    // honest-recompute convention: the lowest 4/5 of ids play the indexed
+    // corpus with a PERSISTED (id, component) artifact; the top 1/5 is the
+    // batch, admitted via Dedup.admitComponents — star rounds over the
+    // CONTRACTED batch-sized graph only, corpus work = one broadcast remap
+    // join against the artifact. The oracle is the from-scratch recursive-CTE
+    // components over the whole table: incremental labels must be
+    // indistinguishable from re-running everything.
+    ("dedup_components_incremental",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        // same eager scalar-cut convention as dedup_incremental (see note
+        // there); null max ⇒ empty table ⇒ empty singleton-label projection
+        val cutBoxed = docs.agg(floor(max(col("doc_id")) * 4 / 5).cast("long"))
+          .head().getAs[java.lang.Long](0)
+        if (cutBoxed == null)
+          docs.select(col("doc_id"), col("doc_id").as("component"))
+        else {
+        val cut = cutBoxed.longValue()
+        val oldDocs = docs.filter(col("doc_id") < cut)
+        val newDocs = docs.filter(col("doc_id") >= cut)
+        val index = Dedup.signatureIndex(oldDocs, col("text"), col("doc_id"))
+          .localCheckpoint()
+        val shingles = Dedup.shingleSets(docs, col("text"), col("doc_id"))
+          .localCheckpoint()
+        val oldEdges = Dedup.ngramJaccardOnShingles(
+            Dedup.lshCandidates(index), shingles)
+          .filter(col("jaccard") >= 0.8).select(col("doc_a"), col("doc_b"))
+        // the persisted artifact: labels over EVERY indexed doc (survivors
+        // and dropped — dropped docs stay as attractors, same as the index)
+        val labels = Dedup.connectedComponents(
+            oldDocs.select(col("doc_id").as("id")), oldEdges)
+          .localCheckpoint()
+        val entries = Dedup.signatureEntries(newDocs, col("text"), col("doc_id"))
+          .localCheckpoint()
+        val newEdges = Dedup.ngramJaccardOnShingles(
+            Dedup.incrementalCandidates(index, entries), shingles)
+          .filter(col("jaccard") >= 0.8).select(col("doc_a"), col("doc_b"))
+        Dedup.admitComponents(labels,
+            newDocs.select(col("doc_id").as("id")), newEdges)
+          .select(col("id").as("doc_id"), col("component"))
+        }
+      },
+      Some(lshCandCtes + nearDupVerifyCtes +
+        """SELECT id AS doc_id, min(lbl) AS component
+          |FROM (
+          |  WITH RECURSIVE r(id, lbl) AS (
+          |    SELECT doc_id, doc_id FROM documents
+          |    UNION
+          |    SELECT e.src, r.lbl
+          |    FROM (SELECT doc_a AS src, doc_b AS dst FROM verified WHERE jaccard >= 0.8
+          |          UNION ALL
+          |          SELECT doc_b AS src, doc_a AS dst FROM verified WHERE jaccard >= 0.8) e
+          |    JOIN r ON r.id = e.dst)
+          |  SELECT id, lbl FROM r)
+          |GROUP BY 1""".stripMargin)),
+
     ("dedup_simhash",
       (s: SparkSession, d: String) =>
         Dedup.simhash(Tables.documents(s, d), col("text"), col("doc_id")),

@@ -753,6 +753,71 @@ object Dedup {
     newDocs.select(idCol.as("doc_id")).join(drops, Seq("doc_id"), "left_anti")
   }
 
+  /**
+   * Incremental components admission — the label-side twin of
+   * [[incrementalNearDup]]: merge a NEW batch's verified near-dup edges into
+   * a PERSISTED component-label artifact without re-running the corpus
+   * graph. Production computes components once (the artifact) and admits
+   * batches against it; the catalog's honest-recompute rows exist to gate
+   * correctness, but this is the shape a 100 TB deployment actually runs.
+   *
+   * Inputs: `labels` — (id, component) for EVERY already-indexed doc (the
+   * persisted artifact; component = min reachable id, the output contract of
+   * [[connectedComponents]]); `newIds` — (id) of the batch, all ids greater
+   * than every indexed id (the append-only discipline the incremental family
+   * documents); `newEdges` — (doc_a, doc_b) verified pairs with at least one
+   * new side (what [[incrementalCandidates]] + exact-Jaccard verify emits).
+   *
+   * Algorithm: CONTRACT old endpoints to their component label, run the star
+   * rounds over the contracted graph — whose node set is (batch ∪ touched
+   * old labels), i.e. BATCH-sized, never corpus-sized — then push the
+   * (tiny) old-label remap back over the artifact with one broadcast join.
+   * Exactness: an old label is the min id of its component, so the
+   * contracted component's min equals the true min over the merged doc sets
+   * (new ids are all greater than old ids but the argument doesn't even
+   * need that — min is associative over the partition by old components).
+   * Result hash-equals a from-scratch [[connectedComponents]] over the
+   * union graph, which is what the `dedup_components_incremental` oracle
+   * pins via DuckDB's recursive CTE.
+   *
+   * Scale shape: corpus-sized work is exactly ONE equi-join of the label
+   * artifact against a broadcast remap of merged-label rows (bounded by the
+   * number of old components the batch touches). The star rounds, both
+   * label-contraction joins, and the distinct all run over batch-sized
+   * frames. No LSH, no shingling, no corpus shuffle.
+   */
+  def admitComponents(labels: DataFrame, newIds: DataFrame,
+      newEdges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val lab = labels.select(col("id"), col("component"))
+    // contract: old endpoints → their component label; new endpoints pass
+    // through (they have no row in the artifact)
+    val ea = newEdges
+      .join(lab.select(col("id").as("doc_a"), col("component").as("ca")),
+        Seq("doc_a"), "left")
+      .join(lab.select(col("id").as("doc_b"), col("component").as("cb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("ca"), col("doc_a")).as("doc_a"),
+        coalesce(col("cb"), col("doc_b")).as("doc_b"))
+    val nodes = newIds.select(col("id"))
+      .unionByName(ea.select(col("doc_a").as("id")))
+      .unionByName(ea.select(col("doc_b").as("id")))
+      .distinct()
+    val contracted = connectedComponents(nodes, ea, maxIter).localCheckpoint()
+    // remap rows: old labels whose component changed (merged clusters).
+    // Restricting to rows that ARE old labels matters — new-doc rows also
+    // have id =!= component and must not leak into the artifact join.
+    val oldLabels = lab.select(col("component").as("id")).distinct()
+    val remap = contracted.join(oldLabels, Seq("id"), "left_semi")
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("component"), col("component").as("component_new"))
+    val oldOut = lab.join(broadcast(remap), Seq("component"), "left")
+      .select(col("id"),
+        coalesce(col("component_new"), col("component")).as("component"))
+    val newOut = contracted.join(newIds.select(col("id")), Seq("id"), "left_semi")
+      .select(col("id"), col("component"))
+    oldOut.unionByName(newOut)
+  }
+
   /** Near-dup detection over SimHash fingerprints for an explicit pair
     * frame: Hamming distance via bit_count(xor). */
   def simhashPairs(pairs: DataFrame, fingerprints: DataFrame,
