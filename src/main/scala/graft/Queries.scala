@@ -3929,6 +3929,43 @@ object Queries {
       Some(knnGraphCte +
         "SELECT src_id, rank, dst_id, cosine FROM g")),
 
+    // One NN-descent refinement round over the LSH kNN graph: expand each
+    // node's candidates through the symmetrized graph (reverse side capped
+    // at k per node — hub guard), exact-rescore, re-rank top-k. Candidate
+    // space ≤ 4k² per mid node, linear in the corpus. Deterministic, so the
+    // refined graph itself is the oracle contract; the recall UPLIFT vs
+    // brute force is spec-measured (KnnGraphSpec).
+    ("sim_knn_refined",
+      (s: SparkSession, d: String) =>
+        Similarity.knnGraphRefined(Tables.embeddings(s, d), "vec_id",
+          "embedding", k = 5, nBands = 4, rowsPerBand = 2, dim = 64,
+          rounds = 1),
+      Some(knnGraphCte +
+        """, rev AS (
+          |  SELECT dst_id AS src_id, src_id AS dst_id
+          |  FROM (SELECT src_id, dst_id,
+          |               row_number() OVER (PARTITION BY dst_id
+          |                                  ORDER BY cosine DESC, src_id) AS rrank
+          |        FROM g) WHERE rrank <= 5),
+          |e AS (SELECT src_id, dst_id FROM g UNION SELECT src_id, dst_id FROM rev),
+          |twohop AS (
+          |  SELECT DISTINCT a.src_id, b.dst_id
+          |  FROM e a JOIN e b ON b.src_id = a.dst_id
+          |  WHERE b.dst_id <> a.src_id),
+          |cand AS (SELECT src_id, dst_id FROM twohop
+          |         UNION SELECT src_id, dst_id FROM g),
+          |scored AS (
+          |  SELECT c.src_id, c.dst_id,
+          |         list_dot_product(a.ve, b.ve) / (a.nn * b.nn) AS cosine
+          |  FROM cand c
+          |  JOIN n a ON a.vec_id = c.src_id
+          |  JOIN n b ON b.vec_id = c.dst_id)
+          |SELECT src_id,
+          |       row_number() OVER (PARTITION BY src_id
+          |                          ORDER BY cosine DESC, dst_id)::int AS rank,
+          |       dst_id, cosine
+          |FROM scored QUALIFY rank <= 5""".stripMargin)),
+
     // kNN-density outlier gate: mean top-k neighbor cosine below tau marks a
     // document as isolated in embedding space (off-topic / garbled / badly
     // embedded) — evaluated in fixed point (Σ floor(cosine·2^30) ≥

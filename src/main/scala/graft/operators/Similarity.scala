@@ -999,6 +999,79 @@ object Similarity {
   }
 
   /**
+   * One NN-DESCENT refinement round (Dong et al. 2011, "Efficient k-nearest
+   * neighbor graph construction for generic similarity measures" —
+   * deterministic full-round variant, no sampling): a node's true neighbors
+   * are likely neighbors-of-its-neighbors, so expand each node's candidate
+   * set through the SYMMETRIZED graph (forward edges ∪ reverse edges, the
+   * reverse side capped at k per node so hub nodes — which appear in
+   * thousands of top-k lists — can't blow up the expansion), re-score every
+   * candidate with the exact cosine, and re-rank top-k. Union with the
+   * current edges first, so a round can only improve recall (monotone).
+   *
+   * Scale shape: the symmetrized edge set is ≤ 2k rows per node; the
+   * two-hop expansion is an equi-join of that set with itself on the mid
+   * node, so per-mid fan-out is ≤ (2k)² and the total candidate space is
+   * ≤ 4k²·n — linear in the corpus for fixed k, never corpus². Re-scoring
+   * joins the vector table twice on its id key (the same shape as the
+   * original graph's scoring). Fully deterministic (row_number tie-breaks
+   * on ids), so the refined graph is oracle-checkable: DuckDB recomputes
+   * the identical expansion (`sim_knn_refined`).
+   *
+   * `vectors` must carry (id, v, n) — id, double vector, L2 norm — i.e. the
+   * projection [[knnGraphRefined]] builds once and shares across rounds.
+   */
+  def nnDescentRound(g: DataFrame, vectors: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rw = Window.partitionBy(col("dst_id"))
+      .orderBy(col("cosine").desc, col("src_id"))
+    val rev = g.withColumn("rrank", row_number().over(rw))
+      .filter(col("rrank") <= k)
+      .select(col("dst_id").as("src_id"), col("src_id").as("dst_id"))
+    val e = g.select(col("src_id"), col("dst_id")).unionByName(rev)
+      .distinct().localCheckpoint()
+    val twoHop = e.join(
+        e.select(col("src_id").as("dst_id"), col("dst_id").as("hop_id")),
+        Seq("dst_id"))
+      .filter(col("src_id") =!= col("hop_id"))
+      .select(col("src_id"), col("hop_id").as("dst_id"))
+    val cands = twoHop.unionByName(g.select(col("src_id"), col("dst_id")))
+      .distinct()
+    val scored = cands
+      .join(vectors.select(col("id").as("src_id"), col("v").as("sv"),
+        col("n").as("sn")), Seq("src_id"))
+      .join(vectors.select(col("id").as("dst_id"), col("v").as("dv"),
+        col("n").as("dn")), Seq("dst_id"))
+      .select(col("src_id"), col("dst_id"),
+        (dot(col("sv"), col("dv")) / (col("sn") * col("dn"))).as("cosine"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cosine").desc, col("dst_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src_id"), col("rank"), col("dst_id"), col("cosine"))
+  }
+
+  /** [[knnGraph]] + `rounds` NN-descent refinement rounds: the standard
+    * recall uplift when LSH candidate recall bounds graph quality. The
+    * vector projection is materialized once and shared across rounds; each
+    * round's graph is re-materialized (localCheckpoint) so iterated
+    * self-joins don't square Catalyst size estimates. */
+  def knnGraphRefined(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, nBands: Int = 4, rowsPerBand: Int = 2, dim: Int = -1,
+      maxBucketSize: Int = 1024, rounds: Int = 1): DataFrame = {
+    val vectors = embeddings
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("n", norm(col("v")))
+      .localCheckpoint()
+    var g = knnGraph(embeddings, idCol, vecCol, k, nBands, rowsPerBand, dim,
+      maxBucketSize).localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      g = nnDescentRound(g, vectors, k).localCheckpoint()
+    }
+    g
+  }
+
+  /**
    * Streaming/serving face of [[knnGraph]]: arriving vectors join the STATIC
    * corpus's precomputed (band, bucket) index and emit per-candidate cosine
    * scores — a stateless projection + stream-static equi-join, so it runs

@@ -45,6 +45,64 @@ class KnnGraphSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("knnGraphRefined: one NN-descent round lifts recall vs brute force, never degrades") {
+    val corpus = randCorpus(120, 16)
+    def recallOf(g: Set[(Long, Long)], exact: Set[(Long, Long)]) =
+      (exact intersect g).size.toDouble / exact.size
+    val exact = Similarity.cosineTopK(corpus, corpus, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val base = Similarity.knnGraph(corpus, "vec_id", "embedding", k = 5,
+        nBands = 4, rowsPerBand = 2, dim = 16)
+      .select("src_id", "dst_id").as[(Long, Long)].collect().toSet
+    val refined = Similarity.knnGraphRefined(corpus, "vec_id", "embedding",
+        k = 5, nBands = 4, rowsPerBand = 2, dim = 16, rounds = 1)
+      .select("src_id", "dst_id").as[(Long, Long)].collect().toSet
+    val (rBase, rRef) = (recallOf(base, exact), recallOf(refined, exact))
+    info(f"recall@5: base $rBase%.3f -> refined $rRef%.3f")
+    // monotone: the round unions current edges before re-ranking, and every
+    // replacement has strictly higher cosine, so per-query recall of the
+    // TRUE top-k can only stay or rise... measured uplift must be real on
+    // random vectors where LSH recall has headroom
+    assert(rRef >= rBase, f"refinement degraded recall $rBase%.3f -> $rRef%.3f")
+    assert(rRef > rBase + 0.02,
+      f"expected a measurable uplift, got $rBase%.3f -> $rRef%.3f")
+    // graph shape invariants survive refinement
+    val g2 = Similarity.knnGraphRefined(corpus, "vec_id", "embedding", k = 5,
+      nBands = 4, rowsPerBand = 2, dim = 16, rounds = 1).collect()
+    g2.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length))
+    }
+    assert(g2.forall(r => r.getLong(0) != r.getLong(2)))
+  }
+
+  test("nnDescentRound: candidate space stays bounded under a hub node") {
+    // star corpus: vector 0 is a hub similar to everyone; the reverse-side
+    // cap (k per node) must keep the expansion from going quadratic.
+    // 200 spokes nearly parallel to the hub direction, tiny per-spoke noise.
+    val rng = new scala.util.Random(7)
+    val dim = 8
+    val hub = Seq.fill(dim)(1.0f)
+    val corpus = ((0L, hub) +: (1L until 201L).map { i =>
+      (i, hub.zipWithIndex.map { case (x, j) =>
+        x + (if (j == (i % dim).toInt) 0.2f * (rng.nextFloat() - 0.5f) else 0f) })
+    }).toDF("vec_id", "embedding")
+    val vectors = corpus
+      .select(col("vec_id").as("id"),
+        graft.operators.Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("n", graft.operators.Similarity.norm(col("v")))
+    val g = Similarity.knnGraph(corpus, "vec_id", "embedding", k = 5,
+      nBands = 4, rowsPerBand = 2, dim = dim).localCheckpoint()
+    val refined = Similarity.nnDescentRound(g, vectors, k = 5)
+    val rows = refined.count()
+    // output is ≤ k per src by construction; the property that matters is
+    // the run completes with bounded intermediate pair space — assert the
+    // output contract and per-src cap
+    assert(rows <= 201L * 5)
+    val perSrc = refined.groupBy("src_id").count()
+      .agg(max("count")).head().getLong(0)
+    assert(perSrc <= 5)
+  }
+
   test("knnGraph: identical-vector corpus over the cap degrades to the anchor star (bounded pairs)") {
     val n = 64
     val corpus = (0L until n.toLong).map(i =>
