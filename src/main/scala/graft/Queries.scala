@@ -6040,8 +6040,15 @@ object Queries {
       |FROM documents""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    catalog.map { case (n, f, _) => n -> f }.toMap
+    catalog.map { case (n, f, _) => n -> f }.toMap ++
+      QueriesSql.entries.map { case (n, f, _) => n -> f }
 
-  def oracleSql: Map[String, String] =
-    catalog.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+  def oracleSql: Map[String, String] = {
+    val base = catalog.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+    // SQL-frontend battery rows are gated on their DataFrame twin's oracle:
+    // one oracle, two frontends, one hash.
+    base ++ QueriesSql.entries.flatMap { case (n, _, twin) =>
+      base.get(twin).map(n -> _)
+    }
+  }
 }

@@ -1,0 +1,227 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * SQL-frontend parity battery: representative catalog queries re-expressed
+ * as pure `spark.sql(...)` text over registered temp views — proof that a
+ * user can drive the engine from the SQL surface alone (BI tools, notebook
+ * SQL cells, `spark-sql` shells) and get BIT-IDENTICAL results to the
+ * DataFrame API rows. Each entry is gated on the SAME DuckDB oracle as its
+ * DataFrame twin, so the driver's hash compare holds the two frontends to
+ * one answer.
+ *
+ * The slice deliberately spans the engine's families: a TPC-H aggregate, the
+ * reference's JSON-parse → window → aggregate flagship (from_json and
+ * window() in SQL text), exact/fingerprint dedup, per-user and windowed
+ * event stats, text statistics (lambda HOFs in SQL), brute-force ANN through
+ * the NATIVE `array_dot` expression, the portable-hash token-budget window,
+ * and the `kmin_values` native AGGREGATE — the last two exercising
+ * [[graft.plans.GraftExtensions.registerAll]]'s runtime registration path
+ * on a session built without extensions (Verify/Bench's sessions).
+ *
+ * SQL dialect notes (the cross-frontend determinism discipline):
+ *  - double literals carry the `D` suffix — Spark parses bare `0.6` as
+ *    DECIMAL(1,1), and while decimal→double widening lands on the same
+ *    value, the explicit form keeps the expression tree identical to the
+ *    DataFrame twin's `lit(0.6)`;
+ *  - decimal-routed sums (`CAST(sum(CAST(x AS decimal(18,s))) AS double)`)
+ *    mirror Queries.sumDec exactly;
+ *  - portable hashes spell the full conv(substr(md5(CAST(.. AS binary))))
+ *    chain that TextOps.portableHash builds.
+ */
+object QueriesSql {
+
+  /** (name, twin catalog row whose oracle gates this entry, views, SQL). */
+  val battery: Seq[(String, String, Seq[String], String)] = Seq(
+
+    ("sql_tpch_q1", "tpch_q1", Seq("lineitem"),
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS double) AS sum_disc_price,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS decimal(18,6))) AS double) AS sum_charge,
+        |       count(*) AS count_order,
+        |       CAST(sum(CAST(l_quantity AS decimal(18,2))) AS double) / count(*) AS avg_qty,
+        |       CAST(sum(CAST(l_extendedprice AS decimal(18,2))) AS double) / count(*) AS avg_price
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+
+    ("sql_dedup_exact", "dedup_exact", Seq("documents"),
+      """SELECT md5(CAST(text AS binary)) AS text_md5,
+        |       min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin),
+
+    ("sql_dedup_fingerprint", "dedup_fingerprint", Seq("documents"),
+      """SELECT md5(CAST(regexp_replace(trim(lower(text)), '\\s+', ' ') AS binary)) AS fingerprint,
+        |       min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin),
+
+    // The reference's P1+K1/W1/A1 flagship, SQL end to end: synthesize the
+    // JSON wire off events, from_json-parse it (the union delay flag, the
+    // required-field reject filter), window 2 minutes, aggregate per airline.
+    ("sql_flight_airline_stats", "flight_airline_stats", Seq("events"),
+      """WITH wire AS (
+        |  SELECT to_json(named_struct(
+        |    'flightId', concat('F', CAST(event_id AS string)),
+        |    'flightNumber', concat(upper(event_type), '-', CAST(event_id % 1000 AS string)),
+        |    'airline', event_type,
+        |    'origin', concat('O', CAST(user_id % 10 AS string)),
+        |    'destination', concat('D', CAST(event_id % 7 AS string)),
+        |    'scheduledArrival', date_format(date_trunc('second', ts), "yyyy-MM-dd'T'HH:mm:ss"),
+        |    'actualArrival', date_format(timestamp_seconds(
+        |        unix_timestamp(date_trunc('second', ts)) + (CAST(floor(value) AS bigint) - 50) * 60),
+        |      "yyyy-MM-dd'T'HH:mm:ss"),
+        |    'delayed', CASE WHEN event_id % 2 = 0 THEN value > 75 END,
+        |    'status', CASE WHEN event_id % 2 != 0
+        |                   THEN CASE WHEN value > 75 THEN 'Delayed' ELSE 'ON_TIME' END END,
+        |    'userId', concat('u', CAST(user_id AS string)))) AS value
+        |  FROM events),
+        |parsed AS (
+        |  SELECT from_json(value,
+        |    'flightId STRING, flightNumber STRING, airline STRING, origin STRING,
+        |     destination STRING, scheduledArrival STRING, actualArrival STRING,
+        |     delayed BOOLEAN, status STRING, userId STRING') AS j
+        |  FROM wire),
+        |flights AS (
+        |  SELECT j.airline AS airline,
+        |         to_timestamp(j.scheduledArrival) AS scheduled_time,
+        |         CASE WHEN j.delayed IS NOT NULL THEN CASE WHEN j.delayed THEN 1 ELSE 0 END
+        |              ELSE CASE WHEN upper(j.status) = 'DELAYED' THEN 1 ELSE 0 END END AS is_delayed,
+        |         CAST((unix_timestamp(to_timestamp(j.actualArrival))
+        |               - unix_timestamp(to_timestamp(j.scheduledArrival))) / 60 AS bigint) AS delay_minutes
+        |  FROM parsed
+        |  WHERE j.flightId IS NOT NULL AND j.flightNumber IS NOT NULL
+        |    AND j.airline IS NOT NULL AND j.origin IS NOT NULL
+        |    AND j.destination IS NOT NULL AND j.userId IS NOT NULL
+        |    AND to_timestamp(j.scheduledArrival) IS NOT NULL
+        |    AND to_timestamp(j.actualArrival) IS NOT NULL)
+        |SELECT CAST(w.start AS timestamp_ntz) AS window_start,
+        |       CAST(w.end AS timestamp_ntz) AS window_end,
+        |       airline, total_flights, delayed_flights, avg_delay_minutes,
+        |       CAST(delayed_flights AS double) / total_flights * 100.0D AS delay_rate
+        |FROM (
+        |  SELECT window(scheduled_time, '2 minutes') AS w, airline,
+        |         count(*) AS total_flights,
+        |         CAST(sum(is_delayed) AS bigint) AS delayed_flights,
+        |         avg(delay_minutes) AS avg_delay_minutes
+        |  FROM flights GROUP BY 1, 2)""".stripMargin),
+
+    ("sql_events_window_stats", "events_window_stats", Seq("events"),
+      """SELECT CAST(w.start AS timestamp_ntz) AS window_start,
+        |       CAST(w.end AS timestamp_ntz) AS window_end,
+        |       event_type, total_events, high_value_events, sum_value,
+        |       sum_value / total_events AS avg_value
+        |FROM (
+        |  SELECT window(ts, '1 hour') AS w, event_type,
+        |         count(*) AS total_events,
+        |         CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS bigint) AS high_value_events,
+        |         CAST(sum(CAST(value AS decimal(18,2))) AS double) AS sum_value
+        |  FROM events GROUP BY 1, 2)""".stripMargin),
+
+    ("sql_events_user_stats", "events_user_stats", Seq("events"),
+      """SELECT user_id, count(*) AS n_events,
+        |       count(DISTINCT event_type) AS n_event_types,
+        |       count(DISTINCT to_date(ts)) AS n_active_days,
+        |       CAST(sum(CAST(value AS decimal(18,2))) AS double) AS total_value,
+        |       CAST(min(ts) AS timestamp_ntz) AS first_ts,
+        |       CAST(max(ts) AS timestamp_ntz) AS last_ts
+        |FROM events GROUP BY user_id""".stripMargin),
+
+    ("sql_text_stats", "text_stats", Seq("documents"),
+      """WITH t AS (
+        |  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ') AS norm
+        |  FROM documents),
+        |tok AS (SELECT doc_id, norm, split(norm, ' ') AS toks FROM t),
+        |b AS (
+        |  SELECT doc_id,
+        |         length(norm) AS n_chars,
+        |         size(toks) AS n_tokens,
+        |         size(array_distinct(toks)) AS n_distinct_tokens,
+        |         size(filter(toks, x -> x IN ('the','a','of','and','is'))) AS n_stopwords,
+        |         regexp_count(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS n_subtokens
+        |  FROM tok)
+        |SELECT doc_id, n_chars, n_tokens, n_distinct_tokens, n_stopwords, n_subtokens,
+        |       CAST(n_chars - (n_tokens - 1) AS double) / n_tokens AS avg_token_len,
+        |       CAST(n_stopwords AS double) / n_tokens AS stopword_ratio,
+        |       CAST(n_distinct_tokens AS double) / n_tokens AS type_token_ratio,
+        |       CAST(n_distinct_tokens AS double) / n_tokens * 0.6D
+        |         + least(CAST(n_tokens AS double) / 100.0D, 1.0D) * 0.3D
+        |         + (1.0D - CAST(n_stopwords AS double) / n_tokens) * 0.1D AS quality_score
+        |FROM b""".stripMargin),
+
+    // brute-force ANN through the native codegen'd array_dot expression —
+    // SQL-reachable only via the registered function
+    ("sql_sim_topk", "sim_topk", Seq("embeddings"),
+      """WITH v AS (
+        |  SELECT vec_id, transform(embedding, x -> CAST(x AS double)) AS ve
+        |  FROM embeddings),
+        |w AS (SELECT vec_id, ve, sqrt(array_dot(ve, ve)) AS nn FROM v),
+        |q AS (SELECT * FROM w WHERE vec_id < 10),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         array_dot(q.ve, c.ve) / (q.nn * c.nn) AS cosine
+        |  FROM q JOIN w c ON q.vec_id != c.vec_id)
+        |SELECT query_id, CAST(rnk AS int) AS rank, neighbor_id
+        |FROM (SELECT query_id, neighbor_id,
+        |             row_number() OVER (PARTITION BY query_id
+        |                                ORDER BY cosine DESC, neighbor_id) AS rnk
+        |      FROM s)
+        |WHERE rnk <= 5""".stripMargin),
+
+    ("sql_corpus_token_budget", "corpus_token_budget", Seq("documents"),
+      """SELECT doc_id, source, n_tokens, cum_tokens FROM (
+        |  SELECT doc_id, source, n_tokens,
+        |         sum(coalesce(n_tokens, CAST(0 AS bigint))) OVER (
+        |           PARTITION BY source
+        |           ORDER BY CAST(conv(substr(md5(CAST(CAST(doc_id AS string) AS binary)), 1, 15), 16, 10) AS bigint),
+        |                    doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM (SELECT doc_id, source,
+        |               CAST(size(split(regexp_replace(trim(lower(text)), '\\s+', ' '), ' ')) AS bigint) AS n_tokens
+        |        FROM documents))
+        |WHERE cum_tokens <= 1500""".stripMargin),
+
+    // the kmin_values native aggregate from SQL: per-language KMV sketch
+    ("sql_sketch_kmv_tokens", "sketch_kmv_tokens", Seq("documents"),
+      """WITH tok AS (
+        |  SELECT lang,
+        |         explode(split(regexp_replace(trim(lower(text)), '\\s+', ' '), ' ')) AS tok
+        |  FROM documents),
+        |k AS (
+        |  SELECT lang,
+        |         kmin_values(CAST(conv(substr(md5(CAST(tok AS binary)), 1, 15), 16, 10) AS bigint), 64) AS kmins
+        |  FROM tok GROUP BY lang)
+        |SELECT lang,
+        |       size(kmins) AS n_kept,
+        |       CASE WHEN size(kmins) > 0 THEN element_at(kmins, size(kmins)) END AS kth_min,
+        |       CASE WHEN size(kmins) < 64 THEN CAST(size(kmins) AS double)
+        |            ELSE 63.0D * 1152921504606846976.0D / CAST(element_at(kmins, 64) AS double) END AS est_distinct
+        |FROM k""".stripMargin)
+  )
+
+  /** Register the views a battery entry reads, plus the native functions,
+    * then run the SQL. Idempotent per session — safe to call per query. */
+  def run(spark: SparkSession, dir: String, views: Seq[String],
+      sql: String): DataFrame = {
+    graft.plans.GraftExtensions.registerAll(spark)
+    views.foreach {
+      case "events" =>
+        Tables.events(spark, dir).createOrReplaceTempView("events")
+      case "documents" =>
+        Tables.documents(spark, dir).createOrReplaceTempView("documents")
+      case "embeddings" =>
+        Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
+      case other =>
+        Tables.table(spark, dir, other).createOrReplaceTempView(other)
+    }
+    spark.sql(sql)
+  }
+
+  /** Catalog-shaped entries: name → (session, dir) => DataFrame. */
+  def entries: Seq[(String, (SparkSession, String) => DataFrame, String)] =
+    battery.map { case (name, twin, views, sql) =>
+      (name, (s: SparkSession, d: String) => run(s, d, views, sql), twin)
+    }
+}

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.ArrayDotProduct
@@ -15,51 +15,67 @@ import graft.functions.ArrayDotProduct
  * SparkSessionExtensions injection point custom Rules/Strategies would also
  * hang off — none are needed for current semantics (every operator resolves
  * to built-in plans; see SURVEY §4 "custom work required").
+ *
+ * For a session built WITHOUT extensions (a host app that owns session
+ * construction, or the Verify/Bench mains), [[GraftExtensions.registerAll]]
+ * performs the same registrations at runtime through the session's
+ * FunctionRegistry — idempotent, so calling it per-query is safe.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("array_dot"),
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** Register every graft SQL function into an EXISTING session. */
+  def registerAll(spark: SparkSession): Unit =
+    registrations.foreach { case (ident, info, builder) =>
+      org.apache.spark.sql.graftshim.RegistryShim
+        .register(spark, ident, info, builder)
+    }
+
+  /** literal-int extractor shared by the k-parameterized registrations */
+  private def litInt(e: Expression, what: String): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(s"$what must be an int literal")
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an int literal, got $other")
+    }
+  }
+
+  /** The single source of truth for graft's SQL-reachable functions —
+    * consumed both by the build-time extension injection and the runtime
+    * [[registerAll]] path. */
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
-      (children: Seq[Expression]) => ArrayDotProduct(children.head, children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("array_dot_long"),
-      new ExpressionInfo(classOf[graft.functions.ArrayDotLong].getName, "array_dot_long"),
       (children: Seq[Expression]) =>
-        graft.functions.ArrayDotLong(children.head, children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("topk_by"),
+        ArrayDotProduct(children.head, children(1))),
+    (FunctionIdentifier("array_dot_long"),
+      new ExpressionInfo(classOf[graft.functions.ArrayDotLong].getName,
+        "array_dot_long"),
+      (children: Seq[Expression]) =>
+        graft.functions.ArrayDotLong(children.head, children(1))),
+    (FunctionIdentifier("topk_by"),
       new ExpressionInfo(classOf[graft.functions.BoundedTopK].getName, "topk_by"),
       (children: Seq[Expression]) => {
         require(children.length == 2, "topk_by(sortKey, k) takes exactly two arguments")
-        if (!children(1).foldable)
-          throw new IllegalArgumentException("topk_by k must be an int literal")
-        graft.functions.BoundedTopK(
-          children.head,
-          children(1).eval(null) match {
-            case i: Int => i
-            case l: Long => l.toInt
-            case other => throw new IllegalArgumentException(
-              s"topk_by k must be an int literal, got $other")
-          }).toAggregateExpression()
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("mg_candidates"),
+        graft.functions.BoundedTopK(children.head,
+          litInt(children(1), "topk_by k")).toAggregateExpression()
+      }),
+    (FunctionIdentifier("mg_candidates"),
       new ExpressionInfo(classOf[graft.functions.MisraGries].getName, "mg_candidates"),
       (children: Seq[Expression]) => {
         require(children.length == 2,
           "mg_candidates(key, capacity) takes exactly two arguments")
-        if (!children(1).foldable)
-          throw new IllegalArgumentException("mg_candidates capacity must be an int literal")
-        graft.functions.MisraGries(
-          children.head,
-          children(1).eval(null) match {
-            case i: Int => i
-            case l: Long => l.toInt
-            case other => throw new IllegalArgumentException(
-              s"mg_candidates capacity must be an int literal, got $other")
-          }).toAggregateExpression()
-      }))
+        graft.functions.MisraGries(children.head,
+          litInt(children(1), "mg_candidates capacity")).toAggregateExpression()
+      }),
     // Spark ships BloomFilterAggregate / BloomFilterMightContain for its own
     // runtime join filtering but does not register them in the public
     // FunctionRegistry; exposing them gives SQL the broadcastable membership
@@ -67,8 +83,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // custom implementation. bloom_agg(col[, expectedItems[, numBits]]) →
     // binary sketch; bloom_might_contain(sketch, value) → boolean with no
     // false negatives.
-    ext.injectFunction((
-      FunctionIdentifier("bloom_agg"),
+    (FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
         "bloom_agg"),
@@ -82,29 +97,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "bloom_agg(col[, expectedItems[, numBits]]) takes 1-3 arguments")
         }
         agg.toAggregateExpression()
-      }))
-    // literal-int extractor shared by the k-parameterized injections
-    def litInt(e: Expression, what: String): Int = {
-      if (!e.foldable)
-        throw new IllegalArgumentException(s"$what must be an int literal")
-      e.eval(null) match {
-        case i: Int => i
-        case l: Long => l.toInt
-        case other => throw new IllegalArgumentException(
-          s"$what must be an int literal, got $other")
-      }
-    }
-    ext.injectFunction((
-      FunctionIdentifier("kmin_values"),
+      }),
+    (FunctionIdentifier("kmin_values"),
       new ExpressionInfo(classOf[graft.functions.KMinValues].getName, "kmin_values"),
       (children: Seq[Expression]) => {
         require(children.length == 2,
           "kmin_values(hash, k) takes exactly two arguments")
         graft.functions.KMinValues(children.head,
           litInt(children(1), "kmin_values k")).toAggregateExpression()
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("winnow_fingerprints"),
+      }),
+    (FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[graft.functions.WinnowFingerprints].getName,
         "winnow_fingerprints"),
       (children: Seq[Expression]) => {
@@ -113,9 +115,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.WinnowFingerprints(children.head,
           litInt(children(1), "winnow_fingerprints k"),
           litInt(children(2), "winnow_fingerprints w"))
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("bloom_might_contain"),
+      }),
+    (FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
         "bloom_might_contain"),
@@ -124,6 +125,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "bloom_might_contain(sketch, value) takes exactly two arguments")
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children.head, children(1))
-      }))
-  }
+      })
+  )
 }
