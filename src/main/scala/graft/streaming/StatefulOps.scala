@@ -184,6 +184,114 @@ object StatefulOps {
       }
   }
 
+  final case class SoftMember(doc_id: Long, sig: Seq[Long], root: Long)
+  final case class SoftClusterState(members: List[SoftMember],
+      sizes: Map[Long, Long], updSeq: Long)
+  final case class ClusterWeight(bkey: String, doc_id: Long, cluster_id: Long,
+      cluster_size: Long, weight_scaled: Long, upd_seq: Long)
+
+  /**
+   * Streaming SOFT dedup — continuous cluster-WEIGHT maintenance, the
+   * streaming analogue of the batch `dedup_soft_weights` row: instead of
+   * dropping near-duplicates, every document carries a sampling weight
+   * `floor(2^20 / cluster_size)` so a duplicate cluster contributes ~one
+   * document's mass in total — and as the stream grows a cluster, the
+   * weights of its EARLIER members must shrink. [[nearDupStream]] emits the
+   * pair verdicts; this maintains the cluster bookkeeping across
+   * micro-batch boundaries and re-emits refreshed weights for every member
+   * of a cluster the batch touched.
+   *
+   * Clustering semantics (per LSH bucket key, the same banded state
+   * partitioning as [[nearDupStream]]): an arriving document links to every
+   * resident whose MinHash signature agreement ≥ `minEstJaccard`; linking
+   * into several clusters MERGES them (incremental union-find, root = min
+   * doc id — processing docs in id order inside a batch makes a one-batch
+   * replay equal to the batch transitive closure over the same pairwise
+   * relation, which is what the parity spec pins). Per-bucket clusters are
+   * the serving-layer view; corpus-global components remain the batch
+   * artifact ([[graft.operators.Dedup.admitComponents]] is its incremental
+   * admission form).
+   *
+   * State sizing: residents are capped at `maxPerBucket` (overflow docs
+   * still get a verdict and still COUNT toward their cluster's size — the
+   * per-root size map, bounded by resident count, carries the tally — but
+   * stop attracting future links: the [[nearDupStream]] cap trade). Buckets
+   * idle past `timeout` age out in production; None under deterministic
+   * harnesses.
+   *
+   * Output (append): one row per (bucket, member) of every cluster touched
+   * in the invocation, stamped with the bucket's monotonically increasing
+   * `upd_seq` — downstream keeps the max-seq row per (bkey, doc_id) as the
+   * current weight (the standard changelog-consumption rule).
+   */
+  def softDedupStream(docs: DataFrame, idCol: String, textCol: String,
+      minEstJaccard: Double = 0.5, maxPerBucket: Int = 64,
+      timeout: Option[String] = None): Dataset[ClusterWeight] = {
+    import docs.sparkSession.implicits._
+    val docsN = withIntegralId(docs, idCol, "softDedupStream")
+    val banded = graft.operators.Dedup
+      .signatureEntries(docsN, col(textCol), col(idCol), keepSig = true)
+      .select(concat_ws(":", col("band"), col("bucket")).as("bkey"),
+        col("doc_id"), col("sig"))
+      .as[(String, Long, Seq[Long])]
+    val mode = if (timeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+               else GroupStateTimeout.NoTimeout
+    banded.groupByKey(_._1)
+      .flatMapGroupsWithState[SoftClusterState, ClusterWeight](OutputMode.Append, mode) {
+        (bkey: String, rows: Iterator[(String, Long, Seq[Long])],
+            state: GroupState[SoftClusterState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(SoftClusterState(Nil, Map.empty, 0L))
+            var members = st.members
+            var sizes = st.sizes
+            val touched = scala.collection.mutable.Set[Long]()
+            val overflowVerdicts = List.newBuilder[(Long, Long)] // (doc, root)
+            rows.toSeq.sortBy(_._2).foreach { case (_, docId, sig) =>
+              if (!members.exists(_.doc_id == docId)) {
+                val linkedRoots = members.filter { m =>
+                  val agree = m.sig.zip(sig).count { case (x, y) => x == y }
+                  agree.toDouble / math.max(m.sig.length, 1) >= minEstJaccard
+                }.map(_.root).distinct
+                val root = (docId :: linkedRoots).min
+                val mergedMass = linkedRoots.map(r => sizes.getOrElse(r, 0L)).sum
+                if (linkedRoots.nonEmpty)
+                  members = members.map(m =>
+                    if (linkedRoots.contains(m.root)) m.copy(root = root) else m)
+                sizes = sizes -- linkedRoots + (root -> (mergedMass + 1L))
+                touched += root
+                if (members.size < maxPerBucket)
+                  members = SoftMember(docId, sig, root) :: members
+                else overflowVerdicts += ((docId, root))
+              }
+            }
+            val seq = st.updSeq + 1L
+            state.update(SoftClusterState(members, sizes, seq))
+            timeout.foreach(state.setTimeoutDuration)
+            def weightOf(root: Long): (Long, Long) = {
+              val n = sizes.getOrElse(root, 1L)
+              (n, 1048576L / n)
+            }
+            val residentRows = members.filter(m => touched.contains(m.root))
+              .sortBy(_.doc_id).map { m =>
+                val (n, w) = weightOf(m.root)
+                ClusterWeight(bkey, m.doc_id, m.root, n, w, seq)
+              }
+            val overflowRows = overflowVerdicts.result().map { case (d, r0) =>
+              // the root may have merged further after this doc arrived —
+              // resolve through a surviving member, else the doc is its own
+              // (capped, unmerged) cluster
+              val r = members.find(_.doc_id == r0).map(_.root).getOrElse(r0)
+              val (n, w) = weightOf(r)
+              ClusterWeight(bkey, d, r, n, w, seq)
+            }
+            (residentRows ++ overflowRows).iterator
+          }
+      }
+  }
+
   final case class CellMember(vec_id: Long, ve: Seq[Double], vnorm: Double)
   final case class CellState(members: List[CellMember])
   final case class SemVerdict(vec_id: Long, cell_id: Int, cell_cos: Double,
