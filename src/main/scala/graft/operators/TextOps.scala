@@ -1205,6 +1205,36 @@ object TextOps {
   }
 
   /**
+   * Persist a trained BPE merge table ([[bpeTrain]]/[[bpeTrainBatched]]
+   * output) as the on-disk vocabulary artifact — the train-once/encode-many
+   * shape every production tokenizer runs (training scans the corpus;
+   * encoding happens on every ingest forever after). One parquet file,
+   * sorted by iteration: merge ORDER is the vocabulary's semantics (BPE
+   * applies rules in training order), so the artifact pins it in both the
+   * row order and the explicit `iteration` column that [[readBpeVocab]]
+   * re-sorts on (never trust file order alone). Mirrors the PQ ladder's
+   * codebook convention ([[Similarity.collectCodebook]] → static
+   * projection): a bounded artifact collected once, then folded into
+   * plan-time literals by every consumer.
+   */
+  def writeBpeVocab(rules: DataFrame, path: String): Unit =
+    rules.select(col("iteration").cast("int").as("iteration"),
+        col("sym_a").cast("string").as("sym_a"),
+        col("sym_b").cast("string").as("sym_b"),
+        col("weight").cast("long").as("weight"))
+      .repartition(1).sortWithinPartitions("iteration")
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a [[writeBpeVocab]] artifact back into the ordered literal rule
+    * list [[bpeEncode]] consumes. The artifact is bounded by the merge
+    * count, so the collect is a driver-side constant-fold, not a data
+    * move — the same contract as collecting a PQ codebook. */
+  def readBpeVocab(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy("iteration").collect()
+      .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"))).toSeq
+
+  /**
    * Apply a trained BPE merge list ([[bpeTrain]]'s rules, training order) to
    * the corpus — the encode half of the tokenizer loop a training-data
    * pipeline exists to feed: each token is segmented to characters and every

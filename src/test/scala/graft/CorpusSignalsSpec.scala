@@ -127,6 +127,31 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(r.find(_.getLong(0) == 1L).get.getSeq[Int](1).contains(2))
   }
 
+  test("BPE vocab artifact round-trip: write → read → encode is bit-identical") {
+    // train-once/encode-many: the persisted vocabulary must drive bpeEncode
+    // to the same output as the in-memory rules it was written from
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the bat and the cat chat"),
+      (3L, "threshing thresher threads")).toDF("doc_id", "text")
+    val trained = TextOps.bpeTrain(docs, col("text"), merges = 4)
+    val inMem = trained.orderBy("iteration").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("bpe-vocab").toString
+    TextOps.writeBpeVocab(trained, s"$dir/vocab.parquet")
+    val loaded = TextOps.readBpeVocab(spark, s"$dir/vocab.parquet")
+    assert(loaded == inMem, s"rule order drifted through the artifact: $loaded vs $inMem")
+    val a = TextOps.bpeEncode(docs, col("text"), col("doc_id"), inMem)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val b = TextOps.bpeEncode(docs, col("text"), col("doc_id"), loaded)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    // the artifact is self-describing: weight column survives for audits
+    val w = spark.read.parquet(s"$dir/vocab.parquet")
+      .select("weight").collect().map(_.getLong(0))
+    assert(w.forall(_ >= 1L))
+  }
+
   test("bpeTrain: frequency-weighted merges with deterministic tie-break") {
     // vocab: "aa"×2, "ab"×1 → pair (a,a) weight 2 wins round 1; after the
     // merge "aa" is a single symbol, so round 2's only pair is (a,b)
