@@ -4999,6 +4999,60 @@ object Queries {
           |         i -> ord(substr(pix, (i * ch + channel + 1)::int, 1))))::bigint AS byte_max
           |FROM c WHERE n_pix > 0""".stripMargin)),
 
+    // Multimodal → ANN composition: decode → per-channel feature vector →
+    // quantized-bucket candidates → exact-L1 verify. Same synthesized GIMG
+    // corpus as multimodal_channel_stats (reject lane included: bad-magic
+    // and null-text docs contribute no features and so no pairs); duplicate
+    // text families give l1 = 0 hits, near-prefix families small-l1 pairs.
+    ("multimodal_near_dup",
+      (s: SparkSession, d: String) => {
+        val w = (col("doc_id") % 3 + 1).cast("long")
+        val h = (col("doc_id") % 2 + 1).cast("long")
+        val ch = (col("doc_id") % 3 + 1).cast("long")
+        val pixLen = (w * h * ch - col("doc_id") % 2).cast("int")
+        val magic = when(col("doc_id") % 5 === 0, lit("XIMG")).otherwise(lit("GIMG"))
+        val withPayload = Tables.documents(s, d).withColumn("payload",
+          concat(magic.cast("binary"),
+            unhex(lpad(hex(w), 4, "0")),
+            unhex(lpad(hex(h), 4, "0")),
+            unhex(lpad(hex(ch), 2, "0")),
+            rpad(col("text"), 18, "x").cast("binary").substr(lit(1), pixLen)))
+        Multimodal.imageNearDup(withPayload, col("doc_id"), col("payload"))
+      },
+      Some(
+        """WITH px AS (
+          |  SELECT doc_id,
+          |         (doc_id % 3 + 1)::bigint AS w,
+          |         (doc_id % 2 + 1)::bigint AS h,
+          |         (doc_id % 3 + 1)::bigint AS ch,
+          |         substring(rpad(text, 18, 'x'), 1,
+          |           ((doc_id % 3 + 1) * (doc_id % 2 + 1) * (doc_id % 3 + 1)
+          |             - doc_id % 2)::int) AS pix
+          |  FROM documents
+          |  WHERE doc_id % 5 <> 0 AND text IS NOT NULL),
+          |f AS (
+          |  SELECT doc_id, w, h, ch, pix,
+          |         least(w * h, length(pix) // ch)::bigint AS n_pix
+          |  FROM px),
+          |fv AS (
+          |  SELECT doc_id, w, h, ch,
+          |         list_transform(range(0, ch), k ->
+          |           list_sum(list_transform(range(0, n_pix),
+          |             i -> ord(substr(pix, (i * ch + k + 1)::int, 1))))::bigint) AS fvec
+          |  FROM f WHERE n_pix > 0),
+          |bk AS (
+          |  SELECT doc_id, fvec,
+          |         w::varchar || ':' || h::varchar || ':' || ch::varchar || ':' ||
+          |           array_to_string(list_transform(fvec, s -> (s // 64)::varchar), ',') AS bucket
+          |  FROM fv)
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |       list_sum(list_transform(range(1, len(a.fvec) + 1),
+          |         i -> abs(a.fvec[i] - b.fvec[i])))::bigint AS l1,
+          |       (CASE WHEN list_sum(list_transform(range(1, len(a.fvec) + 1),
+          |               i -> abs(a.fvec[i] - b.fvec[i]))) <= 24
+          |             THEN 1 ELSE 0 END)::int AS near_dup
+          |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin)),
+
     // ==========================================================================
     // Web-corpus curation: URL canonicalization, URL dedup, domain rollups
     // ==========================================================================

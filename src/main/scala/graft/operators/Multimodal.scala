@@ -263,6 +263,78 @@ object Multimodal {
         col("s.byte_max").as("byte_max"))
   }
 
+  /**
+   * Per-image feature VECTOR over GIMG payloads — the composition bridge
+   * from the decode family into the similarity family: one row per valid
+   * image carrying (w, h, channels) and `fvec`, the array of per-channel
+   * byte sums over the image's complete pixels (the same
+   * decode-what's-there rule as [[imageChannelStats]], whose per-channel
+   * rows this is the packed form of). Integer-exact longs end to end.
+   * Invalid payloads (bad magic / truncated header / zero dims) and images
+   * with zero complete pixels emit NO row. Zero-shuffle projection; the
+   * payload dies at the stats.
+   */
+  def imageFeatureVector(df: DataFrame, idCol: Column, binCol: Column): DataFrame = {
+    def beUint(start: Int, len: Int): Column =
+      conv(hex(substring(binCol, start, len)), 16, 10).cast("long")
+    val w = beUint(5, 2)
+    val h = beUint(7, 2)
+    val c = beUint(9, 1)
+    val valid = substring(binCol, 1, 4) === lit("GIMG".getBytes("US-ASCII")) &&
+      length(binCol) >= 9 && w > 0 && h > 0 && c > 0
+    val nPix = least(w * h, ((length(binCol).cast("long") - 9L) / c).cast("long"))
+    val fvec = transform(sequence(lit(0), (c - 1).cast("int")), k =>
+      aggregate(
+        transform(sequence(lit(0L), nPix - 1L), i =>
+          conv(hex(binCol.substr((lit(10L) + i * c + k).cast("int"), lit(1))), 16, 10)
+            .cast("long")),
+        lit(0L), (acc, b) => acc + b))
+    df.select(idCol.as("media_id"),
+        when(valid && nPix > 0,
+          struct(w.as("w"), h.as("h"), c.as("channels"), fvec.as("fvec"))).as("f"))
+      .filter(col("f").isNotNull)
+      .select(col("media_id"), col("f.w").as("w"), col("f.h").as("h"),
+        col("f.channels").as("channels"), col("f.fvec").as("fvec"))
+  }
+
+  /**
+   * Image near-duplicate detection over decoded feature vectors — the
+   * multimodal → ANN composition: [[imageFeatureVector]] features are
+   * BUCKETED on (shape, channel-sum quantization) so only plausibly-similar
+   * images ever pair (an equi-join, Σ|bucket|² pair space — the
+   * `Dedup.lshCandidates` cost model with the quantized feature as the
+   * bucket), then every candidate pair is verified with the EXACT L1
+   * distance between the full vectors. Output: one row per candidate pair
+   * (doc_a < doc_b) with `l1` and the `near_dup` verdict at `maxL1`.
+   *
+   * Everything is integer-exact (byte sums, floor-div quantization, |Δ|
+   * sums) so the whole chain — decode, features, buckets, verify — is
+   * oracle-checkable in DuckDB. Quantization-boundary misses (sums 63 vs 64
+   * straddling a cell) are the standard LSH recall trade; the graph is
+   * DEFINED by this algorithm, like the kNN family. At corpus scale a hot
+   * bucket (solid-color images) degrades through the same anchor-star cap
+   * discipline as the text path — compose with [[graft.operators.Dedup]]'s
+   * candidate machinery when bucket skew is expected.
+   */
+  def imageNearDup(df: DataFrame, idCol: Column, binCol: Column,
+      quant: Long = 64L, maxL1: Long = 24L): DataFrame = {
+    require(quant >= 1, "need a positive quantization cell width")
+    val f = imageFeatureVector(df, idCol, binCol)
+      .withColumn("bucket", concat_ws(":",
+        col("w").cast("string"), col("h").cast("string"),
+        col("channels").cast("string"),
+        concat_ws(",", expr(s"transform(fvec, s -> CAST(s div $quant AS string))"))))
+    val a = f.select(col("bucket"), col("media_id").as("doc_a"), col("fvec").as("fa"))
+    val b = f.select(col("bucket"), col("media_id").as("doc_b"), col("fvec").as("fb"))
+    a.join(b, "bucket")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("l1", aggregate(
+        zip_with(col("fa"), col("fb"), (x, y) => abs(x - y)),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("doc_a"), col("doc_b"), col("l1"),
+        (col("l1") <= maxL1).cast("int").as("near_dup"))
+  }
+
   /** Feature extraction: metadata + decoded features, payload dropped
     * before anything downstream can shuffle it. Codec-agnostic: the output
     * schema is identical for every [[MediaCodec]] impl. */

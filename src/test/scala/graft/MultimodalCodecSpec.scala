@@ -198,6 +198,46 @@ class MultimodalCodecSpec extends SparkSpec {
       Seq((0, 5L, 70L, 10L, 18L), (1, 5L, 75L, 11L, 19L)))
   }
 
+  test("imageFeatureVector packs per-channel sums; rejects and empty images emit no row") {
+    import spark.implicits._
+    val pix = Array.tabulate(12)(i => (10 + i).toByte)
+    val rows = Seq(
+      (1L, gimgPix("GIMG", 3, 2, 2, pix)),
+      (2L, gimgPix("GIMG", 3, 2, 2, pix.dropRight(1))), // 5 complete pixels
+      (3L, gimgPix("XIMG", 3, 2, 2, pix)),              // bad magic: no row
+      (4L, gimgPix("GIMG", 3, 2, 2, Array[Byte](7))))   // under one pixel: no row
+      .toDF("doc_id", "payload")
+    val got = Multimodal.imageFeatureVector(rows, col("doc_id"), col("payload"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getSeq[Long](4).toSeq))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    // channel sums match imageChannelStats' per-channel byte_sum rows
+    assert(got(1L) == ((3L, 2L, 2L, Seq(90L, 96L))))
+    assert(got(2L) == ((3L, 2L, 2L, Seq(70L, 75L))))
+  }
+
+  test("imageNearDup: exact L1 within quantized buckets; cross-shape never pairs") {
+    import spark.implicits._
+    val pixA = Array.tabulate(12)(i => (10 + i).toByte)
+    val pixB = pixA.clone(); pixB(0) = (pixB(0) + 3).toByte // l1 = 3, same cell
+    val pixFar = Array.tabulate(12)(i => (200 + i % 30).toByte) // far cell
+    val rows = Seq(
+      (1L, gimgPix("GIMG", 3, 2, 2, pixA)),
+      (2L, gimgPix("GIMG", 3, 2, 2, pixB)),
+      (3L, gimgPix("GIMG", 3, 2, 2, pixFar)),  // same shape, different bucket
+      (4L, gimgPix("GIMG", 2, 3, 2, pixA)),    // same bytes, different shape
+      (5L, gimgPix("GIMG", 3, 2, 2, pixA)))    // exact dup of 1
+      .toDF("doc_id", "payload")
+    val got = Multimodal.imageNearDup(rows, col("doc_id"), col("payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getInt(3))))
+      .toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 5L), (2L, 5L)),
+      s"candidate set wrong: ${got.keySet}")
+    assert(got((1L, 5L)) == ((0L, 1)), "exact duplicate must verify at l1=0")
+    assert(got((1L, 2L)) == ((3L, 1)), "one perturbed byte is l1=3, near-dup")
+    assert(got((2L, 5L)) == ((3L, 1)))
+  }
+
   test("metadata (n_bytes, content_hash) is codec-independent ground truth") {
     val meta = Multimodal.extractFeatures(
         docs, col("doc_id"), col("payload"), ByteStatsCodec)
