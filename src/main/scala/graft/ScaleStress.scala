@@ -182,6 +182,25 @@ object ScaleStress {
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"scale":$k,"query":"components_warm_admit","sec":$sec%.2f,"rows":$n}""")
         (k, "components_warm_admit", sec)
+      } :+ {
+        // r11: rounds-to-convergence telemetry for the star rewrites on the
+        // FULL corpus dup graph (BASELINE.md's growth table) — round count,
+        // not wall, is what grows if the algorithm degrades with corpus
+        // size (O(log² n) expected: flat-to-tiny growth per 10×).
+        val docs = Tables.documents(spark, dir)
+        val cands = Dedup.lshCandidates(Dedup.lshBuckets(
+          Dedup.minhashSignatures(docs, col("text"), col("doc_id"))))
+        val dupPairs = Dedup.ngramJaccard(cands, docs, col("text"), col("doc_id"))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("doc_a"), col("doc_b"))
+        val t0 = System.nanoTime()
+        val (labels, rounds) = Dedup.connectedComponentsWithRounds(
+          docs.select(col("doc_id").as("id")), dupPairs)
+        val n = labels.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"scale":$k,"query":"components_rounds","sec":$sec%.2f,""" +
+          f""""rows":$n,"rounds":$rounds}""")
+        (k, "components_rounds", sec)
       }
     }
     // summary: per-row scaling ratio vs 1x, and incremental-vs-keep ratios

@@ -18,7 +18,9 @@ class PlanAuditSpec extends SparkSpec {
   // 1-row broadcast as a nested loop, which IS the right scalar-join shape),
   // so pair space is corpus-linear by construction.
   private val nestedLoopExempt = Set(
-    "sim_topk", "sim_recall_lsh", "sim_recall_ivf", "sim_ivf_kmeans_cells",
+    // the SQL-frontend twin of sim_topk plans the identical brute tier
+    "sim_topk", "sql_sim_topk",
+    "sim_recall_lsh", "sim_recall_ivf", "sim_ivf_kmeans_cells",
     "multimodal_frames", "tpch_q22_idle_customers", "tpch_q11_important_parts",
     // PQ recall rows: the exact-L2 brute-force BASELINE deliberately
     // broadcasts the 5-row query side against the corpus (l2TopK), same as
