@@ -785,9 +785,20 @@ object Dedup {
    * number of old components the batch touches). The star rounds, both
    * label-contraction joins, and the distinct all run over batch-sized
    * frames. No LSH, no shingling, no corpus shuffle.
+   *
+   * Two-tier contracted solve: the contracted edge set is batch-sized BY
+   * CONSTRUCTION, and for graphs under `maxLocalEdges` a driver-side
+   * union-find (microseconds) beats the distributed star rounds, whose
+   * per-round job overhead dominates at batch scale — measured 7.2 s of
+   * star rounds vs 5.8 s FULL recompute at 10× before this tier existed
+   * (the distributed loop pays ~6 Spark jobs/round regardless of size).
+   * Labels are identical either way (min reachable id); graphs over the
+   * threshold, or with non-long ids, take the star rounds.
    */
   def admitComponents(labels: DataFrame, newIds: DataFrame,
-      newEdges: DataFrame, maxIter: Int = 30): DataFrame = {
+      newEdges: DataFrame, maxIter: Int = 30,
+      maxLocalEdges: Long = 2000000L): DataFrame = {
+    import org.apache.spark.sql.types.LongType
     val lab = labels.select(col("id"), col("component"))
     // contract: old endpoints → their component label; new endpoints pass
     // through (they have no row in the artifact)
@@ -798,11 +809,44 @@ object Dedup {
         Seq("doc_b"), "left")
       .select(coalesce(col("ca"), col("doc_a")).as("doc_a"),
         coalesce(col("cb"), col("doc_b")).as("doc_b"))
+      .localCheckpoint()
     val nodes = newIds.select(col("id"))
       .unionByName(ea.select(col("doc_a").as("id")))
       .unionByName(ea.select(col("doc_b").as("id")))
       .distinct()
-    val contracted = connectedComponents(nodes, ea, maxIter).localCheckpoint()
+    val idsAreLong = ea.schema.fields.forall(_.dataType == LongType)
+    val contracted = {
+      if (idsAreLong && ea.count() <= maxLocalEdges) {
+        // driver union-find over the (bounded) contracted edges, then the
+        // same nodes-left-join tail as the distributed path so isolated
+        // new docs label themselves
+        val edges = ea.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+          r
+        }
+        edges.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val minOfRoot = scala.collection.mutable.Map.empty[Long, Long]
+        parent.keys.foreach { id =>
+          val r = find(id)
+          minOfRoot(r) = math.min(minOfRoot.getOrElse(r, id), id)
+        }
+        val spark = newEdges.sparkSession
+        import spark.implicits._
+        val lblDf = parent.keys.toSeq.map(id => (id, minOfRoot(find(id))))
+          .toDF("id", "lcomp")
+        nodes.join(broadcast(lblDf), Seq("id"), "left")
+          .select(col("id"), coalesce(col("lcomp"), col("id")).as("component"))
+      } else connectedComponents(nodes, ea, maxIter)
+    }.localCheckpoint()
     // remap rows: old labels whose component changed (merged clusters).
     // Restricting to rows that ARE old labels matters — new-doc rows also
     // have id =!= component and must not leak into the artifact join.

@@ -55,6 +55,25 @@ class IncrementalComponentsSpec extends SparkSpec {
     }
   }
 
+  test("local union-find tier ≡ distributed star rounds (forced via maxLocalEdges=0)") {
+    val rng = new scala.util.Random(97)
+    val n = 200
+    val cut = 150L
+    val edges = randomEdges(n, 180, rng)
+    val (oldEdges, mixedEdges) = edges.partition { case (a, b) => a < cut && b < cut }
+    val oldLabels = Dedup.connectedComponents(
+      (0L until cut).toDF("id"), oldEdges.toDF("doc_a", "doc_b"))
+      .localCheckpoint()
+    val batchIds = (cut until n.toLong).toDF("id")
+    val viaLocal = Dedup.admitComponents(oldLabels, batchIds,
+        mixedEdges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStars = Dedup.admitComponents(oldLabels, batchIds,
+        mixedEdges.toDF("doc_a", "doc_b"), maxLocalEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLocal == viaStars)
+  }
+
   test("batch merging several old components relabels ALL their members") {
     // A: three separate chains 0-1-2, 10-11-12, 20-21-22 (+ singleton 30);
     // B: doc 100 links chains 0 and 10; doc 101 links 20 only; 102 isolated
