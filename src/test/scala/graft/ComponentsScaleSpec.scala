@@ -53,6 +53,24 @@ class ComponentsScaleSpec extends SparkSpec {
     assert(comp.count() == n.toLong)
   }
 
+  test("20k id-PERMUTED chain: round headroom holds at 10x the adversarial size") {
+    // the advisor's headroom concern: the 2k permuted chain leaves margin
+    // under the default 30-round budget, but does the margin survive a 10×
+    // larger adversarial input? O(log² n) says yes — pin it with an
+    // explicit 20-round cap (plain propagation would need 20 000 rounds).
+    val n = 20000
+    val rng = new scala.util.Random(43)
+    val perm = rng.shuffle((0L until n.toLong).toVector)
+    val nodes = perm.toDF("id")
+    val pairs = (0 until n - 1).map(i => (perm(i), perm(i + 1))).toDF("doc_a", "doc_b")
+    val (comp, rounds) = Dedup.connectedComponentsWithRounds(nodes, pairs, maxIter = 20)
+    val labels = comp.select(col("component")).distinct().as[Long].collect().toSeq
+    info(s"20k permuted chain converged in $rounds star rounds")
+    assert(labels == Seq(0L), s"must collapse to component 0, got $labels")
+    assert(comp.count() == n.toLong)
+    assert(rounds <= 20)
+  }
+
   test("branching structure: star + chain + clique mix resolves to exact minima") {
     // star centered at 100, a chain 200..220, a 5-clique 300..304, singletons
     val star = (101L to 120L).map(i => (100L, i))

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StatefulOps
+
+/**
+ * Production state-store compatibility: every stateful streaming operator's
+ * state (case classes through the product encoder) must round-trip through
+ * the RocksDB state store provider — the provider a real cluster runs so
+ * state spills off-heap instead of living on the executor heap
+ * (`spark.sql.streaming.stateStore.providerClass`). The default in-memory
+ * (HDFS-backed) provider used by the other streaming specs can mask
+ * serialization issues RocksDB's byte-level storage surfaces; this spec
+ * pins the cluster configuration on the two custom-state shapes with the
+ * richest state types (nested lists of case classes, maps).
+ */
+class RocksDbStateSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private def withRocksSession[A](f: SparkSession => A): A = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    try f(spark)
+    finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  test("softDedupStream cluster state survives RocksDB round-trips across batches") {
+    withRocksSession { spark =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val input = MemoryStream[(Long, String)]
+      val base = "the quick brown fox jumps over the lazy dog near the river"
+      val out = StatefulOps.softDedupStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      val q = out.writeStream.format("memory").queryName("rocks_soft")
+        .option("checkpointLocation", Files.createTempDirectory("rsoft-cp").toString)
+        .outputMode(OutputMode.Append).start()
+      try {
+        // three batches: the bucket state (members with sigs + size map +
+        // seq) must deserialize from RocksDB bytes on every batch
+        input.addData((1L, base + " bank")); q.processAllAvailable()
+        input.addData((2L, base + " bend")); q.processAllAvailable()
+        input.addData((3L, base + " bond")); q.processAllAvailable()
+        val rows = spark.table("rocks_soft")
+          .groupBy("bkey", "doc_id")
+          .agg(max(struct(col("upd_seq"), col("cluster_size"),
+            col("weight_scaled"))).as("m"))
+          .select(col("doc_id"), col("m.cluster_size"), col("m.weight_scaled"))
+          .as[(Long, Long, Long)].collect().toSet
+        val grown = rows.filter(_._2 == 3L)
+        assert(grown.map(_._1) == Set(1L, 2L, 3L),
+          s"cross-batch growth lost through RocksDB: $rows")
+        grown.foreach { case (_, n, w) => assert(n == 3L && w == 1048576L / 3) }
+      } finally q.stop()
+    }
+  }
+
+  test("sessionizeStream event-time state + timeouts work under RocksDB") {
+    withRocksSession { spark =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val input = MemoryStream[(String, String)]
+      val sessions = StatefulOps.sessionizeStream(
+        input.toDF().toDF("user_id", "ts_s")
+          .withColumn("ts", col("ts_s").cast("timestamp")),
+        "user_id", "ts", watermark = "10 seconds", gapMs = 60000L)
+      val q = sessions.writeStream.format("memory").queryName("rocks_sess")
+        .option("checkpointLocation", Files.createTempDirectory("rsess-cp").toString)
+        .outputMode(OutputMode.Append).start()
+      try {
+        input.addData(("u1", "2024-01-01 10:00:00"), ("u1", "2024-01-01 10:00:30"))
+        q.processAllAvailable()
+        // advance the watermark far past the session's close
+        input.addData(("u2", "2024-01-01 10:10:00")); q.processAllAvailable()
+        input.addData(("u2", "2024-01-01 10:20:00")); q.processAllAvailable()
+        val got = spark.table("rocks_sess")
+          .select("user_id", "n_events").as[(String, Long)].collect().toSet
+        assert(got.contains(("u1", 2L)),
+          s"u1's merged 2-event session must close and emit once: $got")
+      } finally q.stop()
+    }
+  }
+}
