@@ -32,6 +32,49 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object QueriesSql {
 
+  /** Spark-SQL text for the LSH candidate chain (the `dedup_lsh_candidates`
+    * twin): shingles → portable-hash MinHash signatures → banded buckets →
+    * same-bucket pairs, with the (a, b) permutation constants and prime
+    * interpolated from [[graft.operators.Dedup.minhashPerms]] — one source
+    * of truth across the DataFrame operator, the DuckDB oracle, and this
+    * SQL frontend. */
+  private lazy val lshCandidatesSql: String = {
+    import graft.operators.Dedup
+    val aArr = Dedup.minhashPerms.map(_._1).mkString("array(", "L, ", "L)")
+    val bArr = Dedup.minhashPerms.map(_._2).mkString("array(", "L, ", "L)")
+    val p = Dedup.MinhashPrime
+    val nPerms = Dedup.minhashPerms.length
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         split(regexp_replace(trim(lower(text)), '\\\\s+', ' '), ' ') AS toks
+       |  FROM documents),
+       |shingle_rows AS (
+       |  SELECT DISTINCT doc_id, shingle
+       |  FROM (SELECT doc_id,
+       |               explode(CASE WHEN size(toks) <= 3 THEN array(array_join(toks, ' '))
+       |                       ELSE transform(sequence(0, size(toks) - 3),
+       |                                      i -> array_join(slice(toks, i + 1, 3), ' ')) END) AS shingle
+       |        FROM toks)),
+       |hs AS (
+       |  SELECT doc_id,
+       |         CAST(conv(substr(md5(CAST(shingle AS binary)), 1, 15), 16, 10) AS bigint) % $p AS h
+       |  FROM shingle_rows),
+       |sigs AS (
+       |  SELECT doc_id, perm,
+       |         min((element_at($aArr, perm + 1) * h + element_at($bArr, perm + 1)) % $p) AS minhash
+       |  FROM (SELECT doc_id, h, explode(sequence(0, ${nPerms - 1})) AS perm FROM hs)
+       |  GROUP BY doc_id, perm),
+       |buckets AS (
+       |  SELECT doc_id, band,
+       |         md5(CAST(array_join(transform(sort_array(collect_list(struct(perm, minhash))),
+       |                                       s -> CAST(s.minhash AS string)), ',') AS binary)) AS bucket
+       |  FROM (SELECT doc_id, perm div 4 AS band, perm, minhash FROM sigs)
+       |  GROUP BY doc_id, band)
+       |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |FROM buckets l JOIN buckets r
+       |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""".stripMargin
+  }
+
   /** (name, twin catalog row whose oracle gates this entry, views, SQL). */
   val battery: Seq[(String, String, Seq[String], String)] = Seq(
 
@@ -182,6 +225,19 @@ object QueriesSql {
         |               CAST(size(split(regexp_replace(trim(lower(text)), '\\s+', ' '), ' ')) AS bigint) AS n_tokens
         |        FROM documents))
         |WHERE cum_tokens <= 1500""".stripMargin),
+
+    ("sql_tpch_q6_revenue", "tpch_q6_revenue", Seq("lineitem"),
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS decimal(18,4))) AS double) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05D AND l_discount <= 0.07D AND l_quantity < 24""".stripMargin),
+
+    // the full MinHash → LSH-band → candidate chain as ONE SQL text — the
+    // hash constants interpolate from the same Dedup.minhashPerms source of
+    // truth the DataFrame operator and the DuckDB oracle share
+    ("sql_dedup_lsh_candidates", "dedup_lsh_candidates", Seq("documents"),
+      lshCandidatesSql),
 
     // the kmin_values native aggregate from SQL: per-language KMV sketch
     ("sql_sketch_kmv_tokens", "sketch_kmv_tokens", Seq("documents"),

@@ -538,6 +538,40 @@ object Similarity {
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Long](1).toSeq))
 
+  // --------------------------------------------------------------------------
+  // Persisted serving artifacts — train-once/serve-many: codebooks and
+  // coarse cells written as bounded parquet artifacts (m·ksub and ≤256 rows
+  // respectively) that a later session reloads into the SAME static literal
+  // forms the serving projections consume. The quantized-vector discipline
+  // makes the round-trip bit-exact (longs end to end). Mirrors the BPE
+  // vocabulary artifact (TextOps.writeBpeVocab) — the tokenizer, the PQ
+  // coder, and the coarse index are the three artifacts a serving tier
+  // loads at startup.
+  // --------------------------------------------------------------------------
+
+  /** Persist a trained [[pqTrain]] codebook as a parquet artifact. */
+  def writeCodebook(cents: DataFrame, path: String): Unit =
+    cents.select(col("sub_id").cast("int").as("sub_id"),
+        col("cell_id").cast("int").as("cell_id"), col("cellv"))
+      .repartition(1).sortWithinPartitions("sub_id", "cell_id")
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a [[writeCodebook]] artifact into [[pqEncodeStatic]]'s form. */
+  def readCodebook(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[(Int, Int, Seq[Long])] =
+    collectCodebook(spark.read.parquet(path))
+
+  /** Persist [[ivfPqIndexBuild]]'s coarse cells as a parquet artifact. */
+  def writeCoarse(coarse: DataFrame, path: String): Unit =
+    coarse.select(col("cell0").cast("int").as("cell0"), col("coarsev"))
+      .repartition(1).sortWithinPartitions("cell0")
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a [[writeCoarse]] artifact into [[ivfPqSearchStatic]]'s form. */
+  def readCoarse(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[(Int, Seq[Long])] =
+    collectCoarse(spark.read.parquet(path))
+
   /** Pivot [[ivfPqIndexBuild]]'s long-format codes to ONE row per vector —
     * (vec_id, cell0, codes: array indexed by sub_id) — the at-rest layout
     * of a serving index (m bytes/vector next to its inverted-list cell).

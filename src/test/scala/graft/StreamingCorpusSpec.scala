@@ -356,6 +356,37 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("PQ codebook + coarse-cell artifacts round-trip through parquet bit-exactly") {
+    import graft.operators.Similarity
+    // train-once/serve-many: a serving tier loads the codebook and coarse
+    // cells from disk at startup; the loaded artifacts must drive the
+    // static projections to the same codes/scores as the collected forms
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(48)
+    val (m, ksub, iters, nCells) = (2, 4, 2, 4)
+    val (coarse, pqc, _) = Similarity.ivfPqIndexBuild(
+      emb, "vec_id", "embedding", m, ksub, iters, nCells)
+    val dir = Files.createTempDirectory("pq-artifacts").toString
+    Similarity.writeCodebook(pqc, s"$dir/codebook.parquet")
+    Similarity.writeCoarse(coarse, s"$dir/coarse.parquet")
+    val cbMem = Similarity.collectCodebook(pqc).sortBy(c => (c._1, c._2)).toSeq
+    val cbDisk = Similarity.readCodebook(spark, s"$dir/codebook.parquet")
+      .sortBy(c => (c._1, c._2)).toSeq
+    assert(cbDisk == cbMem, "codebook drifted through the artifact")
+    val coMem = Similarity.collectCoarse(coarse).sortBy(_._1).toSeq
+    val coDisk = Similarity.readCoarse(spark, s"$dir/coarse.parquet")
+      .sortBy(_._1).toSeq
+    assert(coDisk == coMem, "coarse cells drifted through the artifact")
+    // loaded artifact drives identical static encodes
+    val viaMem = Similarity.pqEncodeStatic(emb,
+        Similarity.collectCodebook(pqc), "vec_id", "embedding", m)
+      .as[(Long, Int, Int)].collect().toSet
+    val viaDisk = Similarity.pqEncodeStatic(emb,
+        Similarity.readCodebook(spark, s"$dir/codebook.parquet"),
+        "vec_id", "embedding", m)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(viaDisk == viaMem)
+  }
+
   test("streaming IVF-PQ serving matches batch ivfPqTopK's scored candidates") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Similarity
