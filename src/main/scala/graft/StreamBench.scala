@@ -34,23 +34,41 @@ object StreamBench {
     // SPARK_GRAFT_STREAM_SOURCE=flight-gen drives the DataSource V2
     // connector (wire-format JSON generated connector-side) instead of the
     // rate source's driver-side synthesis.
-    val raw = (sys.env.getOrElse("SPARK_GRAFT_STREAM_SOURCE", "rate") match {
-      case "flight-gen" =>
-        EventSource.FlightGen(numRows = Long.MaxValue, rowsPerBatch = rate,
-          numPartitions = cpus.toInt)
-      case _ => EventSource.Rate(rowsPerSecond = rate)
-    }).load(spark)
-    val parsed = FlightOps.parseFlightEvents(raw)
-    val agged = parsed
-      .withWatermark("scheduled_time", "10 minutes")
-      .groupBy(window(col("scheduled_time"), "2 minutes"), col("airline"))
-      .agg(count(lit(1)).as("total_flights"),
-        sum(col("is_delayed")).as("delayed"),
-        avg(col("delay_minutes")).as("avg_delay"))
+    // SPARK_GRAFT_STREAM_PIPELINE=softdedup swaps the measured pipeline for
+    // the stateful soft-dedup cluster maintenance (MinHash signing
+    // projection → per-bucket flatMapGroupsWithState) over synthetic docs
+    // with a 1-in-64 duplicate-family schedule — the custom-state
+    // throughput number next to the stateless parse/window headline.
+    val pipeline = sys.env.getOrElse("SPARK_GRAFT_STREAM_PIPELINE", "flight")
+    val agged = pipeline match {
+      case "softdedup" =>
+        // raw rate source (EventSource.Rate wraps values into flight JSON)
+        val docs = spark.readStream.format("rate")
+          .option("rowsPerSecond", rate).load()
+          .select(col("value").as("doc_id"),
+            concat_ws(" ", lit("document body token stream number"),
+              (col("value") % 64).cast("string"), lit("with shared family text"),
+              (col("value") % 64 * 7).cast("string")).as("text"))
+        graft.streaming.StatefulOps
+          .softDedupStream(docs, "doc_id", "text").toDF()
+      case _ =>
+        val raw = (sys.env.getOrElse("SPARK_GRAFT_STREAM_SOURCE", "rate") match {
+          case "flight-gen" =>
+            EventSource.FlightGen(numRows = Long.MaxValue, rowsPerBatch = rate,
+              numPartitions = cpus.toInt)
+          case _ => EventSource.Rate(rowsPerSecond = rate)
+        }).load(spark)
+        FlightOps.parseFlightEvents(raw)
+          .withWatermark("scheduled_time", "10 minutes")
+          .groupBy(window(col("scheduled_time"), "2 minutes"), col("airline"))
+          .agg(count(lit(1)).as("total_flights"),
+            sum(col("is_delayed")).as("delayed"),
+            avg(col("delay_minutes")).as("avg_delay"))
+    }
 
     val q = agged.writeStream
       .option("checkpointLocation", Files.createTempDirectory("sb-cp").toString)
-      .outputMode("update")
+      .outputMode(if (pipeline == "softdedup") "append" else "update")
       .format("noop")
       .start()
 
