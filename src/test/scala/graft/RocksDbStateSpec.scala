@@ -21,22 +21,20 @@ import graft.streaming.StatefulOps
  */
 class RocksDbStateSpec extends org.scalatest.funsuite.AnyFunSuite {
 
+  // a CHILD session of the shared test context: the provider class is a
+  // session-scoped SQL conf, so newSession() isolates it — and, critically,
+  // nothing here may stop() the session, which would kill the one shared
+  // SparkContext under every later suite in the forked JVM (the bug this
+  // comment commemorates)
   private def withRocksSession[A](f: SparkSession => A): A = {
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      .getOrCreate()
+    val spark = TestSession.spark.newSession()
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    SparkSession.setActiveSession(spark)
     try f(spark)
     finally {
-      spark.stop()
       SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
+      SparkSession.setActiveSession(TestSession.spark)
     }
   }
 
@@ -68,6 +66,13 @@ class RocksDbStateSpec extends org.scalatest.funsuite.AnyFunSuite {
         assert(grown.map(_._1) == Set(1L, 2L, 3L),
           s"cross-batch growth lost through RocksDB: $rows")
         grown.foreach { case (_, n, w) => assert(n == 3L && w == 1048576L / 3) }
+        // prove RocksDB actually ran (a silent fallback to the default
+        // provider would pass the behavioral asserts): the state operator's
+        // custom metrics are provider-specific
+        val metrics = q.lastProgress.stateOperators.flatMap(
+          _.customMetrics.keySet.toArray.map(_.toString))
+        assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+          s"state operator reports no rocksdb metrics: ${metrics.mkString(",")}")
       } finally q.stop()
     }
   }
