@@ -194,8 +194,11 @@ object ScaleStress {
           .filter(col("jaccard") >= 0.8)
           .select(col("doc_a"), col("doc_b"))
         val t0 = System.nanoTime()
+        // maxLocalEdges=0 forces the star rounds: this probe measures the
+        // DISTRIBUTED algorithm's round growth, which the driver union-find
+        // tier would otherwise absorb at these scales
         val (labels, rounds) = Dedup.connectedComponentsWithRounds(
-          docs.select(col("doc_id").as("id")), dupPairs)
+          docs.select(col("doc_id").as("id")), dupPairs, maxLocalEdges = 0L)
         val n = labels.count()
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"scale":$k,"query":"components_rounds","sec":$sec%.2f,""" +

@@ -537,17 +537,68 @@ object Dedup {
       maxIter: Int = 30): DataFrame =
     connectedComponentsWithRounds(nodes, pairs, maxIter)._1
 
+  /** Edge-count ceiling for the driver union-find tier of
+    * [[connectedComponentsWithRounds]]. ~32 MB of driver tuples at the
+    * default — far under the footprint of collecting a codebook-sized
+    * artifact, and the distributed star rounds remain the over-threshold
+    * path, so a 100 TB edge set never routes here. */
+  val DefaultMaxLocalEdges: Long = 2000000L
+
   /** [[connectedComponents]] plus the number of star rounds it took to
     * converge — the scale-growth telemetry BASELINE.md tracks (round count,
-    * not wall, is what grows if the algorithm degrades with corpus size). */
+    * not wall, is what grows if the algorithm degrades with corpus size).
+    *
+    * TWO-TIER solve (the r11 admitComponents finding, generalized): the
+    * star loop pays ~6 Spark jobs per round in fixed overhead, which
+    * dominates whenever the dup graph is small relative to the cluster —
+    * and most VERIFIED near-dup graphs are tiny next to their corpus (the
+    * sf0.1 corpus graph is ~5k edges under a 600k-row table). Under
+    * `maxLocalEdges` (and long ids), the symmetrized edge set collects to
+    * a driver union-find producing IDENTICAL min-id labels (rounds
+    * reported as 0); above it, the Kiveris large-star/small-star rounds
+    * run unchanged. Equivalence is spec-pinned (ComponentsScaleSpec /
+    * IncrementalComponentsSpec force both paths on the same graphs). */
   def connectedComponentsWithRounds(nodes: DataFrame, pairs: DataFrame,
-      maxIter: Int = 30): (DataFrame, Int) = {
+      maxIter: Int = 30,
+      maxLocalEdges: Long = DefaultMaxLocalEdges): (DataFrame, Int) = {
+    import org.apache.spark.sql.types.LongType
     val sym = pairs.filter(col("doc_a") =!= col("doc_b"))
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
     var e = checkpointFresh(sym.distinct())
+
+    val idsAreLong = e.schema.fields.forall(_.dataType == LongType)
+    if (idsAreLong && e.count() <= maxLocalEdges) {
+      val edges = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val minOfRoot = scala.collection.mutable.Map.empty[Long, Long]
+      parent.keys.foreach { id =>
+        val r = find(id)
+        minOfRoot(r) = math.min(minOfRoot.getOrElse(r, id), id)
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val lblDf = parent.keys.toSeq.map(id => (id, minOfRoot(find(id))))
+        .toDF("id", "lcomp")
+      val out = nodes.select(col("id"))
+        .join(broadcast(lblDf), Seq("id"), "left")
+        .select(col("id"), coalesce(col("lcomp"), col("id")).as("component"))
+      return (out, 0)
+    }
 
     // m(u) = min(N(u) ∪ {u}) per node present in the edge set
     def mins(edges: DataFrame): DataFrame = edges
@@ -797,8 +848,7 @@ object Dedup {
    */
   def admitComponents(labels: DataFrame, newIds: DataFrame,
       newEdges: DataFrame, maxIter: Int = 30,
-      maxLocalEdges: Long = 2000000L): DataFrame = {
-    import org.apache.spark.sql.types.LongType
+      maxLocalEdges: Long = DefaultMaxLocalEdges): DataFrame = {
     val lab = labels.select(col("id"), col("component"))
     // contract: old endpoints → their component label; new endpoints pass
     // through (they have no row in the artifact)
@@ -814,39 +864,8 @@ object Dedup {
       .unionByName(ea.select(col("doc_a").as("id")))
       .unionByName(ea.select(col("doc_b").as("id")))
       .distinct()
-    val idsAreLong = ea.schema.fields.forall(_.dataType == LongType)
-    val contracted = {
-      if (idsAreLong && ea.count() <= maxLocalEdges) {
-        // driver union-find over the (bounded) contracted edges, then the
-        // same nodes-left-join tail as the distributed path so isolated
-        // new docs label themselves
-        val edges = ea.collect().map(r => (r.getLong(0), r.getLong(1)))
-        val parent = scala.collection.mutable.Map.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent(r) != r) r = parent(r)
-          var c = x
-          while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
-          r
-        }
-        edges.foreach { case (a, b) =>
-          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        }
-        val minOfRoot = scala.collection.mutable.Map.empty[Long, Long]
-        parent.keys.foreach { id =>
-          val r = find(id)
-          minOfRoot(r) = math.min(minOfRoot.getOrElse(r, id), id)
-        }
-        val spark = newEdges.sparkSession
-        import spark.implicits._
-        val lblDf = parent.keys.toSeq.map(id => (id, minOfRoot(find(id))))
-          .toDF("id", "lcomp")
-        nodes.join(broadcast(lblDf), Seq("id"), "left")
-          .select(col("id"), coalesce(col("lcomp"), col("id")).as("component"))
-      } else connectedComponents(nodes, ea, maxIter)
-    }.localCheckpoint()
+    val contracted = connectedComponentsWithRounds(
+      nodes, ea, maxIter, maxLocalEdges)._1.localCheckpoint()
     // remap rows: old labels whose component changed (merged clusters).
     // Restricting to rows that ARE old labels matters — new-doc rows also
     // have id =!= component and must not leak into the artifact join.

@@ -23,8 +23,12 @@ class ComponentsScaleSpec extends SparkSpec {
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val t0 = System.nanoTime()
     // maxIter=16 IS the assertion: plain propagation would need 9 999
-    // rounds; the star rewrites must close the chain in O(log² n)
-    val comp = Dedup.connectedComponents(nodes, pairs, maxIter = 16)
+    // rounds; the star rewrites must close the chain in O(log² n).
+    // maxLocalEdges=0 forces the DISTRIBUTED path — the driver union-find
+    // tier would otherwise absorb this graph and the spec would stress
+    // nothing
+    val comp = Dedup.connectedComponentsWithRounds(nodes, pairs,
+      maxIter = 16, maxLocalEdges = 0L)._1
     val labels = comp.select(col("component")).distinct().as[Long].collect().toSeq
     val sec = (System.nanoTime() - t0) / 1e9
     info(f"10k chain: $sec%.1f s wall, converged within 16 rounds")
@@ -47,7 +51,8 @@ class ComponentsScaleSpec extends SparkSpec {
     val perm = rng.shuffle((0L until n.toLong).toVector)
     val nodes = perm.toDF("id")
     val pairs = (0 until n - 1).map(i => (perm(i), perm(i + 1))).toDF("doc_a", "doc_b")
-    val comp = Dedup.connectedComponents(nodes, pairs)
+    val comp = Dedup.connectedComponentsWithRounds(nodes, pairs,
+      maxLocalEdges = 0L)._1 // force the star rounds — the spec's subject
     val labels = comp.select(col("component")).distinct().as[Long].collect().toSeq
     assert(labels == Seq(0L), s"permuted chain must collapse to component 0, got $labels")
     assert(comp.count() == n.toLong)
@@ -63,7 +68,8 @@ class ComponentsScaleSpec extends SparkSpec {
     val perm = rng.shuffle((0L until n.toLong).toVector)
     val nodes = perm.toDF("id")
     val pairs = (0 until n - 1).map(i => (perm(i), perm(i + 1))).toDF("doc_a", "doc_b")
-    val (comp, rounds) = Dedup.connectedComponentsWithRounds(nodes, pairs, maxIter = 20)
+    val (comp, rounds) = Dedup.connectedComponentsWithRounds(nodes, pairs,
+      maxIter = 20, maxLocalEdges = 0L)
     val labels = comp.select(col("component")).distinct().as[Long].collect().toSeq
     info(s"20k permuted chain converged in $rounds star rounds")
     assert(labels == Seq(0L), s"must collapse to component 0, got $labels")
@@ -78,11 +84,17 @@ class ComponentsScaleSpec extends SparkSpec {
     val clique = (for { a <- 300L to 304L; b <- 300L to 304L if a < b } yield (a, b))
     val nodes = ((100L to 120L) ++ (200L to 220L) ++ (300L to 304L) ++ Seq(400L)).toDF("id")
     val pairs = (star ++ chain ++ clique).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(nodes, pairs)
+    // BOTH tiers must land on the exact minima — the default local
+    // union-find and the forced star rounds
+    val gotLocal = Dedup.connectedComponents(nodes, pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    (100L to 120L).foreach(i => assert(got(i) == 100L))
-    (200L to 220L).foreach(i => assert(got(i) == 200L))
-    (300L to 304L).foreach(i => assert(got(i) == 300L))
-    assert(got(400L) == 400L)
+    val gotStars = Dedup.connectedComponentsWithRounds(nodes, pairs,
+        maxLocalEdges = 0L)._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotLocal == gotStars, "tiers disagree")
+    (100L to 120L).foreach(i => assert(gotLocal(i) == 100L))
+    (200L to 220L).foreach(i => assert(gotLocal(i) == 200L))
+    (300L to 304L).foreach(i => assert(gotLocal(i) == 300L))
+    assert(gotLocal(400L) == 400L)
   }
 }

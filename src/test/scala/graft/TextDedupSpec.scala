@@ -215,7 +215,11 @@ class TextDedupSpec extends SparkSpec {
     val nodes = (1L to 2000L).toDF("id")
     val pairs = (1L to 1999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(nodes, pairs, maxIter = 3).collect()
+      // maxLocalEdges=0: the driver union-find tier would solve this
+      // without iterating — the loud-failure contract under test belongs
+      // to the distributed star rounds
+      Dedup.connectedComponentsWithRounds(nodes, pairs, maxIter = 3,
+        maxLocalEdges = 0L)._1.collect()
     }
     assert(e.getMessage.contains("did not converge"))
   }
