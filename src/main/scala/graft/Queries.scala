@@ -3428,8 +3428,10 @@ object Queries {
         // in every engine.
         val tot = dsirAll.agg(sum(col("weight_scaled")).as("ws"),
           sum(col("n_grams")).as("ng")).head()
-        val globalMean =
-          tot.getLong(0).toDouble / (tot.getLong(1).toDouble * 1073741824.0)
+        // empty corpus: both sums are NULL — the gate compares no rows, any
+        // threshold works; 0.0 avoids the ROW_VALUE_IS_NULL construction crash
+        val globalMean = if (tot.isNullAt(0)) 0.0
+          else tot.getLong(0).toDouble / (tot.getLong(1).toDouble * 1073741824.0)
         val dsir = dsirAll.select(col("doc_id"), col("mean_weight"))
         val qual = TextOps.qualityFilter(undup, col("text"))
           .filter(col("quality_keep") === 1)

@@ -85,7 +85,10 @@ object Embeddings {
     val aggs = (0 until dim).map(i => min(v.getItem(i)).as(s"mn_$i")) ++
       (0 until dim).map(i => max(v.getItem(i)).as(s"mx_$i"))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    ((0 until dim).map(row.getDouble).toArray,
+    // empty corpus: every min/max is NULL and getDouble would raise
+    // ROW_VALUE_IS_NULL — identity stats are fine, there are no rows to scale
+    if (row.isNullAt(0)) (Array.fill(dim)(0.0), Array.fill(dim)(0.0))
+    else ((0 until dim).map(row.getDouble).toArray,
       (dim until 2 * dim).map(row.getDouble).toArray)
   }
 

@@ -53,8 +53,11 @@ object Profile {
         (if (percentiles.isEmpty) Nil else Seq(col("p.approx_percentiles")))
     total.select(explode(array(perCol.toIndexedSeq: _*)).as("p"))
       .select(projected: _*)
+      // when() guard: ANSI mode throws DIVIDE_BY_ZERO even for doubles, and
+      // an EMPTY table is legal profiler input (n_rows = 0 → ratio NULL)
       .withColumn("null_ratio",
-        col("n_nulls").cast("double") / col("n_rows"))
+        when(col("n_rows") > 0,
+          col("n_nulls").cast("double") / col("n_rows")))
   }
 
   /**

@@ -485,6 +485,16 @@ object Similarity {
       idCol: String, vecCol: String, m: Int): DataFrame = {
     val bySub = cents.groupBy(_._1).view
       .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+    // An EMPTY codebook is the legal result of training on an empty batch
+    // (pqTrain of zero rows); encoding zero rows against it is fine — but a
+    // non-empty corpus with no codewords is a misuse, so the degenerate plan
+    // keeps the schema and raises only if a row actually arrives.
+    if (cents.isEmpty) {
+      return corpus.select(col(idCol).as("vec_id"),
+        raise_error(lit("pqEncodeStatic: empty codebook with non-empty corpus"))
+          .cast("int").as("sub_id"),
+        lit(-1).as("code"))
+    }
     // construction-time contract: the codebook must cover every subspace —
     // a missing sub_id would otherwise surface as an opaque
     // NoSuchElementException from bySub(s) below
@@ -882,9 +892,14 @@ object Similarity {
     * A deployment computes this once per index build and stores it next to
     * the quantized corpus; the catalog row recomputes it in-query under the
     * honest-recompute convention. */
-  def int8Amax(corpus: DataFrame, vecCol: Column): Double =
-    corpus.select(array_max(transform(asDouble(vecCol), x => abs(x))).as("va"))
-      .agg(max(col("va"))).head.getDouble(0)
+  def int8Amax(corpus: DataFrame, vecCol: Column): Double = {
+    val row = corpus
+      .select(array_max(transform(asDouble(vecCol), x => abs(x))).as("va"))
+      .agg(max(col("va"))).head
+    // empty corpus: max is NULL — amax 0.0 is the degenerate scale
+    // int8Levels already defines (all levels 0; no rows to score anyway)
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
 
   /**
    * SQ8 scalar-quantized brute-force top-k: the cheapest tier of the ANN

@@ -169,8 +169,11 @@ object Sketches {
         kmvEstimate(col("ka"), k).as("est_distinct_a"),
         kmvEstimate(col("kb"), k).as("est_distinct_b"),
         kmvEstimate(col("ku"), k).as("est_distinct_union"))
+      // when() guard: both sides empty ⇒ n_u = 0, and ANSI division by zero
+      // throws even for doubles — NULL is the honest no-data estimate
       .withColumn("est_intersection",
-        col("n_common_kmins").cast("double") / col("n_u").cast("double")
-          * col("est_distinct_union"))
+        when(col("n_u") > 0,
+          col("n_common_kmins").cast("double") / col("n_u").cast("double")
+            * col("est_distinct_union")))
   }
 }
