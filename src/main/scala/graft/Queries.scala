@@ -568,7 +568,12 @@ object Queries {
           |       count(*) AS n_events,
           |       cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
           |FROM (SELECT event_type, user_id % 5 AS user_bucket, value FROM events)
-          |GROUP BY CUBE (event_type, user_bucket)""".stripMargin)),
+          |GROUP BY CUBE (event_type, user_bucket)
+          |HAVING count(*) > 0""".stripMargin)),
+    // ^ HAVING is a no-op on non-empty input (every CUBE group contains ≥1
+    //   source row) — it pins Spark's empty-input grouping-sets semantics,
+    //   where the Expand-based plan emits NO grand-total row over zero rows
+    //   (the SQL standard, and DuckDB, emit one).
 
     // ---- unpivot / melt ----------------------------------------------------
     ("lineitem_unpivot",
@@ -765,25 +770,22 @@ object Queries {
     ("events_profile",
       (s: SparkSession, d: String) =>
         Profile.columnProfile(Tables.events(s, d)),
-      Some(
-        """SELECT column_name, count(*) AS n_rows,
-          |       sum(is_null)::bigint AS n_nulls,
-          |       cast(count(DISTINCT v) AS bigint) AS n_distinct,
-          |       cast(sum(is_null) AS double) / count(*) AS null_ratio
-          |FROM (
-          |  SELECT 'event_id' AS column_name, event_id::varchar AS v,
-          |         CASE WHEN event_id IS NULL THEN 1 ELSE 0 END AS is_null FROM events
-          |  UNION ALL SELECT 'ts', epoch_ns(ts)::varchar,
-          |         CASE WHEN ts IS NULL THEN 1 ELSE 0 END FROM events
-          |  UNION ALL SELECT 'user_id', user_id::varchar,
-          |         CASE WHEN user_id IS NULL THEN 1 ELSE 0 END FROM events
-          |  UNION ALL SELECT 'event_type', event_type,
-          |         CASE WHEN event_type IS NULL THEN 1 ELSE 0 END FROM events
-          |  UNION ALL SELECT 'value', value::varchar,
-          |         CASE WHEN value IS NULL THEN 1 ELSE 0 END FROM events
-          |  UNION ALL SELECT 'props', props,
-          |         CASE WHEN props IS NULL THEN 1 ELSE 0 END FROM events)
-          |GROUP BY 1""".stripMargin)),
+      // One global-aggregate block per column (not GROUP BY over a unioned
+      // long relation): a profile of an EMPTY table is still one row per
+      // column with n_rows = 0 and null_ratio NULL — the engine's (and the
+      // useful) semantics; a grouped oracle would emit zero rows there.
+      Some {
+        def block(c: String): String =
+          s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+            |       coalesce(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), 0)::bigint AS n_nulls,
+            |       count(DISTINCT $c)::bigint AS n_distinct,
+            |       CASE WHEN count(*) > 0
+            |            THEN sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::double / count(*)
+            |       END AS null_ratio
+            |FROM events""".stripMargin
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+          .map(block).mkString("\nUNION ALL\n")
+      }),
 
     // ---- corpus vocabulary: token frequencies (explode-aggregate) ---------
     ("word_counts",
@@ -5234,7 +5236,10 @@ object Queries {
           |       grouping(date_trunc('DAY', ts))::int AS g_day,
           |       count(*) AS n, cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
           |FROM events
-          |GROUP BY GROUPING SETS ((event_type), (event_type, date_trunc('DAY', ts)), ())""".stripMargin)),
+          |GROUP BY GROUPING SETS ((event_type), (event_type, date_trunc('DAY', ts)), ())
+          |HAVING count(*) > 0""".stripMargin)),
+    // ^ HAVING pins Spark's empty-input semantics (the () set emits no row
+    //   over zero input rows); no-op on any non-empty input — see events_cube.
 
     // Time-range window frame: per-user trailing one-hour totals at every
     // event — RANGE frames over event time (not row counts), the shape row
@@ -5350,7 +5355,10 @@ object Queries {
           |       count(*) AS n_events,
           |       cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
           |FROM (SELECT event_type, hour(ts) AS hr, value FROM events)
-          |GROUP BY ROLLUP (event_type, hr)""".stripMargin)),
+          |GROUP BY ROLLUP (event_type, hr)
+          |HAVING count(*) > 0""".stripMargin)),
+    // ^ HAVING pins Spark's empty-input semantics (no grand-total row over
+    //   zero rows); no-op on any non-empty input — see events_cube.
 
     ("events_pivot",
       (s: SparkSession, d: String) =>

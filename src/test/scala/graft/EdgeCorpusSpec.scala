@@ -46,6 +46,26 @@ class EdgeCorpusSpec extends SparkSpec {
     sweep(materialize("empty", 0))
   }
 
+  // Degenerate-input SEMANTICS the oracles now encode (found by running the
+  // DuckDB compare on the empty corpus): Spark's Expand-based grouping sets
+  // emit NO grand-total row over zero input rows (the SQL standard emits
+  // one — the oracle SQL pins Spark's behavior with a HAVING count(*) > 0
+  // that is a no-op on non-empty input), and the profiler still describes
+  // every column of an empty table (n_rows = 0, null_ratio NULL).
+  test("empty-input semantics: no grand-total row from cube/rollup/sets") {
+    val dir = materialize("empty-sem", 0)
+    for (q <- Seq("events_cube", "events_rollup", "events_grouping_sets"))
+      assert(SparkEntry.queries(q)(spark, dir).count() === 0L, q)
+  }
+
+  test("empty-input semantics: profile keeps one row per column") {
+    val dir = materialize("empty-sem", 0)
+    val rows = SparkEntry.queries("events_profile")(spark, dir).collect()
+    assert(rows.length === 6)
+    assert(rows.forall(r => r.getLong(r.fieldIndex("n_rows")) == 0L))
+    assert(rows.forall(_.isNullAt(rows.head.fieldIndex("null_ratio"))))
+  }
+
   test("every catalog query runs clean on a SINGLE-ROW corpus") {
     sweep(materialize("one", 1))
   }

@@ -5,7 +5,7 @@ sorted, exact value compare with float diagnostics).
 
 Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
 """
-import sys, json, math
+import sys, json, math, os
 import duckdb
 import pandas as pd
 import pyarrow.parquet as pq
@@ -27,7 +27,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main(sfdir: str, outdir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # driver testdata is one file per table; Spark-written corpora (the
+        # EdgeCorpusSpec empty/one-row dirs) are DIRECTORIES of part files
+        path = f"{sfdir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
