@@ -2958,6 +2958,30 @@ object Queries {
           |FROM joined CROSS JOIN bounds
           |GROUP BY 1""".stripMargin)),
 
+    // ==== distributed training: full-batch perceptron =====================
+    // The training loop itself as a catalog row — iterated whole-corpus
+    // aggregation with O(dim) driver state (see Learn.scala's scale notes).
+    // Exact integer features/weights/margins make the 8-iteration trajectory
+    // summation-order-independent, so the ORACLE replays the identical
+    // training run as 8 unrolled CTEs and the weight history hash-matches
+    // bit-for-bit — a verified distributed training loop, not just scoring.
+    ("learn_perceptron",
+      (s: SparkSession, d: String) =>
+        Learn.perceptronHistory(
+          Learn.markerFeatures(Tables.documents(s, d), col("doc_id"),
+            col("text")), iters = 16),
+      Some(perceptronHistorySql(16))),
+
+    // The serving half: final weights folded in as plan-time literals, exact
+    // integer score per document plus a correctness flag (the oracle scores
+    // from its own it8 weights — train AND predict both cross-verified).
+    ("learn_perceptron_preds",
+      (s: SparkSession, d: String) =>
+        Learn.perceptronPredict(
+          Learn.markerFeatures(Tables.documents(s, d), col("doc_id"),
+            col("text")), iters = 16),
+      Some(perceptronPredsSql(16))),
+
     // BPE encode: apply the 3 trained merges to every document (greedy
     // left-to-right, training order — the encode half of the tokenizer
     // loop). Zero-shuffle projection: the rules are plan-time literals
@@ -5948,6 +5972,64 @@ object Queries {
 
   /** DuckDB CTEs verifying candidate pairs with exact n-gram Jaccard,
     * mirroring [[Dedup.ngramJaccard]] fed by `cand`. */
+  // ==== perceptron oracle: the training loop unrolled as CTEs =============
+  // Each iteration k is one aggregate over `feats` gated on the PREVIOUS
+  // iteration's weights (scalar subqueries into it{k-1}); weight sums are
+  // ::bigint-cast out of DuckDB's HUGEINT. Mirrors Learn.solve exactly.
+  private lazy val learnFeatsCte: String = {
+    val split =
+      """string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')"""
+    val counts = Learn.markerWords.map(w =>
+      s"len(list_filter($split, t -> t = '$w'))::bigint AS x_$w")
+      .mkString(",\n           ")
+    val (posW, negW) = Learn.markerWords.splitAt(3)
+    val pos = posW.map(w => s"x_$w").mkString(" + ")
+    val neg = negW.map(w => s"x_$w").mkString(" + ")
+    s"""feats AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         (CASE WHEN $pos > $neg THEN 1 ELSE -1 END)::bigint AS y,
+       |         ${Learn.markerWords.map(w => s"x_$w").mkString(", ")},
+       |         1::bigint AS x_bias
+       |  FROM (
+       |    SELECT doc_id,
+       |           $counts
+       |    FROM documents))""".stripMargin
+  }
+
+  private def perceptronIterCtes(iters: Int): String = {
+    val fc = Learn.featureCols
+    def w(k: Int, n: String) = if (k == 0) "0" else s"(SELECT w_$n FROM it$k)"
+    (1 to iters).map { k =>
+      val margin = fc.map(n => s"${w(k - 1, n)} * $n").mkString(" + ")
+      val mis = s"y * ($margin) <= 0"
+      val ws = fc.map(n =>
+        s"${w(k - 1, n)} + coalesce(sum(CASE WHEN $mis THEN y * $n ELSE 0 END), 0)::bigint AS w_$n")
+        .mkString(",\n         ")
+      // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+      // reference, and it{k} references it{k-1} once per weight — without
+      // it the 8-iteration chain re-evaluates ~6^8 scans of documents
+      s"""it$k AS MATERIALIZED (
+         |  SELECT ${k}::bigint AS iter,
+         |         $ws,
+         |         coalesce(sum(CASE WHEN $mis THEN 1 ELSE 0 END), 0)::bigint AS n_mis
+         |  FROM feats)""".stripMargin
+    }.mkString(",\n")
+  }
+
+  private def perceptronHistorySql(iters: Int): String =
+    s"WITH $learnFeatsCte,\n${perceptronIterCtes(iters)}\n" +
+      (1 to iters).map(k =>
+        s"SELECT iter, ${Learn.featureCols.map(n => s"w_$n").mkString(", ")}, n_mis FROM it$k")
+        .mkString("\nUNION ALL\n")
+
+  private def perceptronPredsSql(iters: Int): String = {
+    val score = Learn.featureCols.map(n => s"w_$n * $n").mkString(" + ")
+    s"WITH $learnFeatsCte,\n${perceptronIterCtes(iters)}\n" +
+      s"""SELECT doc_id, y, ($score)::bigint AS score,
+         |       CASE WHEN y * ($score) > 0 THEN 1 ELSE 0 END AS correct
+         |FROM feats, it$iters""".stripMargin
+  }
+
   private lazy val nearDupVerifyCtes: String =
     """, ssets AS (SELECT doc_id, count(*) AS n FROM shingle_rows GROUP BY 1),
       |inter AS (

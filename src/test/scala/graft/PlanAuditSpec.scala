@@ -70,6 +70,9 @@ class PlanAuditSpec extends SparkSpec {
       "sim_lsh_buckets", "events_zorder_key", "multimodal_features",
       "scalar_functions", "datetime_functions", "array_functions",
       "text_chunk_windows", "string_functions_ext", "text_hash_vectorize",
+      // the SERVING half of the trainer: weights are plan-time literals,
+      // scoring is a pure projection (training ran at construction)
+      "learn_perceptron_preds",
       "text_classifier_score")
       .foreach(q => assert(shuffles(q) == 0, s"$q should be shuffle-free"))
     // single-aggregation queries: exactly one exchange (partial → final)
