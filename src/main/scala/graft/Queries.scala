@@ -2961,9 +2961,9 @@ object Queries {
     // ==== distributed training: full-batch perceptron =====================
     // The training loop itself as a catalog row — iterated whole-corpus
     // aggregation with O(dim) driver state (see Learn.scala's scale notes).
-    // Exact integer features/weights/margins make the 8-iteration trajectory
+    // Exact integer features/weights/margins make the 16-iteration trajectory
     // summation-order-independent, so the ORACLE replays the identical
-    // training run as 8 unrolled CTEs and the weight history hash-matches
+    // training run as 16 unrolled CTEs and the weight history hash-matches
     // bit-for-bit — a verified distributed training loop, not just scoring.
     ("learn_perceptron",
       (s: SparkSession, d: String) =>
@@ -2974,7 +2974,7 @@ object Queries {
 
     // The serving half: final weights folded in as plan-time literals, exact
     // integer score per document plus a correctness flag (the oracle scores
-    // from its own it8 weights — train AND predict both cross-verified).
+    // from its own final-iteration (it16) weights — train AND predict both cross-verified).
     ("learn_perceptron_preds",
       (s: SparkSession, d: String) =>
         Learn.perceptronPredict(
@@ -6007,7 +6007,7 @@ object Queries {
         .mkString(",\n         ")
       // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
       // reference, and it{k} references it{k-1} once per weight — without
-      // it the 8-iteration chain re-evaluates ~6^8 scans of documents
+      // it the 16-iteration chain re-evaluates ~6^16 scans of documents
       s"""it$k AS MATERIALIZED (
          |  SELECT ${k}::bigint AS iter,
          |         $ws,

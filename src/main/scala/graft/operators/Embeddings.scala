@@ -85,11 +85,12 @@ object Embeddings {
     val aggs = (0 until dim).map(i => min(v.getItem(i)).as(s"mn_$i")) ++
       (0 until dim).map(i => max(v.getItem(i)).as(s"mx_$i"))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    // empty corpus: every min/max is NULL and getDouble would raise
-    // ROW_VALUE_IS_NULL — identity stats are fine, there are no rows to scale
-    if (row.isNullAt(0)) (Array.fill(dim)(0.0), Array.fill(dim)(0.0))
-    else ((0 until dim).map(row.getDouble).toArray,
-      (dim until 2 * dim).map(row.getDouble).toArray)
+    // per-dimension NULL guard: an empty corpus NULLs every min/max, and a
+    // dimension that is NULL in every row NULLs just that slot — either way
+    // getDouble would raise ROW_VALUE_IS_NULL; identity stats (0, 0) are
+    // fine for a slot no row carries (minMaxScale maps constant dims to 0)
+    def at(i: Int): Double = if (row.isNullAt(i)) 0.0 else row.getDouble(i)
+    ((0 until dim).map(at).toArray, (dim until 2 * dim).map(at).toArray)
   }
 
   /** Min-max scale a vector against fitted stats: (x − min)/(max − min),

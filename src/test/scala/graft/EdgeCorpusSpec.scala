@@ -31,7 +31,9 @@ class EdgeCorpusSpec extends SparkSpec {
       case (name, fn) =>
         try { fn(spark, dir).collect(); None }
         catch {
-          case e: Throwable =>
+          // NonFatal only: an OOM or a killed SparkContext must abort the
+          // sweep loudly, not cascade into 200 misattributed failures
+          case scala.util.control.NonFatal(e) =>
             val msg = Option(e.getMessage).getOrElse("").linesIterator
               .take(3).mkString(" | ").take(300)
             Some(s"$name: ${e.getClass.getSimpleName}: $msg")
@@ -42,8 +44,11 @@ class EdgeCorpusSpec extends SparkSpec {
         failures.mkString("\n"))
   }
 
+  // materialized once, shared by the sweep and both semantics tests
+  private lazy val emptyDir = materialize("empty", 0)
+
   test("every catalog query runs clean on an EMPTY corpus") {
-    sweep(materialize("empty", 0))
+    sweep(emptyDir)
   }
 
   // Degenerate-input SEMANTICS the oracles now encode (found by running the
@@ -53,14 +58,12 @@ class EdgeCorpusSpec extends SparkSpec {
   // that is a no-op on non-empty input), and the profiler still describes
   // every column of an empty table (n_rows = 0, null_ratio NULL).
   test("empty-input semantics: no grand-total row from cube/rollup/sets") {
-    val dir = materialize("empty-sem", 0)
     for (q <- Seq("events_cube", "events_rollup", "events_grouping_sets"))
-      assert(SparkEntry.queries(q)(spark, dir).count() === 0L, q)
+      assert(SparkEntry.queries(q)(spark, emptyDir).count() === 0L, q)
   }
 
   test("empty-input semantics: profile keeps one row per column") {
-    val dir = materialize("empty-sem", 0)
-    val rows = SparkEntry.queries("events_profile")(spark, dir).collect()
+    val rows = SparkEntry.queries("events_profile")(spark, emptyDir).collect()
     assert(rows.length === 6)
     assert(rows.forall(r => r.getLong(r.fieldIndex("n_rows")) == 0L))
     assert(rows.forall(_.isNullAt(rows.head.fieldIndex("null_ratio"))))

@@ -63,4 +63,14 @@ class EmbeddingsSpec extends SparkSpec {
     assert(cos(p(1L), p(2L)) > 0.999999)
     assert(math.abs(cos(p(1L), p(3L))) < 0.9)
   }
+
+  test("minMaxStats: a dimension that is NULL in every row gets identity stats") {
+    // non-empty corpus, but slot 1 is NULL everywhere — min/max of that
+    // dimension aggregate to NULL and the per-index guard must absorb it
+    // (the isNullAt(0)-only guard crashed here with ROW_VALUE_IS_NULL)
+    val df = spark.range(3).select(
+      array(col("id").cast("double"), lit(null).cast("double")).as("embedding"))
+    val (mins, maxs) = Embeddings.minMaxStats(df, col("embedding"), 2)
+    assert(mins.toSeq === Seq(0.0, 0.0) && maxs.toSeq === Seq(2.0, 0.0))
+  }
 }
