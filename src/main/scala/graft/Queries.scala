@@ -2982,6 +2982,17 @@ object Queries {
             col("text")), iters = 16),
       Some(perceptronPredsSql(16))),
 
+    // Averaged-perceptron serving: score with the trajectory-SUMMED weights
+    // (sign-equivalent to the average, division never happens, everything
+    // stays integer-exact) — the standard stabilizer when the concept is
+    // only nearly separable. Oracle sums the unrolled iterations' weights.
+    ("learn_perceptron_avg_preds",
+      (s: SparkSession, d: String) =>
+        Learn.perceptronPredictAveraged(
+          Learn.markerFeatures(Tables.documents(s, d), col("doc_id"),
+            col("text")), iters = 16),
+      Some(perceptronAvgPredsSql(16))),
+
     // BPE encode: apply the 3 trained merges to every document (greedy
     // left-to-right, training order — the encode half of the tokenizer
     // loop). Zero-shuffle projection: the rules are plan-time literals
@@ -6028,6 +6039,19 @@ object Queries {
       s"""SELECT doc_id, y, ($score)::bigint AS score,
          |       CASE WHEN y * ($score) > 0 THEN 1 ELSE 0 END AS correct
          |FROM feats, it$iters""".stripMargin
+  }
+
+  private def perceptronAvgPredsSql(iters: Int): String = {
+    val fc = Learn.featureCols
+    val sums = fc.map(n => s"sum(w_$n)::bigint AS w_$n").mkString(", ")
+    val score = fc.map(n => s"w_$n * $n").mkString(" + ")
+    s"WITH $learnFeatsCte,\n${perceptronIterCtes(iters)},\n" +
+      s"""avgw AS MATERIALIZED (
+         |  SELECT $sums
+         |  FROM (${(1 to iters).map(k => s"SELECT * FROM it$k").mkString(" UNION ALL ")}))
+         |SELECT doc_id, y, ($score)::bigint AS score,
+         |       CASE WHEN y * ($score) > 0 THEN 1 ELSE 0 END AS correct
+         |FROM feats, avgw""".stripMargin
   }
 
   private lazy val nearDupVerifyCtes: String =

@@ -119,15 +119,51 @@ object Learn {
     feats.sparkSession.createDataFrame(rows.asJava, schema)
   }
 
+  /** Final trained weights — the O(dim) model artifact for
+    * [[scoreStatic]]-style serving (store next to the data like a PQ
+    * codebook; the catalog rows recompute it in-query under the
+    * honest-recompute convention). */
+  def perceptronWeights(feats: DataFrame, iters: Int,
+      fc: Seq[String] = featureCols): Array[Long] = solve(feats, iters, fc)._2
+
+  /** AVERAGED-perceptron weights, kept as the exact integer SUM
+    * Σ_k w_k over the trajectory (sign(Σw·x) = sign(avg(w)·x), so the
+    * division never needs to happen and everything stays integer-exact).
+    * The standard stabilizer when the concept is only nearly separable:
+    * late oscillations average out instead of deciding the model. */
+  def averagedWeights(feats: DataFrame, iters: Int,
+      fc: Seq[String] = featureCols): Array[Long] = {
+    val (hist, _) = solve(feats, iters, fc)
+    hist.map(_._2).transpose.map(_.sum).toArray
+  }
+
+  /**
+   * Stateless serving projection against a TRAINED weight vector — the
+   * streaming side of the family (the [[Similarity.int8ScoreStatic]]
+   * ladder convention): weights are plan-time literals, scoring is a pure
+   * per-row projection with no aggregation or join, legal in append-mode
+   * streams and bit-identical to the batch predict (spec-pinned).
+   */
+  def scoreStatic(rows: DataFrame, weights: Seq[Long],
+      fc: Seq[String] = featureCols): DataFrame = {
+    require(weights.length == fc.length,
+      s"need ${fc.length} weights, got ${weights.length}")
+    val score = fc.zipWithIndex.map { case (c, i) => col(c) * lit(weights(i)) }
+      .reduce(_ + _)
+    rows.select(col("doc_id"), col("y"), score.as("score"),
+      when(col("y") * score > 0, 1).otherwise(0).as("correct"))
+  }
+
   /** Train, then score every row with the FINAL weights folded in as
     * literals (zero-shuffle projection — the serving half): exact integer
     * score w·x and a correctness flag y·score > 0. */
   def perceptronPredict(feats: DataFrame, iters: Int,
-      fc: Seq[String] = featureCols): DataFrame = {
-    val (_, w) = solve(feats, iters, fc)
-    val score = fc.zipWithIndex.map { case (c, i) => col(c) * lit(w(i)) }
-      .reduce(_ + _)
-    feats.select(col("doc_id"), col("y"), score.as("score"),
-      when(col("y") * score > 0, 1).otherwise(0).as("correct"))
-  }
+      fc: Seq[String] = featureCols): DataFrame =
+    scoreStatic(feats, perceptronWeights(feats, iters, fc).toSeq, fc)
+
+  /** Train, then score with the trajectory-summed (averaged) weights —
+    * same serving projection, stabler decision boundary. */
+  def perceptronPredictAveraged(feats: DataFrame, iters: Int,
+      fc: Seq[String] = featureCols): DataFrame =
+    scoreStatic(feats, averagedWeights(feats, iters, fc).toSeq, fc)
 }

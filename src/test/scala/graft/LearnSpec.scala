@@ -58,6 +58,46 @@ class LearnSpec extends SparkSpec {
     assert(acc >= 0.95, s"accuracy $acc")
   }
 
+  test("averaged weights are the exact trajectory sum (sign-equivalent serving)") {
+    val hist = Learn.perceptronHistory(toy(), iters = 8,
+      fc = Seq("x1", "x2", "x_bias")).collect()
+    val summed = Seq(1, 2, 3).map(i => hist.map(_.getLong(i)).sum)
+    val avg = Learn.averagedWeights(toy(), iters = 8,
+      fc = Seq("x1", "x2", "x_bias"))
+    assert(avg.toSeq === summed)
+  }
+
+  test("streaming scoreStatic matches batch predict (stateless serving projection)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val feats = Learn.markerFeatures(
+      Tables.documents(spark, "/root/testdata/sf0.001"),
+      col("doc_id"), col("text"))
+    val w = Learn.perceptronWeights(feats, iters = 16)
+    val batch = Learn.scoreStatic(feats, w.toSeq)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val rows = feats
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    val input = MemoryStream[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+    val scored = Learn.scoreStatic(
+      input.toDF().toDF("doc_id" +: "y" +: Learn.featureCols: _*), w.toSeq)
+    val q = scored.writeStream.format("memory").queryName("learn_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("learn-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows.take(200): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(200): _*)
+      q.processAllAvailable()
+      val got = spark.table("learn_out")
+        .as[(Long, Long, Long, Int)].collect().toSet
+      assert(got == batch, "streamed perceptron scores diverge from batch")
+    } finally q.stop()
+  }
+
   test("empty input trains to zero weights without failing") {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row],

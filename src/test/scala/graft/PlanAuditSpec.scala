@@ -72,7 +72,7 @@ class PlanAuditSpec extends SparkSpec {
       "text_chunk_windows", "string_functions_ext", "text_hash_vectorize",
       // the SERVING half of the trainer: weights are plan-time literals,
       // scoring is a pure projection (training ran at construction)
-      "learn_perceptron_preds",
+      "learn_perceptron_preds", "learn_perceptron_avg_preds",
       "text_classifier_score")
       .foreach(q => assert(shuffles(q) == 0, s"$q should be shuffle-free"))
     // single-aggregation queries: exactly one exchange (partial → final)
