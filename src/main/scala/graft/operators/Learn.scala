@@ -154,6 +154,34 @@ object Learn {
       when(col("y") * score > 0, 1).otherwise(0).as("correct"))
   }
 
+  /** Persist a trained weight vector as a parquet artifact (the
+    * writeCodebook convention: one sorted part file, feature name + weight
+    * per row) — train once, [[scoreStatic]] many, across jobs. */
+  def writeWeights(spark: org.apache.spark.sql.SparkSession, path: String,
+      weights: Seq[Long], fc: Seq[String] = featureCols): Unit = {
+    require(weights.length == fc.length,
+      s"need ${fc.length} weights, got ${weights.length}")
+    import spark.implicits._
+    fc.zipWithIndex.map { case (c, i) => (i, c, weights(i)) }
+      .toDF("pos", "feature", "weight")
+      .repartition(1).sortWithinPartitions("pos")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[writeWeights]] artifact back into [[scoreStatic]]'s form,
+    * validating the feature layout (a weight applied to the wrong feature
+    * column would silently mis-score — raise instead). */
+  def readWeights(spark: org.apache.spark.sql.SparkSession, path: String,
+      fc: Seq[String] = featureCols): Array[Long] = {
+    val rows = spark.read.parquet(path)
+      .select(col("pos"), col("feature"), col("weight"))
+      .collect().sortBy(_.getInt(0))
+    val names = rows.map(_.getString(1)).toSeq
+    require(names == fc,
+      s"weight artifact features $names do not match expected $fc")
+    rows.map(_.getLong(2))
+  }
+
   /** Train, then score every row with the FINAL weights folded in as
     * literals (zero-shuffle projection — the serving half): exact integer
     * score w·x and a correctness flag y·score > 0. */

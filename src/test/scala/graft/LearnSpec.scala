@@ -98,6 +98,21 @@ class LearnSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("weight artifact round-trips and validates its feature layout") {
+    val feats = Learn.markerFeatures(
+      Tables.documents(spark, "/root/testdata/sf0.001"),
+      col("doc_id"), col("text"))
+    val w = Learn.perceptronWeights(feats, iters = 4)
+    val path = java.nio.file.Files
+      .createTempDirectory("learn-w").toString + "/weights"
+    Learn.writeWeights(spark, path, w.toSeq)
+    assert(Learn.readWeights(spark, path).toSeq === w.toSeq)
+    // layout mismatch must raise, not silently mis-score
+    intercept[IllegalArgumentException] {
+      Learn.readWeights(spark, path, fc = Seq("x1", "x2"))
+    }
+  }
+
   test("empty input trains to zero weights without failing") {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row],
