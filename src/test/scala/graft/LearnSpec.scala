@@ -113,6 +113,105 @@ class LearnSpec extends SparkSpec {
     }
   }
 
+  // ==== closed-form ridge: one-pass normal equations ======================
+
+  test("ridge solves a hand-computed 2x2 system exactly") {
+    // rows (x, y) = (1,2), (2,4), (3,6); features (x, bias), lambda = 1:
+    // A = [[15, 6], [6, 4]], b = [28, 12], det = 24, wNum = (40, 12)
+    // (w = (5/3, 1/2) — ridge shrinks the noise-free slope 2 toward 0).
+    val f = Seq((1L, 1L, 2L), (2L, 2L, 4L), (3L, 3L, 6L))
+      .toDF("doc_id", "x", "y").withColumn("x_bias", lit(1L))
+    val m = Learn.ridgeFit(f, Seq("x", "x_bias"), "y")
+    assert(m.det === BigInt(24))
+    assert(m.wNum === Seq(BigInt(40), BigInt(12)))
+  }
+
+  test("ridge satisfies A*wNum = det*b exactly on corpus features") {
+    val feats = Learn.markerFeatures(
+      Tables.documents(spark, "/root/testdata/sf0.001"),
+      col("doc_id"), col("text"))
+      .withColumn("y_t", col("x_filter") + col("x_sort") + col("x_merge"))
+    val xc = Seq("x_scan", "x_join", "x_bias")
+    val m = Learn.ridgeFit(feats, xc, "y_t")
+    // rebuild A and b independently from a collect of the tiny corpus
+    val rows = feats.select((xc :+ "y_t").map(col): _*).collect()
+    val d = xc.length
+    val a = Array.tabulate(d, d) { (i, j) =>
+      rows.map(r => BigInt(r.getLong(i)) * BigInt(r.getLong(j))).sum +
+        (if (i == j) BigInt(1) else BigInt(0))
+    }
+    val b = Array.tabulate(d)(i =>
+      rows.map(r => BigInt(r.getLong(i)) * BigInt(r.getLong(d))).sum)
+    assert(m.det > 0, "lambda >= 1 must make A positive definite")
+    for (i <- 0 until d) {
+      val lhs = (0 until d).map(j => a(i)(j) * m.wNum(j)).sum
+      assert(lhs === m.det * b(i), s"normal equation row $i violated")
+    }
+  }
+
+  test("ridge fit is partition-invariant and predictions carry exact residuals") {
+    val feats = Learn.markerFeatures(
+      Tables.documents(spark, "/root/testdata/sf0.001"),
+      col("doc_id"), col("text"))
+      .withColumn("y_t", col("x_filter") + col("x_sort") + col("x_merge"))
+    val xc = Seq("x_scan", "x_join", "x_bias")
+    val m1 = Learn.ridgeFit(feats.repartition(1), xc, "y_t")
+    val m7 = Learn.ridgeFit(feats.repartition(7), xc, "y_t")
+    assert(m1 === m7)
+    val preds = Learn.ridgePredict(feats, m1, col("doc_id"), "y_t").collect()
+    assert(preds.nonEmpty)
+    preds.foreach { r =>
+      val y = BigInt(r.getLong(1))
+      val pred = BigInt(r.getString(2))
+      val res = BigInt(r.getString(3))
+      assert(res === pred - m1.det * y, s"residual identity broken at $r")
+    }
+  }
+
+  test("grouped ridge matches the driver-side solve per group, with no driver state") {
+    val feats = Learn.markerFeatures(
+      Tables.documents(spark, "/root/testdata/sf0.001"),
+      col("doc_id"), col("text"), carry = Seq("source"))
+      .withColumn("y_t", col("x_filter") + col("x_sort") + col("x_merge"))
+    val xc = Seq("x_scan", "x_join", "x_bias")
+    val grouped = Learn.ridgeFitGrouped(feats, col("source"), xc, "y_t")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getString(3), r.getString(4)))
+      .toMap
+    val sources = feats.select("source").distinct().collect().map(_.getString(0))
+    assert(sources.nonEmpty && grouped.size === sources.length * xc.length)
+    sources.foreach { src =>
+      val m = Learn.ridgeFit(feats.filter(col("source") === src), xc, "y_t")
+      xc.indices.foreach { i =>
+        assert(grouped((src, i.toLong)) ===
+          ((m.wNum(i).toString, m.det.toString)),
+          s"grouped solve diverges from per-group Bareiss for $src pos $i")
+      }
+    }
+  }
+
+  test("grouped ridge on empty input yields an empty frame") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      Learn.markerFeatures(
+        Tables.documents(spark, "/root/testdata/sf0.001"),
+        col("doc_id"), col("text"), carry = Seq("source")).schema)
+      .withColumn("y_t", col("x_filter") + col("x_sort") + col("x_merge"))
+    assert(Learn.ridgeFitGrouped(empty, col("source"),
+      Seq("x_scan", "x_join", "x_bias"), "y_t").count() === 0L)
+  }
+
+  test("ridge on empty input yields det = 1 and zero weights") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      Learn.markerFeatures(
+        Tables.documents(spark, "/root/testdata/sf0.001"),
+        col("doc_id"), col("text")).schema)
+      .withColumn("y_t", col("x_filter") + col("x_sort") + col("x_merge"))
+    val m = Learn.ridgeFit(empty, Seq("x_scan", "x_join", "x_bias"), "y_t")
+    assert(m.det === BigInt(1) && m.wNum.forall(_ === BigInt(0)))
+  }
+
   test("empty input trains to zero weights without failing") {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row],
