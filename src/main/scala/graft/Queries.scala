@@ -2993,6 +2993,48 @@ object Queries {
             col("text")), iters = 16),
       Some(perceptronAvgPredsSql(16))),
 
+    // ==== distributed training: one-pass ridge regression =================
+    // The CLOSED-FORM counterpart to the perceptron loop: (XᵀX + λI)w = Xᵀy
+    // solved exactly. One aggregate computes the 6 Gram + 3 moment sums
+    // (map-side partials → a single reduce of 9 longs — the cheapest
+    // possible training job at 100 TB); the 3×3 solve is O(1) driver work in
+    // exact BigInt (Bareiss + Cramer), so the oracle reproduces the weights
+    // bit-for-bit via HUGEINT cofactor expansion. Regression target: predict
+    // filter+sort+merge token volume from scan/join counts (+bias).
+    ("learn_ridge_weights",
+      (s: SparkSession, d: String) => {
+        val feats = ridgeFeats(s, d)
+        Learn.ridgeWeightsFrame(s,
+          Learn.ridgeFit(feats, ridgeXc, "y_t", lambda = 1L))
+      },
+      Some(ridgeWeightsSql)),
+
+    // The serving half: per-document exact prediction numerator
+    // (pred = pred_num / det) and det-scaled residual, model folded in as
+    // decimal literals — zero-shuffle projection, string-encoded because
+    // the Cramer numerators exceed long range beyond ~10⁴ docs.
+    ("learn_ridge_preds",
+      (s: SparkSession, d: String) => {
+        val feats = ridgeFeats(s, d)
+        val m = Learn.ridgeFit(feats, ridgeXc, "y_t", lambda = 1L)
+        Learn.ridgePredict(feats, m, col("doc_id"), "y_t")
+      },
+      Some(ridgePredsSql)),
+
+    // One closed-form model PER SOURCE, with the Cramer solve itself as
+    // Catalyst decimal expressions (Leibniz over the 3! permutations) — no
+    // driver state at all: a grouped Gram aggregate plus a zero-shuffle
+    // projection trains a model per domain in a single pass, however many
+    // domains there are. The model-per-source quality-scorer shape.
+    ("learn_ridge_by_source",
+      (s: SparkSession, d: String) => {
+        val feats = Learn.markerFeatures(Tables.documents(s, d),
+            col("doc_id"), col("text"), carry = Seq("source"))
+          .withColumn("y_t", col("x_filter") + col("x_sort") + col("x_merge"))
+        Learn.ridgeFitGrouped(feats, col("source"), ridgeXc, "y_t")
+      },
+      Some(ridgeGroupedSql)),
+
     // BPE encode: apply the 3 trained merges to every document (greedy
     // left-to-right, training order — the encode half of the tokenizer
     // loop). Zero-shuffle projection: the rules are plan-time literals
@@ -5948,8 +5990,110 @@ object Queries {
           |         (CASE WHEN n_u < 64 THEN n_u::double
           |               ELSE 63::double * 1152921504606846976::double / hku::double END)
           |         AS est_intersection
-          |FROM st""".stripMargin))
+          |FROM st""".stripMargin)),
+
+    // ==== portable HyperLogLog ============================================
+    // Spark's approx_count_distinct (the `approx_distinct_users` row) is
+    // HLL++ with an engine-private register layout — the catalog's one
+    // no-oracle row. This family is the same algorithm rebuilt on the
+    // 60-bit md5 portable hash so the REGISTERS are a pure cross-engine
+    // function of the data (bucket = low 6 bits, rank = leading-zero count
+    // of the high 54 bits + 1, bit-length via base-2 digit count — exact
+    // integer/string ops only). Sketched domain: daily-active user-days
+    // (user_id × day, ~1-2k per event_type at sf0.01 — the raw-estimate
+    // regime where uncorrected HLL is accurate). Per (mapper, group) state
+    // is ≤ 64 small ints; the shuffle carries registers, never user-days.
+    ("sketch_hll_registers",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        Sketches.hllRegisters(ev, col("event_type"),
+            concat_ws(":", col("user_id"), to_date(col("ts"))))
+          .withColumnRenamed("grp", "event_type")
+      },
+      Some(hllRegisterCtes +
+        "SELECT grp AS event_type, bucket, register FROM regs")),
+
+    // The estimate itself, oracle-gated: Ê = α_64·64²/Σ 2^(−r_j) with the
+    // harmonic denominator carried as the INTEGER s_num = Σ 2^(55−r_j)
+    // (≤ 64·2^55 < 2^62), so the only float op is ONE IEEE division of a
+    // shared plan-time literal (hllConstLiteral — Double.toString shortest
+    // round-trip, re-parsed correctly-rounded by DuckDB) by s_num. n_zero
+    // rides along for small-range correction by callers; exact_user_days
+    // joins in the true distinct count so the row self-reports its error.
+    ("sketch_hll_daily_users",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        val v = concat_ws(":", col("user_id"), to_date(col("ts")))
+        val est = Sketches.hllEstimate(
+          Sketches.hllRegisters(ev, col("event_type"), v))
+        val exact = ev.groupBy(col("event_type").as("grp"))
+          .agg(countDistinct(v).as("exact_user_days"))
+        est.join(exact, Seq("grp")).withColumnRenamed("grp", "event_type")
+      },
+      Some(hllRegisterCtes + hllEstimateCte +
+        """SELECT e.grp AS event_type, e.n_zero, e.s_num, e.est_raw,
+          |       x.exact_user_days
+          |FROM est e JOIN (
+          |  SELECT event_type AS grp,
+          |         count(DISTINCT user_id::varchar || ':' || (ts::date)::varchar)::bigint
+          |           AS exact_user_days
+          |  FROM events GROUP BY 1) x USING (grp)""".stripMargin)),
+
+    // Mergeability, oracle-pinned: registers over the even- and odd-
+    // event_id halves built SEPARATELY, combined by bucket-wise max
+    // (associative/commutative/idempotent), then estimated. The oracle
+    // computes the union directly — merge-of-parts must hash-equal the
+    // whole, which is exactly the property that makes the register frame a
+    // persistable incremental-admission artifact (yesterday's ≤ 64 rows
+    // per group + today's batch, never rescan — the signatureIndex warm
+    // path, HLL edition).
+    ("sketch_hll_merged",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        val v = concat_ws(":", col("user_id"), to_date(col("ts")))
+        val a = Sketches.hllRegisters(
+          ev.where(col("event_id") % 2 === 0), col("event_type"), v)
+        val b = Sketches.hllRegisters(
+          ev.where(col("event_id") % 2 =!= 0), col("event_type"), v)
+        Sketches.hllEstimate(Sketches.hllMerge(a, b))
+          .withColumnRenamed("grp", "event_type")
+      },
+      Some(hllRegisterCtes + hllEstimateCte +
+        "SELECT grp AS event_type, n_zero, s_num, est_raw FROM est"))
   )
+
+  /** DuckDB register-table SQL for the portable-HLL family (p=6, m=64 over
+    * the 60-bit portable hash: bucket = h % 64, rank = 55 − bitlen(h//64),
+    * bitlen via base-2 digit count — the exact mirror of
+    * [[Sketches.hllRegisters]]). */
+  private lazy val hllRegisterCtes: String =
+    """WITH hv AS (
+      |  SELECT event_type AS grp,
+      |         ('0x' || substr(md5(user_id::varchar || ':' || (ts::date)::varchar), 1, 15))::bigint
+      |           AS h
+      |  FROM events),
+      |regs AS MATERIALIZED (
+      |  SELECT grp, h % 64 AS bucket,
+      |         max(CASE WHEN h // 64 = 0 THEN 55
+      |                  ELSE 55 - length(bin(h // 64)) END)::bigint AS register
+      |  FROM hv GROUP BY 1, 2)
+      |""".stripMargin
+
+  /** The estimate CTE over [[hllRegisterCtes]]'s register table — integer
+    * harmonic numerator, then ONE IEEE division by the shared
+    * [[Sketches.hllConstLiteral]] plan-time constant. */
+  private lazy val hllEstimateCte: String =
+    s""", est AS MATERIALIZED (
+       |  SELECT grp,
+       |         (64 - count(*))::bigint AS n_zero,
+       |         (sum(1::bigint << (55 - register)::int)
+       |            + (64 - count(*)) * (1::bigint << 55))::bigint AS s_num,
+       |         ${Sketches.hllConstLiteral(6)}::double /
+       |           ((sum(1::bigint << (55 - register)::int)
+       |               + (64 - count(*)) * (1::bigint << 55))::bigint)::double
+       |           AS est_raw
+       |  FROM regs GROUP BY 1)
+       |""".stripMargin
 
   /** DuckDB MinHash signature SQL generated from the SAME (a,b) constants as
     * [[Dedup.minhashSignatures]] — single source of truth for the family. */
@@ -6052,6 +6196,110 @@ object Queries {
          |SELECT doc_id, y, ($score)::bigint AS score,
          |       CASE WHEN y * ($score) > 0 THEN 1 ELSE 0 END AS correct
          |FROM feats, avgw""".stripMargin
+  }
+
+  // ==== ridge oracle: 3×3 normal equations in HUGEINT =====================
+  // Same marker-count features as the perceptron family; x = (scan, join,
+  // bias), target y_t = filter+sort+merge counts. Cramer numerators and the
+  // determinant expand symbolically (A is symmetric), all in HUGEINT,
+  // emitted ::varchar to match Spark's decimal(38,0)-as-string encoding.
+  private[graft] val ridgeXc: Seq[String] = Seq("x_scan", "x_join", "x_bias")
+
+  private def ridgeFeats(s: SparkSession, d: String): DataFrame =
+    Learn.markerFeatures(Tables.documents(s, d), col("doc_id"), col("text"))
+      .withColumn("y_t", col("x_filter") + col("x_sort") + col("x_merge"))
+
+  private lazy val ridgeSolveCtes: String =
+    s"WITH $learnFeatsCte,\n" +
+      """ft AS MATERIALIZED (
+        |  SELECT doc_id, x_scan AS x1, x_join AS x2, x_bias AS x3,
+        |         (x_filter + x_sort + x_merge)::bigint AS yt
+        |  FROM feats),
+        |g AS (
+        |  SELECT coalesce(sum(x1*x1), 0)::hugeint AS s11,
+        |         coalesce(sum(x1*x2), 0)::hugeint AS s12,
+        |         coalesce(sum(x1*x3), 0)::hugeint AS s13,
+        |         coalesce(sum(x2*x2), 0)::hugeint AS s22,
+        |         coalesce(sum(x2*x3), 0)::hugeint AS s23,
+        |         coalesce(sum(x3*x3), 0)::hugeint AS s33,
+        |         coalesce(sum(x1*yt), 0)::hugeint AS b1,
+        |         coalesce(sum(x2*yt), 0)::hugeint AS b2,
+        |         coalesce(sum(x3*yt), 0)::hugeint AS b3
+        |  FROM ft),
+        |a AS (
+        |  SELECT s11 + 1 AS a11, s12 AS a12, s13 AS a13,
+        |         s22 + 1 AS a22, s23 AS a23, s33 + 1 AS a33,
+        |         b1, b2, b3
+        |  FROM g),
+        |slv AS MATERIALIZED (
+        |  SELECT a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+        |           + a13*(a12*a23 - a22*a13) AS det,
+        |         b1*(a22*a33 - a23*a23) - a12*(b2*a33 - a23*b3)
+        |           + a13*(b2*a23 - a22*b3) AS w1,
+        |         a11*(b2*a33 - a23*b3) - b1*(a12*a33 - a23*a13)
+        |           + a13*(a12*b3 - b2*a13) AS w2,
+        |         a11*(a22*b3 - b2*a23) - a12*(a12*b3 - b2*a13)
+        |           + b1*(a12*a23 - a22*a13) AS w3
+        |  FROM a)
+        |""".stripMargin
+
+  private lazy val ridgeWeightsSql: String =
+    ridgeSolveCtes +
+      """SELECT 0::bigint AS pos, 'x_scan' AS feature,
+        |       w1::varchar AS w_num, det::varchar AS det FROM slv
+        |UNION ALL
+        |SELECT 1::bigint, 'x_join', w2::varchar, det::varchar FROM slv
+        |UNION ALL
+        |SELECT 2::bigint, 'x_bias', w3::varchar, det::varchar FROM slv""".stripMargin
+
+  private lazy val ridgePredsSql: String =
+    ridgeSolveCtes +
+      """SELECT doc_id, yt AS y_t,
+        |       (x1*w1 + x2*w2 + x3*w3)::varchar AS pred_num,
+        |       (x1*w1 + x2*w2 + x3*w3 - yt*det)::varchar AS res_num
+        |FROM ft CROSS JOIN slv""".stripMargin
+
+  /** Grouped (per-source) 3×3 ridge solve — the same cofactor expansion as
+    * [[ridgeSolveCtes]] applied per group; DuckDB's sum(BIGINT) is already
+    * HUGEINT so every product stays in 128-bit integers. */
+  private lazy val ridgeGroupedSql: String = {
+    val split =
+      """string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')"""
+    def cnt(w: String) = s"len(list_filter($split, t -> t = '$w'))::bigint"
+    s"""WITH ftg AS MATERIALIZED (
+       |  SELECT source AS grp,
+       |         ${cnt("scan")} AS x1,
+       |         ${cnt("join")} AS x2,
+       |         1::bigint AS x3,
+       |         (${cnt("filter")} + ${cnt("sort")} + ${cnt("merge")})::bigint AS yt
+       |  FROM documents),
+       |gg AS (
+       |  SELECT grp,
+       |         sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x1*x3) AS s13,
+       |         sum(x2*x2) AS s22, sum(x2*x3) AS s23, sum(x3*x3) AS s33,
+       |         sum(x1*yt) AS b1, sum(x2*yt) AS b2, sum(x3*yt) AS b3
+       |  FROM ftg GROUP BY grp),
+       |ag AS (
+       |  SELECT grp, s11 + 1 AS a11, s12 AS a12, s13 AS a13,
+       |         s22 + 1 AS a22, s23 AS a23, s33 + 1 AS a33, b1, b2, b3
+       |  FROM gg),
+       |sg AS MATERIALIZED (
+       |  SELECT grp,
+       |         a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+       |           + a13*(a12*a23 - a22*a13) AS det,
+       |         b1*(a22*a33 - a23*a23) - a12*(b2*a33 - a23*b3)
+       |           + a13*(b2*a23 - a22*b3) AS w1,
+       |         a11*(b2*a33 - a23*b3) - b1*(a12*a33 - a23*a13)
+       |           + a13*(a12*b3 - b2*a13) AS w2,
+       |         a11*(a22*b3 - b2*a23) - a12*(a12*b3 - b2*a13)
+       |           + b1*(a12*a23 - a22*a13) AS w3
+       |  FROM ag)
+       |SELECT grp, 0::bigint AS pos, 'x_scan' AS feature,
+       |       w1::varchar AS w_num, det::varchar AS det FROM sg
+       |UNION ALL
+       |SELECT grp, 1::bigint, 'x_join', w2::varchar, det::varchar FROM sg
+       |UNION ALL
+       |SELECT grp, 2::bigint, 'x_bias', w3::varchar, det::varchar FROM sg""".stripMargin
   }
 
   private lazy val nearDupVerifyCtes: String =

@@ -176,4 +176,133 @@ object Sketches {
           col("n_common_kmins").cast("double") / col("n_u").cast("double")
             * col("est_distinct_union")))
   }
+
+  // ==========================================================================
+  // Portable HyperLogLog (Flajolet, Fusy, Gandouet, Meunier 2007)
+  // ==========================================================================
+  //
+  // Spark's `approx_count_distinct` is HLL++ with an engine-private register
+  // layout — the one catalog row no oracle can gate. This is the same
+  // algorithm rebuilt on the 60-bit md5 portable hash so the REGISTERS
+  // themselves are a pure cross-engine function of the data: bucket = low p
+  // bits, rank ρ = leading-zero count of the remaining (60−p) bits + 1, all
+  // exact integer arithmetic (bit-length via base-2 digit count — no
+  // float log2 anywhere). DuckDB rebuilds the identical register table and
+  // the oracle gates the sketch, the merge, AND the estimate.
+  //
+  // Scale shape: per (mapper, group) state is ≤ m=2^p small ints — the
+  // shuffle carries registers, never the value domain. Merge of two
+  // sketches is bucket-wise max (associative/commutative/idempotent), which
+  // is what makes the register frame a persistable artifact: yesterday's
+  // registers + today's batch admit incrementally, the HLL analogue of the
+  // signatureIndex warm path.
+
+  /** alpha_m bias constant (Flajolet et al. 2007, Fig. 3). */
+  private def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /**
+   * Build the per-group HLL register table over the distinct `valueCol`
+   * domain: one row per (group, non-empty bucket) with the max rank.
+   * Absent buckets mean register 0 (ranks are ≥ 1 by construction, so the
+   * sparse form is lossless). Null values are skipped, matching
+   * `count(DISTINCT …)`. `p` rides along as schema metadata so a
+   * mismatched estimate/merge fails loudly at plan time (the Count-Min
+   * grid-stamp pattern).
+   */
+  def hllRegisters(df: DataFrame, groupCol: Column, valueCol: Column,
+      p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 16, s"need 4 <= p <= 16, got $p")
+    val m = 1 << p
+    val rankBits = 60 - p
+    val pMeta = new MetadataBuilder().putLong("hll_p", p.toLong).build()
+    val h = TextOps.portableHash(valueCol.cast("string"))
+    df.select(groupCol.as("grp"), h.as("h"))
+      .where(col("h").isNotNull)
+      // integer split of the 60-bit hash: low p bits -> bucket, high bits
+      // -> rank field. shiftright, not `/` (long `/` long is DOUBLE in
+      // Spark SQL, and 2^60 exceeds the 53-bit mantissa).
+      .select(col("grp"), pmod(col("h"), lit(m.toLong)).as("bucket"),
+        shiftright(col("h"), p).as("w"))
+      // rho = leading zeros of the rankBits-wide field + 1, via base-2
+      // digit count: bitlen(w) = length(conv(w, 10, 2)) for w > 0 —
+      // exact integer/string ops in both engines (DuckDB: length(bin(w))).
+      .select(col("grp"), col("bucket"),
+        when(col("w") === 0L, lit(rankBits + 1).cast("long"))
+          .otherwise(lit(rankBits + 1) -
+            length(conv(col("w").cast("string"), 10, 2))).as("rho"))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("rho")).as("register", pMeta))
+  }
+
+  /** Read the `hll_p` stamp off a register frame, failing loudly if a
+    * stamped value contradicts the caller's `p`. Unstamped frames (e.g.
+    * re-read from parquet round-trips that drop metadata) are trusted. */
+  private def checkHllP(regs: DataFrame, p: Int, what: String): Unit =
+    regs.schema.fields.find(_.name == "register").map(_.metadata)
+      .filter(_.contains("hll_p")).foreach { m =>
+        val sp = m.getLong("hll_p")
+        require(sp == p.toLong,
+          s"HLL precision mismatch in $what: registers built with p=$sp, " +
+            s"asked with p=$p")
+      }
+
+  /**
+   * Merge two register tables: bucket-wise max. Associative, commutative,
+   * idempotent — registers over A ∪ B equal the merge of registers over A
+   * and over B by construction, which the oracle pins by computing the
+   * union directly. This is the incremental-admission path: persist
+   * yesterday's ≤ m rows per group, merge today's batch, never rescan.
+   */
+  def hllMerge(a: DataFrame, b: DataFrame, p: Int = 6): DataFrame = {
+    checkHllP(a, p, "hllMerge left"); checkHllP(b, p, "hllMerge right")
+    val pMeta = new MetadataBuilder().putLong("hll_p", p.toLong).build()
+    a.unionByName(b)
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("register")).as("register", pMeta))
+  }
+
+  /**
+   * The HLL raw estimate per group, exact-arithmetic edition:
+   *
+   *   Ê = α_m · m² / Σ_j 2^(−r_j)
+   *
+   * The harmonic denominator is carried as the INTEGER s_num =
+   * Σ_j 2^(B − r_j) with B = 60−p+1 (absent buckets contribute 2^B each;
+   * max m·2^B ≤ 2^(B+p) < 2^62 — inside long), so the whole estimate is
+   * one IEEE division of a plan-time double literal by s_num — the
+   * kmvEstimate discipline, bit-equal in DuckDB. `n_zero` (empty-bucket
+   * count) is emitted so callers can apply the small-range linear-counting
+   * correction (m·ln(m/V) — deliberately NOT computed here: libm log is
+   * the one op the cross-engine gate can't pin).
+   */
+  def hllEstimate(registers: DataFrame, p: Int = 6): DataFrame = {
+    checkHllP(registers, p, "hllEstimate")
+    val m = 1 << p
+    val bTop = 60 - p + 1
+    val c = hllAlpha(m) * m.toDouble * m.toDouble * math.pow(2.0, bTop)
+    registers
+      .groupBy(col("grp"))
+      .agg(
+        (lit(m.toLong) - count(lit(1))).as("n_zero"),
+        sum(expr(s"shiftleft(cast(1 as bigint), cast($bTop - register as int))"))
+          .as("s_seen"))
+      .select(col("grp"), col("n_zero"),
+        (col("s_seen") + col("n_zero") * lit(1L << bTop)).as("s_num"))
+      .select(col("grp"), col("n_zero"), col("s_num"),
+        (lit(c) / col("s_num").cast("double")).as("est_raw"))
+  }
+
+  /** The embedded-literal constant α_m·m²·2^B rendered exactly as DuckDB
+    * must re-parse it (Double.toString is shortest-round-trip; DuckDB's
+    * literal parse is correctly rounded — same bits). For the oracle SQL. */
+  private[graft] def hllConstLiteral(p: Int): String = {
+    val m = 1 << p
+    java.lang.Double.toString(
+      hllAlpha(m) * m.toDouble * m.toDouble * math.pow(2.0, 60 - p + 1))
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.operators.Sketches
 
 /**
  * Probabilistic-sketch surface: the bloom membership filter (Spark's
@@ -181,5 +182,75 @@ class SketchSpec extends SparkSpec {
     val foreign = cms.select(col("depth"), col("bucket"),
       col("cnt").as("cnt", org.apache.spark.sql.types.Metadata.empty))
     Sketches.countMinEstimate(foreign, df, col("k"), 4, 512).count()
+  }
+
+  // ==== portable HyperLogLog ==============================================
+
+  test("hll: registers are partition-invariant and rank-bounded") {
+    val df = (1 to 5000).map(i => ("g", s"v$i")).toDF("g", "v")
+    val r1 = Sketches.hllRegisters(df.repartition(1), col("g"), col("v"))
+    val r8 = Sketches.hllRegisters(df.repartition(8), col("g"), col("v"))
+    val rows1 = r1.orderBy("grp", "bucket").collect().toSeq
+    assert(rows1 === r8.orderBy("grp", "bucket").collect().toSeq)
+    // p=6: bucket in [0,64), rank in [1, 55] (54 rank bits + 1)
+    rows1.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) < 64)
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= 55)
+    }
+  }
+
+  test("hll: estimate tracks exact distinct within the raw-regime rse bound") {
+    // 3/sqrt(64) ~ 13% rse; allow 3 sigma. Cardinalities span the raw
+    // regime (> 2.5m = 160) where no small-range correction applies.
+    for (n <- Seq(500, 2000, 8000)) {
+      val df = (1 to n).map(i => ("g", s"item-$i")).toDF("g", "v")
+      val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(df, col("g"), col("v")))
+        .select("est_raw").as[Double].head()
+      assert(math.abs(est - n) / n < 0.39,
+        s"n=$n estimated $est — outside 3x relative standard error")
+    }
+  }
+
+  test("hll: merge of split halves equals the whole-corpus registers") {
+    val df = (1 to 4000).map(i => (s"g${i % 3}", s"u$i", i)).toDF("g", "v", "i")
+    val whole = Sketches.hllRegisters(df, col("g"), col("v"))
+    val a = Sketches.hllRegisters(df.where(col("i") % 2 === 0), col("g"), col("v"))
+    val b = Sketches.hllRegisters(df.where(col("i") % 2 =!= 0), col("g"), col("v"))
+    val merged = Sketches.hllMerge(a, b)
+    assert(merged.orderBy("grp", "bucket").collect().toSeq ===
+      whole.orderBy("grp", "bucket").collect().toSeq)
+    // idempotence: merging the whole with itself is a no-op
+    assert(Sketches.hllMerge(whole, whole).orderBy("grp", "bucket")
+      .collect().toSeq === whole.orderBy("grp", "bucket").collect().toSeq)
+  }
+
+  test("hll: precision stamp makes a p mismatch a plan-time error") {
+    val df = Seq(("g", "x")).toDF("g", "v")
+    val regs = Sketches.hllRegisters(df, col("g"), col("v"), p = 6)
+    val ex = intercept[IllegalArgumentException] {
+      Sketches.hllEstimate(regs, p = 8)
+    }
+    assert(ex.getMessage.contains("precision mismatch"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Sketches.hllMerge(regs, Sketches.hllRegisters(df, col("g"), col("v"), p = 8).
+        select(col("grp"), col("bucket"),
+          col("register").as("register",
+            org.apache.spark.sql.types.Metadata.empty)), p = 8)
+    }
+    assert(ex2.getMessage.contains("precision mismatch"))
+    // unstamped (artifact round-trip) frames are trusted — caller contract
+    val foreign = regs.select(col("grp"), col("bucket"),
+      col("register").as("register", org.apache.spark.sql.types.Metadata.empty))
+    Sketches.hllEstimate(foreign, p = 8).count()
+  }
+
+  test("hll: empty and all-null inputs yield empty register/estimate frames") {
+    val empty = Seq.empty[(String, String)].toDF("g", "v")
+    assert(Sketches.hllRegisters(empty, col("g"), col("v")).count() === 0L)
+    assert(Sketches.hllEstimate(
+      Sketches.hllRegisters(empty, col("g"), col("v"))).count() === 0L)
+    val nulls = Seq(("g", null: String), ("g", null: String)).toDF("g", "v")
+    assert(Sketches.hllRegisters(nulls, col("g"), col("v")).count() === 0L)
   }
 }
