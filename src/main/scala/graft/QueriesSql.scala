@@ -254,7 +254,25 @@ object QueriesSql {
         |       CASE WHEN size(kmins) > 0 THEN element_at(kmins, size(kmins)) END AS kth_min,
         |       CASE WHEN size(kmins) < 64 THEN CAST(size(kmins) AS double)
         |            ELSE 63.0D * 1152921504606846976.0D / CAST(element_at(kmins, 64) AS double) END AS est_distinct
-        |FROM k""".stripMargin)
+        |FROM k""".stripMargin),
+
+    // Portable-HLL register build (the `sketch_hll_registers` twin), SQL end
+    // to end: daily-active user-day values → 60-bit portable hash → bucket
+    // (low 6 bits via %) and rank (55 − base-2 digit count of the high 54
+    // bits via shiftright + conv) — the exact integer discipline of
+    // Sketches.hllRegisters spelled in SQL functions.
+    ("sql_sketch_hll_registers", "sketch_hll_registers", Seq("events"),
+      """WITH hv AS (
+        |  SELECT event_type AS grp,
+        |         CAST(conv(substr(md5(CAST(concat_ws(':', user_id, to_date(ts)) AS binary)), 1, 15), 16, 10) AS bigint) AS h
+        |  FROM events),
+        |b AS (
+        |  SELECT grp, h % 64 AS bucket, shiftright(h, 6) AS w
+        |  FROM hv WHERE h IS NOT NULL)
+        |SELECT grp AS event_type, bucket,
+        |       max(CASE WHEN w = 0 THEN CAST(55 AS bigint)
+        |                ELSE 55 - length(conv(CAST(w AS string), 10, 2)) END) AS register
+        |FROM b GROUP BY 1, 2""".stripMargin)
   )
 
   /** Register the views a battery entry reads, plus the native functions,

@@ -755,6 +755,35 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL registers match the batch build across micro-batches") {
+    // max-per-(grp,bucket) is mergeable, so hllRegisters runs unchanged on
+    // a streaming frame in Complete mode: streaming state is the register
+    // table itself (≤ m small ints per group). Estimate parity follows for
+    // free — hllEstimate is a deterministic function of the registers.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val streamed = graft.operators.Sketches.hllRegisters(
+      input.toDF().toDF("grp", "v"), col("grp"), col("v"))
+    val q = streamed.writeStream.format("memory").queryName("hll_out")
+      .option("checkpointLocation", Files.createTempDirectory("hll-cp").toString)
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val batch1 = (1 to 400).map(i => ("a", s"u$i")) ++ (1 to 50).map(i => ("b", s"x$i"))
+      val batch2 = (200 to 900).map(i => ("a", s"u$i")) // overlap: set semantics
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      val got = spark.table("hll_out")
+        .as[(String, Long, Long)].collect().toSet
+      val batchRegs = graft.operators.Sketches.hllRegisters(
+        (batch1 ++ batch2).toDF("grp", "v"), col("grp"), col("v"))
+      assert(got == batchRegs.as[(String, Long, Long)].collect().toSet)
+      val est = graft.operators.Sketches.hllEstimate(spark.table("hll_out"))
+        .as[(String, Long, Long, Double)].collect().toSet
+      assert(est == graft.operators.Sketches.hllEstimate(batchRegs)
+        .as[(String, Long, Long, Double)].collect().toSet)
+    } finally q.stop()
+  }
+
   test("streaming kNN candidates over the static index match the batch graph's pair set") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Similarity
