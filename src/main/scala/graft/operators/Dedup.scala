@@ -538,10 +538,14 @@ object Dedup {
     connectedComponentsWithRounds(nodes, pairs, maxIter)._1
 
   /** Edge-count ceiling for the driver union-find tier of
-    * [[connectedComponentsWithRounds]]. ~32 MB of driver tuples at the
-    * default — far under the footprint of collecting a codebook-sized
-    * artifact, and the distributed star rounds remain the over-threshold
-    * path, so a 100 TB edge set never routes here. */
+    * [[connectedComponentsWithRounds]]. The local tier is all primitive
+    * arrays (edge endpoints, an open-addressing id index, int parents):
+    * at the default cap (2M symmetrized edges, ≤2M distinct nodes) the
+    * peak transient footprint is ~140 MB — edges 32 MB, hash index
+    * ~50 MB, parents/labels/min-per-root ~55 MB — streamed in via
+    * `toLocalIterator` so no boxed Row array is ever resident. The
+    * distributed star rounds remain the over-threshold path, so a 100 TB
+    * edge set never routes here. */
   val DefaultMaxLocalEdges: Long = 2000000L
 
   /** [[connectedComponents]] plus the number of star rounds it took to
@@ -570,30 +574,80 @@ object Dedup {
     var e = checkpointFresh(sym.distinct())
 
     val idsAreLong = e.schema.fields.forall(_.dataType == LongType)
-    if (idsAreLong && e.count() <= maxLocalEdges) {
-      val edges = e.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
+    val edgeCount = e.count()
+    if (idsAreLong && edgeCount <= maxLocalEdges) {
+      // All-primitive union-find: the symmetrized edge list streams into
+      // two Array[Long]s (toLocalIterator — one partition of Rows resident
+      // at a time, never a 2M-Row collect), ids are dense-indexed through
+      // an open-addressing long→int table (pow2, load ≤ 0.5), and the
+      // union-find itself is an Array[Int] with path compression. ~140 MB
+      // peak at the 2M-edge cap vs several hundred MB for the boxed
+      // mutable.Map variant this replaced (round-12 advice item).
+      val n = edgeCount.toInt
+      val srcs = new Array[Long](math.max(1, n))
+      val dsts = new Array[Long](math.max(1, n))
+      val rowIt = e.toLocalIterator()
+      var i = 0
+      while (rowIt.hasNext) {
+        val r = rowIt.next(); srcs(i) = r.getLong(0); dsts(i) = r.getLong(1)
+        i += 1
+      }
+      // distinct ids ≤ n (each undirected edge contributes 2 endpoints and
+      // 2 symmetrized rows), so cap = pow2 ≥ 2n keeps load ≤ 0.5
+      val cap = math.max(4, Integer.highestOneBit(math.max(1, n)) * 4)
+      val keys = new Array[Long](cap)
+      val used = new Array[Boolean](cap)
+      val slot = new Array[Int](cap)
+      val ids = new Array[Long](math.max(1, n))
+      val parent = new Array[Int](math.max(1, n))
+      var nIds = 0
+      def indexOf(id: Long): Int = {
+        // Fibonacci-style multiplicative mix so sequential ids spread
+        var h = java.lang.Long.hashCode(id * -7046029254386353131L) & (cap - 1)
+        while (used(h) && keys(h) != id) h = (h + 1) & (cap - 1)
+        if (used(h)) slot(h)
+        else {
+          used(h) = true; keys(h) = id; slot(h) = nIds
+          ids(nIds) = id; parent(nIds) = nIds; nIds += 1
+          slot(h)
+        }
+      }
+      def find(x: Int): Int = {
         var r = x
         while (parent(r) != r) r = parent(r)
         var c = x
         while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
         r
       }
-      edges.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
+      i = 0
+      while (i < n) {
+        val ra = find(indexOf(srcs(i)))
+        val rb = find(indexOf(dsts(i)))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        i += 1
       }
-      val minOfRoot = scala.collection.mutable.Map.empty[Long, Long]
-      parent.keys.foreach { id =>
-        val r = find(id)
-        minOfRoot(r) = math.min(minOfRoot.getOrElse(r, id), id)
+      val minOfRoot = new Array[Long](math.max(1, nIds))
+      java.util.Arrays.fill(minOfRoot, Long.MaxValue)
+      i = 0
+      while (i < nIds) {
+        val r = find(i)
+        if (ids(i) < minOfRoot(r)) minOfRoot(r) = ids(i)
+        i += 1
       }
+      val labels = new Array[Long](math.max(1, nIds))
+      i = 0
+      while (i < nIds) { labels(i) = minOfRoot(find(i)); i += 1 }
       val spark = pairs.sparkSession
       import spark.implicits._
-      val lblDf = parent.keys.toSeq.map(id => (id, minOfRoot(find(id))))
-        .toDF("id", "lcomp")
+      // label frame built distributedly from broadcast primitive arrays —
+      // no driver-side Seq[(Long, Long)] materialization
+      val bcIds = spark.sparkContext.broadcast(java.util.Arrays.copyOf(ids, nIds))
+      val bcLbl = spark.sparkContext.broadcast(java.util.Arrays.copyOf(labels, nIds))
+      val lblDf = spark.range(nIds.toLong).as[Long]
+        .mapPartitions { it =>
+          val a = bcIds.value; val l = bcLbl.value
+          it.map(j => (a(j.toInt), l(j.toInt)))
+        }.toDF("id", "lcomp")
       val out = nodes.select(col("id"))
         .join(broadcast(lblDf), Seq("id"), "left")
         .select(col("id"), coalesce(col("lcomp"), col("id")).as("component"))

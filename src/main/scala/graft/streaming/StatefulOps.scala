@@ -186,7 +186,7 @@ object StatefulOps {
 
   final case class SoftMember(doc_id: Long, sig: Seq[Long], root: Long)
   final case class SoftClusterState(members: List[SoftMember],
-      sizes: Map[Long, Long], updSeq: Long)
+      sizes: Map[Long, Long], updSeq: Long, recentOv: List[Long])
   final case class ClusterWeight(bkey: String, doc_id: Long, cluster_id: Long,
       cluster_size: Long, weight_scaled: Long, upd_seq: Long)
 
@@ -213,11 +213,20 @@ object StatefulOps {
    * admission form).
    *
    * State sizing: residents are capped at `maxPerBucket` (overflow docs
-   * still get a verdict and still COUNT toward their cluster's size — the
-   * per-root size map, bounded by resident count, carries the tally — but
-   * stop attracting future links: the [[nearDupStream]] cap trade). Buckets
-   * idle past `timeout` age out in production; None under deterministic
-   * harnesses.
+   * still get a verdict, and LINKING overflow docs still COUNT toward their
+   * cluster's size — the per-root size map carries the tally — but stop
+   * attracting future links: the [[nearDupStream]] cap trade). Every size
+   * entry is the root of at least one RESIDENT member: a non-linking
+   * overflow doc is emitted directly as a singleton (size 1, full weight)
+   * with ZERO state footprint, so the size map stays bounded by the
+   * resident count instead of growing with stream length on a hot bucket.
+   * Redelivered doc ids (at-least-once sources, duplicate ids across
+   * micro-batches) are ignored while resident, and overflow ids are guarded
+   * by a bounded recent-set (last `4*maxPerBucket` overflow arrivals) —
+   * a duplicate delivered BEYOND that horizon re-counts; exactly-once
+   * upstream ids make the tally exact.
+   * Buckets idle past `timeout` age out in production; None under
+   * deterministic harnesses.
    *
    * Output (append): one row per (bucket, member) of every cluster touched
    * in the invocation, stamped with the bucket's monotonically increasing
@@ -244,31 +253,49 @@ object StatefulOps {
             state.remove()
             Iterator.empty
           } else {
-            var st = state.getOption.getOrElse(SoftClusterState(Nil, Map.empty, 0L))
+            var st = state.getOption
+              .getOrElse(SoftClusterState(Nil, Map.empty, 0L, Nil))
             var members = st.members
             var sizes = st.sizes
+            var recentOv = st.recentOv
+            val recentCap = 4 * math.max(maxPerBucket, 1)
             val touched = scala.collection.mutable.Set[Long]()
             val overflowVerdicts = List.newBuilder[(Long, Long)] // (doc, root)
+            val singletonVerdicts = List.newBuilder[Long]
             rows.toSeq.sortBy(_._2).foreach { case (_, docId, sig) =>
-              if (!members.exists(_.doc_id == docId)) {
+              if (!members.exists(_.doc_id == docId) &&
+                  !recentOv.contains(docId)) {
                 val linkedRoots = members.filter { m =>
                   val agree = m.sig.zip(sig).count { case (x, y) => x == y }
                   agree.toDouble / math.max(m.sig.length, 1) >= minEstJaccard
                 }.map(_.root).distinct
-                val root = (docId :: linkedRoots).min
-                val mergedMass = linkedRoots.map(r => sizes.getOrElse(r, 0L)).sum
-                if (linkedRoots.nonEmpty)
-                  members = members.map(m =>
-                    if (linkedRoots.contains(m.root)) m.copy(root = root) else m)
-                sizes = sizes -- linkedRoots + (root -> (mergedMass + 1L))
-                touched += root
-                if (members.size < maxPerBucket)
-                  members = SoftMember(docId, sig, root) :: members
-                else overflowVerdicts += ((docId, root))
+                if (linkedRoots.isEmpty && members.size >= maxPerBucket) {
+                  // non-linking overflow: a singleton cluster nothing can
+                  // ever merge with (the doc never becomes resident, so no
+                  // later arrival links to it) — emit the weight row
+                  // directly with ZERO state footprint instead of leaving a
+                  // permanent docId -> 1 entry in the size map
+                  singletonVerdicts += docId
+                  recentOv = (docId :: recentOv).take(recentCap)
+                } else {
+                  val root = (docId :: linkedRoots).min
+                  val mergedMass = linkedRoots.map(r => sizes.getOrElse(r, 0L)).sum
+                  if (linkedRoots.nonEmpty)
+                    members = members.map(m =>
+                      if (linkedRoots.contains(m.root)) m.copy(root = root) else m)
+                  sizes = sizes -- linkedRoots + (root -> (mergedMass + 1L))
+                  touched += root
+                  if (members.size < maxPerBucket)
+                    members = SoftMember(docId, sig, root) :: members
+                  else {
+                    overflowVerdicts += ((docId, root))
+                    recentOv = (docId :: recentOv).take(recentCap)
+                  }
+                }
               }
             }
             val seq = st.updSeq + 1L
-            state.update(SoftClusterState(members, sizes, seq))
+            state.update(SoftClusterState(members, sizes, seq, recentOv))
             timeout.foreach(state.setTimeoutDuration)
             def weightOf(root: Long): (Long, Long) = {
               val n = sizes.getOrElse(root, 1L)
@@ -287,7 +314,9 @@ object StatefulOps {
               val (n, w) = weightOf(r)
               ClusterWeight(bkey, d, r, n, w, seq)
             }
-            (residentRows ++ overflowRows).iterator
+            val singletonRows = singletonVerdicts.result().map(d =>
+              ClusterWeight(bkey, d, d, 1L, 1048576L, seq))
+            (residentRows ++ overflowRows ++ singletonRows).iterator
           }
       }
   }

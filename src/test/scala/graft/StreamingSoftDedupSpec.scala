@@ -149,4 +149,51 @@ class StreamingSoftDedupSpec extends SparkSpec {
         rows.toString)
     } finally q.stop()
   }
+
+  test("redelivered overflow doc does not re-inflate its cluster's size") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val base = "the quick brown fox jumps over the lazy dog near the river"
+    val out = StatefulOps.softDedupStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", maxPerBucket = 1)
+    val q = out.writeStream.format("memory").queryName("softredel_out")
+      .option("checkpointLocation", Files.createTempDirectory("softr-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, base)); q.processAllAvailable()
+      input.addData((2L, base)); q.processAllAvailable() // overflow, links → size 2
+      input.addData((2L, base)); q.processAllAvailable() // at-least-once replay
+      val rows = latest("softredel_out")
+        .select("doc_id", "cluster_size").as[(Long, Long)].collect().toMap
+      // without the recent-overflow guard the replay of doc 2 would count
+      // the cluster up to 3 (StatefulOps advice item, round 12)
+      assert(rows(1L) == 2L && rows(2L) == 2L, rows.toString)
+    } finally q.stop()
+  }
+
+  test("non-linking overflow doc is a zero-footprint singleton emission") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val base = "the quick brown fox jumps over the lazy dog near the river"
+    // minEstJaccard > 1 means NOTHING can link: every doc after the first
+    // resident takes the non-linking-overflow path in its shared buckets
+    val out = StatefulOps.softDedupStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      minEstJaccard = 1.01, maxPerBucket = 1)
+    val q = out.writeStream.format("memory").queryName("softsing_out")
+      .option("checkpointLocation", Files.createTempDirectory("softs-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, base)); q.processAllAvailable()
+      input.addData((2L, base)); q.processAllAvailable()
+      val rows = latest("softsing_out")
+        .select("doc_id", "cluster_id", "cluster_size", "weight_scaled")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // both docs are size-1 full-weight singletons rooted at themselves
+      assert(rows.map(_._1) == Set(1L, 2L), rows.toString)
+      rows.foreach { case (d, cid, n, w) =>
+        assert(cid == d && n == 1L && w == 1048576L, rows.toString)
+      }
+    } finally q.stop()
+  }
 }
