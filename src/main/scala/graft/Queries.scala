@@ -6024,20 +6024,57 @@ object Queries {
       (s: SparkSession, d: String) => {
         val ev = Tables.events(s, d)
         val v = concat_ws(":", col("user_id"), to_date(col("ts")))
-        val est = Sketches.hllEstimate(
+        val est = Sketches.hllEstimateCorrected(
           Sketches.hllRegisters(ev, col("event_type"), v))
         val exact = ev.groupBy(col("event_type").as("grp"))
           .agg(countDistinct(v).as("exact_user_days"))
         est.join(exact, Seq("grp")).withColumnRenamed("grp", "event_type")
       },
       Some(hllRegisterCtes + hllEstimateCte +
-        """SELECT e.grp AS event_type, e.n_zero, e.s_num, e.est_raw,
+        s"""SELECT e.grp AS event_type, e.n_zero, e.s_num, e.est_raw,
+          |       $hllCorrectedEstSql,
           |       x.exact_user_days
           |FROM est e JOIN (
           |  SELECT event_type AS grp,
           |         count(DISTINCT user_id::varchar || ':' || (ts::date)::varchar)::bigint
           |           AS exact_user_days
           |  FROM events GROUP BY 1) x USING (grp)""".stripMargin)),
+
+    // Small-range regime, correction branch EXERCISED: distinct nations per
+    // market segment is 25 « 2.5·m = 160, where the raw harmonic estimate
+    // biases high and linear counting m·ln(m/V) is the standard fix
+    // (Flajolet et al. 2007 §4). ln is libm — so NEITHER engine computes it
+    // at query time: the m-entry table m·ln(m/V), V ∈ [1..64], is rendered
+    // once driver-side as shortest-round-trip literals into BOTH plans and
+    // selected by the integer empty-bucket count (element_at / list index).
+    // exact_nations rides along so the row self-reports correction quality.
+    ("sketch_hll_small_range",
+      (s: SparkSession, d: String) => {
+        val c = Tables.customer(s, d)
+        val est = Sketches.hllEstimateCorrected(
+          Sketches.hllRegisters(c, col("c_mktsegment"), col("c_nationkey")))
+        val exact = c.groupBy(col("c_mktsegment").as("grp"))
+          .agg(countDistinct(col("c_nationkey")).as("exact_nations"))
+        est.join(exact, Seq("grp")).withColumnRenamed("grp", "c_mktsegment")
+      },
+      Some(
+        s"""WITH hv AS (
+          |  SELECT c_mktsegment AS grp,
+          |         ('0x' || substr(md5(c_nationkey::varchar), 1, 15))::bigint AS h
+          |  FROM customer),
+          |regs AS MATERIALIZED (
+          |  SELECT grp, h % 64 AS bucket,
+          |         max(CASE WHEN h // 64 = 0 THEN 55
+          |                  ELSE 55 - length(bin(h // 64)) END)::bigint AS register
+          |  FROM hv GROUP BY 1, 2)
+          |""".stripMargin + hllEstimateCte +
+        s"""SELECT e.grp AS c_mktsegment, e.n_zero, e.s_num, e.est_raw,
+          |       $hllCorrectedEstSql,
+          |       x.exact_nations
+          |FROM est e JOIN (
+          |  SELECT c_mktsegment AS grp,
+          |         count(DISTINCT c_nationkey)::bigint AS exact_nations
+          |  FROM customer GROUP BY 1) x USING (grp)""".stripMargin)),
 
     // Mergeability, oracle-pinned: registers over the even- and odd-
     // event_id halves built SEPARATELY, combined by bucket-wise max
@@ -6078,6 +6115,16 @@ object Queries {
       |                  ELSE 55 - length(bin(h // 64)) END)::bigint AS register
       |  FROM hv GROUP BY 1, 2)
       |""".stripMargin
+
+  /** Small-range-corrected estimate as a DuckDB select-list expression over
+    * the `est` CTE (aliased `e`): linear counting m·ln(m/V) via the shared
+    * driver-rendered literal table when any bucket is empty and the raw
+    * estimate sits below 2.5·m, else the raw estimate — the exact mirror of
+    * [[Sketches.hllEstimateCorrected]]'s branch. */
+  private lazy val hllCorrectedEstSql: String =
+    s"""CASE WHEN e.n_zero > 0 AND e.est_raw <= 160.0
+       |            THEN (${Sketches.hllLinearLiteralList(6)})[e.n_zero::int]
+       |            ELSE e.est_raw END AS est""".stripMargin
 
   /** The estimate CTE over [[hllRegisterCtes]]'s register table — integer
     * harmonic numerator, then ONE IEEE division by the shared

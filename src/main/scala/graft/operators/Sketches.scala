@@ -305,4 +305,48 @@ object Sketches {
     java.lang.Double.toString(
       hllAlpha(m) * m.toDouble * m.toDouble * math.pow(2.0, 60 - p + 1))
   }
+
+  /** Linear-counting lookup table m·ln(m/V) for V ∈ [1..m], computed ONCE
+    * driver-side. libm `log` is the one op the cross-engine gate can't pin
+    * — so neither engine ever calls it at query time: both plans embed this
+    * same table as shortest-round-trip double literals (the
+    * [[hllConstLiteral]] discipline, vectorized) and select by the integer
+    * empty-bucket count. m entries (64 at the default p=6) — a plan-time
+    * constant, not data. */
+  private[graft] def hllLinearTable(p: Int): Array[Double] = {
+    val m = 1 << p
+    Array.tabulate(m)(i => m.toDouble * math.log(m.toDouble / (i + 1)))
+  }
+
+  /** [[hllLinearTable]] rendered as a DuckDB list literal (1-indexed by
+    * n_zero, mirroring Spark's 1-based `element_at`). For the oracle SQL. */
+  private[graft] def hllLinearLiteralList(p: Int): String =
+    hllLinearTable(p).map(java.lang.Double.toString).mkString("[", ", ", "]")
+
+  /**
+   * [[hllEstimate]] plus the standard small-range correction (Flajolet et
+   * al. 2007 §4): below 2.5·m the raw harmonic estimate biases high, and
+   * when any bucket is still empty (V = n_zero > 0) linear counting
+   * m·ln(m/V) is the better estimator — at p=6/m=64 that is every group
+   * under ~160 distincts, a regime real corpora (countries, locales,
+   * event taxonomies) sit in constantly. `est` is the corrected value;
+   * `est_raw`/`n_zero`/`s_num` ride along unchanged so callers can audit
+   * which branch fired. No large-range correction: the 60-bit hash space
+   * makes collisions negligible below ~2^55 distincts.
+   *
+   * Cross-engine exactness: the branch condition compares two values that
+   * are already bit-identical in both engines (est_raw is one IEEE divide
+   * of a shared literal; 2.5·m is exact), and the corrected value is a
+   * literal-table lookup by integer index — no runtime transcendental in
+   * either plan.
+   */
+  def hllEstimateCorrected(registers: DataFrame, p: Int = 6): DataFrame = {
+    val m = 1 << p
+    val tbl = array(hllLinearTable(p).map(lit(_)): _*)
+    hllEstimate(registers, p)
+      .select(col("grp"), col("n_zero"), col("s_num"), col("est_raw"),
+        when(col("n_zero") > 0L && col("est_raw") <= lit(2.5 * m),
+          element_at(tbl, col("n_zero").cast("int")))
+          .otherwise(col("est_raw")).as("est"))
+  }
 }

@@ -212,6 +212,33 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("hll: small-range correction applies linear counting below 2.5m") {
+    // the sub-160 sweep the raw-regime test deliberately skips: linear
+    // counting m·ln(m/V) has ~sqrt(m(e^t−t−1))/n rse (t = n/m) — under 12%
+    // for all of these, so 3-sigma is 0.4
+    for (n <- Seq(3, 25, 100)) {
+      val df = (1 to n).map(i => ("g", s"item-$i")).toDF("g", "v")
+      val row = Sketches.hllEstimateCorrected(
+        Sketches.hllRegisters(df, col("g"), col("v")))
+        .select("n_zero", "est_raw", "est").head()
+      val (nz, raw, est) = (row.getLong(0), row.getDouble(1), row.getDouble(2))
+      if (nz > 0 && raw <= 160.0)
+        assert(est === 64.0 * math.log(64.0 / nz),
+          s"n=$n: corrected branch must be the exact table entry")
+      else assert(est === raw)
+      assert(math.abs(est - n) / n < 0.4, s"n=$n estimated $est")
+      // and the correction must not be WORSE than raw in this regime
+      assert(math.abs(est - n) <= math.abs(raw - n) + 1e-9,
+        s"n=$n: corrected $est vs raw $raw")
+    }
+    // raw regime (n_zero usually 0, est_raw > 160): correction is a no-op
+    val big = (1 to 5000).map(i => ("g", s"x$i")).toDF("g", "v")
+    val r = Sketches.hllEstimateCorrected(
+      Sketches.hllRegisters(big, col("g"), col("v")))
+      .select("est_raw", "est").head()
+    assert(r.getDouble(0) === r.getDouble(1))
+  }
+
   test("hll: merge of split halves equals the whole-corpus registers") {
     val df = (1 to 4000).map(i => (s"g${i % 3}", s"u$i", i)).toDF("g", "v", "i")
     val whole = Sketches.hllRegisters(df, col("g"), col("v"))
