@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Learn, Similarity, TextOps}
+
+/**
+ * Fixture-persisted serving artifacts for the `*_served` catalog rows — the
+ * warm half of the train-once/serve-many ladder the operator layer exposes
+ * (`Similarity.writeCodebook`/`writeCoarse`, `TextOps.writeBpeVocab`,
+ * `Learn.writeWeights`, persisted signature index / component labels).
+ *
+ * The catalog's honest-recompute convention makes every heavy row retrain
+ * its model inside the query, which measures TRAINING; these builders
+ * materialize the trained artifact ONCE per (sf-dir, family) per JVM —
+ * deterministically, at catalog-construction time (the `dedup_incremental`
+ * eager precedent) — so the `*_served` rows' returned frames are pure
+ * serving plans over reloaded artifacts, gated on the SAME oracles as their
+ * training twins. Under Bench's min-of-2-runs discipline the first run pays
+ * build+serve (visible in `queries_run1`), the min run measures warm
+ * serving — both shapes land in the artifact, per the round-11 verdict.
+ *
+ * Determinism: every trainer in the ladder is integer-exact on the
+ * quantized/md5-hash domain, so artifact bytes are a pure function of the
+ * input dir and parquet round-trips are lossless (longs/strings end to
+ * end) — rebuilding in another JVM yields the same artifact, which is why
+ * a cross-process cache hit (the parquet already on disk) is also safe.
+ */
+object Artifacts {
+  private val memo = scala.collection.concurrent.TrieMap.empty[String, Any]
+
+  private def cached[A](key: String)(build: => A): A =
+    memo.getOrElseUpdate(key, build).asInstanceOf[A]
+
+  private def root(dir: String, family: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft-artifacts/$key/$family"
+  }
+
+  /** IVF-PQ serving index over the embeddings table — same hyperparameters
+    * as the `sim_ivfpq_topk` training row (m=4, ksub=16, iters=2,
+    * nCells=16). Returns (coarsePath, codebookPath, packedCodesPath). */
+  def ivfPq(s: SparkSession, d: String): (String, String, String) =
+    cached(s"ivfpq:$d") {
+      val emb = Tables.embeddings(s, d)
+      val (coarse, pqc, codes) = Similarity.ivfPqIndexBuild(
+        emb, "vec_id", "embedding", m = 4, ksub = 16, iters = 2, nCells = 16)
+      val r = root(d, "ivfpq")
+      Similarity.writeCoarse(coarse, s"$r/coarse")
+      Similarity.writeCodebook(pqc, s"$r/codebook")
+      Similarity.packCodes(codes).write.mode("overwrite").parquet(s"$r/codes")
+      (s"$r/coarse", s"$r/codebook", s"$r/codes")
+    }
+
+  /** Near-dedup admission state over the lowest-4/5-of-ids corpus slice
+    * (the same batch boundary as the `dedup_*_incremental` rows): the
+    * signature index, the component-label artifact, and the old-side
+    * keep list. Returns (cut, indexPath, labelsPath, oldKeepPath) —
+    * cut = -1 marks an empty corpus (no artifacts written).
+    *
+    * Plain parquet, not the bucketed `writeSignatureIndex` table: the
+    * bucket-co-location property is pinned in IncrementalDedupSpec against
+    * a real bucketed table; catalog rows avoid shared-metastore table
+    * names so parallel harnesses can't collide. */
+  def dedupIndex(s: SparkSession, d: String): (Long, String, String, String) =
+    cached(s"dedup:$d") {
+      val docs = Tables.documents(s, d)
+      val cutBoxed = docs.agg(floor(max(col("doc_id")) * 4 / 5).cast("long"))
+        .head().getAs[java.lang.Long](0)
+      if (cutBoxed == null) (-1L, "", "", "")
+      else {
+        val cut = cutBoxed.longValue()
+        val oldDocs = docs.filter(col("doc_id") < cut)
+        val index = Dedup.signatureIndex(oldDocs, col("text"), col("doc_id"))
+          .localCheckpoint()
+        val shingles = Dedup.shingleSets(docs, col("text"), col("doc_id"))
+          .localCheckpoint()
+        val oldEdges = Dedup.ngramJaccardOnShingles(
+            Dedup.lshCandidates(index), shingles)
+          .filter(col("jaccard") >= 0.8)
+          .select(col("doc_a"), col("doc_b")).localCheckpoint()
+        val r = root(d, "dedup")
+        index.write.mode("overwrite").parquet(s"$r/index")
+        Dedup.connectedComponents(oldDocs.select(col("doc_id").as("id")), oldEdges)
+          .write.mode("overwrite").parquet(s"$r/labels")
+        oldDocs.select(col("doc_id"))
+          .join(oldEdges.select(col("doc_b").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$r/old_keep")
+        (cut, s"$r/index", s"$r/labels", s"$r/old_keep")
+      }
+    }
+
+  /** Trained BPE vocabulary (3 merges, the `text_bpe_train` parameters),
+    * persisted via the vocab artifact and reloaded into [[TextOps.bpeEncode]]'s
+    * ordered literal rule form. */
+  def bpeRules(s: SparkSession, d: String): Seq[(String, String)] =
+    cached(s"bpe:$d") {
+      val docs = Tables.documents(s, d)
+      val path = root(d, "bpe") + "/vocab"
+      TextOps.writeBpeVocab(TextOps.bpeTrain(docs, col("text"), merges = 3), path)
+      TextOps.readBpeVocab(s, path)
+    }
+
+  /** Trained perceptron weights (16 iterations, the `learn_perceptron`
+    * parameters), persisted via the weight artifact and reloaded —
+    * validated against the feature layout — into [[Learn.scoreStatic]]'s
+    * literal form. */
+  def perceptronWeights(s: SparkSession, d: String): Array[Long] =
+    cached(s"perceptron:$d") {
+      val feats = Learn.markerFeatures(Tables.documents(s, d),
+        col("doc_id"), col("text"))
+      val path = root(d, "learn") + "/weights"
+      Learn.writeWeights(s, path,
+        Learn.perceptronWeights(feats, iters = 16).toSeq)
+      Learn.readWeights(s, path)
+    }
+}

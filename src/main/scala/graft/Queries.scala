@@ -2049,6 +2049,72 @@ object Queries {
           |  SELECT id, lbl FROM r)
           |GROUP BY 1""".stripMargin)),
 
+    // WARM twin of dedup_incremental: the signature index and the old-side
+    // keep list are fixture-persisted artifacts (Artifacts.dedupIndex —
+    // built once per sf-dir/JVM); the returned frame only signs the new
+    // batch, bucket-joins the LOADED index, verifies, and unions the loaded
+    // keep list — the 80%+ in-query old-index rebuild the verdict measured
+    // in the incremental rows never happens here. Same from-scratch oracle:
+    // warm admission must be indistinguishable from re-running everything.
+    ("dedup_incremental_served",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val (cut, indexPath, _, oldKeepPath) = Artifacts.dedupIndex(s, d)
+        if (cut < 0L) docs.select(col("doc_id"))
+        else {
+          val newDocs = docs.filter(col("doc_id") >= cut)
+          val index = s.read.parquet(indexPath)
+          val newKeep = Dedup.incrementalNearDup(
+            newDocs, docs, index, col("text"), col("doc_id"))
+          s.read.parquet(oldKeepPath).unionByName(newKeep)
+        }
+      },
+      Some(lshCandCtes + nearDupVerifyCtes +
+        """SELECT d.doc_id FROM documents d
+          |WHERE NOT EXISTS (SELECT 1 FROM verified v
+          |                  WHERE v.doc_b = d.doc_id AND v.jaccard >= 0.8)""".stripMargin)),
+
+    // WARM twin of dedup_components_incremental: the component-label
+    // artifact AND the signature index load from fixture parquet; in-query
+    // work is batch signing, candidate generation against the loaded index,
+    // exact verify, and admitComponents' contracted solve + one broadcast
+    // remap — the warm 0.27-0.62×-of-cold shape DebugWarm measured, now an
+    // oracle-gated catalog row against the same from-scratch recursive CTE.
+    ("dedup_components_served",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val (cut, indexPath, labelsPath, _) = Artifacts.dedupIndex(s, d)
+        if (cut < 0L)
+          docs.select(col("doc_id"), col("doc_id").as("component"))
+        else {
+          val newDocs = docs.filter(col("doc_id") >= cut)
+          val index = s.read.parquet(indexPath)
+          val labels = s.read.parquet(labelsPath)
+          val entries = Dedup.signatureEntries(newDocs, col("text"), col("doc_id"))
+            .localCheckpoint()
+          val shingles = Dedup.shingleSets(docs, col("text"), col("doc_id"))
+          val newEdges = Dedup.ngramJaccardOnShingles(
+              Dedup.incrementalCandidates(index, entries), shingles)
+            .filter(col("jaccard") >= 0.8).select(col("doc_a"), col("doc_b"))
+          Dedup.admitComponents(labels,
+              newDocs.select(col("doc_id").as("id")), newEdges)
+            .select(col("id").as("doc_id"), col("component"))
+        }
+      },
+      Some(lshCandCtes + nearDupVerifyCtes +
+        """SELECT id AS doc_id, min(lbl) AS component
+          |FROM (
+          |  WITH RECURSIVE r(id, lbl) AS (
+          |    SELECT doc_id, doc_id FROM documents
+          |    UNION
+          |    SELECT e.src, r.lbl
+          |    FROM (SELECT doc_a AS src, doc_b AS dst FROM verified WHERE jaccard >= 0.8
+          |          UNION ALL
+          |          SELECT doc_b AS src, doc_a AS dst FROM verified WHERE jaccard >= 0.8) e
+          |    JOIN r ON r.id = e.dst)
+          |  SELECT id, lbl FROM r)
+          |GROUP BY 1""".stripMargin)),
+
     ("dedup_simhash",
       (s: SparkSession, d: String) =>
         Dedup.simhash(Tables.documents(s, d), col("text"), col("doc_id")),
@@ -2993,6 +3059,19 @@ object Queries {
             col("text")), iters = 16),
       Some(perceptronAvgPredsSql(16))),
 
+    // WARM twin of learn_perceptron_preds: weights are a persisted artifact
+    // (Artifacts.perceptronWeights — writeWeights/readWeights round-trip
+    // with feature-layout validation); the row is scoreStatic's
+    // zero-shuffle literal projection only — the 16-iteration training loop
+    // never runs in-query. Same oracle as the training-twin predictions.
+    ("learn_perceptron_served",
+      (s: SparkSession, d: String) =>
+        Learn.scoreStatic(
+          Learn.markerFeatures(Tables.documents(s, d), col("doc_id"),
+            col("text")),
+          Artifacts.perceptronWeights(s, d).toSeq),
+      Some(perceptronPredsSql(16))),
+
     // ==== distributed training: one-pass ridge regression =================
     // The CLOSED-FORM counterpart to the perceptron loop: (XᵀX + λI)w = Xᵀy
     // solved exactly. One aggregate computes the 6 Gram + 3 moment sums
@@ -3050,57 +3129,18 @@ object Queries {
           .map(r => (r.getString(1), r.getString(2))).toSeq
         TextOps.bpeEncode(docs, col("text"), col("doc_id"), rules)
       },
-      Some {
-        def iter(i: Int): String =
-          s"""p$i AS (
-             |  SELECT pr['a'] AS a, pr['b'] AS b, sum(w)::bigint AS n
-             |  FROM (SELECT unnest(list_transform(range(1, len(syms)),
-             |                      j -> {'a': syms[j], 'b': syms[j + 1]})) AS pr, w
-             |        FROM w${i - 1} WHERE len(syms) >= 2)
-             |  GROUP BY 1, 2),
-             |r$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
-             |w$i AS (
-             |  SELECT list_reduce(list_prepend([]::varchar[], list_transform(syms, x -> [x])),
-             |           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = r$i.a AND x[1] = r$i.b
-             |                       THEN list_append(acc[1:-2], r$i.a || r$i.b)
-             |                       ELSE list_append(acc, x[1]) END) AS syms, w
-             |  FROM w${i - 1}, r$i),
-             |""".stripMargin
-        s"""WITH tok AS (
-           |  SELECT token, count(*) AS w
-           |  FROM (SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS token
-           |        FROM documents)
-           |  GROUP BY 1),
-           |w0 AS (SELECT list_transform(range(1, length(token) + 1), i -> token[i]) AS syms, w FROM tok),
-           |${iter(1)}${iter(2)}${iter(3)}dtoks AS (
-           |  SELECT doc_id,
-           |         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
-           |  FROM documents),
-           |enc AS (
-           |  SELECT doc_id, toks,
-           |         flatten(list_transform(toks, tok ->
-           |           list_reduce(list_prepend([]::varchar[], list_transform(
-           |             list_reduce(list_prepend([]::varchar[], list_transform(
-           |               list_reduce(list_prepend([]::varchar[], list_transform(
-           |                 list_transform(range(1, length(tok) + 1), i -> tok[i]),
-           |                 x -> [x])),
-           |                 (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = r1.a AND x[1] = r1.b
-           |                             THEN list_append(acc[1:-2], r1.a || r1.b)
-           |                             ELSE list_append(acc, x[1]) END),
-           |               x -> [x])),
-           |               (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = r2.a AND x[1] = r2.b
-           |                           THEN list_append(acc[1:-2], r2.a || r2.b)
-           |                           ELSE list_append(acc, x[1]) END),
-           |             x -> [x])),
-           |             (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = r3.a AND x[1] = r3.b
-           |                         THEN list_append(acc[1:-2], r3.a || r3.b)
-           |                         ELSE list_append(acc, x[1]) END))) AS flat
-           |  FROM dtoks, r1, r2, r3)
-           |SELECT doc_id, len(toks)::int AS n_tokens, len(flat)::int AS n_bpe_tokens,
-           |       coalesce(list_sum(list_transform(flat,
-           |         s -> ('0x' || substr(md5(s), 1, 15))::bigint % 1099511627776)), 0)::bigint AS bpe_checksum
-           |FROM enc""".stripMargin
-      }),
+      Some(bpeEncodeSql)),
+
+    // WARM twin of text_bpe_encode: the 3-merge vocabulary is a persisted
+    // artifact (Artifacts.bpeRules — the writeBpeVocab/readBpeVocab
+    // round-trip); the row itself is bpeEncode's zero-shuffle literal-rule
+    // projection only. Same oracle: encoding through the reloaded
+    // vocabulary must be indistinguishable from training in-query.
+    ("text_bpe_served",
+      (s: SparkSession, d: String) =>
+        TextOps.bpeEncode(Tables.documents(s, d), col("text"), col("doc_id"),
+          Artifacts.bpeRules(s, d)),
+      Some(bpeEncodeSql)),
 
     // Corpus-relative rarity: mean document-frequency of each doc's distinct
     // tokens — the boilerplate-vs-novelty signal, integer-derived throughout.
@@ -4762,6 +4802,43 @@ object Queries {
       },
       Some(PqOracle.ivfPqSql)),
 
+    // The WARM twin of sim_ivfpq_topk: quantizers + packed codes are a
+    // fixture-persisted artifact (Artifacts.ivfPq — trained once per
+    // sf-dir/JVM at catalog construction, parquet round-trip), and the
+    // returned frame is the pure serving plan: ivfPqSearchStatic's literal
+    // probe + stream-static code join + projection ADC, then the sink-side
+    // top-k rank. Gated on the SAME oracle as the training row — the
+    // train/persist/reload/serve ladder must be indistinguishable from
+    // training in-query. Bench's min-of-2 runs measures the warm shape;
+    // run1 keeps the cold build+serve number (verdict-r11 item 2).
+    ("sim_ivfpq_served",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") < 5)
+        val (coarsePath, codebookPath, codesPath) = Artifacts.ivfPq(s, d)
+        val coarse = Similarity.readCoarse(s, coarsePath)
+        if (coarse.isEmpty)
+          // empty corpus trains an empty coarse quantizer; the batch path
+          // is empty-safe and yields the same (empty) shape
+          Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", m = 4,
+            ksub = 16, iters = 2, nCells = 16, nProbe = 4, k = 5)
+        else {
+          val cents = Similarity.readCodebook(s, codebookPath)
+          val packed = s.read.parquet(codesPath)
+          val cand = Similarity.ivfPqSearchStatic(q, packed, coarse, cents,
+            "vec_id", "embedding", m = 4,
+            nProbe = math.min(4, coarse.length))
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy(col("query_id"))
+            .orderBy(col("adc_d2"), col("vec_id"))
+          cand.withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= 5)
+            .select(col("query_id"), col("rank"),
+              col("vec_id").as("neighbor_id"), col("adc_d2"))
+        }
+      },
+      Some(PqOracle.ivfPqSql)),
+
     // The complete production ANN query path: IVF-PQ probe → ADC shortlist
     // (50) → exact re-rank → recall vs brute. Re-ranking recovers ADC's
     // ordering noise; the residue is the probe's own membership ceiling
@@ -6115,6 +6192,62 @@ object Queries {
       |                  ELSE 55 - length(bin(h // 64)) END)::bigint AS register
       |  FROM hv GROUP BY 1, 2)
       |""".stripMargin
+
+  /** DuckDB oracle for the BPE encode rows (train CTE chain re-deriving
+    * the same 3 merges, then the same greedy folds per document) — shared
+    * by `text_bpe_encode` (in-query training) and `text_bpe_served`
+    * (persisted-vocabulary serving). */
+  private lazy val bpeEncodeSql: String = {
+          def iter(i: Int): String =
+            s"""p$i AS (
+               |  SELECT pr['a'] AS a, pr['b'] AS b, sum(w)::bigint AS n
+               |  FROM (SELECT unnest(list_transform(range(1, len(syms)),
+               |                      j -> {'a': syms[j], 'b': syms[j + 1]})) AS pr, w
+               |        FROM w${i - 1} WHERE len(syms) >= 2)
+               |  GROUP BY 1, 2),
+               |r$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+               |w$i AS (
+               |  SELECT list_reduce(list_prepend([]::varchar[], list_transform(syms, x -> [x])),
+               |           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = r$i.a AND x[1] = r$i.b
+               |                       THEN list_append(acc[1:-2], r$i.a || r$i.b)
+               |                       ELSE list_append(acc, x[1]) END) AS syms, w
+               |  FROM w${i - 1}, r$i),
+               |""".stripMargin
+          s"""WITH tok AS (
+             |  SELECT token, count(*) AS w
+             |  FROM (SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS token
+             |        FROM documents)
+             |  GROUP BY 1),
+             |w0 AS (SELECT list_transform(range(1, length(token) + 1), i -> token[i]) AS syms, w FROM tok),
+             |${iter(1)}${iter(2)}${iter(3)}dtoks AS (
+             |  SELECT doc_id,
+             |         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+             |  FROM documents),
+             |enc AS (
+             |  SELECT doc_id, toks,
+             |         flatten(list_transform(toks, tok ->
+             |           list_reduce(list_prepend([]::varchar[], list_transform(
+             |             list_reduce(list_prepend([]::varchar[], list_transform(
+             |               list_reduce(list_prepend([]::varchar[], list_transform(
+             |                 list_transform(range(1, length(tok) + 1), i -> tok[i]),
+             |                 x -> [x])),
+             |                 (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = r1.a AND x[1] = r1.b
+             |                             THEN list_append(acc[1:-2], r1.a || r1.b)
+             |                             ELSE list_append(acc, x[1]) END),
+             |               x -> [x])),
+             |               (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = r2.a AND x[1] = r2.b
+             |                           THEN list_append(acc[1:-2], r2.a || r2.b)
+             |                           ELSE list_append(acc, x[1]) END),
+             |             x -> [x])),
+             |             (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = r3.a AND x[1] = r3.b
+             |                         THEN list_append(acc[1:-2], r3.a || r3.b)
+             |                         ELSE list_append(acc, x[1]) END))) AS flat
+             |  FROM dtoks, r1, r2, r3)
+             |SELECT doc_id, len(toks)::int AS n_tokens, len(flat)::int AS n_bpe_tokens,
+             |       coalesce(list_sum(list_transform(flat,
+             |         s -> ('0x' || substr(md5(s), 1, 15))::bigint % 1099511627776)), 0)::bigint AS bpe_checksum
+             |FROM enc""".stripMargin
+  }
 
   /** Small-range-corrected estimate as a DuckDB select-list expression over
     * the `est` CTE (aliased `e`): linear counting m·ln(m/V) via the shared
