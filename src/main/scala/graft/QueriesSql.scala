@@ -272,8 +272,172 @@ object QueriesSql {
         |SELECT grp AS event_type, bucket,
         |       max(CASE WHEN w = 0 THEN CAST(55 AS bigint)
         |                ELSE 55 - length(conv(CAST(w AS string), 10, 2)) END) AS register
-        |FROM b GROUP BY 1, 2""".stripMargin)
+        |FROM b GROUP BY 1, 2""".stripMargin),
+
+    // ---- r12 additions: the analytic-SQL families BI users hit first ------
+
+    // OVER-window ranking (top-3 orders per customer)
+    ("sql_window_rank_orders", "window_rank_orders", Seq("orders"),
+      """SELECT o_custkey, rnk, o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |      FROM orders)
+        |WHERE rnk <= 3""".stripMargin),
+
+    // full grouping-set lattice via GROUP BY CUBE + grouping() sentinels
+    ("sql_events_cube", "events_cube", Seq("events"),
+      """SELECT CASE WHEN grouping(event_type) = 1 THEN '(all)' ELSE event_type END AS event_type,
+        |       CAST(CASE WHEN grouping(user_bucket) = 1 THEN -1 ELSE user_bucket END AS bigint) AS user_bucket,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS decimal(18,2))) AS double) AS sum_value
+        |FROM (SELECT event_type, user_id % 5 AS user_bucket, value FROM events)
+        |GROUP BY CUBE (event_type, user_bucket)""".stripMargin),
+
+    // As-of join in SQL text — the scalable union-and-sweep shape of
+    // AsofJoin.asofLast (ONE shuffle, running last(…, true) over the
+    // time-sorted union), NOT the nested-loop theta-join a naive SQL
+    // as-of would plan. Purchases sort before errors at equal ts
+    // (side 0 < 1) — the inclusive `>=` tie rule.
+    ("sql_asof_purchase_before_error", "asof_purchase_before_error", Seq("events"),
+      """WITH u AS (
+        |  SELECT user_id, ts AS t, 0 AS side,
+        |         event_id AS pid, value AS pval,
+        |         CAST(NULL AS bigint) AS error_id, CAST(NULL AS timestamp) AS error_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, 1,
+        |         CAST(NULL AS bigint), CAST(NULL AS double),
+        |         event_id, ts
+        |  FROM events WHERE event_type = 'error'),
+        |f AS (
+        |  SELECT user_id, side, error_id, error_ts,
+        |         last(pid, true) OVER (PARTITION BY user_id ORDER BY t, side
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_purchase_id,
+        |         last(pval, true) OVER (PARTITION BY user_id ORDER BY t, side
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_purchase_value
+        |  FROM u)
+        |SELECT error_id AS event_id, user_id, CAST(error_ts AS timestamp_ntz) AS ts,
+        |       asof_purchase_id, asof_purchase_value
+        |FROM f WHERE side = 1""".stripMargin),
+
+    // Interval join in SQL text — the bucketed equi-join shape of
+    // IntervalJoin.intervalJoin (intervals register in every overlapped
+    // tile via explode(sequence), points land in ONE tile, exact predicate
+    // filters the slack), not the nested-loop theta-join.
+    ("sql_events_interval_join", "events_interval_join", Seq("events"),
+      """WITH e AS (
+        |  SELECT event_id AS error_id, user_id, ts AS start_ts,
+        |         ts + INTERVAL 6 HOURS AS end_ts
+        |  FROM events WHERE event_type = 'error'),
+        |i AS (
+        |  SELECT error_id, user_id, start_ts, end_ts,
+        |         explode(sequence(CAST(start_ts AS long) div 21600L,
+        |                          CAST(end_ts AS long) div 21600L)) AS bucket
+        |  FROM e),
+        |p AS (
+        |  SELECT user_id, ts AS p_ts, value,
+        |         CAST(ts AS long) div 21600L AS bucket
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT i.error_id, count(*) AS n_purchases,
+        |       CAST(sum(CAST(p.value AS decimal(18,2))) AS double) AS sum_value
+        |FROM p JOIN i ON p.user_id = i.user_id AND p.bucket = i.bucket
+        |WHERE p.p_ts >= i.start_ts AND p.p_ts < i.end_ts
+        |GROUP BY i.error_id""".stripMargin),
+
+    // Closed-form ridge predictions, SQL end to end: marker-count features,
+    // one Gram/moment aggregate (bigint, coalesced for empty input), the
+    // 3×3 Cramer cofactor expansion in exact decimal(38,0) — the same
+    // expressions as the learn_ridge_by_source Catalyst solve — folded in
+    // via scalar subqueries (no cross join in the plan), predictions as
+    // det-scaled integer numerators rendered as strings.
+    ("sql_learn_ridge_preds", "learn_ridge_preds", Seq("documents"),
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         CAST(size(filter(split(regexp_replace(trim(lower(text)), '\\s+', ' '), ' '), t -> t = 'scan')) AS bigint) AS x1,
+        |         CAST(size(filter(split(regexp_replace(trim(lower(text)), '\\s+', ' '), ' '), t -> t = 'join')) AS bigint) AS x2,
+        |         CAST(1 AS bigint) AS x3,
+        |         CAST(size(filter(split(regexp_replace(trim(lower(text)), '\\s+', ' '), ' '), t -> t = 'filter'))
+        |            + size(filter(split(regexp_replace(trim(lower(text)), '\\s+', ' '), ' '), t -> t = 'sort'))
+        |            + size(filter(split(regexp_replace(trim(lower(text)), '\\s+', ' '), ' '), t -> t = 'merge')) AS bigint) AS yt
+        |  FROM documents),
+        |a AS (
+        |  SELECT CAST(coalesce(sum(x1*x1), 0) + 1 AS decimal(38,0)) AS a11,
+        |         CAST(coalesce(sum(x1*x2), 0) AS decimal(38,0)) AS a12,
+        |         CAST(coalesce(sum(x1*x3), 0) AS decimal(38,0)) AS a13,
+        |         CAST(coalesce(sum(x2*x2), 0) + 1 AS decimal(38,0)) AS a22,
+        |         CAST(coalesce(sum(x2*x3), 0) AS decimal(38,0)) AS a23,
+        |         CAST(coalesce(sum(x3*x3), 0) + 1 AS decimal(38,0)) AS a33,
+        |         CAST(coalesce(sum(x1*yt), 0) AS decimal(38,0)) AS b1,
+        |         CAST(coalesce(sum(x2*yt), 0) AS decimal(38,0)) AS b2,
+        |         CAST(coalesce(sum(x3*yt), 0) AS decimal(38,0)) AS b3
+        |  FROM f),
+        |slv AS (
+        |  SELECT a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+        |           + a13*(a12*a23 - a22*a13) AS det,
+        |         b1*(a22*a33 - a23*a23) - a12*(b2*a33 - a23*b3)
+        |           + a13*(b2*a23 - a22*b3) AS w1,
+        |         a11*(b2*a33 - a23*b3) - b1*(a12*a33 - a23*a13)
+        |           + a13*(a12*b3 - b2*a13) AS w2,
+        |         a11*(a22*b3 - b2*a23) - a12*(a12*b3 - b2*a13)
+        |           + b1*(a12*a23 - a22*a13) AS w3
+        |  FROM a)
+        |SELECT doc_id, yt AS y_t,
+        |       CAST(x1*(SELECT w1 FROM slv) + x2*(SELECT w2 FROM slv)
+        |              + x3*(SELECT w3 FROM slv) AS string) AS pred_num,
+        |       CAST(x1*(SELECT w1 FROM slv) + x2*(SELECT w2 FROM slv)
+        |              + x3*(SELECT w3 FROM slv) - yt*(SELECT det FROM slv) AS string) AS res_num
+        |FROM f""".stripMargin),
+
+    // Portable-HLL ESTIMATE read with the small-range correction, SQL end
+    // to end (the `sketch_hll_small_range` twin): register build → integer
+    // harmonic numerator → one IEEE division by the shared plan-time
+    // constant → linear-counting branch via the shared literal table
+    // (element_at by empty-bucket count — no runtime ln in the plan).
+    ("sql_sketch_hll_small_range", "sketch_hll_small_range", Seq("customer"),
+      hllSmallRangeSql)
   )
+
+  /** Spark-SQL text for the corrected HLL estimate over customer nations —
+    * the α_64·64²·2⁵⁵ constant and the 64-entry linear-counting table
+    * interpolate from the SAME driver-rendered literals the DataFrame
+    * operator and the DuckDB oracle embed (Double.toString shortest
+    * round-trip, `D`-suffixed for Spark's parser). */
+  private lazy val hllSmallRangeSql: String = {
+    import graft.operators.Sketches
+    val c = Sketches.hllConstLiteral(6)
+    val tbl = Sketches.hllLinearTable(6)
+      .map(v => java.lang.Double.toString(v) + "D")
+      .mkString("array(", ", ", ")")
+    s"""WITH hv AS (
+       |  SELECT c_mktsegment AS grp,
+       |         CAST(conv(substr(md5(CAST(CAST(c_nationkey AS string) AS binary)), 1, 15), 16, 10) AS bigint) AS h
+       |  FROM customer),
+       |regs AS (
+       |  SELECT grp, h % 64 AS bucket,
+       |         max(CASE WHEN shiftright(h, 6) = 0 THEN CAST(55 AS bigint)
+       |                  ELSE 55 - length(conv(CAST(shiftright(h, 6) AS string), 10, 2)) END) AS register
+       |  FROM hv WHERE h IS NOT NULL GROUP BY 1, 2),
+       |est AS (
+       |  SELECT grp, 64 - count(*) AS n_zero,
+       |         sum(shiftleft(CAST(1 AS bigint), CAST(55 - register AS int)))
+       |           + (64 - count(*)) * shiftleft(CAST(1 AS bigint), 55) AS s_num
+       |  FROM regs GROUP BY grp),
+       |est2 AS (
+       |  SELECT grp, n_zero, s_num,
+       |         ${c}D / CAST(s_num AS double) AS est_raw
+       |  FROM est),
+       |x AS (
+       |  SELECT c_mktsegment AS grp,
+       |         count(DISTINCT c_nationkey) AS exact_nations
+       |  FROM customer GROUP BY 1)
+       |SELECT e.grp AS c_mktsegment, e.n_zero, e.s_num, e.est_raw,
+       |       CASE WHEN e.n_zero > 0 AND e.est_raw <= 160.0D
+       |            THEN element_at($tbl, CAST(e.n_zero AS int))
+       |            ELSE e.est_raw END AS est,
+       |       x.exact_nations
+       |FROM est2 e JOIN x ON e.grp = x.grp""".stripMargin
+  }
 
   /** Register the views a battery entry reads, plus the native functions,
     * then run the SQL. Idempotent per session — safe to call per query. */
