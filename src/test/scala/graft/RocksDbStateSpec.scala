@@ -77,6 +77,106 @@ class RocksDbStateSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("softDedupStream kill-and-restart from checkpoint: state intact + " +
+      "output parity with an uninterrupted run") {
+    withRocksSession { spark =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val base = "the quick brown fox jumps over the lazy dog near the river"
+      type W = graft.streaming.StatefulOps.ClusterWeight
+
+      // run the same 3 single-doc batches, optionally killing the query
+      // after batch 2 and restarting from the checkpoint (foreachBatch —
+      // the memory sink does not support recovery)
+      def run(kill: Boolean): Seq[(String, Long, Long, Long, Long, Long)] = {
+        val input = MemoryStream[(Long, String)]
+        val cp = Files.createTempDirectory("rsoftkill-cp").toString
+        val emitted = scala.collection.mutable.ArrayBuffer[W]()
+        def start() = StatefulOps.softDedupStream(
+            input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+          .writeStream.option("checkpointLocation", cp)
+          .outputMode(OutputMode.Append)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[W], _: Long) =>
+            val rows = b.collect()
+            emitted.synchronized { emitted ++= rows }; ()
+          }.start()
+        val q1 = start()
+        input.addData((1L, base + " bank")); q1.processAllAvailable()
+        input.addData((2L, base + " bend")); q1.processAllAvailable()
+        var q = q1
+        if (kill) {
+          q1.stop() // crash after 2 committed batches
+          q = start() // resume from the SAME checkpoint + source
+        }
+        input.addData((3L, base + " bond")); q.processAllAvailable()
+        q.stop()
+        emitted.synchronized(emitted.toSeq)
+          .map(w => (w.bkey, w.doc_id, w.cluster_id, w.cluster_size,
+            w.weight_scaled, w.upd_seq)).sorted
+      }
+
+      val interrupted = run(kill = true)
+      // the restarted query must have recovered docs 1+2 as RESIDENTS:
+      // doc 3's arrival grows the cluster to 3 and re-emits all members
+      val grown = interrupted.filter(_._4 == 3L)
+      assert(grown.map(_._2).toSet == Set(1L, 2L, 3L),
+        s"post-restart growth lost pre-crash members: $grown")
+      grown.foreach { case (_, _, cid, _, w, _) =>
+        assert(cid == 1L && w == 1048576L / 3, grown.toString)
+      }
+      // and the FULL emitted stream (batch seqs included) must be
+      // indistinguishable from a run that was never killed
+      val uninterrupted = run(kill = false)
+      assert(interrupted == uninterrupted,
+        s"kill/restart output diverges from uninterrupted run:\n" +
+          s"  killed : ${interrupted.take(5)}…\n" +
+          s"  clean  : ${uninterrupted.take(5)}…")
+    }
+  }
+
+  test("sessionizeStream kill-and-restart: parked session survives the " +
+      "checkpoint round-trip and still times out") {
+    withRocksSession { spark =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      type S = graft.streaming.StatefulOps.UserSession
+      val input = MemoryStream[(String, String)]
+      val cp = Files.createTempDirectory("rsesskill-cp").toString
+      val emitted = scala.collection.mutable.ArrayBuffer[S]()
+      def start() = StatefulOps.sessionizeStream(
+          input.toDF().toDF("user_id", "ts_s")
+            .withColumn("ts", col("ts_s").cast("timestamp")),
+          "user_id", "ts", watermark = "10 seconds", gapMs = 60000L)
+        .writeStream.option("checkpointLocation", cp)
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[S], _: Long) =>
+          val rows = b.collect()
+          emitted.synchronized { emitted ++= rows }; ()
+        }.start()
+      // phase 1: u1's 2-event session parks in state (watermark far behind
+      // its close — nothing emitted), one committed batch, then crash
+      val q1 = start()
+      input.addData(("u1", "2024-01-01 10:00:00"), ("u1", "2024-01-01 10:00:30"))
+      q1.processAllAvailable()
+      assert(emitted.synchronized(emitted.isEmpty),
+        "session must still be parked at crash time")
+      q1.stop()
+      // phase 2: restart from the checkpoint; advancing the watermark past
+      // the parked session's close must emit it — which can only happen if
+      // the EventTimeTimeout state deserialized from RocksDB intact
+      val q2 = start()
+      input.addData(("u2", "2024-01-01 10:10:00")); q2.processAllAvailable()
+      input.addData(("u2", "2024-01-01 10:20:00")); q2.processAllAvailable()
+      q2.stop()
+      val got = emitted.synchronized(emitted.toSeq)
+        .map(s => (s.user_id, s.n_events)).toSet
+      assert(got.contains(("u1", 2L)),
+        s"u1's pre-crash 2-event session must emit once after restart: $got")
+    }
+  }
+
   test("sessionizeStream event-time state + timeouts work under RocksDB") {
     withRocksSession { spark =>
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
