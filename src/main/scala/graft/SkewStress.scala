@@ -64,6 +64,16 @@ object SkewStress {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // CRITICAL for the AQE skew-join block below, and a real 100 TB
+      // deployment lesson: above spark.shuffle
+      // .minNumPartitionsToHighlyCompress (2000) reducers, MapStatus
+      // reports only AVERAGE block sizes — exact sizes only for blocks over
+      // spark.shuffle.accurateBlockThreshold (default 100 MB) — so AQE's
+      // skew detection is BLIND to any hot partition smaller than that.
+      // This is a STATIC conf; it cannot be fixed per-query. (r12 finding:
+      // with the default, OptimizeSkewedJoin logged "skewed partitions:
+      // left 0" on a 30%-hot key at 2048 partitions.)
+      .config("spark.shuffle.accurateBlockThreshold", "2k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val listener = new MaxTaskListener
@@ -112,6 +122,57 @@ object SkewStress {
         val sec = (System.nanoTime() - t0) / 1e9
         Thread.sleep(2000) // let the listener bus drain task-end events
         println(f"""{"query":"$name","form":"$form","scale":$k,"hot_pct":$hotPct,""" +
+          f""""sec":$sec%.2f,"rows":$n,"max_task_ms":${listener.maxTaskMs.get},""" +
+          f""""max_task_shuffle_rows":${listener.maxShuffleRows.get}}""")
+      }
+    }
+
+    // ---- AQE skew-join vs Skew.saltedJoin (verdict-r11 item 7) ----------
+    // The same hot key, this time through a shuffle JOIN: 30% of the 10×
+    // corpus shares join key 0 against a 1001-row dim modeled as
+    // too-large-to-broadcast (both broadcast thresholds -1 — when the dim
+    // fits, broadcast is the answer and neither technique is needed).
+    // Three forms over identical inputs: `plain` (skew ignored — one task
+    // reads every hot row), `aqe` (OptimizeSkewedJoin splits the hot
+    // partition at runtime; thresholds lowered to cluster-granularity task
+    // sizes), `salted` (Skew.saltedJoin, 16 salts). Task-level max fan-in
+    // + wall per form, recorded in BASELINE.md with the recommendation.
+    {
+      val hotPct = 30
+      val dir = s"/tmp/graft-skew-${k}x-$hotPct" // corpus written above
+      val docs = Tables.documents(spark, dir)
+      val large = docs.select(col("doc_id"),
+        when(col("doc_id") % 100 < hotPct, lit(0L))
+          .otherwise(pmod(xxhash64(col("doc_id")), lit(1000L)) + 1L).as("key"))
+      val small = spark.range(0, 1001)
+        .select(col("id").as("key"), (col("id") * 7 % 97).as("payload"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // thresholds scaled to this corpus's task granularity (the hot
+      // partition is ~300 KB at 2048 partitions; defaults are 256 MB) —
+      // on a real cluster the same RATIO tuning applies
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4k")
+      val joinRuns: Seq[(String, Boolean, () => DataFrame)] = Seq(
+        ("plain", false, () => large.join(small, "key")),
+        ("aqe", true, () => large.join(small, "key")),
+        ("salted", false,
+          () => graft.operators.Skew.saltedJoin(large, small, "key",
+            col("doc_id"), saltFactor = 16)))
+      def run(df: DataFrame): Long = df.queryExecution.toRdd.count()
+      joinRuns.foreach { case (_, skewOn, build) =>
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
+        run(build()) // warm
+      }
+      joinRuns.foreach { case (form, skewOn, build) =>
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
+        listener.reset()
+        val t0 = System.nanoTime()
+        val n = run(build())
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(2000)
+        println(f"""{"query":"skew_join","form":"$form","scale":$k,"hot_pct":$hotPct,""" +
           f""""sec":$sec%.2f,"rows":$n,"max_task_ms":${listener.maxTaskMs.get},""" +
           f""""max_task_shuffle_rows":${listener.maxShuffleRows.get}}""")
       }
