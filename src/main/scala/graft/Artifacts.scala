@@ -33,9 +33,64 @@ object Artifacts {
   private def cached[A](key: String)(build: => A): A =
     memo.getOrElseUpdate(key, build).asInstanceOf[A]
 
-  private def root(dir: String, family: String): String = {
+  /** Per-(sf-dir, family) artifact root. The readable path component is a
+    * lossy sanitization, so a collision-free md5 over the FULL dir string is
+    * appended ('/a/b' vs '/a_b' no longer share a root — r12 advice item).
+    * The digest also folds in a FILESYSTEM fingerprint of the family's
+    * source table — every file's (relative path, size, mtime) under
+    * `<dir>/<table>.parquet` — so a corpus regenerated in place (new driver
+    * round, new seed) lands in a fresh root instead of serving a stale
+    * cross-process artifact. Metadata-only: no Spark job, no data scan.
+    *
+    * Residual assumption: a corpus rewritten WITHOUT touching file sizes or
+    * mtimes (byte-surgical edits) is indistinguishable; no real writer does
+    * that — parquet rewrites always move mtimes. Within one JVM the memo is
+    * keyed by path only, so same-process regeneration still requires a new
+    * dir (the pre-r13 contract, now documented). */
+  private def root(dir: String, family: String, table: String): String = {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${System.getProperty("java.io.tmpdir")}/graft-artifacts/$key/$family"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(dir.getBytes("UTF-8"))
+    val src = new java.io.File(s"$dir/$table.parquet")
+    def fold(f: java.io.File, rel: String): Unit = {
+      md.update(s"|$rel:${f.length}:${f.lastModified}".getBytes("UTF-8"))
+      Option(f.listFiles()).foreach(_.sortBy(_.getName)
+        .foreach(c => fold(c, s"$rel/${c.getName}")))
+    }
+    if (src.exists()) fold(src, src.getName)
+    val digest = md.digest().map("%02x".format(_)).mkString.take(16)
+    s"${System.getProperty("java.io.tmpdir")}/graft-artifacts/$key-$digest/$family"
+  }
+
+  /** Cross-process publication protocol: artifacts are BUILT under a
+    * process-unique `<root>.tmp-*` directory and atomically renamed into
+    * place, so a concurrent harness JVM on the same sf-dir can never read a
+    * half-written parquet (the pre-r13 non-atomic `overwrite` race). An
+    * existing root is COMPLETE by construction (rename is all-or-nothing)
+    * and — because every trainer in the ladder is deterministic — byte-wise
+    * interchangeable with what this process would build, so losing the
+    * publication race just means adopting the winner's copy. */
+  private def published(fin: String)(build: String => Unit): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val finPath = Paths.get(fin)
+    if (Files.exists(finPath)) return fin
+    val tmp = fin + ".tmp-" + java.lang.ProcessHandle.current().pid() +
+      "-" + java.lang.System.nanoTime()
+    build(tmp)
+    Files.createDirectories(finPath.getParent)
+    try Files.move(Paths.get(tmp), finPath, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.FileSystemException =>
+        // another process published first; its deterministic twin wins
+        deleteRec(new java.io.File(tmp))
+    }
+    fin
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete(): Unit
   }
 
   /** IVF-PQ serving index over the embeddings table — same hyperparameters
@@ -43,13 +98,14 @@ object Artifacts {
     * nCells=16). Returns (coarsePath, codebookPath, packedCodesPath). */
   def ivfPq(s: SparkSession, d: String): (String, String, String) =
     cached(s"ivfpq:$d") {
-      val emb = Tables.embeddings(s, d)
-      val (coarse, pqc, codes) = Similarity.ivfPqIndexBuild(
-        emb, "vec_id", "embedding", m = 4, ksub = 16, iters = 2, nCells = 16)
-      val r = root(d, "ivfpq")
-      Similarity.writeCoarse(coarse, s"$r/coarse")
-      Similarity.writeCodebook(pqc, s"$r/codebook")
-      Similarity.packCodes(codes).write.mode("overwrite").parquet(s"$r/codes")
+      val r = published(root(d, "ivfpq", "embeddings")) { tmp =>
+        val emb = Tables.embeddings(s, d)
+        val (coarse, pqc, codes) = Similarity.ivfPqIndexBuild(
+          emb, "vec_id", "embedding", m = 4, ksub = 16, iters = 2, nCells = 16)
+        Similarity.writeCoarse(coarse, s"$tmp/coarse")
+        Similarity.writeCodebook(pqc, s"$tmp/codebook")
+        Similarity.packCodes(codes).write.mode("overwrite").parquet(s"$tmp/codes")
+      }
       (s"$r/coarse", s"$r/codebook", s"$r/codes")
     }
 
@@ -71,23 +127,24 @@ object Artifacts {
       if (cutBoxed == null) (-1L, "", "", "")
       else {
         val cut = cutBoxed.longValue()
-        val oldDocs = docs.filter(col("doc_id") < cut)
-        val index = Dedup.signatureIndex(oldDocs, col("text"), col("doc_id"))
-          .localCheckpoint()
-        val shingles = Dedup.shingleSets(docs, col("text"), col("doc_id"))
-          .localCheckpoint()
-        val oldEdges = Dedup.ngramJaccardOnShingles(
-            Dedup.lshCandidates(index), shingles)
-          .filter(col("jaccard") >= 0.8)
-          .select(col("doc_a"), col("doc_b")).localCheckpoint()
-        val r = root(d, "dedup")
-        index.write.mode("overwrite").parquet(s"$r/index")
-        Dedup.connectedComponents(oldDocs.select(col("doc_id").as("id")), oldEdges)
-          .write.mode("overwrite").parquet(s"$r/labels")
-        oldDocs.select(col("doc_id"))
-          .join(oldEdges.select(col("doc_b").as("doc_id")).distinct(),
-            Seq("doc_id"), "left_anti")
-          .write.mode("overwrite").parquet(s"$r/old_keep")
+        val r = published(root(d, "dedup", "documents")) { tmp =>
+          val oldDocs = docs.filter(col("doc_id") < cut)
+          val index = Dedup.signatureIndex(oldDocs, col("text"), col("doc_id"))
+            .localCheckpoint()
+          val shingles = Dedup.shingleSets(docs, col("text"), col("doc_id"))
+            .localCheckpoint()
+          val oldEdges = Dedup.ngramJaccardOnShingles(
+              Dedup.lshCandidates(index), shingles)
+            .filter(col("jaccard") >= 0.8)
+            .select(col("doc_a"), col("doc_b")).localCheckpoint()
+          index.write.mode("overwrite").parquet(s"$tmp/index")
+          Dedup.connectedComponents(oldDocs.select(col("doc_id").as("id")), oldEdges)
+            .write.mode("overwrite").parquet(s"$tmp/labels")
+          oldDocs.select(col("doc_id"))
+            .join(oldEdges.select(col("doc_b").as("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti")
+            .write.mode("overwrite").parquet(s"$tmp/old_keep")
+        }
         (cut, s"$r/index", s"$r/labels", s"$r/old_keep")
       }
     }
@@ -97,10 +154,12 @@ object Artifacts {
     * ordered literal rule form. */
   def bpeRules(s: SparkSession, d: String): Seq[(String, String)] =
     cached(s"bpe:$d") {
-      val docs = Tables.documents(s, d)
-      val path = root(d, "bpe") + "/vocab"
-      TextOps.writeBpeVocab(TextOps.bpeTrain(docs, col("text"), merges = 3), path)
-      TextOps.readBpeVocab(s, path)
+      val r = published(root(d, "bpe", "documents")) { tmp =>
+        TextOps.writeBpeVocab(
+          TextOps.bpeTrain(Tables.documents(s, d), col("text"), merges = 3),
+          s"$tmp/vocab")
+      }
+      TextOps.readBpeVocab(s, s"$r/vocab")
     }
 
   /** Trained perceptron weights (16 iterations, the `learn_perceptron`
@@ -109,11 +168,12 @@ object Artifacts {
     * literal form. */
   def perceptronWeights(s: SparkSession, d: String): Array[Long] =
     cached(s"perceptron:$d") {
-      val feats = Learn.markerFeatures(Tables.documents(s, d),
-        col("doc_id"), col("text"))
-      val path = root(d, "learn") + "/weights"
-      Learn.writeWeights(s, path,
-        Learn.perceptronWeights(feats, iters = 16).toSeq)
-      Learn.readWeights(s, path)
+      val r = published(root(d, "learn", "documents")) { tmp =>
+        val feats = Learn.markerFeatures(Tables.documents(s, d),
+          col("doc_id"), col("text"))
+        Learn.writeWeights(s, s"$tmp/weights",
+          Learn.perceptronWeights(feats, iters = 16).toSeq)
+      }
+      Learn.readWeights(s, s"$r/weights")
     }
 }

@@ -351,6 +351,16 @@ object QueriesSql {
     // expressions as the learn_ridge_by_source Catalyst solve — folded in
     // via scalar subqueries (no cross join in the plan), predictions as
     // det-scaled integer numerators rendered as strings.
+    //
+    // SCALE BOUND (r12 advice item): the decimal(38,0) solve is exact only
+    // while the Cramer terms (triple products of Gram sums) fit 38 digits —
+    // safe to roughly 1e12-scale Gram sums, i.e. ~1e10 docs at these
+    // O(10)-count features. Beyond that the in-plan products overflow
+    // precision 38 (throw under ANSI, null otherwise), while the
+    // `learn_ridge_preds` DataFrame twin keeps going: its solve runs in
+    // unbounded BigInt on the driver and folds w1..w3/det in as literals.
+    // At 100 TB prefer the DataFrame row; this SQL twin exists to pin the
+    // frontend-equivalence at oracle scales.
     ("sql_learn_ridge_preds", "learn_ridge_preds", Seq("documents"),
       """WITH f AS (
         |  SELECT doc_id,

