@@ -5211,6 +5211,56 @@ object Queries {
           |             THEN 1 ELSE 0 END)::int AS near_dup
           |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin)),
 
+    // Audio → ANN composition (the multimodal_near_dup precedent on the
+    // second modality): GAUD decode → per-8-byte-window energy vector →
+    // quantized-bucket candidates → exact-L1 verify. Same synthesized GAUD
+    // corpus as multimodal_audio_frames (reject lane included: bad-magic,
+    // zero-channel and empty-text docs contribute no features and so no
+    // pairs); duplicate text families give l1 = 0 hits, near-prefix
+    // families small-l1 pairs.
+    ("multimodal_audio_near_dup",
+      (s: SparkSession, d: String) => {
+        val rate = (col("doc_id") % 48000 + 8000).cast("int")
+        val ch = (col("doc_id") % 4).cast("int")
+        val magic = when(col("doc_id") % 5 === 0, lit("XAUD")).otherwise(lit("GAUD"))
+        val withPayload = Tables.documents(s, d).withColumn("payload",
+          concat(magic.cast("binary"),
+            unhex(lpad(hex(rate), 8, "0")),
+            unhex(lpad(hex(ch), 4, "0")),
+            substring(col("text").cast("binary"), 1, 24)))
+        Multimodal.audioNearDup(withPayload, col("doc_id"), col("payload"))
+      },
+      Some(
+        """WITH s AS (
+          |  SELECT doc_id, substring(text, 1, 24) AS smp
+          |  FROM documents
+          |  WHERE doc_id % 5 <> 0 AND doc_id % 4 <> 0 AND length(text) > 0),
+          |w AS (
+          |  SELECT doc_id, i::int AS frame_idx,
+          |         substring(smp, (i * 8 + 1)::int, 8) AS win
+          |  FROM s CROSS JOIN (SELECT unnest(range(0, 3)) AS i)
+          |  WHERE i * 8 < length(smp)),
+          |fv AS (
+          |  SELECT doc_id, list(wsum ORDER BY frame_idx) AS fvec
+          |  FROM (SELECT doc_id, frame_idx,
+          |               list_sum(list_transform(range(1, length(win) + 1),
+          |                 j -> ord(win[j])))::bigint AS wsum
+          |        FROM w)
+          |  GROUP BY doc_id),
+          |bk AS (
+          |  SELECT doc_id, fvec,
+          |         len(fvec)::varchar || ':' ||
+          |           array_to_string(list_transform(fvec,
+          |             s -> (s // 64)::varchar), ',') AS bucket
+          |  FROM fv)
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |       list_sum(list_transform(range(1, len(a.fvec) + 1),
+          |         i -> abs(a.fvec[i] - b.fvec[i])))::bigint AS l1,
+          |       (CASE WHEN list_sum(list_transform(range(1, len(a.fvec) + 1),
+          |               i -> abs(a.fvec[i] - b.fvec[i]))) <= 24
+          |             THEN 1 ELSE 0 END)::int AS near_dup
+          |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin)),
+
     // ==========================================================================
     // Web-corpus curation: URL canonicalization, URL dedup, domain rollups
     // ==========================================================================

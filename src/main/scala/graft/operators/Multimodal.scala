@@ -335,6 +335,59 @@ object Multimodal {
         (col("l1") <= maxL1).cast("int").as("near_dup"))
   }
 
+  /**
+   * Audio near-duplicate detection — the [[imageNearDup]] composition
+   * applied to the second modality (verdict-r12 item 5): GAUD payloads
+   * decode to a per-window ENERGY vector (the [[audioFrameFeatures]]
+   * byte-sum per consecutive `windowBytes` window — the DSP-for-byte-
+   * arithmetic stand-in this container can run), vectors are BUCKETED on
+   * (window count, floor-quantized window sums) so only plausibly-similar
+   * clips ever pair (equi-join, Σ|bucket|² pair space), and every candidate
+   * pair is verified with the exact L1 distance over the full vectors.
+   * Output: one row per candidate pair (doc_a < doc_b) with `l1` and the
+   * `near_dup` verdict at `maxL1`.
+   *
+   * Invalid payloads (per [[GaudHeaderCodec]]'s reject rule) and empty
+   * sample regions contribute no feature vector and so no pairs — the
+   * empty-region guard also keeps degenerate corpora from collapsing into
+   * one all-pairs bucket. Integer-exact end to end (byte sums, floor-div
+   * quantization, |Δ| sums): decode → windows → buckets → verify is
+   * oracle-checkable in DuckDB. Quantization-boundary misses are the
+   * standard LSH recall trade; at corpus scale a hot bucket (silence-only
+   * clips) degrades through the same anchor-star cap discipline as the
+   * text path — compose with [[graft.operators.Dedup]]'s candidate
+   * machinery when bucket skew is expected.
+   */
+  def audioNearDup(df: DataFrame, idCol: Column, binCol: Column,
+      windowBytes: Int = 8, quant: Long = 64L, maxL1: Long = 24L): DataFrame = {
+    require(windowBytes >= 1, "need a positive window size")
+    require(quant >= 1, "need a positive quantization cell width")
+    val valid = element_at(GaudHeaderCodec().decode(binCol), 1) >= 0
+    val samples = binCol.substr(lit(11), length(binCol))
+    val nWin = ceil(length(samples).cast("double") / windowBytes).cast("int")
+    val fvec = transform(sequence(lit(0), nWin - 1), i => {
+      val win = samples.substr(i * windowBytes + 1, lit(windowBytes))
+      val bytes = transform(sequence(lit(1), length(win)),
+        j => conv(hex(substring(win, j, lit(1))), 16, 10).cast("long"))
+      aggregate(bytes, lit(0L), (acc, b) => acc + b)
+    })
+    val f = df.select(idCol.as("media_id"),
+        when(valid && length(samples) > 0, fvec).as("fvec"))
+      .filter(col("fvec").isNotNull)
+      .withColumn("bucket", concat_ws(":",
+        size(col("fvec")).cast("string"),
+        concat_ws(",", expr(s"transform(fvec, s -> CAST(s div $quant AS string))"))))
+    val a = f.select(col("bucket"), col("media_id").as("doc_a"), col("fvec").as("fa"))
+    val b = f.select(col("bucket"), col("media_id").as("doc_b"), col("fvec").as("fb"))
+    a.join(b, "bucket")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("l1", aggregate(
+        zip_with(col("fa"), col("fb"), (x, y) => abs(x - y)),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("doc_a"), col("doc_b"), col("l1"),
+        (col("l1") <= maxL1).cast("int").as("near_dup"))
+  }
+
   /** Feature extraction: metadata + decoded features, payload dropped
     * before anything downstream can shuffle it. Codec-agnostic: the output
     * schema is identical for every [[MediaCodec]] impl. */
