@@ -39,18 +39,29 @@ object StreamBench {
     // projection → per-bucket flatMapGroupsWithState) over synthetic docs
     // with a 1-in-64 duplicate-family schedule — the custom-state
     // throughput number next to the stateless parse/window headline.
+    // SPARK_GRAFT_STREAM_PIPELINE=sign runs ONLY the stateless MinHash
+    // signing projection of the softdedup pipeline (shingle → 16 md5 folds
+    // → band explode) into the noop sink — the attribution control that
+    // splits the softdedup ceiling into signing-projection cost vs
+    // shuffle + stateful-operator cost (verdict-r12 item 3).
     val pipeline = sys.env.getOrElse("SPARK_GRAFT_STREAM_PIPELINE", "flight")
+    def syntheticDocs = spark.readStream.format("rate")
+      .option("rowsPerSecond", rate).load()
+      .select(col("value").as("doc_id"),
+        concat_ws(" ", lit("document body token stream number"),
+          (col("value") % 64).cast("string"), lit("with shared family text"),
+          (col("value") % 64 * 7).cast("string")).as("text"))
     val agged = pipeline match {
       case "softdedup" =>
         // raw rate source (EventSource.Rate wraps values into flight JSON)
-        val docs = spark.readStream.format("rate")
-          .option("rowsPerSecond", rate).load()
-          .select(col("value").as("doc_id"),
-            concat_ws(" ", lit("document body token stream number"),
-              (col("value") % 64).cast("string"), lit("with shared family text"),
-              (col("value") % 64 * 7).cast("string")).as("text"))
         graft.streaming.StatefulOps
-          .softDedupStream(docs, "doc_id", "text").toDF()
+          .softDedupStream(syntheticDocs, "doc_id", "text").toDF()
+      case "sign" =>
+        graft.operators.Dedup
+          .signatureEntries(syntheticDocs, col("text"), col("doc_id"),
+            keepSig = true)
+          .select(concat_ws(":", col("band"), col("bucket")).as("bkey"),
+            col("doc_id"), col("sig"))
       case _ =>
         val raw = (sys.env.getOrElse("SPARK_GRAFT_STREAM_SOURCE", "rate") match {
           case "flight-gen" =>
@@ -68,7 +79,7 @@ object StreamBench {
 
     val q = agged.writeStream
       .option("checkpointLocation", Files.createTempDirectory("sb-cp").toString)
-      .outputMode(if (pipeline == "softdedup") "append" else "update")
+      .outputMode(if (pipeline == "flight") "update" else "append")
       .format("noop")
       .start()
 
@@ -79,7 +90,36 @@ object StreamBench {
     val rows = progresses.map(_.numInputRows).sum
     val secs = progresses.map(_.batchDuration).sum / 1000.0
     val rps = if (secs > 0) rows / secs else 0.0
-    println(f"""{"metric":"stream_rows_per_sec","value":$rps%.0f,"unit":"rows/sec","rows":$rows,"busy_secs":$secs%.1f,"batches":${progresses.length},"offered_rate":$rate}""")
+    // Ceiling ATTRIBUTION (verdict-r12 item 3): per-batch durationMs
+    // breakdown (driver wall per phase, summed over the measured batches)
+    // plus the state-store operator metrics StateOperatorProgress already
+    // carries. The state timings (updates/removals/commit) are SUMS ACROSS
+    // TASKS within each batch, so on local[32] they can exceed the batch
+    // wall — compare them to addBatch×cores, not to addBatch. rows_total/
+    // mem_bytes are end-of-run snapshots (last batch), the resident state
+    // footprint the r12 bounding work is supposed to cap.
+    def sumDur(key: String): Long = progresses.map { p =>
+      Option(p.durationMs.get(key)).map(_.longValue).getOrElse(0L)
+    }.sum
+    val durJson = Seq("addBatch", "getBatch", "latestOffset", "queryPlanning",
+        "walCommit", "commitOffsets", "triggerExecution")
+      .map(k => s""""$k":${sumDur(k)}""").mkString("{", ",", "}")
+    val stateJson = {
+      val ops = progresses.flatMap(_.stateOperators)
+      if (ops.isEmpty) "null"
+      else {
+        val last = progresses.last.stateOperators
+        s"""{"rows_total":${last.map(_.numRowsTotal).sum},""" +
+          s""""mem_bytes":${last.map(_.memoryUsedBytes).sum},""" +
+          s""""rows_updated":${ops.map(_.numRowsUpdated).sum},""" +
+          s""""rows_removed":${ops.map(_.numRowsRemoved).sum},""" +
+          s""""updates_ms":${ops.map(_.allUpdatesTimeMs).sum},""" +
+          s""""removals_ms":${ops.map(_.allRemovalsTimeMs).sum},""" +
+          s""""commit_ms":${ops.map(_.commitTimeMs).sum},""" +
+          s""""store_instances":${last.map(_.numStateStoreInstances).sum}}"""
+      }
+    }
+    println(f"""{"metric":"stream_rows_per_sec","value":$rps%.0f,"unit":"rows/sec","rows":$rows,"busy_secs":$secs%.1f,"batches":${progresses.length},"offered_rate":$rate,"pipeline":"$pipeline","duration_ms":$durJson,"state":$stateJson}""")
     spark.stop()
   }
 }

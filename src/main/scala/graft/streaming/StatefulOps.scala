@@ -23,6 +23,20 @@ import graft.model.FlightEvent
  */
 object StatefulOps {
 
+  /** MinHash signature agreement count, as an index loop: this sits in the
+    * per-(arrival × resident-member) hot loop of both streaming dedup
+    * operators, where the `zip(...).count` it replaced allocated a tuple
+    * per signature position — StreamBench r13 attribution showed the
+    * member-scan user function (not state commit, not signing) is the
+    * softdedup ceiling, so the inner compare must not allocate. */
+  private def sigAgreement(a: Seq[Long], b: Seq[Long]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    var agree = 0
+    while (i < n) { if (a(i) == b(i)) agree += 1; i += 1 }
+    agree
+  }
+
   /** The stateful operators key their typed state on a LONG id. Integral
     * id columns pass through; a StringType id is ACCEPTED under a cast
     * contract — every value must be numeric text, enforced per row (a
@@ -167,7 +181,7 @@ object StatefulOps {
             rows.toSeq.sortBy(_._2).foreach { case (_, docId, sig) =>
               if (!members.exists(_.doc_id == docId)) {
                 members.foreach { m =>
-                  val agree = m.sig.zip(sig).count { case (x, y) => x == y }
+                  val agree = sigAgreement(m.sig, sig)
                   val est = agree.toDouble / m.sig.length
                   if (est >= minEstJaccard) {
                     out += (if (m.doc_id < docId) NearDupHit(m.doc_id, docId, est)
@@ -286,8 +300,8 @@ object StatefulOps {
               if (!members.exists(_.doc_id == docId) &&
                   !recentSet.contains(docId)) {
                 val linkedRoots = members.filter { m =>
-                  val agree = m.sig.zip(sig).count { case (x, y) => x == y }
-                  agree.toDouble / math.max(m.sig.length, 1) >= minEstJaccard
+                  sigAgreement(m.sig, sig).toDouble /
+                    math.max(m.sig.length, 1) >= minEstJaccard
                 }.map(_.root).distinct
                 if (linkedRoots.isEmpty && members.size >= maxPerBucket) {
                   // non-linking overflow: a singleton cluster nothing can
