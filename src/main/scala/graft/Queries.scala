@@ -5261,6 +5261,81 @@ object Queries {
           |             THEN 1 ELSE 0 END)::int AS near_dup
           |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin)),
 
+    // Video → ANN composition, completing the modality triple: GVID
+    // container parse → per-frame pixel reads through the uint32 OFFSET
+    // INDEX → per-frame byte-sum energy vector → quantized-bucket
+    // candidates → exact-L1 verify. Frames are 2×2×1 GIMG blobs whose
+    // pixels come from text slices at a doc-dependent start offset
+    // (doc_id % 4 — the multimodal_near_dup pixLen precedent: it splits
+    // exact-duplicate text families across buckets so the pair space stays
+    // honest instead of collapsing whole families into one bucket; without
+    // it this row emitted 1.67M pairs at sf0.1). Frames are fixed 13-byte
+    // blobs, so offset(i) = 13i — but Spark must READ the offsets from the
+    // index bytes it built, the multimodal_video_frames convention; the
+    // oracle recomputes the generation schedule from the text, never the
+    // bytes. Corrupt containers (doc_id % 13, XVID magic) and null texts
+    // emit no features and so no pairs.
+    ("multimodal_video_near_dup",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val n = (col("doc_id") % 3 + 1).cast("int")
+        def frame(i: Column) = concat(
+          lit("GIMG".getBytes("US-ASCII")),
+          unhex(lit("0002")),
+          unhex(lit("0002")),
+          unhex(lit("01")),
+          rpad(col("text"), 16, "x").cast("binary")
+            .substr(i.cast("int") * 4 + (col("doc_id") % 4 + 1).cast("int"), lit(4)))
+        val idxSeq = sequence(lit(0L), (n - 1).cast("long"))
+        val emptyBin = lit(Array.empty[Byte])
+        val indexBytes = aggregate(
+          transform(idxSeq, i => unhex(lpad(hex(i * 13L), 8, "0"))),
+          emptyBin, (acc, b) => concat(acc, b))
+        val framesBytes = aggregate(
+          transform(idxSeq, i => frame(i)), emptyBin, (acc, b) => concat(acc, b))
+        val magic = when(col("doc_id") % 13 === 0,
+          lit("XVID".getBytes("US-ASCII")))
+          .otherwise(lit("GVID".getBytes("US-ASCII")))
+        val payload = concat(magic, unhex(lpad(hex(n), 4, "0")),
+          indexBytes, framesBytes)
+        // materialize the SYNTHETIC container bytes before decoding: the
+        // index/frames construction is an aggregate-HOF expression, and the
+        // operator's ~30 payload references would each re-evaluate it
+        // (measured 18 s vs 3 s at sf0.1). A real deployment reads payloads
+        // from storage — a materialized binary column — which is exactly
+        // what the checkpoint restores here; the operator itself stays a
+        // pure plan.
+        Multimodal.videoNearDup(
+          docs.withColumn("payload", payload)
+            .select(col("doc_id"), col("payload")).localCheckpoint(),
+          col("doc_id"), col("payload"), quant = 8L)
+      },
+      Some(
+        """WITH p AS (
+          |  SELECT doc_id, (doc_id % 3 + 1)::int AS n, rpad(text, 16, 'x') AS px
+          |  FROM documents
+          |  WHERE doc_id % 13 <> 0 AND text IS NOT NULL),
+          |fv AS (
+          |  SELECT doc_id,
+          |         list_transform(range(0, n), i ->
+          |           list_sum(list_transform(
+          |             range((i * 4 + doc_id % 4 + 1)::int, (i * 4 + doc_id % 4 + 5)::int),
+          |             j -> ord(px[j])))::bigint) AS fvec
+          |  FROM p),
+          |bk AS (
+          |  SELECT doc_id, fvec,
+          |         len(fvec)::varchar || ':' ||
+          |           array_to_string(list_transform(fvec,
+          |             s -> (s // 8)::varchar), ',') AS bucket
+          |  FROM fv)
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |       list_sum(list_transform(range(1, len(a.fvec) + 1),
+          |         i -> abs(a.fvec[i] - b.fvec[i])))::bigint AS l1,
+          |       (CASE WHEN list_sum(list_transform(range(1, len(a.fvec) + 1),
+          |               i -> abs(a.fvec[i] - b.fvec[i]))) <= 24
+          |             THEN 1 ELSE 0 END)::int AS near_dup
+          |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin)),
+
     // ==========================================================================
     // Web-corpus curation: URL canonicalization, URL dedup, domain rollups
     // ==========================================================================

@@ -388,6 +388,73 @@ object Multimodal {
         (col("l1") <= maxL1).cast("int").as("near_dup"))
   }
 
+  /**
+   * Video near-duplicate detection — the third modality of the
+   * decode→ANN composition ([[imageNearDup]] / [[audioNearDup]]), and the
+   * first that reads pixels through OFFSET INDIRECTION: each GVID frame is
+   * located via the container's uint32 index table (the
+   * [[videoFrameHeaders]] parse), its GIMG header validated, and its whole
+   * pixel region reduced to one exact byte-sum component — the per-video
+   * feature vector is the per-frame energy sequence. Vectors are bucketed
+   * on (frame count, floor-quantized per-frame sums) so only
+   * plausibly-similar videos pair (equi-join, Σ|bucket|² pair space), then
+   * candidate pairs verify with the exact L1 distance.
+   *
+   * Reject rule is strict at BOTH container levels: an invalid container
+   * (bad magic / truncated header or index) or ANY invalid sampled frame
+   * (bad frame magic, zero dims, pixels past the payload end) drops the
+   * whole video from the feature table — a half-damaged video must not
+   * alias an undamaged one's bucket by luck. Integer-exact end to end;
+   * zero shuffle until the bucket join; the payload never survives the
+   * projection.
+   */
+  def videoNearDup(df: DataFrame, idCol: Column, binCol: Column,
+      quant: Long = 64L, maxL1: Long = 24L): DataFrame = {
+    require(quant >= 1, "need a positive quantization cell width")
+    def beUint(start: Column, len: Int): Column =
+      conv(hex(binCol.substr(start, lit(len))), 16, 10).cast("long")
+    val nFrames = beUint(lit(5), 2)
+    val containerOk = substring(binCol, 1, 4) === lit("GVID".getBytes("US-ASCII")) &&
+      length(binCol) >= 6 && nFrames > 0 &&
+      length(binCol).cast("long") >= lit(6L) + lit(4L) * nFrames
+    // 1-based position of the frames region; frame i sits at base+offset(i)
+    val base = lit(7L) + lit(4L) * nFrames
+    def offsetAt(i: Column) = beUint(lit(7L) + lit(4L) * i, 4)
+    val frameSums = transform(sequence(lit(0L), nFrames - 1L), i => {
+      val fpos = base + offsetAt(i)
+      val fw = conv(hex(binCol.substr((fpos + 4L).cast("int"), lit(2))), 16, 10).cast("long")
+      val fh = conv(hex(binCol.substr((fpos + 6L).cast("int"), lit(2))), 16, 10).cast("long")
+      val fc = conv(hex(binCol.substr((fpos + 8L).cast("int"), lit(1))), 16, 10).cast("long")
+      val nPix = fw * fh * fc
+      val frameOk =
+        binCol.substr(fpos.cast("int"), lit(4)) === lit("GIMG".getBytes("US-ASCII")) &&
+        fw > 0 && fh > 0 && fc > 0 &&
+        length(binCol).cast("long") >= fpos + 8L + nPix
+      when(frameOk,
+        aggregate(
+          transform(sequence(lit(0L), nPix - 1L), p =>
+            conv(hex(binCol.substr((fpos + 9L + p).cast("int"), lit(1))), 16, 10)
+              .cast("long")),
+          lit(0L), (acc, b) => acc + b))
+        .otherwise(lit(-1L))
+    })
+    val f = df.select(idCol.as("media_id"),
+        when(containerOk && !array_contains(frameSums, -1L), frameSums).as("fvec"))
+      .filter(col("fvec").isNotNull)
+      .withColumn("bucket", concat_ws(":",
+        size(col("fvec")).cast("string"),
+        concat_ws(",", expr(s"transform(fvec, s -> CAST(s div $quant AS string))"))))
+    val a = f.select(col("bucket"), col("media_id").as("doc_a"), col("fvec").as("fa"))
+    val b = f.select(col("bucket"), col("media_id").as("doc_b"), col("fvec").as("fb"))
+    a.join(b, "bucket")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("l1", aggregate(
+        zip_with(col("fa"), col("fb"), (x, y) => abs(x - y)),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("doc_a"), col("doc_b"), col("l1"),
+        (col("l1") <= maxL1).cast("int").as("near_dup"))
+  }
+
   /** Feature extraction: metadata + decoded features, payload dropped
     * before anything downstream can shuffle it. Codec-agnostic: the output
     * schema is identical for every [[MediaCodec]] impl. */

@@ -265,11 +265,13 @@ class PlanAuditSpec extends SparkSpec {
       Seq("Exchange hashpartitioning", "Exchange SinglePartition", "Exchange rangepartitioning")
         .map(p => plan.sliding(p.length).count(_ == p)).sum
     }
-    // audio near-dup: feature vectors are zero-shuffle projections; the
-    // bucket self-join broadcasts one side at this scale (equi-join either
-    // way — the unbounded-pair-space audits above still apply to it)
+    // audio/video near-dup: feature vectors are zero-shuffle projections;
+    // the bucket self-join broadcasts one side at this scale (equi-join
+    // either way — the unbounded-pair-space audits above still apply)
     assert(shuffles("multimodal_audio_near_dup") <= 2,
       s"multimodal_audio_near_dup grew beyond design: ${shuffles("multimodal_audio_near_dup")}")
+    assert(shuffles("multimodal_video_near_dup") <= 2,
+      s"multimodal_video_near_dup grew beyond design: ${shuffles("multimodal_video_near_dup")}")
   }
 
   test("hot-path projections stay inside whole-stage codegen") {
