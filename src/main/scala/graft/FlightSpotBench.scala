@@ -3,15 +3,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /**
- * Flight-family spot bench — the verdict-r11 item-1 tracking tool. The
- * reference's flagship rows (`flight_route_stats`/`flight_airline_stats`)
+ * Interleaved spot bench — the verdict-r11 item-1 tracking tool,
+ * generalized in r13 (verdict-r12 item 1b) to take an ARBITRARY row list.
+ * The reference's flagship rows (`flight_route_stats`/`flight_airline_stats`)
  * wandered 2.1→3.2 s across r11's full-bench runs while parse/hourly held
  * flat; adjudicating that from full-bench artifacts is hopeless because a
  * row gets exactly 2 samples there and the bench itself drives loadavg
  * to ~10, so a co-tenant or GC burst landing on both samples of ONE row
  * reads as one-directional drift.
  *
- * This main measures the family properly:
+ * This main measures a row family properly:
  *  - INTERLEAVED rounds (round-robin over the family, not N back-to-back
  *    runs per row) — a contention burst degrades one ROUND for every row
  *    equally instead of one row's whole sample set;
@@ -19,10 +20,14 @@ import org.apache.spark.sql.SparkSession
  *    cold runs measure the JVM, not the plan — r12 finding: an isolated
  *    min-of-5 still ran the whole family ~25% above full-bench numbers);
  *  - per-row min/median/max over `SPOT_ROUNDS` (default 7) rounds, plus
- *    each row's median RATIO TO flight_parse — the plan-drift signal.
- *    Ratios are stable under environment shifts (everything slows
- *    together); a plan regression moves one row's ratio alone.
+ *    each row's median RATIO TO THE ANCHOR (the first row in the list) —
+ *    the plan-drift signal. Ratios are stable under environment shifts
+ *    (everything slows together); a plan regression moves one row's
+ *    ratio alone. Pick a cheap, plan-stable anchor (`flight_parse` for
+ *    the flight family; a light projection row for heavy-row sampling).
  *
+ * Usage: `sbt "runMain graft.FlightSpotBench [row ...]"` — no args runs
+ * the flight family with the r12-pinned `flight_parse` anchor.
  * One JSON line on stdout (and SPOT_OUT, default flight_spot_last.json).
  */
 object FlightSpotBench {
@@ -40,9 +45,13 @@ object FlightSpotBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fam = Seq("flight_parse", "flight_delayed", "flight_notifications",
+    val defaultFam = Seq("flight_parse", "flight_delayed", "flight_notifications",
       "flight_reject_stats", "flight_airline_stats", "flight_route_stats",
       "flight_hourly_stats")
+    val fam = if (args.isEmpty) defaultFam else args.toSeq
+    val unknown = fam.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown catalog rows: ${unknown.mkString(", ")}")
+    val anchor = fam.head
     def loadAvg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadAvg
@@ -59,12 +68,12 @@ object FlightSpotBench {
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
-    val parseMed = med(samples("flight_parse").toSeq)
+    val anchorMed = med(samples(anchor).toSeq)
     val rows = fam.map { n =>
       val xs = samples(n).toSeq
-      f"""\"$n\":{\"min\":${xs.min}%.3f,\"med\":${med(xs)}%.3f,\"max\":${xs.max}%.3f,\"ratio_to_parse\":${med(xs) / parseMed}%.3f}"""
+      f"""\"$n\":{\"min\":${xs.min}%.3f,\"med\":${med(xs)}%.3f,\"max\":${xs.max}%.3f,\"ratio_to_anchor\":${med(xs) / anchorMed}%.3f}"""
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"flight_spot","rounds":$rounds,"rows":$rows,""" +
+    val line = s"""{"metric":"spot_bench","anchor":"$anchor","rounds":$rounds,"rows":$rows,""" +
       s""""loadavg_start":$loadStart,"loadavg_end":$loadAvg,"sf":"$sfDir"}"""
     println(line)
     val outFile = sys.env.getOrElse("SPOT_OUT", "flight_spot_last.json")

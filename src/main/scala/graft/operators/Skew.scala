@@ -17,7 +17,22 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Inner equi-join `large ⋈ small` on `key`, with the large side salted by
-    * `saltCol` (any column that varies within a key, e.g. a row id). */
+    * `saltCol` (any column that varies within a key, e.g. a row id).
+    *
+    * WHEN TO USE (r13 SkewStress three-form measurement, tabled in
+    * BASELINE.md §skew-join): if the small side fits the broadcast
+    * threshold, broadcast — neither AQE splitting nor salting is needed.
+    * When both sides must shuffle, prefer AQE's `OptimizeSkewedJoin` IF its
+    * statistics can see the skew — but above
+    * `spark.shuffle.minNumPartitionsToHighlyCompress` (2000) reducers,
+    * MapStatus carries only average block sizes (exact only above
+    * `spark.shuffle.accurateBlockThreshold`, default 100 MB), so AQE is
+    * blind to hot partitions below that STATIC threshold and silently
+    * degrades to the plain join's one-task fan-in. `saltedJoin` needs no
+    * size statistics: the hot key's rows spread across `saltFactor`
+    * reducers unconditionally, at the cost of replicating the small side
+    * ×`saltFactor` — the right default for cluster-granularity reducer
+    * counts with known-skewed keys and a modest dim side. */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       saltCol: Column, saltFactor: Int): DataFrame = {
     val salted = large.withColumn("__salt", pmod(xxhash64(saltCol), lit(saltFactor)))
