@@ -405,7 +405,51 @@ object QueriesSql {
     // constant → linear-counting branch via the shared literal table
     // (element_at by empty-bucket count — no runtime ln in the plan).
     ("sql_sketch_hll_small_range", "sketch_hll_small_range", Seq("customer"),
-      hllSmallRangeSql)
+      hllSmallRangeSql),
+
+    // Multimodal decode → ANN, SQL end to end (the
+    // `multimodal_audio_near_dup` twin): the GAUD payload is BUILT in SQL
+    // (concat/unhex/lpad/hex over doc_id arithmetic), header-validated and
+    // cut into 8-byte windows whose byte sums come from nested lambda HOFs
+    // over hex(substring(...)) — proof the binary-decode family is fully
+    // drivable from SQL text, including the bucket equi-join and the
+    // zip_with/aggregate exact-L1 verify.
+    ("sql_multimodal_audio_near_dup", "multimodal_audio_near_dup",
+      Seq("documents"),
+      """WITH src AS (
+        |  SELECT doc_id,
+        |         concat(CAST(CASE WHEN doc_id % 5 = 0 THEN 'XAUD' ELSE 'GAUD' END AS binary),
+        |                unhex(lpad(hex(CAST(doc_id % 48000 + 8000 AS int)), 8, '0')),
+        |                unhex(lpad(hex(CAST(doc_id % 4 AS int)), 4, '0')),
+        |                substring(CAST(text AS binary), 1, 24)) AS payload
+        |  FROM documents),
+        |dec AS (
+        |  SELECT doc_id,
+        |         substring(payload, 11, length(payload)) AS smp,
+        |         CAST(conv(hex(substring(payload, 9, 2)), 16, 10) AS bigint) AS channels,
+        |         substring(payload, 1, 4) = CAST('GAUD' AS binary)
+        |           AND length(payload) >= 10 AS hdr_ok
+        |  FROM src),
+        |fv AS (
+        |  SELECT doc_id,
+        |         transform(sequence(0, CAST(ceil(CAST(length(smp) AS double) / 8.0D) AS int) - 1),
+        |           i -> aggregate(
+        |                  transform(sequence(1, length(substring(smp, i * 8 + 1, 8))),
+        |                    j -> CAST(conv(hex(substring(substring(smp, i * 8 + 1, 8), j, 1)), 16, 10) AS bigint)),
+        |                  CAST(0 AS bigint), (acc, b) -> acc + b)) AS fvec
+        |  FROM dec
+        |  WHERE hdr_ok AND channels > 0 AND length(smp) > 0),
+        |bk AS (
+        |  SELECT doc_id, fvec,
+        |         concat_ws(':', CAST(size(fvec) AS string),
+        |           concat_ws(',', transform(fvec, s -> CAST(s div 64 AS string)))) AS bucket
+        |  FROM fv)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       aggregate(zip_with(a.fvec, b.fvec, (x, y) -> abs(x - y)),
+        |                 CAST(0 AS bigint), (acc, x) -> acc + x) AS l1,
+        |       CAST(aggregate(zip_with(a.fvec, b.fvec, (x, y) -> abs(x - y)),
+        |                      CAST(0 AS bigint), (acc, x) -> acc + x) <= 24 AS int) AS near_dup
+        |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin)
   )
 
   /** Spark-SQL text for the corrected HLL estimate over customer nations —
