@@ -3024,6 +3024,43 @@ object Queries {
           |FROM joined CROSS JOIN bounds
           |GROUP BY 1""".stripMargin)),
 
+    // Full precision/recall sweep for the same (margin, quality) pair: one
+    // row per achievable threshold ("keep docs scoring ≥ s") with exact long
+    // confusion counts and the precision/recall/F1 trade-off at that cutoff
+    // — the artifact behind choosing a corpus-filter operating point.
+    // Cumulative sums run on the distinct-score frame (bounded by the score
+    // domain, never the corpus); each ratio is one IEEE division of exact
+    // longs, so both engines round identically.
+    ("eval_pr_curve",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d)
+        val scored = TextOps.classifierScore(docs, col("text"), col("doc_id"),
+          weights = clfWeights, bias = -40L, threshold = 0L)
+        val labels = TextOps.qualityFilter(docs, col("text"))
+          .select(col("doc_id"), col("quality_keep"))
+        Eval.prCurve(scored.join(labels, "doc_id"),
+          col("margin"), col("quality_keep"))
+      },
+      Some(clfLabelCtes +
+        """, bysc AS (
+          |  SELECT score, count(*)::bigint AS c, sum(label)::bigint AS p
+          |  FROM joined GROUP BY 1),
+          |cum AS (
+          |  SELECT score,
+          |         sum(p) OVER (ORDER BY score DESC
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+          |         sum(c) OVER (ORDER BY score DESC
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+          |         sum(p) OVER () AS n_pos
+          |  FROM bysc)
+          |SELECT score AS threshold, tp::bigint AS tp,
+          |       (pp - tp)::bigint AS fp, (n_pos - tp)::bigint AS fn,
+          |       tp::double / pp AS precision_at,
+          |       CASE WHEN n_pos <> 0 THEN tp::double / n_pos END AS recall_at,
+          |       CASE WHEN n_pos + pp <> 0
+          |            THEN (2 * tp)::double / (n_pos + pp) END AS f1_at
+          |FROM cum""".stripMargin)),
+
     // ==== distributed training: full-batch perceptron =====================
     // The training loop itself as a catalog row — iterated whole-corpus
     // aggregation with O(dim) driver state (see Learn.scala's scale notes).
@@ -4404,6 +4441,65 @@ object Queries {
           |       (SELECT count(*)::bigint FROM w) AS n_wedges,
           |       (SELECT count(*)::bigint FROM w JOIN e0 USING (u, v)) AS n_triangles""".stripMargin)),
 
+    // Semi-supervised label propagation: a 10% audited seed labeling spread
+    // over the symmetrized embedding kNN graph by two synchronous
+    // majority-vote rounds (ties to the smallest label, seeds clamped,
+    // unlabeled-neighbor nodes stay out) — how a 100 TB corpus inherits
+    // topic/quality labels from a small hand-audited sample. Integer votes
+    // + total tie order make the full labeling deterministic, so the oracle
+    // unrolls both rounds over the same LSH kNN graph CTE; origin_round
+    // records which round produced each node's FINAL value.
+    ("graph_label_spread",
+      (s: SparkSession, d: String) => {
+        val g = Similarity.knnGraph(Tables.embeddings(s, d), "vec_id",
+          "embedding", k = 5, nBands = 4, rowsPerBand = 2, dim = 64)
+          .select(col("src_id"), col("dst_id")).localCheckpoint()
+        val edges = g.select(col("src_id").as("src"), col("dst_id").as("dst"))
+          .union(g.select(col("dst_id").as("src"), col("src_id").as("dst")))
+          .distinct()
+        val seeds = Tables.embeddings(s, d)
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("node"), col("label"))
+        Graph.labelPropagate(edges, seeds, rounds = 2)
+      },
+      Some(knnGraphCte +
+        """, und AS (
+          |  SELECT src_id AS src, dst_id AS dst FROM g
+          |  UNION
+          |  SELECT dst_id AS src, src_id AS dst FROM g),
+          |seeds AS MATERIALIZED (
+          |  SELECT vec_id AS node, label FROM embeddings WHERE vec_id % 10 = 0),
+          |v1 AS (
+          |  SELECT u.dst AS node, l.label, count(*) AS votes
+          |  FROM und u JOIN seeds l ON l.node = u.src GROUP BY 1, 2),
+          |i1 AS MATERIALIZED (
+          |  SELECT node, label FROM (
+          |    SELECT node, label,
+          |           row_number() OVER (PARTITION BY node
+          |                              ORDER BY votes DESC, label) AS rk
+          |    FROM v1)
+          |  WHERE rk = 1 AND node NOT IN (SELECT node FROM seeds)),
+          |l1 AS MATERIALIZED (
+          |  SELECT node, label FROM seeds
+          |  UNION ALL SELECT node, label FROM i1),
+          |v2 AS (
+          |  SELECT u.dst AS node, l.label, count(*) AS votes
+          |  FROM und u JOIN l1 l ON l.node = u.src GROUP BY 1, 2),
+          |i2 AS (
+          |  SELECT node, label FROM (
+          |    SELECT node, label,
+          |           row_number() OVER (PARTITION BY node
+          |                              ORDER BY votes DESC, label) AS rk
+          |    FROM v2)
+          |  WHERE rk = 1 AND node NOT IN (SELECT node FROM seeds))
+          |SELECT node, label::int AS label, 1::int AS is_seed,
+          |       0::int AS origin_round
+          |FROM seeds
+          |UNION ALL
+          |SELECT i2.node, i2.label::int, 0::int,
+          |       (CASE WHEN i1.label = i2.label THEN 1 ELSE 2 END)::int
+          |FROM i2 LEFT JOIN i1 ON i1.node = i2.node""".stripMargin)),
+
     // Min-max feature scaling: per-dimension corpus min/max fitted eagerly
     // to plan-time literals (the bm25-scalars pattern — no 1-row broadcast
     // join), transform stays a zero-shuffle projection. Scalar projections
@@ -5335,6 +5431,74 @@ object Queries {
           |               i -> abs(a.fvec[i] - b.fvec[i]))) <= 24
           |             THEN 1 ELSE 0 END)::int AS near_dup
           |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin)),
+
+    // Cross-modal asset dedup: which standalone GIMG images appear as frames
+    // inside GVID videos — exact content identity through a (shape, md5)
+    // digest equi-join, pixels projected away before the shuffle (the CAS
+    // join shape; see Multimodal.videoImageMatch). Content schedule: both
+    // modalities draw 4-byte pixel blocks from md5(source ':' n_chars), a
+    // seed whose collision families stay small (max 4 docs at sf0.1 — the
+    // video_near_dup pair-space lesson, checked in DuckDB before adoption:
+    // 422 matches at sf0.01, 5 824 at sf0.1), while still producing genuine
+    // cross-document matches at both gate scales. Videos take frame i's
+    // block at offset 4i; image docs take block doc_id % 3 — so an image
+    // matches the frame of every same-seed video at its block index.
+    // Corrupt containers (XVID via doc_id % 13, XIMG via doc_id % 7) and
+    // null texts contribute no keys and so no matches.
+    ("multimodal_video_image_match",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        val seedHex = md5(concat(col("source"), lit(":"),
+          col("n_chars").cast("string")))
+        val n = (col("doc_id") % 3 + 1).cast("int")
+        def frame(i: Column) = concat(
+          lit("GIMG".getBytes("US-ASCII")),
+          unhex(lit("0002")), unhex(lit("0002")), unhex(lit("01")),
+          seedHex.substr((i.cast("int") * 4 + 1), lit(4)).cast("binary"))
+        val idxSeq = sequence(lit(0L), (n - 1).cast("long"))
+        val emptyBin = lit(Array.empty[Byte])
+        val indexBytes = aggregate(
+          transform(idxSeq, i => unhex(lpad(hex(i * 13L), 8, "0"))),
+          emptyBin, (acc, b) => concat(acc, b))
+        val framesBytes = aggregate(
+          transform(idxSeq, i => frame(i)), emptyBin, (acc, b) => concat(acc, b))
+        val vMagic = when(col("doc_id") % 13 === 0,
+          lit("XVID".getBytes("US-ASCII")))
+          .otherwise(lit("GVID".getBytes("US-ASCII")))
+        val iMagic = when(col("doc_id") % 7 === 0,
+          lit("XIMG".getBytes("US-ASCII")))
+          .otherwise(lit("GIMG".getBytes("US-ASCII")))
+        // materialize both synthesized payload tables before decoding (the
+        // aggregate-HOF re-evaluation lesson pinned on video_near_dup)
+        val videos = docs
+          .withColumn("payload", concat(vMagic, unhex(lpad(hex(n), 4, "0")),
+            indexBytes, framesBytes))
+          .select(col("doc_id"), col("payload")).localCheckpoint()
+        val images = docs
+          .withColumn("payload", concat(iMagic,
+            unhex(lit("0002")), unhex(lit("0002")), unhex(lit("01")),
+            seedHex.substr(((col("doc_id") % 3) * 4 + 1).cast("int"), lit(4))
+              .cast("binary")))
+          .select(col("doc_id"), col("payload")).localCheckpoint()
+        Multimodal.videoImageMatch(videos, col("doc_id"), col("payload"),
+          images, col("doc_id"), col("payload"))
+      },
+      Some(
+        """WITH d AS (
+          |  SELECT doc_id, md5(source || ':' || n_chars::varchar) AS seed
+          |  FROM documents WHERE text IS NOT NULL),
+          |vf AS (
+          |  SELECT doc_id AS video_id, i::int AS frame_idx,
+          |         substring(seed, (i * 4 + 1)::int, 4) AS pix
+          |  FROM d CROSS JOIN (SELECT unnest(range(0, 3)) AS i)
+          |  WHERE doc_id % 13 <> 0 AND i < doc_id % 3 + 1),
+          |im AS (
+          |  SELECT doc_id AS image_id,
+          |         substring(seed, ((doc_id % 3) * 4 + 1)::int, 4) AS pix
+          |  FROM d WHERE doc_id % 7 <> 0)
+          |SELECT video_id, frame_idx, image_id,
+          |       2::bigint AS w, 2::bigint AS h, 1::bigint AS channels
+          |FROM vf JOIN im USING (pix)""".stripMargin)),
 
     // ==========================================================================
     // Web-corpus curation: URL canonicalization, URL dedup, domain rollups

@@ -78,4 +78,41 @@ object Eval {
         min(col("score")).as("score_lo"), max(col("score")).as("score_hi"))
       .withColumn("pos_rate", col("n_pos").cast("double") / col("n"))
   }
+
+  /**
+   * Full precision/recall curve at EVERY achievable operating point: one row
+   * per distinct score s, reporting the confusion counts of the classifier
+   * "predict positive iff score ≥ s" — exact long tp/fp/fn (the threshold-
+   * sweep artifact behind picking a corpus-filter cutoff: "what keep-rate do
+   * I trade for what purity"). precision/recall/f1 are each ONE final IEEE
+   * division over exact longs (f1 in the 2·tp harmonic form, so it needs no
+   * intermediate ratios); recall/f1 are null when the corpus has no
+   * positives.
+   *
+   * Same scale discipline as [[aucExact]]: aggregate by score first, run the
+   * running sums on the distinct-score frame (bounded by the score domain),
+   * never a per-document global sort.
+   */
+  def prCurve(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val byScore = df.groupBy(scoreCol.cast("long").as("score"))
+      .agg(count(lit(1)).as("c"), sum(labelCol.cast("long")).as("p"))
+    val desc = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    byScore
+      .withColumn("tp", sum(col("p")).over(desc))
+      .withColumn("pp", sum(col("c")).over(desc))
+      .withColumn("n_pos", sum(col("p")).over(all))
+      .select(col("score").as("threshold"),
+        col("tp"),
+        (col("pp") - col("tp")).as("fp"),
+        (col("n_pos") - col("tp")).as("fn"),
+        (col("tp").cast("double") / col("pp")).as("precision_at"),
+        when(col("n_pos") =!= 0L,
+          col("tp").cast("double") / col("n_pos")).as("recall_at"),
+        when(col("n_pos") + col("pp") =!= 0L,
+          (lit(2L) * col("tp")).cast("double") / (col("n_pos") + col("pp")))
+          .as("f1_at"))
+  }
 }

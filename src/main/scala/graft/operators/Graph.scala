@@ -184,4 +184,70 @@ object Graph {
     nNodes.crossJoin(broadcast(nEdges)).crossJoin(broadcast(closedAgg))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"))
   }
+
+  /**
+   * Semi-supervised majority-vote label propagation: spread a sparse seed
+   * labeling (e.g. hand-audited quality/topic labels on a few percent of a
+   * corpus) across a similarity graph — the standard trick for labeling a
+   * 100 TB corpus from a small audited sample (spam labels over a host
+   * graph, topic labels over an embedding kNN graph).
+   *
+   * Semantics, pinned for cross-engine determinism:
+   *  - SYNCHRONOUS rounds: round r votes read ONLY the round r-1 labeling.
+   *  - Seeds are CLAMPED — a seed node never changes its label.
+   *  - A non-seed node's round-r label is the label with the most currently
+   *    labeled in-neighbors (one vote per edge `src -> dst`; pass a
+   *    symmetrized edge frame for undirected semantics). Ties break to the
+   *    SMALLEST label — integer votes + total tie order = deterministic.
+   *  - Nodes with no labeled neighbor stay unlabeled that round (and are
+   *    absent from the output if still unlabeled after the last round).
+   *  - Non-seed labels are recomputed every round from scratch (they can
+   *    flip as the labeled frontier grows) — `origin_round` reports the
+   *    round that produced the FINAL value.
+   *
+   * Scale shape per round: one equi-join of edges to the current labeling
+   * (shuffle on node id), one map-side-combined vote count on
+   * (dst, label), one window top-1 per dst — all key-partitioned; O(rounds)
+   * rounds, no driver state. Edge frame should be deduplicated: parallel
+   * edges would double-vote.
+   *
+   * `edges`: `src`/`dst` columns. `seeds`: `node`/`label` (label integer).
+   * Output: (node, label, is_seed, origin_round).
+   */
+  def labelPropagate(edges: DataFrame, seeds: DataFrame,
+      rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src"), col("dst"))
+    val seed = seeds.select(col("node"), col("label").cast("int").as("label"))
+      .withColumn("is_seed", lit(1)).withColumn("origin_round", lit(0))
+    var labels = seed
+    for (r <- 1 to rounds) {
+      val votes = e
+        .join(labels.select(col("node").as("src"), col("label")), "src")
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      val top = Window.partitionBy(col("dst"))
+        .orderBy(col("votes").desc, col("label").asc)
+      val inferredAll = votes
+        .withColumn("rk", row_number().over(top))
+        .filter(col("rk") === 1)
+        .select(col("dst").as("node"), col("label"))
+        // seeds are clamped: an inferred value never overrides one
+        .join(seed.select(col("node")), Seq("node"), "left_anti")
+      // origin_round = the round that produced the final value: keep r-1's
+      // stamp when the label is unchanged, restamp to r when it flipped or
+      // the node is newly labeled
+      val prevInferred = labels.filter(col("is_seed") === 0)
+        .select(col("node"), col("label").as("prev_label"),
+          col("origin_round").as("prev_round"))
+      val inferred = inferredAll
+        .join(prevInferred, Seq("node"), "left")
+        .select(col("node"), col("label"), lit(0).as("is_seed"),
+          when(col("prev_label") === col("label"), col("prev_round"))
+            .otherwise(lit(r)).as("origin_round"))
+      labels = seed.unionByName(inferred)
+    }
+    labels
+  }
 }

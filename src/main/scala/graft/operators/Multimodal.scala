@@ -458,6 +458,86 @@ object Multimodal {
   /** Feature extraction: metadata + decoded features, payload dropped
     * before anything downstream can shuffle it. Codec-agnostic: the output
     * schema is identical for every [[MediaCodec]] impl. */
+
+  /**
+   * Cross-modal exact-content matching: which standalone IMAGES appear as
+   * FRAMES inside videos — the asset-level dedup a multimodal training
+   * pipeline runs before pairing captions with media (a frame grabbed from
+   * an already-ingested video must not enter the corpus again as a "new"
+   * image). Video side: every GVID frame is located through the uint32
+   * offset index, GIMG-validated, and reduced to (shape, md5(pixel bytes));
+   * image side: every valid full-length GIMG payload reduces to the same
+   * key. A single hash equi-join on (w, h, channels, content digest) then
+   * yields every (video, frame, image) content identity.
+   *
+   * The scale property is WHERE the digest happens: both sides project the
+   * payload down to a 32-char digest BEFORE the shuffle, so pixel bytes
+   * never cross the wire — at 100 TB the join moves only (id, shape, md5)
+   * tuples, the content-addressed-storage join shape. md5 is the content
+   * identity (the standard CAS convention); matching is exact-content, not
+   * near-dup — compose with [[imageNearDup]]'s quantized buckets when
+   * perceptual matching is wanted.
+   *
+   * Reject rules mirror [[videoNearDup]] (bad container or ANY bad frame
+   * drops the whole video) and tighten [[imageFeatureVector]] on the image
+   * side: the payload must carry the FULL w·h·c pixel region (a truncated
+   * image must not alias a complete frame by prefix luck).
+   * Output: (video_id, frame_idx, image_id, w, h, channels).
+   */
+  def videoImageMatch(videos: DataFrame, vidId: Column, vidBin: Column,
+      images: DataFrame, imgId: Column, imgBin: Column): DataFrame = {
+    def beUint(b: Column, start: Column, len: Int): Column =
+      conv(hex(b.substr(start, lit(len))), 16, 10).cast("long")
+    // ---- video side: offset-indexed frames -> (shape, pixel digest) ------
+    val nFrames = beUint(vidBin, lit(5), 2)
+    val containerOk =
+      substring(vidBin, 1, 4) === lit("GVID".getBytes("US-ASCII")) &&
+        length(vidBin) >= 6 && nFrames > 0 &&
+        length(vidBin).cast("long") >= lit(6L) + lit(4L) * nFrames
+    val base = lit(7L) + lit(4L) * nFrames
+    def offsetAt(i: Column) = beUint(vidBin, lit(7L) + lit(4L) * i, 4)
+    val frames = transform(sequence(lit(0L), nFrames - 1L), i => {
+      val fpos = base + offsetAt(i)
+      val fw = beUint(vidBin, (fpos + 4L).cast("int"), 2)
+      val fh = beUint(vidBin, (fpos + 6L).cast("int"), 2)
+      val fc = beUint(vidBin, (fpos + 8L).cast("int"), 1)
+      val nPix = fw * fh * fc
+      val frameOk =
+        vidBin.substr(fpos.cast("int"), lit(4)) === lit("GIMG".getBytes("US-ASCII")) &&
+          fw > 0 && fh > 0 && fc > 0 &&
+          length(vidBin).cast("long") >= fpos + 8L + nPix
+      when(frameOk,
+        struct(fw.as("w"), fh.as("h"), fc.as("c"),
+          vidBin.substr((fpos + 9L).cast("int"), nPix.cast("int")).as("pix")))
+    })
+    val vf = videos
+      .select(vidId.as("video_id"),
+        when(containerOk && !exists(frames, f => f.isNull), frames).as("frames"))
+      .filter(col("frames").isNotNull)
+      .select(col("video_id"), posexplode(col("frames")).as(Seq("frame_idx", "f")))
+      .select(col("video_id"), col("frame_idx").cast("int").as("frame_idx"),
+        col("f.w").as("w"), col("f.h").as("h"), col("f.c").as("channels"),
+        md5(col("f.pix")).as("content_key"))
+    // ---- image side: strict full-length GIMG -> (shape, pixel digest) ----
+    val iw = beUint(imgBin, lit(5), 2)
+    val ih = beUint(imgBin, lit(7), 2)
+    val ic = beUint(imgBin, lit(9), 1)
+    val nPixI = iw * ih * ic
+    val imgOk = substring(imgBin, 1, 4) === lit("GIMG".getBytes("US-ASCII")) &&
+      length(imgBin) >= 9 && iw > 0 && ih > 0 && ic > 0 &&
+      length(imgBin).cast("long") >= lit(9L) + nPixI
+    val imf = images
+      .select(imgId.as("image_id"),
+        when(imgOk, struct(iw.as("w"), ih.as("h"), ic.as("c"),
+          imgBin.substr(lit(10), nPixI.cast("int")).as("pix"))).as("f"))
+      .filter(col("f").isNotNull)
+      .select(col("image_id"), col("f.w").as("w"), col("f.h").as("h"),
+        col("f.c").as("channels"), md5(col("f.pix")).as("content_key"))
+    vf.join(imf, Seq("w", "h", "channels", "content_key"))
+      .select(col("video_id"), col("frame_idx"), col("image_id"),
+        col("w"), col("h"), col("channels"))
+  }
+
   def extractFeatures(df: DataFrame, idCol: Column, binCol: Column,
       codec: MediaCodec = HashStub()): DataFrame =
     df.select(

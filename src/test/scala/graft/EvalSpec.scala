@@ -96,4 +96,39 @@ class EvalSpec extends SparkSpec {
       .select("bin", "n", "n_pos").as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((0L, 3L, 2L)))
   }
+
+  test("prCurve: hand-computed confusion counts at every distinct score") {
+    // scores desc: 9(+), 7(-), 7(+), 5(-)  -> n_pos = 2
+    val df = Seq((9L, 1), (7L, 0), (7L, 1), (5L, 0)).toDF("score", "label")
+    val got = Eval.prCurve(df, col("score"), col("label"))
+      .orderBy(col("threshold").desc)
+      .select("threshold", "tp", "fp", "fn", "precision_at", "recall_at", "f1_at")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (9L, 1L, 0L, 1L, 1.0, 0.5, 2.0 / 3.0),   // predict >=9: tp 1 of pp 1
+      (7L, 2L, 1L, 0L, 2.0 / 3.0, 1.0, 0.8),   // >=7: tp 2, fp 1
+      (5L, 2L, 2L, 0L, 0.5, 1.0, 2.0 * 2 / 6))) // >=5: everything positive
+  }
+
+  test("prCurve: no positives -> recall/f1 null, precision still defined") {
+    val df = Seq((3L, 0), (1L, 0)).toDF("score", "label")
+    val rows = Eval.prCurve(df, col("score"), col("label"))
+      .orderBy(col("threshold").desc).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getLong(1) == 0L)) // tp = 0 everywhere
+    assert(rows.forall(r => r.getDouble(4) == 0.0)) // precision 0/pp = 0
+    assert(rows.forall(_.isNullAt(5)), "recall undefined with no positives")
+    // f1 = 2tp/(n_pos+pp): n_pos = 0 but pp > 0, so denominator nonzero -> 0
+    assert(rows.forall(r => r.getDouble(6) == 0.0))
+  }
+
+  test("prCurve: curve ends at (recall 1, precision = base rate)") {
+    val df = (0L until 100L).map(s => (s, if (s % 3 == 0) 1 else 0))
+      .toDF("score", "label")
+    val last = Eval.prCurve(df, col("score"), col("label"))
+      .orderBy(col("threshold").asc).collect().head
+    val nPos = (0L until 100L).count(_ % 3 == 0)
+    assert(last.getLong(1) == nPos && last.getDouble(5) == 1.0)
+    assert(last.getDouble(4) == nPos.toDouble / 100.0)
+  }
 }

@@ -130,4 +130,65 @@ class GraphSpec extends SparkSpec {
     val c1 = r(1).getSeq[Double](3)
     assert(c1 == Seq(0.5, 0.25))
   }
+
+  private def lp(edges: Seq[(String, String)], seeds: Seq[(String, Int)],
+      rounds: Int): Map[String, (Int, Int, Int)] = {
+    import spark.implicits._
+    Graph.labelPropagate(edges.toDF("src", "dst"),
+        seeds.toDF("node", "label"), rounds)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+  }
+
+  test("labelPropagate: majority vote, smallest-label ties, unlabeled stay out") {
+    // x has labeled in-neighbors {a:1, b:1, c:2} -> majority 1
+    // y has {a:1, c:2} -> tie -> smaller label 1
+    // z has no labeled neighbor in round 1
+    val edges = Seq("a" -> "x", "b" -> "x", "c" -> "x", "a" -> "y", "c" -> "y",
+      "x" -> "z")
+    val seeds = Seq("a" -> 1, "b" -> 1, "c" -> 2)
+    val r1 = lp(edges, seeds, rounds = 1)
+    assert(r1("x") == ((1, 0, 1)) && r1("y") == ((1, 0, 1)))
+    assert(!r1.contains("z"), "no labeled neighbor -> absent")
+    // round 2: z inherits through x (synchronous: round 2 sees round 1's x)
+    val r2 = lp(edges, seeds, rounds = 2)
+    assert(r2("z") == ((1, 0, 2)))
+    // unchanged nodes keep their round-1 origin stamp
+    assert(r2("x") == ((1, 0, 1)) && r2("y") == ((1, 0, 1)))
+  }
+
+  test("labelPropagate: seeds are clamped against any majority") {
+    // seed s:5 is surrounded by three label-9 voters — must stay 5
+    val edges = Seq("a" -> "s", "b" -> "s", "c" -> "s")
+    val seeds = Seq("s" -> 5, "a" -> 9, "b" -> 9, "c" -> 9)
+    val r = lp(edges, seeds, rounds = 2)
+    assert(r("s") == ((5, 1, 0)))
+  }
+
+  test("labelPropagate: a flipped label restamps origin_round") {
+    // round 1: x's only labeled neighbor is a:1 -> label 1 (origin 1);
+    // y and w inherit 2 from c. round 2: x sees {a:1, y:2, w:2} -> flips
+    // to 2, origin restamps to 2; y/w unchanged keep origin 1.
+    val edges = Seq("a" -> "x", "y" -> "x", "w" -> "x", "c" -> "y", "c" -> "w")
+    val seeds = Seq("a" -> 1, "c" -> 2)
+    val r1 = lp(edges, seeds, rounds = 1)
+    assert(r1("x") == ((1, 0, 1)))
+    val r2 = lp(edges, seeds, rounds = 2)
+    assert(r2("x") == ((2, 0, 2)), "flip 1 -> 2 must restamp origin to 2")
+    assert(r2("y") == ((2, 0, 1)) && r2("w") == ((2, 0, 1)))
+  }
+
+  test("labelPropagate: partition-count invariant (integer votes, total tie order)") {
+    import spark.implicits._
+    val edges = (1 to 40).flatMap(i =>
+      Seq((s"n${i % 7}", s"n${i % 11}"), (s"n${i % 11}", s"n${i % 7}")))
+      .toDF("src", "dst")
+    val seeds = Seq(("n0", 3), ("n1", 1), ("n2", 1)).toDF("node", "label")
+    def run(p: Int) = Graph.labelPropagate(edges.repartition(p),
+        seeds.repartition(math.max(1, p / 2)), rounds = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getInt(3))).sortBy(_._1).toSeq
+    assert(run(1) == run(13))
+  }
 }

@@ -302,4 +302,54 @@ class MultimodalCodecSpec extends SparkSpec {
     val doc4 = got.filter(_._1 == 4L).map(r => r._2 -> r._3).toMap
     assert(doc4 == Map(0 -> -1.0, 1 -> 30.0))
   }
+
+  /** Full GIMG payload (header + explicit pixel bytes) for the cross-modal
+    * match tests — unlike [[gimgFrame]], pixel CONTENT varies. */
+  private def gimg(w: Int, h: Int, c: Int, pix: Array[Byte]): Array[Byte] =
+    "GIMG".getBytes("US-ASCII") ++
+      Array(((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+        ((h >> 8) & 0xff).toByte, (h & 0xff).toByte, c.toByte) ++ pix
+
+  test("videoImageMatch: frame-content identity joins across modalities") {
+    import spark.implicits._
+    val pixA = "abcd".getBytes("US-ASCII")
+    val pixB = "wxyz".getBytes("US-ASCII")
+    val pixC = "0000".getBytes("US-ASCII")
+    // video 1: frames [A, B]; video 2: frames [B]
+    val videos = Seq(
+      (1L, gvid("GVID", Seq(gimg(2, 2, 1, pixA), gimg(2, 2, 1, pixB)))),
+      (2L, gvid("GVID", Seq(gimg(2, 2, 1, pixB))))).toDF("doc_id", "payload")
+    // image 10 = A, image 11 = B, image 12 = unmatched content,
+    // image 13 = same BYTES as A but different shape (4x1) — must not match
+    val images = Seq(
+      (10L, gimg(2, 2, 1, pixA)), (11L, gimg(2, 2, 1, pixB)),
+      (12L, gimg(2, 2, 1, pixC)), (13L, gimg(4, 1, 1, pixA)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.videoImageMatch(videos, col("doc_id"), col("payload"),
+        images, col("doc_id"), col("payload"))
+      .select("video_id", "frame_idx", "image_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == Set((1L, 0, 10L), (1L, 1, 11L), (2L, 0, 11L)))
+  }
+
+  test("videoImageMatch: reject lanes — bad frame drops the whole video, truncated image never aliases") {
+    import spark.implicits._
+    val pixA = "abcd".getBytes("US-ASCII")
+    val goodFrame = gimg(2, 2, 1, pixA)
+    val badFrame = gimg(0, 2, 1, pixA) // zero width
+    val videos = Seq(
+      (1L, gvid("GVID", Seq(goodFrame, badFrame))), // one bad frame -> whole video out
+      (2L, gvid("XVID", Seq(goodFrame))),           // bad container magic
+      (3L, gvid("GVID", Seq(goodFrame)))).toDF("doc_id", "payload")
+    val images = Seq(
+      (10L, gimg(2, 2, 1, pixA)),
+      // truncated image: header claims 2x2x1 but carries 3 pixel bytes —
+      // must NOT match a frame whose first 3 bytes agree
+      (11L, gimg(2, 2, 1, pixA.take(3)))).toDF("doc_id", "payload")
+    val got = Multimodal.videoImageMatch(videos, col("doc_id"), col("payload"),
+        images, col("doc_id"), col("payload"))
+      .select("video_id", "frame_idx", "image_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == Set((3L, 0, 10L)))
+  }
 }
