@@ -449,8 +449,205 @@ object QueriesSql {
         |                 CAST(0 AS bigint), (acc, x) -> acc + x) AS l1,
         |       CAST(aggregate(zip_with(a.fvec, b.fvec, (x, y) -> abs(x - y)),
         |                      CAST(0 AS bigint), (acc, x) -> acc + x) <= 24 AS int) AS near_dup
-        |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin)
+        |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin),
+
+    // Integer-exact PageRank from SQL text — the graph family's first SQL
+    // row: three unrolled power iterations in pure bigint arithmetic
+    // (truncating div contributions, the overflow-safe ·17/20 damping
+    // split), interpolating RankScale/base from graft.operators.Graph so
+    // the three surfaces (DataFrame op, DuckDB oracle, this text) share
+    // one set of constants.
+    ("sql_graph_pagerank", "graph_pagerank", Seq("lineitem", "orders"),
+      sqlPageRank),
+
+    // The eval family from SQL text: hashed-bag classifier margins (the
+    // portable-hash conv(substr(md5)) chain, weights inline), the quality
+    // gate label, then the full threshold sweep — cumulative sums over the
+    // DISTINCT-score frame, each ratio one IEEE division of exact longs.
+    ("sql_eval_pr_curve", "eval_pr_curve", Seq("documents"),
+      s"""WITH nt AS (
+        |  SELECT doc_id, regexp_replace(trim(lower(text)), '\\\\s+', ' ') AS norm
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, norm, split(norm, ' ') AS toks FROM nt),
+        |cm AS (
+        |  SELECT doc_id,
+        |         aggregate(
+        |           zip_with(
+        |             transform(sequence(0, 15), b ->
+        |               size(filter(
+        |                 transform(toks, tok ->
+        |                   pmod(CAST(conv(substr(md5(CAST(tok AS binary)), 1, 15), 16, 10) AS bigint), 16)),
+        |                 x -> x = b))),
+        |             array(5L, -3L, 7L, 2L, -8L, 4L, 1L, -2L, 6L, -5L, 3L, 9L, -1L, -4L, 8L, 2L),
+        |             (c, w) -> CAST(c AS bigint) * w),
+        |           CAST(-40 AS bigint), (acc, x) -> acc + x) AS margin
+        |  FROM tk),
+        |qm AS (
+        |  SELECT doc_id,
+        |         size(toks) AS n_tokens,
+        |         CAST(length(norm) - (size(toks) - 1) AS double) / size(toks) AS avg_token_len,
+        |         CAST(regexp_count(norm, '[^a-z0-9 ]') AS double) / size(toks) AS symbol_ratio,
+        |         CAST(size(filter(toks, x -> x rlike '[0-9]')) AS double) / size(toks) AS digit_token_ratio,
+        |         size(filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS n_stopwords
+        |  FROM tk),
+        |lbl AS (
+        |  SELECT doc_id,
+        |         CAST(n_tokens >= 20 AND n_tokens <= 80
+        |              AND avg_token_len >= 3.0D AND avg_token_len <= 8.0D
+        |              AND symbol_ratio <= 0.1D AND digit_token_ratio <= 0.2D
+        |              AND n_stopwords >= 1 AS int) AS label
+        |  FROM qm),
+        |joined AS (SELECT cm.margin AS score, lbl.label FROM cm JOIN lbl USING (doc_id)),
+        |bysc AS (SELECT score, count(*) AS c, sum(CAST(label AS bigint)) AS p
+        |         FROM joined GROUP BY score),
+        |cum AS (
+        |  SELECT score,
+        |         sum(p) OVER (ORDER BY score DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        |         sum(c) OVER (ORDER BY score DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+        |         sum(p) OVER () AS n_pos
+        |  FROM bysc)
+        |SELECT score AS threshold, tp, pp - tp AS fp, n_pos - tp AS fn,
+        |       CAST(tp AS double) / pp AS precision_at,
+        |       CASE WHEN n_pos <> 0 THEN CAST(tp AS double) / n_pos END AS recall_at,
+        |       CASE WHEN n_pos + pp <> 0
+        |            THEN CAST(2 * tp AS double) / (n_pos + pp) END AS f1_at
+        |FROM cum""".stripMargin),
+
+    // Cross-modal asset dedup from SQL text: synthesize BOTH container
+    // families (GVID with its uint32 offset index unrolled to literal
+    // bytes, standalone GIMG), then decode them generically — the offset
+    // reads, per-frame GIMG validation, whole-video reject on any bad
+    // frame (count(valid)=count(*) per container), strict full-length
+    // image check, and the (shape, md5(pixels)) digest equi-join — all
+    // drivable from a SQL cell. The synthesis avoids aggregate-HOF concat
+    // (the video_near_dup re-evaluation lesson: SQL text cannot
+    // localCheckpoint, so the payload expression must be cheap to
+    // re-evaluate) by unrolling the ≤3-frame schedule into plain concat.
+    ("sql_multimodal_video_image_match", "multimodal_video_image_match",
+      Seq("documents"),
+      """WITH sd AS (
+        |  SELECT doc_id,
+        |         md5(CAST(concat(source, ':', CAST(n_chars AS string)) AS binary)) AS seed,
+        |         CAST(doc_id % 3 + 1 AS int) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |vsrc AS (
+        |  SELECT doc_id,
+        |         concat(
+        |           CAST(CASE WHEN doc_id % 13 = 0 THEN 'XVID' ELSE 'GVID' END AS binary),
+        |           unhex(lpad(hex(n), 4, '0')),
+        |           CASE n WHEN 1 THEN unhex('00000000')
+        |                  WHEN 2 THEN unhex('000000000000000D')
+        |                  ELSE unhex('000000000000000D0000001A') END,
+        |           concat(CAST('GIMG' AS binary), unhex('0002'), unhex('0002'), unhex('01'),
+        |                  CAST(substring(seed, 1, 4) AS binary)),
+        |           CASE WHEN n >= 2
+        |                THEN concat(CAST('GIMG' AS binary), unhex('0002'), unhex('0002'), unhex('01'),
+        |                            CAST(substring(seed, 5, 4) AS binary))
+        |                ELSE CAST('' AS binary) END,
+        |           CASE WHEN n >= 3
+        |                THEN concat(CAST('GIMG' AS binary), unhex('0002'), unhex('0002'), unhex('01'),
+        |                            CAST(substring(seed, 9, 4) AS binary))
+        |                ELSE CAST('' AS binary) END) AS payload
+        |  FROM sd),
+        |isrc AS (
+        |  SELECT doc_id,
+        |         concat(CAST(CASE WHEN doc_id % 7 = 0 THEN 'XIMG' ELSE 'GIMG' END AS binary),
+        |                unhex('0002'), unhex('0002'), unhex('01'),
+        |                CAST(substring(seed, CAST((doc_id % 3) * 4 + 1 AS int), 4) AS binary)) AS payload
+        |  FROM sd),
+        |vok AS (
+        |  SELECT doc_id, payload,
+        |         CAST(conv(hex(substring(payload, 5, 2)), 16, 10) AS bigint) AS nf
+        |  FROM vsrc
+        |  WHERE substring(payload, 1, 4) = CAST('GVID' AS binary)
+        |    AND length(payload) >= 6
+        |    AND CAST(conv(hex(substring(payload, 5, 2)), 16, 10) AS bigint) > 0
+        |    AND CAST(length(payload) AS bigint) >= 6 + 4 * CAST(conv(hex(substring(payload, 5, 2)), 16, 10) AS bigint)),
+        |vframe AS (
+        |  SELECT doc_id, i, nf, payload,
+        |         7 + 4 * nf + CAST(conv(hex(substring(payload, CAST(7 + 4 * i AS int), 4)), 16, 10) AS bigint) AS fpos
+        |  FROM vok LATERAL VIEW explode(sequence(0, CAST(nf AS int) - 1)) t AS i),
+        |vhdr AS (
+        |  SELECT doc_id, i, payload, fpos,
+        |         CAST(conv(hex(substring(payload, CAST(fpos + 4 AS int), 2)), 16, 10) AS bigint) AS w,
+        |         CAST(conv(hex(substring(payload, CAST(fpos + 6 AS int), 2)), 16, 10) AS bigint) AS h,
+        |         CAST(conv(hex(substring(payload, CAST(fpos + 8 AS int), 1)), 16, 10) AS bigint) AS c
+        |  FROM vframe),
+        |vpix AS (
+        |  SELECT doc_id, i AS frame_idx, w, h, c,
+        |         CASE WHEN substring(payload, CAST(fpos AS int), 4) = CAST('GIMG' AS binary)
+        |               AND w > 0 AND h > 0 AND c > 0
+        |               AND CAST(length(payload) AS bigint) >= fpos + 8 + w * h * c
+        |              THEN md5(substring(payload, CAST(fpos + 9 AS int), CAST(w * h * c AS int)))
+        |         END AS content_key
+        |  FROM vhdr),
+        |vkeys AS (
+        |  SELECT doc_id AS video_id, frame_idx, w, h, c AS channels, content_key
+        |  FROM vpix
+        |  WHERE doc_id IN (SELECT doc_id FROM vpix GROUP BY doc_id
+        |                   HAVING count(content_key) = count(*))),
+        |ikeys AS (
+        |  SELECT doc_id AS image_id,
+        |         CAST(conv(hex(substring(payload, 5, 2)), 16, 10) AS bigint) AS w,
+        |         CAST(conv(hex(substring(payload, 7, 2)), 16, 10) AS bigint) AS h,
+        |         CAST(conv(hex(substring(payload, 9, 1)), 16, 10) AS bigint) AS channels,
+        |         md5(substring(payload, 10,
+        |           CAST(CAST(conv(hex(substring(payload, 5, 2)), 16, 10) AS bigint)
+        |                * CAST(conv(hex(substring(payload, 7, 2)), 16, 10) AS bigint)
+        |                * CAST(conv(hex(substring(payload, 9, 1)), 16, 10) AS bigint) AS int))) AS content_key
+        |  FROM isrc
+        |  WHERE substring(payload, 1, 4) = CAST('GIMG' AS binary)
+        |    AND length(payload) >= 9
+        |    AND CAST(conv(hex(substring(payload, 5, 2)), 16, 10) AS bigint) > 0
+        |    AND CAST(conv(hex(substring(payload, 7, 2)), 16, 10) AS bigint) > 0
+        |    AND CAST(conv(hex(substring(payload, 9, 1)), 16, 10) AS bigint) > 0
+        |    AND CAST(length(payload) AS bigint) >=
+        |          9 + CAST(conv(hex(substring(payload, 5, 2)), 16, 10) AS bigint)
+        |              * CAST(conv(hex(substring(payload, 7, 2)), 16, 10) AS bigint)
+        |              * CAST(conv(hex(substring(payload, 9, 1)), 16, 10) AS bigint))
+        |SELECT v.video_id, v.frame_idx, i.image_id, v.w, v.h, v.channels
+        |FROM vkeys v JOIN ikeys i
+        |  ON v.w = i.w AND v.h = i.h AND v.channels = i.channels
+        |     AND v.content_key = i.content_key""".stripMargin)
   )
+
+  /** Spark-SQL text for the integer-exact 3-iteration PageRank, constants
+    * interpolated from [[graft.operators.Graph]] (one source of truth with
+    * the DataFrame operator and the DuckDB oracle). */
+  private lazy val sqlPageRank: String = {
+    import graft.operators.Graph
+    val scale = Graph.RankScale
+    val base = (scale * 3) / 20
+    def iter(prev: String, k: Int): String =
+      s"""c$k AS (SELECT src, rank div outdeg AS contrib
+         |        FROM $prev JOIN outdeg ON node = src),
+         |i$k AS (SELECT dst, sum(contrib) AS inb
+         |        FROM edges JOIN c$k USING (src) GROUP BY dst),
+         |r$k AS (SELECT node,
+         |               ${base}L + (coalesce(inb, 0L) div 20) * 17
+         |                 + ((coalesce(inb, 0L) % 20) * 17) div 20 AS rank
+         |        FROM nodes LEFT JOIN i$k ON node = dst),
+         |""".stripMargin
+    s"""WITH lo AS (
+       |  SELECT DISTINCT concat('c', CAST(o_custkey AS string)) AS c,
+       |         concat('s', CAST(l_suppkey AS string)) AS sv
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (SELECT c AS src, sv AS dst FROM lo
+       |          UNION
+       |          SELECT sv AS src, c AS dst FROM lo),
+       |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT node
+       |          FROM (SELECT src AS node FROM edges
+       |                UNION SELECT dst FROM edges)),
+       |r0 AS (SELECT node, ${scale}L AS rank FROM nodes),
+       |${iter("r0", 1)}${iter("r1", 2)}${iter("r2", 3).stripSuffix(",\n")}
+       |SELECT node, rank,
+       |       CAST(rank AS double) / ${scale}.0D AS rank_norm
+       |FROM r3""".stripMargin
+  }
 
   /** Spark-SQL text for the corrected HLL estimate over customer nations —
     * the α_64·64²·2⁵⁵ constant and the 64-entry linear-counting table
