@@ -176,4 +176,28 @@ object Artifacts {
       }
       Learn.readWeights(s, s"$r/weights")
     }
+
+  /** Propagated corpus labeling over the embedding kNN graph — the same
+    * chain as the `graph_label_spread` training row (10% seeds, k=5 LSH
+    * graph, 2 synchronous majority rounds), persisted once so downstream
+    * joins serve the labeling as a plain parquet scan instead of re-running
+    * graph construction + propagation per query. All-integer columns
+    * (node/label/is_seed/origin_round) round-trip losslessly. */
+  def labelSpread(s: SparkSession, d: String): String =
+    cached(s"labelspread:$d") {
+      val r = published(root(d, "labelspread", "embeddings")) { tmp =>
+        val g = Similarity.knnGraph(Tables.embeddings(s, d), "vec_id",
+          "embedding", k = 5, nBands = 4, rowsPerBand = 2, dim = 64)
+          .select(col("src_id"), col("dst_id")).localCheckpoint()
+        val edges = g.select(col("src_id").as("src"), col("dst_id").as("dst"))
+          .union(g.select(col("dst_id").as("src"), col("src_id").as("dst")))
+          .distinct()
+        val seeds = Tables.embeddings(s, d)
+          .filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("node"), col("label"))
+        graft.operators.Graph.labelPropagate(edges, seeds, rounds = 2)
+          .write.mode("overwrite").parquet(s"$tmp/labels")
+      }
+      s"$r/labels"
+    }
 }

@@ -161,6 +161,47 @@ object Queries {
       |  FROM pairs QUALIFY rank <= $k)
       |""".stripMargin
 
+  /** Shared oracle for the label-propagation pair (`graph_label_spread` /
+    * `graph_label_spread_served`): both rounds unrolled over the kNN CTE,
+    * MATERIALIZED where a step is referenced more than once. */
+  private lazy val labelSpreadOracle: String = knnGraphCte +
+    """, und AS (
+      |  SELECT src_id AS src, dst_id AS dst FROM g
+      |  UNION
+      |  SELECT dst_id AS src, src_id AS dst FROM g),
+      |seeds AS MATERIALIZED (
+      |  SELECT vec_id AS node, label FROM embeddings WHERE vec_id % 10 = 0),
+      |v1 AS (
+      |  SELECT u.dst AS node, l.label, count(*) AS votes
+      |  FROM und u JOIN seeds l ON l.node = u.src GROUP BY 1, 2),
+      |i1 AS MATERIALIZED (
+      |  SELECT node, label FROM (
+      |    SELECT node, label,
+      |           row_number() OVER (PARTITION BY node
+      |                              ORDER BY votes DESC, label) AS rk
+      |    FROM v1)
+      |  WHERE rk = 1 AND node NOT IN (SELECT node FROM seeds)),
+      |l1 AS MATERIALIZED (
+      |  SELECT node, label FROM seeds
+      |  UNION ALL SELECT node, label FROM i1),
+      |v2 AS (
+      |  SELECT u.dst AS node, l.label, count(*) AS votes
+      |  FROM und u JOIN l1 l ON l.node = u.src GROUP BY 1, 2),
+      |i2 AS (
+      |  SELECT node, label FROM (
+      |    SELECT node, label,
+      |           row_number() OVER (PARTITION BY node
+      |                              ORDER BY votes DESC, label) AS rk
+      |    FROM v2)
+      |  WHERE rk = 1 AND node NOT IN (SELECT node FROM seeds))
+      |SELECT node, label::int AS label, 1::int AS is_seed,
+      |       0::int AS origin_round
+      |FROM seeds
+      |UNION ALL
+      |SELECT i2.node, i2.label::int, 0::int,
+      |       (CASE WHEN i1.label = i2.label THEN 1 ELSE 2 END)::int
+      |FROM i2 LEFT JOIN i1 ON i1.node = i2.node""".stripMargin
+
   // ==========================================================================
   // The catalog
   // ==========================================================================
@@ -4462,43 +4503,21 @@ object Queries {
           .select(col("vec_id").as("node"), col("label"))
         Graph.labelPropagate(edges, seeds, rounds = 2)
       },
-      Some(knnGraphCte +
-        """, und AS (
-          |  SELECT src_id AS src, dst_id AS dst FROM g
-          |  UNION
-          |  SELECT dst_id AS src, src_id AS dst FROM g),
-          |seeds AS MATERIALIZED (
-          |  SELECT vec_id AS node, label FROM embeddings WHERE vec_id % 10 = 0),
-          |v1 AS (
-          |  SELECT u.dst AS node, l.label, count(*) AS votes
-          |  FROM und u JOIN seeds l ON l.node = u.src GROUP BY 1, 2),
-          |i1 AS MATERIALIZED (
-          |  SELECT node, label FROM (
-          |    SELECT node, label,
-          |           row_number() OVER (PARTITION BY node
-          |                              ORDER BY votes DESC, label) AS rk
-          |    FROM v1)
-          |  WHERE rk = 1 AND node NOT IN (SELECT node FROM seeds)),
-          |l1 AS MATERIALIZED (
-          |  SELECT node, label FROM seeds
-          |  UNION ALL SELECT node, label FROM i1),
-          |v2 AS (
-          |  SELECT u.dst AS node, l.label, count(*) AS votes
-          |  FROM und u JOIN l1 l ON l.node = u.src GROUP BY 1, 2),
-          |i2 AS (
-          |  SELECT node, label FROM (
-          |    SELECT node, label,
-          |           row_number() OVER (PARTITION BY node
-          |                              ORDER BY votes DESC, label) AS rk
-          |    FROM v2)
-          |  WHERE rk = 1 AND node NOT IN (SELECT node FROM seeds))
-          |SELECT node, label::int AS label, 1::int AS is_seed,
-          |       0::int AS origin_round
-          |FROM seeds
-          |UNION ALL
-          |SELECT i2.node, i2.label::int, 0::int,
-          |       (CASE WHEN i1.label = i2.label THEN 1 ELSE 2 END)::int
-          |FROM i2 LEFT JOIN i1 ON i1.node = i2.node""".stripMargin)),
+      Some(labelSpreadOracle)),
+
+    // WARM twin of graph_label_spread: the propagated labeling loads from
+    // the persisted artifact (Artifacts.labelSpread — built once per
+    // (sf-dir, family), atomic-rename published) and serves as a PLAIN
+    // PARQUET SCAN — zero exchanges, zero aggregates, no graph subtree —
+    // gated on the SAME oracle as the training twin. This is how a
+    // propagated corpus labeling is actually consumed at 100 TB: train on
+    // the audited snapshot once, join the label table everywhere.
+    ("graph_label_spread_served",
+      (s: SparkSession, d: String) =>
+        s.read.parquet(Artifacts.labelSpread(s, d))
+          .select(col("node"), col("label"), col("is_seed"),
+            col("origin_round")),
+      Some(labelSpreadOracle)),
 
     // Min-max feature scaling: per-dimension corpus min/max fitted eagerly
     // to plan-time literals (the bm25-scalars pattern — no 1-row broadcast

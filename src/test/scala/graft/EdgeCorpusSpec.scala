@@ -84,7 +84,9 @@ class EdgeCorpusSpec extends SparkSpec {
       "dedup_components_served", "learn_perceptron_served", "text_bpe_served",
       "sketch_hll_small_range", "sketch_hll_daily_users",
       "multimodal_audio_near_dup", "multimodal_video_near_dup",
-      "graph_label_spread", "eval_pr_curve", "multimodal_video_image_match")
+      "graph_label_spread", "eval_pr_curve", "multimodal_video_image_match",
+      "graph_label_spread_served", "sql_graph_pagerank", "sql_eval_pr_curve",
+      "sql_multimodal_video_image_match")
     val missing = mustCover.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"rows missing from the sweep universe: $missing")
   }

@@ -236,6 +236,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(ivfpq) <= 1,
       s"sim_ivfpq_served grew beyond its 1-exchange design:\n$ivfpq")
 
+    // propagated-labeling server: a PLAIN artifact scan + projection —
+    // zero exchanges, zero aggregates, and specifically no graph subtree
+    // (a leaked re-propagation would plan vote HashAggregates + joins)
+    val lblServed = planOf("graph_label_spread_served")
+    assert(count(lblServed, "graft-artifacts") >= 1,
+      s"graph_label_spread_served must scan the persisted labeling:\n$lblServed")
+    assert(shuffles(lblServed) == 0,
+      s"graph_label_spread_served must plan zero exchanges:\n$lblServed")
+    assert(count(lblServed, "HashAggregate") == 0,
+      s"graph_label_spread_served must not plan aggregates:\n$lblServed")
+
     // warm dedup admission: the signature index and old-side keep list come
     // from artifact scans (>=2 distinct artifact reads); in-query work is
     // new-batch signing + verify — bounded exchanges, far below the
