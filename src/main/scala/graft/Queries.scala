@@ -135,21 +135,31 @@ object Queries {
     * and `emb_knn_density`. */
   private val knnGraphCte = knnGraphCteOver("embeddings")
 
-  /** [[knnGraphCte]] with the corpus CTE/table name parameterized, for
-    * compositions that run the graph over a FILTERED survivor set. */
-  private def knnGraphCteOver(table: String, k: Int = 5): String =
-    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS ve
+  /** DuckDB CTE chain computing per-band LSH buckets (plus double vectors
+    * and norms) for `table`, every CTE name prefixed with `p` so TWO
+    * corpora can carry the chain side by side in one query (the admission
+    * oracles). Planes mirror [[graft.operators.Similarity.lshBandBucketsFast]]
+    * (nBands=4, rowsPerBand=2). Emits `<p>v`, `<p>n`, `<p>bb`; ends with a
+    * trailing comma for further CTEs. */
+  private def lshBucketsCteOver(table: String, p: String = ""): String =
+    s"""${p}v AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS ve
       |           FROM $table),
-      |n AS (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nn FROM v),
-      |bb AS (
+      |${p}n AS (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS nn FROM ${p}v),
+      |${p}bb AS (
       |  SELECT vec_id, ve, nn, band,
       |         list_sum(list_transform(generate_series(0, 1), j ->
       |           CASE WHEN list_sum(list_transform(generate_series(0, len(ve) - 1), d ->
       |                  ve[d + 1] * ((('0x' || substr(md5((band * 2 + j) || ':' || d), 1, 15))::bigint
       |                                / 1.152921504606846976e18) * 2 - 1))) >= 0
       |                THEN cast(pow(2.0, j) AS bigint) ELSE 0 END))::bigint AS bucket
-      |  FROM n CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
-      |pairs AS (
+      |  FROM ${p}n CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+      |""".stripMargin
+
+  /** [[knnGraphCte]] with the corpus CTE/table name parameterized, for
+    * compositions that run the graph over a FILTERED survivor set. */
+  private def knnGraphCteOver(table: String, k: Int = 5): String =
+    "WITH " + lshBucketsCteOver(table) +
+    s"""pairs AS (
       |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS dst_id,
       |         list_dot_product(a.ve, b.ve) / (a.nn * b.nn) AS cosine
       |  FROM bb a JOIN bb b
@@ -201,6 +211,82 @@ object Queries {
       |SELECT i2.node, i2.label::int, 0::int,
       |       (CASE WHEN i1.label = i2.label THEN 1 ELSE 2 END)::int
       |FROM i2 LEFT JOIN i1 ON i1.node = i2.node""".stripMargin
+
+  /** Oracle for `graph_label_spread_incremental`: the admission ALGORITHM
+    * replayed end to end — base labeling (2 propagation rounds over the
+    * lowest-4/5 slice), new-side LSH buckets on the same planes, top-5
+    * base neighbors per new node by exact cosine, one majority-vote round
+    * against the base labeling, new seeds clamped. (Unlike the dedup
+    * admission rows there is NO from-scratch equivalence to pin — one
+    * admission vote is deliberately cheaper than full 2-round propagation —
+    * so the contract is the algorithm, the kNN-family convention.) */
+  private lazy val labelAdmitOracle: String =
+    """WITH cutv AS MATERIALIZED (
+      |  SELECT floor(max(vec_id) * 4 / 5)::bigint AS cut FROM embeddings),
+      |oldemb AS MATERIALIZED (
+      |  SELECT e.* FROM embeddings e, cutv WHERE e.vec_id < cutv.cut),
+      |newemb AS MATERIALIZED (
+      |  SELECT e.* FROM embeddings e, cutv WHERE e.vec_id >= cutv.cut),
+      |""".stripMargin +
+      knnGraphCteOver("oldemb").stripPrefix("WITH ").stripSuffix("\n") + ",\n" +
+      lshBucketsCteOver("newemb", "q") +
+      """und AS (
+        |  SELECT src_id AS src, dst_id AS dst FROM g
+        |  UNION
+        |  SELECT dst_id AS src, src_id AS dst FROM g),
+        |oseeds AS MATERIALIZED (
+        |  SELECT vec_id AS node, label FROM oldemb WHERE vec_id % 10 = 0),
+        |v1 AS (
+        |  SELECT u.dst AS node, l.label, count(*) AS votes
+        |  FROM und u JOIN oseeds l ON l.node = u.src GROUP BY 1, 2),
+        |i1 AS MATERIALIZED (
+        |  SELECT node, label FROM (
+        |    SELECT node, label,
+        |           row_number() OVER (PARTITION BY node
+        |                              ORDER BY votes DESC, label) AS rk
+        |    FROM v1)
+        |  WHERE rk = 1 AND node NOT IN (SELECT node FROM oseeds)),
+        |l1 AS MATERIALIZED (
+        |  SELECT node, label FROM oseeds
+        |  UNION ALL SELECT node, label FROM i1),
+        |v2 AS (
+        |  SELECT u.dst AS node, l.label, count(*) AS votes
+        |  FROM und u JOIN l1 l ON l.node = u.src GROUP BY 1, 2),
+        |i2 AS (
+        |  SELECT node, label FROM (
+        |    SELECT node, label,
+        |           row_number() OVER (PARTITION BY node
+        |                              ORDER BY votes DESC, label) AS rk
+        |    FROM v2)
+        |  WHERE rk = 1 AND node NOT IN (SELECT node FROM oseeds)),
+        |oldlab AS MATERIALIZED (
+        |  SELECT node, label FROM oseeds
+        |  UNION ALL SELECT node, label FROM i2),
+        |cand AS (
+        |  SELECT DISTINCT w.vec_id AS new_id, b.vec_id AS old_id,
+        |         list_dot_product(w.ve, b.ve) / (w.nn * b.nn) AS cosine
+        |  FROM qbb w JOIN bb b ON w.band = b.band AND w.bucket = b.bucket),
+        |knn AS (
+        |  SELECT new_id, old_id FROM (
+        |    SELECT new_id, old_id,
+        |           row_number() OVER (PARTITION BY new_id
+        |                              ORDER BY cosine DESC, old_id) AS rk
+        |    FROM cand) WHERE rk <= 5),
+        |nseeds AS MATERIALIZED (
+        |  SELECT vec_id AS node, label FROM newemb WHERE vec_id % 10 = 0),
+        |av AS (
+        |  SELECT k.new_id AS node, l.label, count(*) AS n_votes
+        |  FROM knn k JOIN oldlab l ON l.node = k.old_id GROUP BY 1, 2)
+        |SELECT node, label::int AS label, 1::int AS is_seed,
+        |       0::bigint AS n_votes
+        |FROM nseeds
+        |UNION ALL
+        |SELECT node, label::int, 0::int, n_votes::bigint
+        |FROM (SELECT node, label, n_votes,
+        |             row_number() OVER (PARTITION BY node
+        |                                ORDER BY n_votes DESC, label) AS rk
+        |      FROM av)
+        |WHERE rk = 1 AND node NOT IN (SELECT node FROM nseeds)""".stripMargin
 
   // ==========================================================================
   // The catalog
@@ -4518,6 +4604,46 @@ object Queries {
           .select(col("node"), col("label"), col("is_seed"),
             col("origin_round")),
       Some(labelSpreadOracle)),
+
+    // Incremental label ADMISSION — the dedup_incremental shape on the
+    // graph family: the lowest-4/5 slice plays the already-propagated base
+    // (2 full rounds, the graph_label_spread chain), the top 1/5 is the
+    // arriving batch. New vectors take candidates from shared LSH buckets
+    // (same planes), keep top-5 base neighbors by exact cosine, and inherit
+    // the majority base label in ONE vote round — ingest-cost labeling,
+    // never corpus-cost re-propagation. Audited new docs (vec_id % 10)
+    // keep their own label, clamped. Eager scalar cut, same null-max empty
+    // guard as dedup_incremental.
+    ("graph_label_spread_incremental",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        val cutBoxed = emb.agg(floor(max(col("vec_id")) * 4 / 5).cast("long"))
+          .head().getAs[java.lang.Long](0)
+        if (cutBoxed == null)
+          emb.filter(lit(false)).select(col("vec_id").as("node"),
+            col("label").cast("int").as("label"), lit(1).as("is_seed"),
+            lit(0L).as("n_votes"))
+        else {
+          val cut = cutBoxed.longValue()
+          val old = emb.filter(col("vec_id") < cut)
+          val nw = emb.filter(col("vec_id") >= cut)
+          val g = Similarity.knnGraph(old, "vec_id", "embedding",
+            k = 5, nBands = 4, rowsPerBand = 2, dim = 64)
+            .select(col("src_id"), col("dst_id")).localCheckpoint()
+          val edges = g.select(col("src_id").as("src"), col("dst_id").as("dst"))
+            .union(g.select(col("dst_id").as("src"), col("src_id").as("dst")))
+            .distinct()
+          val oldSeeds = old.filter(col("vec_id") % 10 === 0)
+            .select(col("vec_id").as("node"), col("label"))
+          val oldLab = Graph.labelPropagate(edges, oldSeeds, rounds = 2)
+            .select(col("node"), col("label"))
+          val newSeeds = nw.filter(col("vec_id") % 10 === 0)
+            .select(col("vec_id").as("node"), col("label"))
+          Graph.labelAdmit(old, oldLab, nw, newSeeds, "vec_id", "embedding",
+            k = 5, nBands = 4, rowsPerBand = 2, dim = 64)
+        }
+      },
+      Some(labelAdmitOracle)),
 
     // Min-max feature scaling: per-dimension corpus min/max fitted eagerly
     // to plan-time literals (the bm25-scalars pattern — no 1-row broadcast

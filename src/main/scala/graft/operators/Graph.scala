@@ -250,4 +250,83 @@ object Graph {
     }
     labels
   }
+
+  /**
+   * Incremental label ADMISSION: label a new batch of vectors against an
+   * already-propagated base labeling WITHOUT re-running graph construction
+   * or propagation over the base — the arriving-shard counterpart of
+   * [[labelPropagate]] (a 100 TB corpus labels yesterday's snapshot once;
+   * today's ingest must inherit labels at ingest cost, not corpus cost).
+   *
+   *  - Candidates come from shared LSH band buckets (the same
+   *    [[Similarity.lshBandBucketsFast]] planes as the kNN graph), new
+   *    side × base side — an equi-join on (band, bucket), never new×base.
+   *  - Each new node keeps its top-`k` base neighbors by exact cosine
+   *    (ties dst-id ascending) and takes the MAJORITY label among those
+   *    that are labeled (ties to the smallest label).
+   *  - Audited new nodes (`newSeeds`) keep their own label, clamped.
+   *  - A new node whose neighbors carry no label is absent from the
+   *    output (same contract as [[labelPropagate]]).
+   *
+   * Scale guard: base rows inside one (band, bucket) cell are capped at
+   * `maxBucketSize` (kept = the cap smallest base ids — deterministic
+   * degradation on pathological cells; identity when no cell exceeds the
+   * cap, which the oracle gate verifies at catalog scales — the
+   * [[Similarity.knnGraph]] cap discipline).
+   *
+   * Output: (node, label, is_seed, n_votes) — n_votes = 0 for seeds.
+   */
+  def labelAdmit(base: DataFrame, baseLabels: DataFrame, newBatch: DataFrame,
+      newSeeds: DataFrame, idCol: String, vecCol: String, k: Int = 5,
+      nBands: Int = 4, rowsPerBand: Int = 2, dim: Int = -1,
+      maxBucketSize: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import Similarity.{asDouble, lshBandBuckets, lshBandBucketsFast, norm}
+    def buckets(df: DataFrame): DataFrame = {
+      val b =
+        if (dim > 0) lshBandBucketsFast(col("v"), nBands, rowsPerBand, dim)
+        else lshBandBuckets(col("v"), nBands, rowsPerBand)
+      df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+        .withColumn("n", norm(col("v")))
+        .select(col("id"), col("v"), col("n"),
+          posexplode(b).as(Seq("band", "bucket")))
+    }
+    val byCell = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(col("id"))
+    val baseB = buckets(base)
+      .withColumn("cr", row_number().over(byCell))
+      .filter(col("cr") <= maxBucketSize)
+      .select(col("band"), col("bucket"), col("id").as("old_id"),
+        col("v").as("bv"), col("n").as("bn"))
+    val newB = buckets(newBatch)
+      .select(col("band"), col("bucket"), col("id").as("new_id"),
+        col("v").as("nv"), col("n").as("nn"))
+    val cand = newB.join(baseB, Seq("band", "bucket"))
+      .select(col("new_id"), col("old_id"),
+        (Similarity.dot(col("nv"), col("bv")) / (col("nn") * col("bn")))
+          .as("cosine"))
+      .distinct()
+    val topK = Window.partitionBy(col("new_id"))
+      .orderBy(col("cosine").desc, col("old_id").asc)
+    val knn = cand.withColumn("rk", row_number().over(topK))
+      .filter(col("rk") <= k)
+      .select(col("new_id"), col("old_id"))
+    val votes = knn
+      .join(baseLabels.select(col("node").as("old_id"),
+        col("label").cast("int").as("label")), "old_id")
+      .groupBy(col("new_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val byVotes = Window.partitionBy(col("new_id"))
+      .orderBy(col("n_votes").desc, col("label").asc)
+    val seedOut = newSeeds
+      .select(col("node"), col("label").cast("int").as("label"))
+      .withColumn("is_seed", lit(1)).withColumn("n_votes", lit(0L))
+    val admitted = votes
+      .withColumn("rk", row_number().over(byVotes))
+      .filter(col("rk") === 1)
+      .select(col("new_id").as("node"), col("label"),
+        lit(0).as("is_seed"), col("n_votes"))
+      .join(seedOut.select(col("node")), Seq("node"), "left_anti")
+    seedOut.unionByName(admitted)
+  }
 }

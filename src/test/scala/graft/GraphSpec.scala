@@ -179,6 +179,56 @@ class GraphSpec extends SparkSpec {
     assert(r2("y") == ((2, 0, 1)) && r2("w") == ((2, 0, 1)))
   }
 
+  private def admit(base: Seq[(Long, Seq[Float])], baseLabels: Seq[(Long, Int)],
+      newBatch: Seq[(Long, Seq[Float])], newSeeds: Seq[(Long, Int)],
+      k: Int, cap: Int = 1024): Map[Long, (Int, Int, Long)] = {
+    import spark.implicits._
+    Graph.labelAdmit(
+        base.toDF("vec_id", "embedding"),
+        baseLabels.toDF("node", "label"),
+        newBatch.toDF("vec_id", "embedding"),
+        newSeeds.toDF("node", "label"),
+        "vec_id", "embedding", k = k, nBands = 4, rowsPerBand = 2, dim = 2,
+        maxBucketSize = cap)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3))))
+      .toMap
+  }
+
+  private val ex = Seq(1.0f, 0.0f)
+
+  test("labelAdmit: majority of top-k base neighbors; ties to smallest label") {
+    // three identical base vectors (same buckets, cosine 1): labels 1,2,2
+    val base = Seq(1L -> ex, 2L -> ex, 3L -> ex)
+    val r = admit(base, Seq(1L -> 1, 2L -> 2, 3L -> 2),
+      Seq(10L -> ex), Seq.empty, k = 3)
+    assert(r(10L) == ((2, 0, 2L)), "majority 2 with 2 votes")
+    // k=2 keeps base ids 1,2 (cosine tie -> old_id asc): 1 vote each -> tie
+    // -> smaller label
+    val tie = admit(base, Seq(1L -> 1, 2L -> 2, 3L -> 2),
+      Seq(10L -> ex), Seq.empty, k = 2)
+    assert(tie(10L) == ((1, 0, 1L)))
+  }
+
+  test("labelAdmit: new seeds are clamped; unlabeled-neighbor nodes stay out") {
+    val base = Seq(1L -> ex, 2L -> ex)
+    val r = admit(base, Seq(1L -> 2, 2L -> 2),
+      Seq(10L -> ex), Seq(10L -> 9), k = 2)
+    assert(r(10L) == ((9, 1, 0L)), "audited new doc keeps its label")
+    // no base labeling at all: nothing to inherit, node absent
+    val none = admit(base, Seq.empty, Seq(10L -> ex), Seq.empty, k = 2)
+    assert(!none.contains(10L))
+  }
+
+  test("labelAdmit: bucket cap keeps the smallest base ids, deterministically") {
+    // cap 1: every cell keeps only base id 1, so the vote comes from its
+    // label alone even though id 2's label would win uncapped
+    val base = Seq(1L -> ex, 2L -> ex, 3L -> ex)
+    val r = admit(base, Seq(1L -> 7, 2L -> 3, 3L -> 3),
+      Seq(10L -> ex), Seq.empty, k = 3, cap = 1)
+    assert(r(10L) == ((7, 0, 1L)))
+  }
+
   test("labelPropagate: partition-count invariant (integer votes, total tie order)") {
     import spark.implicits._
     val edges = (1 to 40).flatMap(i =>
