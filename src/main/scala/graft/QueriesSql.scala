@@ -471,17 +471,20 @@ object QueriesSql {
         |tk AS (
         |  SELECT doc_id, norm, split(norm, ' ') AS toks FROM nt),
         |cm AS (
+        |  -- bind the per-token bucket ids ONCE via the single-element
+        |  -- array+lambda trick (TextOps.hashVectorize's binding): inlining
+        |  -- the md5 chain inside the per-bucket filter would re-hash every
+        |  -- token 16x per document (the HOF re-evaluation lesson)
         |  SELECT doc_id,
-        |         aggregate(
-        |           zip_with(
-        |             transform(sequence(0, 15), b ->
-        |               size(filter(
-        |                 transform(toks, tok ->
-        |                   pmod(CAST(conv(substr(md5(CAST(tok AS binary)), 1, 15), 16, 10) AS bigint), 16)),
-        |                 x -> x = b))),
-        |             array(5L, -3L, 7L, 2L, -8L, 4L, 1L, -2L, 6L, -5L, 3L, 9L, -1L, -4L, 8L, 2L),
-        |             (c, w) -> CAST(c AS bigint) * w),
-        |           CAST(-40 AS bigint), (acc, x) -> acc + x) AS margin
+        |         element_at(transform(array(
+        |             transform(toks, tok ->
+        |               pmod(CAST(conv(substr(md5(CAST(tok AS binary)), 1, 15), 16, 10) AS bigint), 16))), bs ->
+        |           aggregate(
+        |             zip_with(
+        |               transform(sequence(0, 15), b -> size(filter(bs, x -> x = b))),
+        |               array(5L, -3L, 7L, 2L, -8L, 4L, 1L, -2L, 6L, -5L, 3L, 9L, -1L, -4L, 8L, 2L),
+        |               (c, w) -> CAST(c AS bigint) * w),
+        |             CAST(-40 AS bigint), (acc, x) -> acc + x)), 1) AS margin
         |  FROM tk),
         |qm AS (
         |  SELECT doc_id,
