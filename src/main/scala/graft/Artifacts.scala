@@ -177,25 +177,33 @@ object Artifacts {
       Learn.readWeights(s, s"$r/weights")
     }
 
-  /** Propagated corpus labeling over the embedding kNN graph — the same
-    * chain as the `graph_label_spread` training row (10% seeds, k=5 LSH
-    * graph, 2 synchronous majority rounds), persisted once so downstream
-    * joins serve the labeling as a plain parquet scan instead of re-running
-    * graph construction + propagation per query. All-integer columns
+  /** The catalog's pinned label-spread TRAINING chain (k=5 LSH kNN graph →
+    * symmetrized distinct edges → 10% audited seeds → 2 synchronous
+    * majority rounds) — ONE definition shared by the `graph_label_spread`
+    * row, the incremental row's base labeling, and the served artifact
+    * builder, so the hyperparameters cannot drift between the three (the
+    * clfWeights one-source-of-truth convention). */
+  def labelSpreadChain(emb: DataFrame): DataFrame = {
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding",
+      k = 5, nBands = 4, rowsPerBand = 2, dim = 64)
+      .select(col("src_id"), col("dst_id")).localCheckpoint()
+    val edges = g.select(col("src_id").as("src"), col("dst_id").as("dst"))
+      .union(g.select(col("dst_id").as("src"), col("src_id").as("dst")))
+      .distinct()
+    val seeds = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("node"), col("label"))
+    graft.operators.Graph.labelPropagate(edges, seeds, rounds = 2)
+  }
+
+  /** Propagated corpus labeling over the embedding kNN graph — the
+    * [[labelSpreadChain]] result persisted once so downstream joins serve
+    * the labeling as a plain parquet scan instead of re-running graph
+    * construction + propagation per query. All-integer columns
     * (node/label/is_seed/origin_round) round-trip losslessly. */
   def labelSpread(s: SparkSession, d: String): String =
     cached(s"labelspread:$d") {
       val r = published(root(d, "labelspread", "embeddings")) { tmp =>
-        val g = Similarity.knnGraph(Tables.embeddings(s, d), "vec_id",
-          "embedding", k = 5, nBands = 4, rowsPerBand = 2, dim = 64)
-          .select(col("src_id"), col("dst_id")).localCheckpoint()
-        val edges = g.select(col("src_id").as("src"), col("dst_id").as("dst"))
-          .union(g.select(col("dst_id").as("src"), col("src_id").as("dst")))
-          .distinct()
-        val seeds = Tables.embeddings(s, d)
-          .filter(col("vec_id") % 10 === 0)
-          .select(col("vec_id").as("node"), col("label"))
-        graft.operators.Graph.labelPropagate(edges, seeds, rounds = 2)
+        labelSpreadChain(Tables.embeddings(s, d))
           .write.mode("overwrite").parquet(s"$tmp/labels")
       }
       s"$r/labels"

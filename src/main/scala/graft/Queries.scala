@@ -175,7 +175,7 @@ object Queries {
     * `graph_label_spread_served`): both rounds unrolled over the kNN CTE,
     * MATERIALIZED where a step is referenced more than once. */
   private lazy val labelSpreadOracle: String = knnGraphCte +
-    """, und AS (
+    """, und AS MATERIALIZED (
       |  SELECT src_id AS src, dst_id AS dst FROM g
       |  UNION
       |  SELECT dst_id AS src, src_id AS dst FROM g),
@@ -230,7 +230,7 @@ object Queries {
       |""".stripMargin +
       knnGraphCteOver("oldemb").stripPrefix("WITH ").stripSuffix("\n") + ",\n" +
       lshBucketsCteOver("newemb", "q") +
-      """und AS (
+      """und AS MATERIALIZED (
         |  SELECT src_id AS src, dst_id AS dst FROM g
         |  UNION
         |  SELECT dst_id AS src, src_id AS dst FROM g),
@@ -4577,18 +4577,8 @@ object Queries {
     // unrolls both rounds over the same LSH kNN graph CTE; origin_round
     // records which round produced each node's FINAL value.
     ("graph_label_spread",
-      (s: SparkSession, d: String) => {
-        val g = Similarity.knnGraph(Tables.embeddings(s, d), "vec_id",
-          "embedding", k = 5, nBands = 4, rowsPerBand = 2, dim = 64)
-          .select(col("src_id"), col("dst_id")).localCheckpoint()
-        val edges = g.select(col("src_id").as("src"), col("dst_id").as("dst"))
-          .union(g.select(col("dst_id").as("src"), col("src_id").as("dst")))
-          .distinct()
-        val seeds = Tables.embeddings(s, d)
-          .filter(col("vec_id") % 10 === 0)
-          .select(col("vec_id").as("node"), col("label"))
-        Graph.labelPropagate(edges, seeds, rounds = 2)
-      },
+      (s: SparkSession, d: String) =>
+        Artifacts.labelSpreadChain(Tables.embeddings(s, d)),
       Some(labelSpreadOracle)),
 
     // WARM twin of graph_label_spread: the propagated labeling loads from
@@ -4627,15 +4617,7 @@ object Queries {
           val cut = cutBoxed.longValue()
           val old = emb.filter(col("vec_id") < cut)
           val nw = emb.filter(col("vec_id") >= cut)
-          val g = Similarity.knnGraph(old, "vec_id", "embedding",
-            k = 5, nBands = 4, rowsPerBand = 2, dim = 64)
-            .select(col("src_id"), col("dst_id")).localCheckpoint()
-          val edges = g.select(col("src_id").as("src"), col("dst_id").as("dst"))
-            .union(g.select(col("dst_id").as("src"), col("src_id").as("dst")))
-            .distinct()
-          val oldSeeds = old.filter(col("vec_id") % 10 === 0)
-            .select(col("vec_id").as("node"), col("label"))
-          val oldLab = Graph.labelPropagate(edges, oldSeeds, rounds = 2)
+          val oldLab = Artifacts.labelSpreadChain(old)
             .select(col("node"), col("label"))
           val newSeeds = nw.filter(col("vec_id") % 10 === 0)
             .select(col("vec_id").as("node"), col("label"))

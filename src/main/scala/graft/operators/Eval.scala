@@ -94,7 +94,9 @@ object Eval {
    * never a per-document global sort.
    */
   def prCurve(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
-    val byScore = df.groupBy(scoreCol.cast("long").as("score"))
+    // score used as-is (the aucExact convention) — a silent cast("long")
+    // would truncate fractional scores and collapse distinct thresholds
+    val byScore = df.groupBy(scoreCol.as("score"))
       .agg(count(lit(1)).as("c"), sum(labelCol.cast("long")).as("p"))
     val desc = Window.orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

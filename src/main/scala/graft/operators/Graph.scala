@@ -246,7 +246,10 @@ object Graph {
         .select(col("node"), col("label"), lit(0).as("is_seed"),
           when(col("prev_label") === col("label"), col("prev_round"))
             .otherwise(lit(r)).as("origin_round"))
-      labels = seed.unionByName(inferred)
+      // materialize each round: the next round references this frame twice
+      // (votes + prevInferred), so without the cut the unexecuted lineage
+      // doubles per round — the knnGraphRefined per-round discipline
+      labels = seed.unionByName(inferred).localCheckpoint()
     }
     labels
   }
