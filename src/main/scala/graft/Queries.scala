@@ -6334,6 +6334,85 @@ object Queries {
            |FROM a2 a LEFT JOIN drops d ON d.vec_id = a.vec_id""".stripMargin
       }),
 
+    // Record-linkage entity matching (Dedup.entityMatch): the customer
+    // table plus typo'd duplicate records (every 3rd gets a 1-edit copy at
+    // a key-dependent digit position, every 9th also a fixed 2-edit copy),
+    // matched through segment-pair blocking over the 9-digit name suffix
+    // (thirds; an edit confined to one third leaves one key intact) with
+    // hot keys > 64 dropped, then exact levenshtein verify — the catalog's
+    // first cross-engine edit-distance surface. The verdict is the
+    // ALGORITHM's (blocking recall trades and near-key false positives
+    // included, both deterministic): edits landing where the surviving key
+    // pair is hot are missed by construction — the LSH
+    // quantization-boundary convention. DuckDB-checked pair space before
+    // adoption: 7 226 candidates / 2 697 matches at sf0.01, key size ≤ 23
+    // at sf0.1.
+    ("dedup_entity_match",
+      (s: SparkSession, d: String) => {
+        val c = Tables.customer(s, d)
+        val base = c.select(col("c_custkey").as("id"), col("c_name").as("name"),
+          concat_ws(":", col("c_nationkey").cast("string"),
+            col("c_mktsegment")).as("blk"),
+          col("c_custkey").as("k"))
+        val p = (lit(10) + col("k") % 9).cast("int")
+        val d1 = base.filter(col("k") % 3 === 0)
+          .select((col("id") + 1000000000L).as("id"),
+            concat(col("name").substr(lit(1), p - 1), lit("x"),
+              col("name").substr(p + 1, length(col("name")))).as("name"),
+            col("blk"))
+        val d2 = base.filter(col("k") % 9 === 0)
+          .select((col("id") + 2000000000L).as("id"),
+            concat(substring(col("name"), 1, 9), lit("xy"),
+              col("name").substr(lit(12), length(col("name")))).as("name"),
+            col("blk"))
+        val dirty = base.select(col("id"), col("name"), col("blk"))
+          .unionAll(d1).unionAll(d2)
+        Dedup.entityMatch(dirty, col("id"), col("name"), col("blk"),
+          pieceCols = Seq(substring(col("name"), 10, 3),
+            substring(col("name"), 13, 3), substring(col("name"), 16, 3)),
+          maxDist = 2, maxKeySize = 64)
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT c_custkey AS id, c_name AS name,
+          |         c_nationkey::varchar || ':' || c_mktsegment AS blk,
+          |         c_custkey AS k
+          |  FROM customer),
+          |d1 AS (
+          |  SELECT id + 1000000000 AS id,
+          |         substr(name, 1, (10 + k % 9) - 1) || 'x' ||
+          |           substr(name, (10 + k % 9) + 1) AS name,
+          |         blk FROM base WHERE k % 3 = 0),
+          |d2 AS (
+          |  SELECT id + 2000000000 AS id,
+          |         substr(name, 1, 9) || 'xy' || substr(name, 12) AS name,
+          |         blk FROM base WHERE k % 9 = 0),
+          |dirty AS (
+          |  SELECT id, name, blk FROM base
+          |  UNION ALL SELECT * FROM d1
+          |  UNION ALL SELECT * FROM d2),
+          |pieces AS (
+          |  SELECT id, name, blk, substr(name, 10, 3) AS t0,
+          |         substr(name, 13, 3) AS t1, substr(name, 16, 3) AS t2
+          |  FROM dirty),
+          |keys AS (
+          |  SELECT id, name, blk || '|01|' || t0 || '|' || t1 AS key FROM pieces
+          |  UNION ALL SELECT id, name, blk || '|02|' || t0 || '|' || t2 FROM pieces
+          |  UNION ALL SELECT id, name, blk || '|12|' || t1 || '|' || t2 FROM pieces),
+          |kept AS (
+          |  SELECT id, name, key FROM (
+          |    SELECT id, name, key, count(*) OVER (PARTITION BY key) AS ksize
+          |    FROM keys)
+          |  WHERE ksize <= 64),
+          |cand AS (
+          |  SELECT DISTINCT a.id AS id_a, a.name AS name_a,
+          |         b.id AS id_b, b.name AS name_b
+          |  FROM kept a JOIN kept b ON a.key = b.key AND a.id < b.id)
+          |SELECT id_a, id_b, levenshtein(name_a, name_b)::int AS lev,
+          |       (CASE WHEN levenshtein(name_a, name_b) <= 2
+          |             THEN 1 ELSE 0 END)::int AS is_match
+          |FROM cand""".stripMargin)),
+
     // Exact order statistics without interpolation ambiguity: the value at
     // rank ceil(p*n) per group (deterministic in any engine).
     ("events_value_percentiles",

@@ -1051,4 +1051,61 @@ object Dedup {
       .select(col("vec_id"), col("cell_id"), col("cell_cos"),
         when(col("dup").isNotNull, lit(0)).otherwise(lit(1)).as("sem_keep"))
   }
+
+  /**
+   * Record-linkage entity matching: multi-pass SEGMENT-PAIR blocking +
+   * edit-distance verify — the standard dedup for structured records
+   * (customer/author/vendor tables feeding a training corpus) where
+   * near-identical rows differ by typos rather than rewordings.
+   *
+   * Blocking: the caller supplies `pieceCols`, a segmentation of the
+   * record's discriminative key (e.g. thirds of an id suffix). Every
+   * unordered PAIR of segments becomes one blocking key (tagged with the
+   * pair index + `blockCol` attributes): an edit confined to one segment
+   * leaves every key built from the other segments intact — the q-gram
+   * blocking guarantee, at (pieces choose 2) keys per record instead of an
+   * all-pairs scan. Keys shared by more than `maxKeySize` records are
+   * DROPPED (the hot-key hygiene of [[TextOps.substringRuns]]'s anchor
+   * discipline — a constant segment pair must not re-create the quadratic
+   * block it exists to avoid); the resulting recall trade is deterministic
+   * and replayed by the oracle.
+   *
+   * Verify: surviving candidate pairs (equi-join on key, id_a < id_b,
+   * distinct) score exact `levenshtein(name_a, name_b)` — identical DP
+   * edit distance in Spark and DuckDB, a new cross-engine primitive for
+   * the catalog. Output: (id_a, id_b, lev, is_match at `maxDist`).
+   *
+   * Scale shape: keys explode to |pieces choose 2| rows per record (one
+   * map-side projection), the hot-key count is one window over the key
+   * exchange, candidates are an equi-join bounded by Σ|key|² with
+   * |key| ≤ maxKeySize, and levenshtein runs on candidates only — never
+   * on the cross product.
+   */
+  def entityMatch(df: DataFrame, idCol: Column, nameCol: Column,
+      blockCol: Column, pieceCols: Seq[Column], maxDist: Int = 2,
+      maxKeySize: Int = 64): DataFrame = {
+    require(pieceCols.size >= 2, "need at least two segments to pair")
+    import org.apache.spark.sql.expressions.Window
+    val pieces = pieceCols.zipWithIndex.map { case (c, i) => c.as(s"t$i") }
+    val base = df.select(
+      (Seq(idCol.as("id"), nameCol.as("name"), blockCol.as("blk")) ++ pieces): _*)
+    val keyed = (for {
+      i <- pieceCols.indices; j <- pieceCols.indices if i < j
+    } yield base.select(col("id"), col("name"),
+        concat_ws("|", col("blk"), lit(s"$i$j"), col(s"t$i"), col(s"t$j"))
+          .as("key")))
+      .reduce(_.unionAll(_))
+    val kept = keyed
+      .withColumn("ksize", count(lit(1)).over(Window.partitionBy(col("key"))))
+      .filter(col("ksize") <= maxKeySize)
+    val a = kept.select(col("key"), col("id").as("id_a"), col("name").as("name_a"))
+    val b = kept.select(col("key"), col("id").as("id_b"), col("name").as("name_b"))
+    a.join(b, "key")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("name_a"), col("id_b"), col("name_b"))
+      .distinct()
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+      .select(col("id_a"), col("id_b"), col("lev"),
+        (col("lev") <= maxDist).cast("int").as("is_match"))
+  }
 }

@@ -382,4 +382,47 @@ class TextDedupSpec extends SparkSpec {
       assert(md5hex(t) == got(id)._4, s"hash/text disagree for doc $id")
     }
   }
+
+  private def linkage(rows: Seq[(Long, String, String)], maxKeySize: Int = 64)
+      : Set[(Long, Long, Int, Int)] = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = rows.toDF("id", "name", "blk")
+    Dedup.entityMatch(df, col("id"), col("name"), col("blk"),
+        pieceCols = Seq(substring(col("name"), 1, 3),
+          substring(col("name"), 4, 3), substring(col("name"), 7, 3)),
+        maxDist = 2, maxKeySize = maxKeySize)
+      .as[(Long, Long, Int, Int)].collect().toSet
+  }
+
+  test("entityMatch: one-segment edits are found via the intact key pair") {
+    // 9-char names split in thirds; id 2 differs from id 1 only inside the
+    // middle third -> the (t0, t2) key is intact -> candidate, lev 1
+    val got = linkage(Seq(
+      (1L, "abcdefghi", "b0"), (2L, "abcdXfghi", "b0"),
+      (3L, "zzzzzzzzz", "b0")))
+    assert(got == Set((1L, 2L, 1, 1)))
+  }
+
+  test("entityMatch: blocking attribute separates otherwise-identical names") {
+    val got = linkage(Seq(
+      (1L, "abcdefghi", "b0"), (2L, "abcdefghi", "b1")))
+    assert(got.isEmpty, "different blocks must never pair")
+  }
+
+  test("entityMatch: hot keys are dropped; distance beyond maxDist is not a match") {
+    // six records share every segment pair -> with maxKeySize 2 all keys
+    // are hot and nothing pairs
+    val crowd = (1L to 6L).map(i => (i, "abcdefghi", "b0"))
+    assert(linkage(crowd, maxKeySize = 2).isEmpty)
+    // edits in ALL three segments -> no intact key pair -> no candidate
+    val spread = linkage(Seq(
+      (1L, "abcdefghi", "b0"), (2L, "Xbcd!fgh?", "b0")))
+    assert(spread.isEmpty)
+    val three = linkage(Seq(
+      (1L, "abcdefghi", "b0"), (2L, "Xbcdefghi", "b0"),
+      (3L, "XYcdefghi", "b0")))
+    // id2/id3: lev(Xbc..., XYc...) = 1 -> match; id1/id3 lev = 2 -> match
+    assert(three.contains((2L, 3L, 1, 1)) && three.contains((1L, 3L, 2, 1)))
+  }
 }
