@@ -451,6 +451,50 @@ object QueriesSql {
         |                      CAST(0 AS bigint), (acc, x) -> acc + x) <= 24 AS int) AS near_dup
         |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin),
 
+    // Record linkage from SQL text: the dirty-table synthesis, segment-pair
+    // blocking keys, hot-key drop (window count), candidate equi-join and
+    // levenshtein verify — the whole entity-resolution chain drivable from
+    // a SQL cell, gated on the DataFrame twin's oracle.
+    ("sql_dedup_entity_match", "dedup_entity_match", Seq("customer"),
+      """WITH base AS (
+        |  SELECT c_custkey AS id, c_name AS name,
+        |         concat(CAST(c_nationkey AS string), ':', c_mktsegment) AS blk,
+        |         c_custkey AS k
+        |  FROM customer),
+        |d1 AS (
+        |  SELECT id + 1000000000 AS id,
+        |         concat(substr(name, 1, CAST(10 + k % 9 AS int) - 1), 'x',
+        |                substr(name, CAST(10 + k % 9 AS int) + 1)) AS name,
+        |         blk FROM base WHERE k % 3 = 0),
+        |d2 AS (
+        |  SELECT id + 2000000000 AS id,
+        |         concat(substr(name, 1, 9), 'xy', substr(name, 12)) AS name,
+        |         blk FROM base WHERE k % 9 = 0),
+        |dirty AS (
+        |  SELECT id, name, blk FROM base
+        |  UNION ALL SELECT * FROM d1
+        |  UNION ALL SELECT * FROM d2),
+        |pieces AS (
+        |  SELECT id, name, blk, substr(name, 10, 3) AS t0,
+        |         substr(name, 13, 3) AS t1, substr(name, 16, 3) AS t2
+        |  FROM dirty),
+        |keys AS (
+        |  SELECT id, name, concat(blk, '|01|', t0, '|', t1) AS key FROM pieces
+        |  UNION ALL SELECT id, name, concat(blk, '|02|', t0, '|', t2) FROM pieces
+        |  UNION ALL SELECT id, name, concat(blk, '|12|', t1, '|', t2) FROM pieces),
+        |kept AS (
+        |  SELECT id, name, key FROM (
+        |    SELECT id, name, key, count(*) OVER (PARTITION BY key) AS ksize
+        |    FROM keys)
+        |  WHERE ksize <= 64),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, a.name AS name_a,
+        |         b.id AS id_b, b.name AS name_b
+        |  FROM kept a JOIN kept b ON a.key = b.key AND a.id < b.id)
+        |SELECT id_a, id_b, CAST(levenshtein(name_a, name_b) AS int) AS lev,
+        |       CAST(levenshtein(name_a, name_b) <= 2 AS int) AS is_match
+        |FROM cand""".stripMargin),
+
     // Integer-exact PageRank from SQL text — the graph family's first SQL
     // row: three unrolled power iterations in pure bigint arithmetic
     // (truncating div contributions, the overflow-safe ·17/20 damping
