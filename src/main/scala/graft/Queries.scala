@@ -6022,6 +6022,55 @@ object Queries {
           |       p.purchase_value AS asof_purchase_value
           |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin)),
 
+    // CEP sequence match (Cep.lastSeqMatch — the MATCH_RECOGNIZE / FlinkCEP
+    // shape as running windows): per user, a purchase CLOSES a
+    // view → click → purchase match within 48 h of the view, with NO error
+    // between the matched view and the purchase. Skip-till-last semantics
+    // (latest view / latest click), so every purchase reports at most one
+    // deterministic match; the negation is two running counters compared
+    // (n_upto at close vs at the matched view) — no join, no NFA state,
+    // one key shuffle.
+    ("events_cep_match",
+      (s: SparkSession, d: String) =>
+        Cep.lastSeqMatch(Tables.events(s, d),
+            keyCol = col("user_id"), tsCol = col("ts"), tieCol = col("event_id"),
+            stepA = col("event_type") === "view",
+            stepB = col("event_type") === "click",
+            stepC = col("event_type") === "purchase",
+            negation = col("event_type") === "error",
+            windowSeconds = 172800L)
+          .select(col("key").as("user_id"), col("close_id").as("purchase_id"),
+            ntz(col("a_ts")).as("view_ts"), ntz(col("b_ts")).as("click_ts"),
+            ntz(col("c_ts")).as("purchase_ts"), col("gap_seconds")),
+      Some(
+        """WITH o AS (
+          |  SELECT user_id, event_id, event_type, ts,
+          |         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+          |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |           AS n_upto
+          |  FROM events),
+          |l AS (
+          |  SELECT *,
+          |         last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+          |           OVER w AS la_ts,
+          |         last_value(CASE WHEN event_type = 'view' THEN n_upto END IGNORE NULLS)
+          |           OVER w AS la_n,
+          |         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+          |           OVER w AS lb_ts
+          |  FROM o
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          |SELECT user_id, event_id AS purchase_id, la_ts AS view_ts,
+          |       lb_ts AS click_ts, ts AS purchase_ts,
+          |       (epoch_us(ts) - epoch_us(la_ts)) // 1000000 AS gap_seconds
+          |FROM l
+          |WHERE event_type = 'purchase'
+          |  AND la_ts IS NOT NULL AND lb_ts IS NOT NULL
+          |  AND la_ts < lb_ts AND lb_ts < ts
+          |  AND epoch_us(ts) - epoch_us(la_ts) <= 172800000000
+          |  AND n_upto = la_n""".stripMargin)),
+
     // Interval (range) join via bucketed equi-join: purchases landing in the
     // 6-hour window after each error by the same user, aggregated per error.
     // The bucket width matches the window span, so each interval registers
