@@ -645,6 +645,85 @@ object StatefulOps {
     keys.foldLeft(joined)((d, k) => d.drop(i(k)))
   }
 
+  final case class CepState(la_us: Long, la_set: Boolean, lb_us: Long,
+      lb_set: Boolean, n_since_a: Long)
+  final case class CepMatch(key: Long, close_id: Long, a_us: Long, b_us: Long,
+      c_us: Long, gap_seconds: Long)
+
+  /**
+   * Streaming CEP: the [[graft.operators.Cep.lastSeqMatch]] pattern
+   * (`A → B → C`, negation, time bound, skip-till-last) over an unbounded
+   * keyed stream with O(1) state per key — THREE timestamps and a counter
+   * (last A, last B, negations since the last A), against the O(history)
+   * window scan the batch form implies and the O(partial matches) state an
+   * NFA engine holds. Matches emit as the closing event is processed;
+   * batch/stream parity on in-order input is spec-pinned (CepSpec), with
+   * the usual micro-batch caveat shared by the other custom-state
+   * operators: events are time-ordered WITHIN each batch (the sort below),
+   * so a straggler arriving in a later batch than a newer event is
+   * processed late — watermark-disciplined sources keep that window small.
+   *
+   * Predicates must be mutually exclusive per row. `keyCol`/`tieCol` must
+   * be integral (the catalog's user/event ids); timestamps compare in
+   * exact microseconds end to end.
+   */
+  def cepStream(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, stepA: org.apache.spark.sql.Column,
+      stepB: org.apache.spark.sql.Column, stepC: org.apache.spark.sql.Column,
+      negation: org.apache.spark.sql.Column, windowSeconds: Long,
+      timeout: Option[String] = None): Dataset[CepMatch] = {
+    require(windowSeconds > 0, "need a positive match window")
+    import events.sparkSession.implicits._
+    val winUs = windowSeconds * 1000000L
+    val typedEv = events.select(
+        col(keyCol).cast("long").as("key"),
+        col(tieCol).cast("long").as("tie"),
+        unix_micros(col(tsCol)).as("us"),
+        stepA.as("is_a"), stepB.as("is_b"), stepC.as("is_c"),
+        negation.as("is_n"))
+      .as[(Long, Long, Long, Boolean, Boolean, Boolean, Boolean)]
+    val mode = if (timeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+               else GroupStateTimeout.NoTimeout
+    typedEv.groupByKey(_._1)
+      .flatMapGroupsWithState[CepState, CepMatch](OutputMode.Append, mode) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Boolean, Boolean, Boolean, Boolean)],
+         state: GroupState[CepState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption
+              .getOrElse(CepState(0L, false, 0L, false, 0L))
+            val out = List.newBuilder[CepMatch]
+            // event-time order within the micro-batch (ties by id) — the
+            // batch form's (ts, tie) window order
+            rows.toSeq.sortBy(r => (r._3, r._2)).foreach {
+              case (_, tie, us, isA, isB, isC, isN) =>
+                if (isC && st.la_set && st.lb_set &&
+                    st.la_us < st.lb_us && st.lb_us < us &&
+                    us - st.la_us <= winUs && st.n_since_a == 0L) {
+                  out += CepMatch(key, tie, st.la_us, st.lb_us, us,
+                    (us - st.la_us) / 1000000L)
+                }
+                // skip-till-last is EVENT-time latest: a straggler step older
+                // than the held one must not overwrite (>=: a same-timestamp
+                // step processed later — higher tie — wins, the batch form's
+                // last-in-window-order pick)
+                if (isA) {
+                  if (!st.la_set || us >= st.la_us)
+                    st = CepState(us, true, st.lb_us, st.lb_set, 0L)
+                } else if (isB) {
+                  if (!st.lb_set || us >= st.lb_us)
+                    st = st.copy(lb_us = us, lb_set = true)
+                } else if (isN) st = st.copy(n_since_a = st.n_since_a + 1L)
+            }
+            state.update(st)
+            timeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Typed view of the parsed stream for the stateful operators. */
   def typed(parsed: DataFrame): Dataset[FlightEvent] = {
     import parsed.sparkSession.implicits._
