@@ -451,6 +451,41 @@ object QueriesSql {
         |                      CAST(0 AS bigint), (acc, x) -> acc + x) <= 24 AS int) AS near_dup
         |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin),
 
+    // CEP from SQL text: the running-window encoding of the
+    // MATCH_RECOGNIZE pattern — last_value IGNORE NULLS step tracking, two
+    // negation counters, exact-microsecond window bound — gated on the
+    // events_cep_match oracle.
+    ("sql_events_cep_match", "events_cep_match", Seq("events"),
+      """WITH o AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS n_upto
+        |  FROM events),
+        |l AS (
+        |  SELECT *,
+        |         last_value(CASE WHEN event_type = 'view' THEN ts END)
+        |           IGNORE NULLS OVER w AS la_ts,
+        |         last_value(CASE WHEN event_type = 'view' THEN n_upto END)
+        |           IGNORE NULLS OVER w AS la_n,
+        |         last_value(CASE WHEN event_type = 'click' THEN ts END)
+        |           IGNORE NULLS OVER w AS lb_ts
+        |  FROM o
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id AS purchase_id,
+        |       CAST(la_ts AS timestamp_ntz) AS view_ts,
+        |       CAST(lb_ts AS timestamp_ntz) AS click_ts,
+        |       CAST(ts AS timestamp_ntz) AS purchase_ts,
+        |       (unix_micros(ts) - unix_micros(la_ts)) div 1000000 AS gap_seconds
+        |FROM l
+        |WHERE event_type = 'purchase'
+        |  AND la_ts IS NOT NULL AND lb_ts IS NOT NULL
+        |  AND la_ts < lb_ts AND lb_ts < ts
+        |  AND unix_micros(ts) - unix_micros(la_ts) <= 172800000000
+        |  AND n_upto = la_n""".stripMargin),
+
     // Record linkage from SQL text: the dirty-table synthesis, segment-pair
     // blocking keys, hot-key drop (window count), candidate equi-join and
     // levenshtein verify — the whole entity-resolution chain drivable from
