@@ -6071,6 +6071,66 @@ object Queries {
           |  AND epoch_us(ts) - epoch_us(la_ts) <= 172800000000
           |  AND n_upto = la_n""".stripMargin)),
 
+    // Time-series motif discovery (TimeSeries.saxMotifs): SAX-shaped
+    // sliding-window shape search over per-user value series — quantized
+    // readings, exact-long PAA segments (8 framed sums in ONE window
+    // operator), per-window min-max integer symbols, word equi-join with
+    // hot words > 256 dropped, exact L1 shape verify, trivial same-series
+    // overlaps excluded. The sensor-data counterpart of the text near-dup
+    // family; pair space DuckDB-checked before adoption (2 912 candidates
+    // at sf0.01, hottest word 107 members at sf0.1).
+    ("events_sax_motifs",
+      (s: SparkSession, d: String) =>
+        TimeSeries.saxMotifs(Tables.events(s, d),
+            keyCol = col("user_id"), tsCol = col("ts"),
+            tieCol = col("event_id"), valueCol = col("value"),
+            windowLen = 16, segments = 8, alphabet = 4,
+            quantScale = 1000L, shapeScale = 1000L,
+            minSeparation = 16, maxWordSize = 256, maxL1 = 800L)
+          .select(col("key_a").as("user_a"), col("start_a"),
+            col("key_b").as("user_b"), col("start_b"),
+            col("word"), col("l1"), col("is_motif")),
+      Some {
+        val segs = (0 until 8).map(j =>
+          s"sum(qv) OVER (PARTITION BY user_id ORDER BY rn ROWS BETWEEN ${2 * j} FOLLOWING AND ${2 * j + 1} FOLLOWING) AS s$j")
+          .mkString(",\n         ")
+        val syms = (0 until 8).map(j =>
+          s"((s$j - lo) * 4 // (hi - lo + 1))::varchar").mkString(", ")
+        val nsegs = (0 until 8).map(j =>
+          s"(s$j - lo) * 1000 // (hi - lo + 1) AS ns$j").mkString(",\n         ")
+        val l1 = (0 until 8).map(j => s"abs(a.ns$j - b.ns$j)").mkString(" + ")
+        s"""WITH s AS (
+           |  SELECT user_id, floor(value * 1000)::bigint AS qv,
+           |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           |         count(*) OVER (PARTITION BY user_id) AS n
+           |  FROM events),
+           |w AS (
+           |  SELECT user_id, rn AS win_start, n,
+           |         $segs
+           |  FROM s),
+           |sax AS (
+           |  SELECT user_id, win_start,
+           |         least(s0,s1,s2,s3,s4,s5,s6,s7) AS lo,
+           |         greatest(s0,s1,s2,s3,s4,s5,s6,s7) AS hi,
+           |         s0,s1,s2,s3,s4,s5,s6,s7
+           |  FROM w WHERE win_start + 15 <= n),
+           |words AS (
+           |  SELECT user_id, win_start, concat_ws('', $syms) AS word,
+           |         $nsegs
+           |  FROM sax),
+           |kept AS (
+           |  SELECT * FROM (
+           |    SELECT *, count(*) OVER (PARTITION BY word) AS wsize FROM words)
+           |  WHERE wsize <= 256)
+           |SELECT a.user_id AS user_a, a.win_start AS start_a,
+           |       b.user_id AS user_b, b.win_start AS start_b,
+           |       a.word AS word, ($l1)::bigint AS l1,
+           |       (CASE WHEN $l1 <= 800 THEN 1 ELSE 0 END)::int AS is_motif
+           |FROM kept a JOIN kept b ON a.word = b.word
+           |WHERE (a.user_id < b.user_id)
+           |   OR (a.user_id = b.user_id AND a.win_start + 16 <= b.win_start)""".stripMargin
+      }),
+
     // Interval (range) join via bucketed equi-join: purchases landing in the
     // 6-hour window after each error by the same user, aggregated per error.
     // The bucket width matches the window span, so each interval registers

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Time-series motif discovery over keyed event streams — SAX-shaped
+ * (symbolic aggregate approximation) sliding-window search: which segments
+ * of which series repeat the same SHAPE, across series or later in the same
+ * one. The metrics/sensor-data counterpart of the text near-dup family,
+ * re-expressed in the catalog's integer-exact discipline so the whole chain
+ * is oracle-verifiable:
+ *
+ *  - readings quantize once (`floor(value · quantScale)` — exact IEEE
+ *    multiply + floor in any engine);
+ *  - each window's PAA segments are exact long sums over fixed row frames
+ *    (one Window operator computes all of them — a single key shuffle);
+ *  - symbols min-max-normalize PER WINDOW with integer floor division
+ *    (shape, not level — the SAX idea without per-window z-score floats);
+ *  - candidate pairs come from an equi-join on the symbol WORD, hot words
+ *    (> maxWordSize members) dropped — the LSH/blocking hygiene that keeps
+ *    the pair space Σ|word|² linear in the corpus when the word alphabet
+ *    saturates at scale (tune segments/alphabet up with corpus size, the
+ *    standard SAX practice);
+ *  - verification is an exact L1 distance between finer-quantized
+ *    (`shapeScale`) normalized segment vectors; trivial matches (same key,
+ *    window starts closer than `minSeparation`) are excluded, the classic
+ *    motif rule.
+ *
+ * Output: (key_a, start_a, key_b, start_b, word, l1, is_motif), start = the
+ * 1-based row rank of the window's first reading within its series.
+ */
+object TimeSeries {
+
+  def saxMotifs(events: DataFrame, keyCol: Column, tsCol: Column,
+      tieCol: Column, valueCol: Column, windowLen: Int = 16,
+      segments: Int = 8, alphabet: Int = 4, quantScale: Long = 1000L,
+      shapeScale: Long = 1000L, minSeparation: Int = 16,
+      maxWordSize: Int = 256, maxL1: Long = 800L): DataFrame = {
+    require(segments >= 2, "need at least two PAA segments")
+    require(windowLen % segments == 0, "windowLen must divide into segments")
+    require(alphabet >= 2, "need at least a binary alphabet")
+    val segLen = windowLen / segments
+    val byKey = Window.partitionBy(col("k")).orderBy(col("rn"))
+    val s = events.select(keyCol.as("k"), tsCol.as("ts"), tieCol.as("tie"),
+        floor(valueCol * quantScale).cast("long").as("qv"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("ts"), col("tie"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("k"))))
+    val segCols = (0 until segments).map { j =>
+      sum(col("qv")).over(byKey.rowsBetween(j.toLong * segLen,
+        (j + 1).toLong * segLen - 1)).as(s"s$j")
+    }
+    val windows = s
+      .select((Seq(col("k"), col("rn").as("win_start"), col("n")) ++ segCols): _*)
+      .filter(col("win_start") + (windowLen - 1) <= col("n"))
+    val segRefs = (0 until segments).map(j => col(s"s$j"))
+    val lo = least(segRefs: _*)
+    val hi = greatest(segRefs: _*)
+    // per-window min-max shape normalization, integer floor division
+    def norm(name: String, scale: Long) =
+      expr(s"($name - __lo) * ${scale}L div (__hi - __lo + 1)")
+    val sax = windows
+      .withColumn("__lo", lo).withColumn("__hi", hi)
+      .withColumn("word", concat_ws("", (0 until segments).map(j =>
+        norm(s"s$j", alphabet.toLong).cast("string")): _*))
+      .select((Seq(col("k"), col("win_start"), col("word")) ++
+        (0 until segments).map(j => norm(s"s$j", shapeScale).as(s"ns$j"))): _*)
+    val kept = sax
+      .withColumn("wsize", count(lit(1)).over(Window.partitionBy(col("word"))))
+      .filter(col("wsize") <= maxWordSize)
+    def side(p: String) = kept.select(
+      (Seq(col("word"), col("k").as(s"key_$p"), col("win_start").as(s"start_$p")) ++
+        (0 until segments).map(j => col(s"ns$j").as(s"${p}ns$j"))): _*)
+    val l1 = (0 until segments)
+      .map(j => abs(col(s"ans$j") - col(s"bns$j")))
+      .reduce(_ + _)
+    side("a").join(side("b"), "word")
+      .filter(col("key_a") < col("key_b") ||
+        (col("key_a") === col("key_b") &&
+          col("start_a") + minSeparation <= col("start_b")))
+      .select(col("key_a"), col("start_a"), col("key_b"), col("start_b"),
+        col("word"), l1.as("l1"))
+      .withColumn("is_motif", (col("l1") <= maxL1).cast("int"))
+  }
+}

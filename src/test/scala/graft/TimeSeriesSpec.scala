@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.TimeSeries
+
+/**
+ * Hand-series checks for SAX motif discovery (corpus-scale output is
+ * oracle-gated by `events_sax_motifs`): shape-not-level matching, the
+ * trivial-match exclusion, flat-window stability, and hot-word hygiene.
+ */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** One reading per second starting at t=0 for each (key, series). */
+  private def df(series: Map[Long, Seq[Double]]) =
+    series.toSeq.flatMap { case (k, vs) =>
+      vs.zipWithIndex.map { case (v, i) =>
+        (k, i.toLong, new Timestamp(i * 1000L), v)
+      }
+    }.toDF("key", "tie", "ts", "value")
+
+  private def motifs(series: Map[Long, Seq[Double]], maxWordSize: Int = 256)
+      : Set[(Long, Long, Long, Long, Int)] =
+    TimeSeries.saxMotifs(df(series), col("key"), col("ts"), col("tie"),
+        col("value"), windowLen = 4, segments = 2, alphabet = 4,
+        quantScale = 10L, shapeScale = 100L, minSeparation = 4,
+        maxWordSize = maxWordSize, maxL1 = 10L)
+      .select(col("key_a"), col("start_a"), col("key_b"), col("start_b"),
+        col("is_motif"))
+      .as[(Long, Long, Long, Long, Int)].collect().toSet
+
+  test("saxMotifs: the same shape at a different LEVEL matches (min-max symbols)") {
+    // rising-then-flat shape at level ~1 and level ~100: per-window
+    // normalization makes them the same word and l1 = 0
+    val got = motifs(Map(
+      1L -> Seq(1.0, 1.0, 5.0, 5.0),
+      2L -> Seq(100.0, 100.0, 500.0, 500.0)))
+    assert(got == Set((1L, 1L, 2L, 1L, 1)))
+  }
+
+  test("saxMotifs: different shapes share no word") {
+    val got = motifs(Map(
+      1L -> Seq(1.0, 1.0, 5.0, 5.0),    // rising
+      2L -> Seq(5.0, 5.0, 1.0, 1.0)))   // falling
+    assert(got.isEmpty)
+  }
+
+  test("saxMotifs: trivial same-series overlaps are excluded, separated repeats match") {
+    // series repeats its shape at start 1 and start 9 (separation 8 >= 4);
+    // intermediate overlapping windows of the periodic middle also repeat —
+    // every reported same-key pair must respect the separation rule
+    val wave = Seq(1.0, 1.0, 5.0, 5.0, 1.0, 1.0, 5.0, 5.0, 1.0, 1.0, 5.0, 5.0)
+    val got = motifs(Map(1L -> wave))
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, sa, _, sb, _) => sb - sa >= 4 })
+    assert(got.contains((1L, 1L, 1L, 9L, 1)))
+  }
+
+  test("saxMotifs: flat windows are stable; hot words drop") {
+    // all-constant series: hi == lo, symbols all 0, no crash; two flat
+    // series match each other
+    val flat = motifs(Map(1L -> Seq(3.0, 3.0, 3.0, 3.0),
+      2L -> Seq(7.0, 7.0, 7.0, 7.0)))
+    assert(flat == Set((1L, 1L, 2L, 1L, 1)))
+    // with maxWordSize 1 every shared word is hot -> nothing pairs
+    assert(motifs(Map(1L -> Seq(3.0, 3.0, 3.0, 3.0),
+      2L -> Seq(7.0, 7.0, 7.0, 7.0)), maxWordSize = 1).isEmpty)
+  }
+}
