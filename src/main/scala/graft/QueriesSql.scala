@@ -451,6 +451,50 @@ object QueriesSql {
         |                      CAST(0 AS bigint), (acc, x) -> acc + x) <= 24 AS int) AS near_dup
         |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin),
 
+    // SAX motif discovery from SQL text: framed window sums, integer
+    // min-max symbols, the hot-word window filter, and the L1 shape verify
+    // — gated on the events_sax_motifs oracle.
+    ("sql_events_sax_motifs", "events_sax_motifs", Seq("events"), {
+      val segs = (0 until 8).map(j =>
+        s"sum(qv) OVER (PARTITION BY user_id ORDER BY rn ROWS BETWEEN ${2 * j} FOLLOWING AND ${2 * j + 1} FOLLOWING) AS s$j")
+        .mkString(",\n        |         ").stripMargin
+      val syms = (0 until 8).map(j =>
+        s"CAST((s$j - lo) * 4 div (hi - lo + 1) AS string)").mkString(", ")
+      val nsegs = (0 until 8).map(j =>
+        s"(s$j - lo) * 1000 div (hi - lo + 1) AS ns$j").mkString(", ")
+      val l1 = (0 until 8).map(j => s"abs(a.ns$j - b.ns$j)").mkString(" + ")
+      s"""WITH s AS (
+        |  SELECT user_id, CAST(floor(value * 1000) AS bigint) AS qv,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, rn AS win_start, n,
+        |         $segs
+        |  FROM s),
+        |sax AS (
+        |  SELECT user_id, win_start,
+        |         least(s0,s1,s2,s3,s4,s5,s6,s7) AS lo,
+        |         greatest(s0,s1,s2,s3,s4,s5,s6,s7) AS hi,
+        |         s0,s1,s2,s3,s4,s5,s6,s7
+        |  FROM w WHERE win_start + 15 <= n),
+        |words AS (
+        |  SELECT user_id, win_start, concat_ws('', $syms) AS word,
+        |         $nsegs
+        |  FROM sax),
+        |kept AS (
+        |  SELECT * FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY word) AS wsize FROM words)
+        |  WHERE wsize <= 256)
+        |SELECT a.user_id AS user_a, a.win_start AS start_a,
+        |       b.user_id AS user_b, b.win_start AS start_b,
+        |       a.word AS word, CAST($l1 AS bigint) AS l1,
+        |       CAST($l1 <= 800 AS int) AS is_motif
+        |FROM kept a JOIN kept b ON a.word = b.word
+        |WHERE (a.user_id < b.user_id)
+        |   OR (a.user_id = b.user_id AND a.win_start + 16 <= b.win_start)""".stripMargin
+    }),
+
     // CEP from SQL text: the running-window encoding of the
     // MATCH_RECOGNIZE pattern — last_value IGNORE NULLS step tracking, two
     // negation counters, exact-microsecond window bound — gated on the
