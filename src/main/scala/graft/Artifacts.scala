@@ -76,14 +76,20 @@ object Artifacts {
     if (Files.exists(finPath)) return fin
     val tmp = fin + ".tmp-" + java.lang.ProcessHandle.current().pid() +
       "-" + java.lang.System.nanoTime()
-    build(tmp)
+    // a failed build must not leak its half-written tmp dir (r13 advice)
+    try build(tmp)
+    catch { case e: Throwable => deleteRec(new java.io.File(tmp)); throw e }
     Files.createDirectories(finPath.getParent)
     try Files.move(Paths.get(tmp), finPath, StandardCopyOption.ATOMIC_MOVE)
     catch {
-      case _: java.nio.file.FileAlreadyExistsException |
-           _: java.nio.file.FileSystemException =>
-        // another process published first; its deterministic twin wins
+      case e: java.nio.file.FileSystemException =>
+        // Losing the publication race (FileAlreadyExists / DirectoryNotEmpty)
+        // is fine — the winner's deterministic twin is byte-interchangeable.
+        // Any OTHER rename failure (e.g. AtomicMoveNotSupported) must surface
+        // HERE, not later as a confusing missing-path read (r13 advice): only
+        // swallow when the final path actually exists.
         deleteRec(new java.io.File(tmp))
+        if (!Files.exists(finPath)) throw e
     }
     fin
   }

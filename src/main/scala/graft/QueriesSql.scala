@@ -479,7 +479,7 @@ object QueriesSql {
         |         s0,s1,s2,s3,s4,s5,s6,s7
         |  FROM w WHERE win_start + 15 <= n),
         |words AS (
-        |  SELECT user_id, win_start, concat_ws('', $syms) AS word,
+        |  SELECT user_id, win_start, concat_ws(',', $syms) AS word,
         |         $nsegs
         |  FROM sax),
         |kept AS (
@@ -529,6 +529,43 @@ object QueriesSql {
         |  AND la_ts < lb_ts AND lb_ts < ts
         |  AND unix_micros(ts) - unix_micros(la_ts) <= 172800000000
         |  AND n_upto = la_n""".stripMargin),
+
+    // N-step CEP from SQL text: the 4-step funnel — one more last_value
+    // tracker, same single window operator — gated on the
+    // events_cep_match4 oracle.
+    ("sql_events_cep_match4", "events_cep_match4", Seq("events"),
+      """WITH o AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS n_upto
+        |  FROM events),
+        |l AS (
+        |  SELECT *,
+        |         last_value(CASE WHEN event_type = 'signup' THEN ts END)
+        |           IGNORE NULLS OVER w AS l0_ts,
+        |         last_value(CASE WHEN event_type = 'signup' THEN n_upto END)
+        |           IGNORE NULLS OVER w AS l0_n,
+        |         last_value(CASE WHEN event_type = 'view' THEN ts END)
+        |           IGNORE NULLS OVER w AS l1_ts,
+        |         last_value(CASE WHEN event_type = 'click' THEN ts END)
+        |           IGNORE NULLS OVER w AS l2_ts
+        |  FROM o
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id AS purchase_id,
+        |       CAST(l0_ts AS timestamp_ntz) AS signup_ts,
+        |       CAST(l1_ts AS timestamp_ntz) AS view_ts,
+        |       CAST(l2_ts AS timestamp_ntz) AS click_ts,
+        |       CAST(ts AS timestamp_ntz) AS purchase_ts,
+        |       (unix_micros(ts) - unix_micros(l0_ts)) div 1000000 AS gap_seconds
+        |FROM l
+        |WHERE event_type = 'purchase'
+        |  AND l0_ts IS NOT NULL AND l1_ts IS NOT NULL AND l2_ts IS NOT NULL
+        |  AND l0_ts < l1_ts AND l1_ts < l2_ts AND l2_ts < ts
+        |  AND unix_micros(ts) - unix_micros(l0_ts) <= 604800000000
+        |  AND n_upto = l0_n""".stripMargin),
 
     // Record linkage from SQL text: the dirty-table synthesis, segment-pair
     // blocking keys, hot-key drop (window count), candidate equi-join and

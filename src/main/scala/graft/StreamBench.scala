@@ -45,6 +45,12 @@ object StreamBench {
     // splits the softdedup ceiling into signing-projection cost vs
     // shuffle + stateful-operator cost (verdict-r12 item 3).
     val pipeline = sys.env.getOrElse("SPARK_GRAFT_STREAM_PIPELINE", "flight")
+    // outputMode keys on the pipeline name, so a typo'd value must fail
+    // HERE rather than silently running the flight aggregation in append
+    // mode (r13 advice)
+    require(Set("flight", "softdedup", "sign").contains(pipeline),
+      s"unknown SPARK_GRAFT_STREAM_PIPELINE '$pipeline' " +
+        "(expected flight | softdedup | sign)")
     def syntheticDocs = spark.readStream.format("rate")
       .option("rowsPerSecond", rate).load()
       .select(col("value").as("doc_id"),

@@ -43,29 +43,64 @@ object Cep {
    */
   def lastSeqMatch(events: DataFrame, keyCol: Column, tsCol: Column,
       tieCol: Column, stepA: Column, stepB: Column, stepC: Column,
-      negation: Column, windowSeconds: Long): DataFrame = {
+      negation: Column, windowSeconds: Long): DataFrame =
+    lastSeqMatchN(events, keyCol, tsCol, tieCol, Seq(stepA, stepB, stepC),
+        negation, windowSeconds)
+      .withColumnRenamed("ts_1", "a_ts")
+      .withColumnRenamed("ts_2", "b_ts")
+      .withColumnRenamed("ts_3", "c_ts")
+
+  /**
+   * N-step generalization (the FlinkCEP / MATCH_RECOGNIZE pattern surface):
+   * ordered step predicates `steps(0) → … → steps(K-1)`, skip-till-last.
+   * A row satisfying the FINAL step closes a match iff the latest matches
+   * of steps 0..K-2 have strictly increasing timestamps, all precede it,
+   * the close is within `windowSeconds` of the step-0 match, and no
+   * `negation` row falls after that step-0 match up to the close — the
+   * same global-negation contract as the 3-step form (K = 3 reproduces it
+   * plan-for-plan: one key shuffle, K last-match running windows + one
+   * negation counter in ONE Window operator, no NFA, no join).
+   *
+   * Output: (key, close_id, ts_1 … ts_K, gap_seconds) where ts_i is the
+   * matched step-i row's timestamp (ts_K = the closing row's own).
+   */
+  def lastSeqMatchN(events: DataFrame, keyCol: Column, tsCol: Column,
+      tieCol: Column, steps: Seq[Column], negation: Column,
+      windowSeconds: Long): DataFrame = {
     require(windowSeconds > 0, "need a positive match window")
-    val e = events.select(keyCol.as("key"), tsCol.as("ts"), tieCol.as("tie"),
-      stepA.as("is_a"), stepB.as("is_b"), stepC.as("is_c"),
-      negation.as("is_n"))
+    require(steps.size >= 2, "need at least two pattern steps")
+    val k = steps.size
+    val prior = 0 until (k - 1)       // steps tracked by running last-match
+    val e = events.select((Seq(keyCol.as("key"), tsCol.as("ts"),
+      tieCol.as("tie")) ++
+      steps.zipWithIndex.map { case (c, i) => c.as(s"is_$i") } :+
+      negation.as("is_n")): _*)
     val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    e.withColumn("n_upto", sum(when(col("is_n"), 1L).otherwise(0L)).over(w))
-      .withColumn("la_ts", last(when(col("is_a"), col("ts")), ignoreNulls = true).over(w))
-      .withColumn("la_n", last(when(col("is_a"), col("n_upto")), ignoreNulls = true).over(w))
-      .withColumn("lb_ts", last(when(col("is_b"), col("ts")), ignoreNulls = true).over(w))
-      // exact MICROSECOND arithmetic: a long cast of a timestamp floors the
-      // fractional second while other engines' epoch() rounds — integer
-      // micros are the only representation both sides agree on bit-for-bit
-      .filter(col("is_c") &&
-        col("la_ts").isNotNull && col("lb_ts").isNotNull &&
-        col("la_ts") < col("lb_ts") && col("lb_ts") < col("ts") &&
-        unix_micros(col("ts")) - unix_micros(col("la_ts"))
+    val tracked = prior.foldLeft(
+        e.withColumn("n_upto", sum(when(col("is_n"), 1L).otherwise(0L)).over(w))) {
+      (acc, i) =>
+        val withTs = acc.withColumn(s"l${i}_ts",
+          last(when(col(s"is_$i"), col("ts")), ignoreNulls = true).over(w))
+        // the negation counter is only needed at the FIRST step's match
+        if (i == 0) withTs.withColumn("l0_n",
+          last(when(col("is_0"), col("n_upto")), ignoreNulls = true).over(w))
+        else withTs
+    }
+    val tsSeq = prior.map(i => col(s"l${i}_ts")) :+ col("ts")
+    val chain = prior.map(i => col(s"l${i}_ts").isNotNull).reduce(_ && _) &&
+      tsSeq.zip(tsSeq.tail).map { case (a, b) => a < b }.reduce(_ && _)
+    // exact MICROSECOND arithmetic: a long cast of a timestamp floors the
+    // fractional second while other engines' epoch() rounds — integer
+    // micros are the only representation both sides agree on bit-for-bit
+    tracked.filter(col(s"is_${k - 1}") && chain &&
+        unix_micros(col("ts")) - unix_micros(col("l0_ts"))
           <= windowSeconds * 1000000L &&
-        col("n_upto") === col("la_n"))
-      .select(col("key"), col("tie").as("close_id"),
-        col("la_ts").as("a_ts"), col("lb_ts").as("b_ts"), col("ts").as("c_ts"),
-        expr("(unix_micros(ts) - unix_micros(la_ts)) div 1000000")
-          .as("gap_seconds"))
+        col("n_upto") === col("l0_n"))
+      .select((Seq(col("key"), col("tie").as("close_id")) ++
+        prior.map(i => col(s"l${i}_ts").as(s"ts_${i + 1}")) ++ Seq(
+        col("ts").as(s"ts_$k"),
+        expr("(unix_micros(ts) - unix_micros(l0_ts)) div 1000000")
+          .as("gap_seconds"))): _*)
   }
 }

@@ -1089,12 +1089,18 @@ object Dedup {
     val pieces = pieceCols.zipWithIndex.map { case (c, i) => c.as(s"t$i") }
     val base = df.select(
       (Seq(idCol.as("id"), nameCol.as("name"), blockCol.as("blk")) ++ pieces): _*)
+    // NULL-PROPAGATING key build (concat, not concat_ws): a record with a
+    // null blocking attribute or null segment gets a null key for that pair
+    // slot and is dropped — concat_ws would silently collapse it into a
+    // shorter key that can collide across slots, and the oracle's `||`
+    // null semantics would diverge (r13 advice).
     val keyed = (for {
       i <- pieceCols.indices; j <- pieceCols.indices if i < j
     } yield base.select(col("id"), col("name"),
-        concat_ws("|", col("blk"), lit(s"$i$j"), col(s"t$i"), col(s"t$j"))
+        concat(col("blk"), lit(s"|$i$j|"), col(s"t$i"), lit("|"), col(s"t$j"))
           .as("key")))
       .reduce(_.unionAll(_))
+      .filter(col("key").isNotNull)
     val kept = keyed
       .withColumn("ksize", count(lit(1)).over(Window.partitionBy(col("key"))))
       .filter(col("ksize") <= maxKeySize)

@@ -63,7 +63,11 @@ object TimeSeries {
       expr(s"($name - __lo) * ${scale}L div (__hi - __lo + 1)")
     val sax = windows
       .withColumn("__lo", lo).withColumn("__hi", hi)
-      .withColumn("word", concat_ws("", (0 until segments).map(j =>
+      // comma-SEPARATED symbols: with no separator an alphabet > 10 would
+      // produce ambiguous words ('1'+'11' == '11'+'1'), merging distinct
+      // shapes into one word — inflating candidate pair space and
+      // mis-applying the hot-word cap (r13 advice)
+      .withColumn("word", concat_ws(",", (0 until segments).map(j =>
         norm(s"s$j", alphabet.toLong).cast("string")): _*))
       .select((Seq(col("k"), col("win_start"), col("word")) ++
         (0 until segments).map(j => norm(s"s$j", shapeScale).as(s"ns$j"))): _*)

@@ -649,6 +649,79 @@ object StatefulOps {
       lb_set: Boolean, n_since_a: Long)
   final case class CepMatch(key: Long, close_id: Long, a_us: Long, b_us: Long,
       c_us: Long, gap_seconds: Long)
+  final case class CepNState(ts_us: Array[Long], set: Array[Boolean],
+      n_since_first: Long)
+  final case class CepNMatch(key: Long, close_id: Long, step_us: Seq[Long],
+      gap_seconds: Long)
+
+  /**
+   * N-step streaming CEP — the [[graft.operators.Cep.lastSeqMatchN]]
+   * pattern (ordered steps, global negation, time bound, skip-till-last)
+   * with O(steps) state per key: one last-match timestamp per non-closing
+   * step plus the negation-since-step-0 counter. No NFA, no partial-match
+   * list — exactly the batch form's running-window scalars held as state.
+   * Matches emit as the closing event is processed; `step_us` carries the
+   * matched timestamps in exact microseconds, ts of the close last.
+   * Same micro-batch ordering caveat and mutual-exclusivity contract as
+   * [[cepStream]] (which is the K=3 instance of this operator).
+   */
+  def cepStreamN(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, steps: Seq[org.apache.spark.sql.Column],
+      negation: org.apache.spark.sql.Column, windowSeconds: Long,
+      timeout: Option[String] = None): Dataset[CepNMatch] = {
+    require(windowSeconds > 0, "need a positive match window")
+    require(steps.size >= 2, "need at least two pattern steps")
+    import events.sparkSession.implicits._
+    val k = steps.size
+    val winUs = windowSeconds * 1000000L
+    val typedEv = events.select(
+        col(keyCol).cast("long").as("key"),
+        col(tieCol).cast("long").as("tie"),
+        unix_micros(col(tsCol)).as("us"),
+        array(steps.map(_.cast("boolean")): _*).as("is_step"),
+        negation.as("is_n"))
+      .as[(Long, Long, Long, Seq[Boolean], Boolean)]
+    val mode = if (timeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+               else GroupStateTimeout.NoTimeout
+    typedEv.groupByKey(_._1)
+      .flatMapGroupsWithState[CepNState, CepNMatch](OutputMode.Append, mode) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Seq[Boolean], Boolean)],
+         state: GroupState[CepNState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(
+              CepNState(Array.fill(k - 1)(0L), Array.fill(k - 1)(false), 0L))
+            val out = List.newBuilder[CepNMatch]
+            rows.toSeq.sortBy(r => (r._3, r._2)).foreach {
+              case (_, tie, us, isStep, isN) =>
+                if (isStep(k - 1) && st.set.forall(identity) &&
+                    (0 until k - 2).forall(i => st.ts_us(i) < st.ts_us(i + 1)) &&
+                    st.ts_us(k - 2) < us && us - st.ts_us(0) <= winUs &&
+                    st.n_since_first == 0L) {
+                  out += CepNMatch(key, tie, (st.ts_us :+ us).toSeq,
+                    (us - st.ts_us(0)) / 1000000L)
+                }
+                val hit = isStep.indexWhere(identity)
+                if (hit >= 0 && hit < k - 1) {
+                  // skip-till-last in EVENT time: >= so a same-timestamp step
+                  // processed later (higher tie) wins, the batch window's
+                  // last-in-order pick; an older straggler must not overwrite
+                  if (!st.set(hit) || us >= st.ts_us(hit)) {
+                    val ts2 = st.ts_us.clone(); val set2 = st.set.clone()
+                    ts2(hit) = us; set2(hit) = true
+                    st = CepNState(ts2, set2,
+                      if (hit == 0) 0L else st.n_since_first)
+                  }
+                } else if (isN) st = st.copy(n_since_first = st.n_since_first + 1L)
+            }
+            state.update(st)
+            timeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
 
   /**
    * Streaming CEP: the [[graft.operators.Cep.lastSeqMatch]] pattern

@@ -18,21 +18,17 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has an oracle or a documented omission") {
+  test("every query has an oracle") {
     val missing = Queries.queries.keySet -- Queries.oracleSql.keySet
-    // approx_count_distinct is an engine-specific sketch — no cross-engine
-    // oracle exists; bounded against the exact count in its own spec below.
-    assert(missing == Set("approx_distinct_users"),
-      s"queries without oracle SQL: $missing")
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
 
-  test("approx_distinct_users is within the configured 1% rsd of exact") {
+  test("approx_distinct_users: the 3σ bounded-error contract holds") {
     val rows = Queries.queries("approx_distinct_users")(spark, sfDir).collect()
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_users").toDouble
-      val exact = r.getAs[Long]("exact_users").toDouble
-      assert(math.abs(approx - exact) / exact < 0.05,
-        s"approx $approx vs exact $exact")
+      assert(r.getAs[Int]("within_bound") == 1,
+        s"estimate out of the 3·rsd bound for ${r.getAs[String]("event_type")}" +
+          s" (exact ${r.getAs[Long]("exact_users")})")
     }
   }
 }
