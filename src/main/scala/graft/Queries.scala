@@ -292,6 +292,75 @@ object Queries {
   // The catalog
   // ==========================================================================
 
+  /** The entity-resolution family's dirty corpus: the customer table plus
+    * typo'd duplicate records — every 3rd customer gets a 1-edit copy at a
+    * key-dependent digit position (id + 1e9), every 9th also a fixed
+    * 2-edit copy (id + 2e9). Shared by `dedup_entity_match` (pairs) and
+    * `dedup_entity_resolve` (pairs → components → golden record). */
+  private def dirtyCustomers(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d).select(
+      col("c_custkey").as("id"), col("c_name").as("name"),
+      concat_ws(":", col("c_nationkey").cast("string"),
+        col("c_mktsegment")).as("blk"),
+      col("c_custkey").as("k"))
+    val p = (lit(10) + col("k") % 9).cast("int")
+    val d1 = base.filter(col("k") % 3 === 0)
+      .select((col("id") + 1000000000L).as("id"),
+        concat(col("name").substr(lit(1), p - 1), lit("x"),
+          col("name").substr(p + 1, length(col("name")))).as("name"),
+        col("blk"))
+    val d2 = base.filter(col("k") % 9 === 0)
+      .select((col("id") + 2000000000L).as("id"),
+        concat(substring(col("name"), 1, 9), lit("xy"),
+          col("name").substr(lit(12), length(col("name")))).as("name"),
+        col("blk"))
+    base.select(col("id"), col("name"), col("blk")).unionAll(d1).unionAll(d2)
+  }
+
+  /** DuckDB twin of [[dirtyCustomers]] + the segment-pair blocking /
+    * hot-key drop / levenshtein-verify chain of `Dedup.entityMatch` —
+    * emits CTEs through `matches` (id_a, id_b at lev ≤ 2), trailing comma. */
+  private val entityMatchCtes =
+    """WITH base AS (
+      |  SELECT c_custkey AS id, c_name AS name,
+      |         c_nationkey::varchar || ':' || c_mktsegment AS blk,
+      |         c_custkey AS k
+      |  FROM customer),
+      |d1 AS (
+      |  SELECT id + 1000000000 AS id,
+      |         substr(name, 1, (10 + k % 9) - 1) || 'x' ||
+      |           substr(name, (10 + k % 9) + 1) AS name,
+      |         blk FROM base WHERE k % 3 = 0),
+      |d2 AS (
+      |  SELECT id + 2000000000 AS id,
+      |         substr(name, 1, 9) || 'xy' || substr(name, 12) AS name,
+      |         blk FROM base WHERE k % 9 = 0),
+      |dirty AS (
+      |  SELECT id, name, blk FROM base
+      |  UNION ALL SELECT * FROM d1
+      |  UNION ALL SELECT * FROM d2),
+      |pieces AS (
+      |  SELECT id, name, blk, substr(name, 10, 3) AS t0,
+      |         substr(name, 13, 3) AS t1, substr(name, 16, 3) AS t2
+      |  FROM dirty),
+      |keys AS (
+      |  SELECT id, name, blk || '|01|' || t0 || '|' || t1 AS key FROM pieces
+      |  UNION ALL SELECT id, name, blk || '|02|' || t0 || '|' || t2 FROM pieces
+      |  UNION ALL SELECT id, name, blk || '|12|' || t1 || '|' || t2 FROM pieces),
+      |kept AS (
+      |  SELECT id, name, key FROM (
+      |    SELECT id, name, key, count(*) OVER (PARTITION BY key) AS ksize
+      |    FROM keys)
+      |  WHERE ksize <= 64),
+      |cand AS MATERIALIZED (
+      |  SELECT DISTINCT a.id AS id_a, a.name AS name_a,
+      |         b.id AS id_b, b.name AS name_b
+      |  FROM kept a JOIN kept b ON a.key = b.key AND a.id < b.id),
+      |matches AS MATERIALIZED (
+      |  SELECT id_a, id_b FROM cand
+      |  WHERE levenshtein(name_a, name_b) <= 2),
+      |""".stripMargin
+
   val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // ---- P1: parse/project (JSON wire → typed event frame) ----------------
@@ -6509,30 +6578,11 @@ object Queries {
     // adoption: 7 226 candidates / 2 697 matches at sf0.01, key size ≤ 23
     // at sf0.1.
     ("dedup_entity_match",
-      (s: SparkSession, d: String) => {
-        val c = Tables.customer(s, d)
-        val base = c.select(col("c_custkey").as("id"), col("c_name").as("name"),
-          concat_ws(":", col("c_nationkey").cast("string"),
-            col("c_mktsegment")).as("blk"),
-          col("c_custkey").as("k"))
-        val p = (lit(10) + col("k") % 9).cast("int")
-        val d1 = base.filter(col("k") % 3 === 0)
-          .select((col("id") + 1000000000L).as("id"),
-            concat(col("name").substr(lit(1), p - 1), lit("x"),
-              col("name").substr(p + 1, length(col("name")))).as("name"),
-            col("blk"))
-        val d2 = base.filter(col("k") % 9 === 0)
-          .select((col("id") + 2000000000L).as("id"),
-            concat(substring(col("name"), 1, 9), lit("xy"),
-              col("name").substr(lit(12), length(col("name")))).as("name"),
-            col("blk"))
-        val dirty = base.select(col("id"), col("name"), col("blk"))
-          .unionAll(d1).unionAll(d2)
-        Dedup.entityMatch(dirty, col("id"), col("name"), col("blk"),
+      (s: SparkSession, d: String) =>
+        Dedup.entityMatch(dirtyCustomers(s, d), col("id"), col("name"), col("blk"),
           pieceCols = Seq(substring(col("name"), 10, 3),
             substring(col("name"), 13, 3), substring(col("name"), 16, 3)),
-          maxDist = 2, maxKeySize = 64)
-      },
+          maxDist = 2, maxKeySize = 64),
       Some(
         """WITH base AS (
           |  SELECT c_custkey AS id, c_name AS name,
@@ -6573,6 +6623,60 @@ object Queries {
           |       (CASE WHEN levenshtein(name_a, name_b) <= 2
           |             THEN 1 ELSE 0 END)::int AS is_match
           |FROM cand""".stripMargin)),
+
+    // Entity resolution END-TO-END (verdict-r13 item 4): the full
+    // record-linkage pipeline — segment-pair blocking + levenshtein verify
+    // (Dedup.entityMatch) → transitive components over the match edges
+    // (Dedup.connectedComponents; matches chain, so an entity is the
+    // CLOSURE, not a pair list — 145-member chains exist at sf0.1) →
+    // golden-record election per entity (longest name, then lowest id —
+    // the dedup_canonical_pick election convention on the name attribute).
+    // Output is the resolved mapping: every dirty record with its entity
+    // id, entity size, and whether it is the golden record. Scale shape:
+    // pair space stays Σ|key|² (blocking), components run the two-tier
+    // star solve, the election is one window over the mapping — nothing
+    // quadratic in the corpus anywhere. DuckDB-checked before adoption:
+    // 455 entities / 2 167 records at sf0.01, 2 848 / 21 667 at sf0.1.
+    ("dedup_entity_resolve",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val dirty = dirtyCustomers(s, d)
+        val pairs = Dedup.entityMatch(dirty, col("id"), col("name"), col("blk"),
+            pieceCols = Seq(substring(col("name"), 10, 3),
+              substring(col("name"), 13, 3), substring(col("name"), 16, 3)),
+            maxDist = 2, maxKeySize = 64)
+          .filter(col("is_match") === 1)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        val comp = Dedup.connectedComponents(dirty.select(col("id")), pairs)
+          .select(col("id"), col("component").as("entity_id"))
+        val w = Window.partitionBy(col("entity_id"))
+          .orderBy(length(col("name")).desc, col("id"))
+        dirty.join(comp, "id")
+          .withColumn("n_records",
+            count(lit(1)).over(Window.partitionBy(col("entity_id"))))
+          .withColumn("is_canonical", (row_number().over(w) === 1).cast("int"))
+          .select(col("entity_id"), col("id"), col("n_records"),
+            col("is_canonical"))
+      },
+      Some(entityMatchCtes +
+        """comp AS (
+          |  SELECT id, min(lbl) AS entity_id
+          |  FROM (
+          |    WITH RECURSIVE r(id, lbl) AS (
+          |      SELECT id, id FROM dirty
+          |      UNION
+          |      SELECT e.src, r.lbl
+          |      FROM (SELECT id_a AS src, id_b AS dst FROM matches
+          |            UNION ALL SELECT id_b, id_a FROM matches) e
+          |      JOIN r ON r.id = e.dst)
+          |    SELECT id, lbl FROM r)
+          |  GROUP BY 1)
+          |SELECT c.entity_id, d.id,
+          |       (count(*) OVER (PARTITION BY c.entity_id))::bigint AS n_records,
+          |       (CASE WHEN row_number() OVER (PARTITION BY c.entity_id
+          |                                     ORDER BY length(d.name) DESC, d.id) = 1
+          |             THEN 1 ELSE 0 END)::int AS is_canonical
+          |FROM comp c JOIN dirty d ON d.id = c.id""".stripMargin)),
 
     // Exact order statistics without interpolation ambiguity: the value at
     // rank ceil(p*n) per group (deterministic in any engine).

@@ -110,4 +110,92 @@ class CepSpec extends SparkSpec {
       assert(got.contains((1L, 3L, 20L)) && got.contains((2L, 9L, 20L)))
     } finally q.stop()
   }
+
+  /** (id, type, second) events for one user through the N-step form;
+    * returns matched (close_id, first_step_second, gap_seconds). */
+  private def runN(events: Seq[(Long, String, Long)], pattern: Seq[String],
+      window: Long = 3600L): Seq[(Long, Long, Long)] = {
+    val df = events.map { case (id, t, sec) => (1L, id, t, ts(sec)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    Cep.lastSeqMatchN(df, col("user_id"), col("ts"), col("event_id"),
+        pattern.map(p => col("event_type") === p),
+        negation = col("event_type") === "n", windowSeconds = window)
+      .select(col("close_id"),
+        expr("unix_micros(ts_1) div 1000000"), col("gap_seconds"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+  }
+
+  test("lastSeqMatchN: 4-step chain matches in order, blocks out of order") {
+    val pat = Seq("a", "b", "c", "d")
+    assert(runN(Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40)),
+      pat) == Seq((4L, 10L, 30L)))
+    // c arriving before b breaks the strictly-increasing chain
+    assert(runN(Seq((1L, "a", 10), (2L, "c", 20), (3L, "b", 30), (4L, "d", 40)),
+      pat).isEmpty)
+    // skip-till-last at an inner step: the later b is the matched one and
+    // must still precede c
+    assert(runN(Seq((1L, "a", 10), (2L, "b", 15), (3L, "b", 35), (4L, "c", 30),
+      (5L, "d", 40)), pat).isEmpty, "latest b after c breaks the chain")
+    assert(runN(Seq((1L, "a", 10), (2L, "b", 15), (3L, "c", 30), (4L, "d", 40)),
+      pat) == Seq((4L, 10L, 30L)))
+  }
+
+  test("lastSeqMatchN: K=3 reproduces lastSeqMatch exactly") {
+    val evs = Seq((1L, "a", 10L), (2L, "n", 12L), (3L, "a", 15L),
+      (4L, "b", 20L), (5L, "c", 30L), (6L, "c", 4000L))
+    val threeStep = run(evs)
+    assert(runN(evs, Seq("a", "b", "c")) == threeStep && threeStep.nonEmpty)
+  }
+
+  test("lastSeqMatchN: negation is global from the matched FIRST step") {
+    val pat = Seq("a", "b", "c", "d")
+    // n between c and d (after the matched a) blocks
+    assert(runN(Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "n", 35),
+      (5L, "d", 40)), pat).isEmpty)
+    // n before the LATEST a is irrelevant
+    assert(runN(Seq((1L, "a", 5), (2L, "n", 7), (3L, "a", 10), (4L, "b", 20),
+      (5L, "c", 30), (6L, "d", 40)), pat) == Seq((6L, 10L, 30L)))
+  }
+
+  test("cepStreamN: batch parity across shuffled micro-batches (4 steps)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulOps
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      (1L, 1L, "a", 10L), (1L, 2L, "b", 20L), (1L, 3L, "c", 30L),
+      (1L, 4L, "d", 40L), (1L, 5L, "n", 45L), (1L, 6L, "d", 50L),
+      (2L, 7L, "a", 10L), (2L, 8L, "b", 15L), (2L, 9L, "c", 25L),
+      (2L, 10L, "b", 28L), (2L, 11L, "d", 35L))
+    val batchDf = evs.map { case (u, id, t, sec) => (u, id, t, ts(sec)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val steps = Seq("a", "b", "c", "d").map(p => col("event_type") === p)
+    val expected = Cep.lastSeqMatchN(batchDf, col("user_id"), col("ts"),
+        col("event_id"), steps, col("event_type") === "n", 3600L)
+      .select(col("key"), col("close_id"), col("gap_seconds"))
+      .as[(Long, Long, Long)].collect().toSet
+    // user 1: d@40 matches, d@50 blocked by n@45; user 2: the late b@28
+    // breaks the chain (latest b after c) -> no match
+    assert(expected == Set((1L, 4L, 30L)))
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val stream = StatefulOps.cepStreamN(
+      input.toDF().toDF("user_id", "event_id", "event_type", "sec")
+        .withColumn("ts", timestamp_seconds(col("sec"))),
+      "user_id", "ts", "event_id", steps, col("event_type") === "n", 3600L)
+    val q = stream.writeStream.format("memory").queryName("cepn_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cepn-cp").toString)
+      .outputMode("append").start()
+    try {
+      // batch 1 shuffled, cut mid-sequence; batch 2 carries both closes
+      val w = evs
+      input.addData(Seq(w(2), w(0), w(7), w(1), w(6), w(8)): _*)
+      q.processAllAvailable()
+      input.addData(Seq(w(10), w(3), w(9), w(4), w(5)): _*)
+      q.processAllAvailable()
+      val got = spark.table("cepn_out")
+        .select(col("key"), col("close_id"), col("gap_seconds"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
 }
