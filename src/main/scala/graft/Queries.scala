@@ -6252,6 +6252,77 @@ object Queries {
            |   OR (a.user_id = b.user_id AND a.win_start + 16 <= b.win_start)""".stripMargin
       }),
 
+    // Time-series DISCORDS (TimeSeries.saxDiscords — verdict-r13 item 5,
+    // the inverse of events_sax_motifs): per window, the nearest
+    // non-trivial same-word neighbor's exact L1; windows whose nearest
+    // neighbor is far (≥ 1200) or absent are the anomalies. Coarser SAX
+    // than the motif row (alphabet 3, 2-reading segments) so words collide
+    // enough for nn_l1 to be informative — at the motif row's resolution
+    // 97% of windows are lonely and the flag saturates (measured before
+    // adoption: 374 lonely / 3 012 hot-word / 77 500 windows at sf0.1,
+    // nn_l1 median 445). The min is map-side-combinable over the
+    // word-bounded pair space; hot words (> 256) are marked non-discord
+    // without pairing — a saturated shape bucket is by construction
+    // common. Recall caveat (deterministic, oracle-replayed): a window
+    // whose true nearest neighbor holds a different word reports the
+    // word-local minimum or none.
+    ("events_sax_discords",
+      (s: SparkSession, d: String) =>
+        TimeSeries.saxDiscords(Tables.events(s, d),
+            keyCol = col("user_id"), tsCol = col("ts"),
+            tieCol = col("event_id"), valueCol = col("value"),
+            windowLen = 16, segments = 8, alphabet = 3,
+            quantScale = 1000L, shapeScale = 1000L,
+            minSeparation = 16, maxWordSize = 256, minL1 = 1200L)
+          .withColumnRenamed("key", "user_id"),
+      Some {
+        val segs = (0 until 8).map(j =>
+          s"sum(qv) OVER (PARTITION BY user_id ORDER BY rn ROWS BETWEEN ${2 * j} FOLLOWING AND ${2 * j + 1} FOLLOWING) AS s$j")
+          .mkString(",\n         ")
+        val syms = (0 until 8).map(j =>
+          s"((s$j - lo) * 3 // (hi - lo + 1))::varchar").mkString(", ")
+        val nsegs = (0 until 8).map(j =>
+          s"(s$j - lo) * 1000 // (hi - lo + 1) AS ns$j").mkString(",\n         ")
+        val l1 = (0 until 8).map(j => s"abs(a.ns$j - b.ns$j)").mkString(" + ")
+        s"""WITH s AS (
+           |  SELECT user_id, floor(value * 1000)::bigint AS qv,
+           |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           |         count(*) OVER (PARTITION BY user_id) AS n
+           |  FROM events),
+           |w AS (
+           |  SELECT user_id, rn AS win_start, n,
+           |         $segs
+           |  FROM s),
+           |sax AS (
+           |  SELECT user_id, win_start,
+           |         least(s0,s1,s2,s3,s4,s5,s6,s7) AS lo,
+           |         greatest(s0,s1,s2,s3,s4,s5,s6,s7) AS hi,
+           |         s0,s1,s2,s3,s4,s5,s6,s7
+           |  FROM w WHERE win_start + 15 <= n),
+           |words AS (
+           |  SELECT user_id, win_start, concat_ws(',', $syms) AS word,
+           |         $nsegs
+           |  FROM sax),
+           |frames AS (
+           |  SELECT *, count(*) OVER (PARTITION BY word) AS wsize FROM words),
+           |kept AS (SELECT * FROM frames WHERE wsize <= 256),
+           |nn AS (
+           |  SELECT a.user_id AS k, a.win_start,
+           |         min($l1)::bigint AS nn_l1, count(*)::bigint AS n_cands
+           |  FROM kept a JOIN kept b ON a.word = b.word
+           |  WHERE (a.user_id <> b.user_id OR abs(a.win_start - b.win_start) >= 16)
+           |  GROUP BY 1, 2)
+           |SELECT f.user_id, f.win_start, f.word,
+           |       (CASE WHEN f.wsize > 256 THEN 1 ELSE 0 END)::int AS is_hot_word,
+           |       (CASE WHEN f.wsize > 256 THEN NULL
+           |             ELSE coalesce(nn.n_cands, 0) END)::bigint AS n_cands,
+           |       nn.nn_l1,
+           |       (CASE WHEN f.wsize <= 256 AND (nn.nn_l1 IS NULL OR nn.nn_l1 >= 1200)
+           |             THEN 1 ELSE 0 END)::int AS is_discord
+           |FROM frames f
+           |LEFT JOIN nn ON nn.k = f.user_id AND nn.win_start = f.win_start""".stripMargin
+      }),
+
     // Interval (range) join via bucketed equi-join: purchases landing in the
     // 6-hour window after each error by the same user, aggregated per error.
     // The bucket width matches the window span, so each interval registers

@@ -33,11 +33,14 @@ import org.apache.spark.sql.functions._
  */
 object TimeSeries {
 
-  def saxMotifs(events: DataFrame, keyCol: Column, tsCol: Column,
-      tieCol: Column, valueCol: Column, windowLen: Int = 16,
-      segments: Int = 8, alphabet: Int = 4, quantScale: Long = 1000L,
-      shapeScale: Long = 1000L, minSeparation: Int = 16,
-      maxWordSize: Int = 256, maxL1: Long = 800L): DataFrame = {
+  /** The shared SAX frame pipeline: quantize → sliding-window PAA segment
+    * sums (one Window operator) → per-window min-max integer symbols →
+    * comma-joined word + finer `shapeScale` normalized segments + the
+    * word-occupancy count. Output: (k, win_start, word, wsize,
+    * ns0..ns{segments-1}) — one row per complete window. */
+  private def saxFrames(events: DataFrame, keyCol: Column, tsCol: Column,
+      tieCol: Column, valueCol: Column, windowLen: Int, segments: Int,
+      alphabet: Int, quantScale: Long, shapeScale: Long): DataFrame = {
     require(segments >= 2, "need at least two PAA segments")
     require(windowLen % segments == 0, "windowLen must divide into segments")
     require(alphabet >= 2, "need at least a binary alphabet")
@@ -61,7 +64,7 @@ object TimeSeries {
     // per-window min-max shape normalization, integer floor division
     def norm(name: String, scale: Long) =
       expr(s"($name - __lo) * ${scale}L div (__hi - __lo + 1)")
-    val sax = windows
+    windows
       .withColumn("__lo", lo).withColumn("__hi", hi)
       // comma-SEPARATED symbols: with no separator an alphabet > 10 would
       // produce ambiguous words ('1'+'11' == '11'+'1'), merging distinct
@@ -71,8 +74,16 @@ object TimeSeries {
         norm(s"s$j", alphabet.toLong).cast("string")): _*))
       .select((Seq(col("k"), col("win_start"), col("word")) ++
         (0 until segments).map(j => norm(s"s$j", shapeScale).as(s"ns$j"))): _*)
-    val kept = sax
       .withColumn("wsize", count(lit(1)).over(Window.partitionBy(col("word"))))
+  }
+
+  def saxMotifs(events: DataFrame, keyCol: Column, tsCol: Column,
+      tieCol: Column, valueCol: Column, windowLen: Int = 16,
+      segments: Int = 8, alphabet: Int = 4, quantScale: Long = 1000L,
+      shapeScale: Long = 1000L, minSeparation: Int = 16,
+      maxWordSize: Int = 256, maxL1: Long = 800L): DataFrame = {
+    val kept = saxFrames(events, keyCol, tsCol, tieCol, valueCol, windowLen,
+        segments, alphabet, quantScale, shapeScale)
       .filter(col("wsize") <= maxWordSize)
     def side(p: String) = kept.select(
       (Seq(col("word"), col("k").as(s"key_$p"), col("win_start").as(s"start_$p")) ++
@@ -87,5 +98,64 @@ object TimeSeries {
       .select(col("key_a"), col("start_a"), col("key_b"), col("start_b"),
         col("word"), l1.as("l1"))
       .withColumn("is_motif", (col("l1") <= maxL1).cast("int"))
+  }
+
+  /**
+   * Time-series DISCORD discovery — the inverse of [[saxMotifs]]: windows
+   * whose nearest non-trivial neighbor is FARTHEST (or absent) are the
+   * anomalies, the other half of the matrix-profile story. Same SAX frames,
+   * same word-bounded candidate discipline:
+   *
+   *  - candidates are same-WORD pairs only (the SAX heuristic), trivial
+   *    neighbors excluded (same key closer than `minSeparation`); each
+   *    window's nearest-neighbor L1 is a map-side-combinable `min` over
+   *    that equi-join — never a corpus² scan. RECALL CAVEAT, deterministic
+   *    and replayed by the oracle: a window whose true nearest neighbor
+   *    holds a DIFFERENT word reports the word-local minimum (or none),
+   *    which upper-bounds discord candidacy exactly like the motif side's
+   *    quantization-boundary misses;
+   *  - a window with NO same-word non-trivial neighbor (n_cands = 0,
+   *    nn_l1 null) is the strongest discord signal — a shape seen nowhere
+   *    else in the corpus;
+   *  - HOT words (> maxWordSize members) are the opposite: a saturated
+   *    shape bucket is by construction common, so its windows are marked
+   *    non-discord without pairing (nn_l1/n_cands null, is_hot_word = 1) —
+   *    the same cap that keeps the pair space Σ|word|² linear.
+   *
+   * Output: (key, win_start, word, is_hot_word, n_cands, nn_l1,
+   * is_discord), is_discord = not hot AND (no neighbor OR nn_l1 ≥ minL1).
+   */
+  def saxDiscords(events: DataFrame, keyCol: Column, tsCol: Column,
+      tieCol: Column, valueCol: Column, windowLen: Int = 16,
+      segments: Int = 8, alphabet: Int = 4, quantScale: Long = 1000L,
+      shapeScale: Long = 1000L, minSeparation: Int = 16,
+      maxWordSize: Int = 256, minL1: Long = 400L): DataFrame = {
+    val frames = saxFrames(events, keyCol, tsCol, tieCol, valueCol, windowLen,
+      segments, alphabet, quantScale, shapeScale)
+    val kept = frames.filter(col("wsize") <= maxWordSize)
+    def side(p: String) = kept.select(
+      (Seq(col("word"), col("k").as(s"key_$p"), col("win_start").as(s"start_$p")) ++
+        (0 until segments).map(j => col(s"ns$j").as(s"${p}ns$j"))): _*)
+    val l1 = (0 until segments)
+      .map(j => abs(col(s"ans$j") - col(s"bns$j")))
+      .reduce(_ + _)
+    // symmetric candidate pairs (every window is an `a` side), trivial
+    // same-key overlaps excluded in BOTH directions
+    val nn = side("a").join(side("b"), "word")
+      .filter(col("key_a") =!= col("key_b") ||
+        abs(col("start_a") - col("start_b")) >= minSeparation)
+      .groupBy(col("key_a").as("k"), col("start_a").as("win_start"))
+      .agg(min(l1).as("nn_l1"), count(lit(1)).as("n_cands"))
+    frames.select(col("k"), col("win_start"), col("word"),
+        (col("wsize") > maxWordSize).cast("int").as("is_hot_word"))
+      .join(nn, Seq("k", "win_start"), "left")
+      .select(col("k").as("key"), col("win_start"), col("word"),
+        col("is_hot_word"),
+        when(col("is_hot_word") === 0, coalesce(col("n_cands"), lit(0L)))
+          .as("n_cands"),
+        col("nn_l1"),
+        (col("is_hot_word") === 0 &&
+          (col("nn_l1").isNull || col("nn_l1") >= minL1)).cast("int")
+          .as("is_discord"))
   }
 }

@@ -87,7 +87,10 @@ class EdgeCorpusSpec extends SparkSpec {
       "graph_label_spread", "eval_pr_curve", "multimodal_video_image_match",
       "graph_label_spread_served", "sql_graph_pagerank", "sql_eval_pr_curve",
       "sql_multimodal_video_image_match", "graph_label_spread_incremental",
-      "dedup_entity_match", "sql_dedup_entity_match", "events_cep_match", "sql_events_cep_match", "events_sax_motifs", "sql_events_sax_motifs")
+      "dedup_entity_match", "sql_dedup_entity_match", "events_cep_match",
+      "sql_events_cep_match", "events_sax_motifs", "sql_events_sax_motifs",
+      "events_cep_match4", "sql_events_cep_match4", "dedup_entity_resolve",
+      "events_sax_discords", "approx_distinct_users")
     val missing = mustCover.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"rows missing from the sweep universe: $missing")
   }

@@ -67,4 +67,59 @@ class TimeSeriesSpec extends SparkSpec {
     assert(motifs(Map(1L -> Seq(3.0, 3.0, 3.0, 3.0),
       2L -> Seq(7.0, 7.0, 7.0, 7.0)), maxWordSize = 1).isEmpty)
   }
+
+  /** (key, win_start, is_hot_word, n_cands, nn_l1, is_discord) rows. */
+  private def discords(series: Map[Long, Seq[Double]], maxWordSize: Int = 256,
+      minL1: Long = 10L)
+      : Set[(Long, Long, Int, Option[Long], Option[Long], Int)] =
+    TimeSeries.saxDiscords(df(series), col("key"), col("ts"), col("tie"),
+        col("value"), windowLen = 4, segments = 2, alphabet = 4,
+        quantScale = 10L, shapeScale = 100L, minSeparation = 4,
+        maxWordSize = maxWordSize, minL1 = minL1)
+      .select(col("key"), col("win_start"), col("is_hot_word"),
+        col("n_cands"), col("nn_l1"), col("is_discord"))
+      .as[(Long, Long, Int, Option[Long], Option[Long], Int)]
+      .collect().toSet
+
+  test("saxDiscords: a window with no same-word neighbor is a discord") {
+    val got = discords(Map(
+      1L -> Seq(1.0, 1.0, 5.0, 5.0),    // rising — alone in its word
+      2L -> Seq(5.0, 5.0, 1.0, 1.0)))   // falling — alone in its word
+    assert(got == Set((1L, 1L, 0, Some(0L), None, 1),
+      (2L, 1L, 0, Some(0L), None, 1)))
+  }
+
+  test("saxDiscords: a close neighbor suppresses the discord flag") {
+    val got = discords(Map(
+      1L -> Seq(1.0, 1.0, 5.0, 5.0),
+      2L -> Seq(1.0, 1.0, 5.0, 5.0)))   // identical shape -> nn_l1 = 0
+    assert(got == Set((1L, 1L, 0, Some(1L), Some(0L), 0),
+      (2L, 1L, 0, Some(1L), Some(0L), 0)))
+  }
+
+  test("saxDiscords: a far same-word neighbor still flags at minL1") {
+    // 3 segments (2-segment windows are degenerate after min-max: lo->0,
+    // hi->top always): same coarse word "0,1,3", middle segment fine shape
+    // differs -> paired (n_cands = 1), nn_l1 = 17, so minL1 10 flags both
+    val got = TimeSeries.saxDiscords(df(Map(
+        1L -> Seq(1.0, 1.0, 3.0, 3.0, 5.0, 5.0),
+        2L -> Seq(1.0, 1.0, 2.3, 2.3, 5.0, 5.0))),
+        col("key"), col("ts"), col("tie"), col("value"),
+        windowLen = 6, segments = 3, alphabet = 4, quantScale = 10L,
+        shapeScale = 100L, minSeparation = 6, maxWordSize = 256, minL1 = 10L)
+      .select(col("key"), col("win_start"), col("is_hot_word"),
+        col("n_cands"), col("nn_l1"), col("is_discord"))
+      .as[(Long, Long, Int, Option[Long], Option[Long], Int)]
+      .collect().toSet
+    assert(got == Set((1L, 1L, 0, Some(1L), Some(17L), 1),
+      (2L, 1L, 0, Some(1L), Some(17L), 1)), s"got: $got")
+  }
+
+  test("saxDiscords: hot-word windows are non-discord without pairing") {
+    val got = discords(Map(
+      1L -> Seq(3.0, 3.0, 3.0, 3.0),
+      2L -> Seq(7.0, 7.0, 7.0, 7.0)), maxWordSize = 1)
+    assert(got == Set((1L, 1L, 1, None, None, 0),
+      (2L, 1L, 1, None, None, 0)))
+  }
 }
