@@ -214,4 +214,26 @@ object Artifacts {
       }
       s"$r/labels"
     }
+
+  /** Entity-resolution master blocking index
+    * ([[Dedup.entityBlockingIndex]]) over the CLEAN customer records —
+    * the persisted snapshot the CDC record-linkage serving path
+    * (`StatefulOps.entityMatchStream`, batch `Dedup.entityMatchAgainst`)
+    * equi-joins arriving dirty records against. Same segment scheme and
+    * hot-key cap as the `dedup_entity_*` catalog rows; (key, id, name)
+    * strings round-trip losslessly. */
+  def entityIndex(s: SparkSession, d: String): String =
+    cached(s"entityidx:$d") {
+      val r = published(root(d, "entityidx", "customer")) { tmp =>
+        val base = Tables.customer(s, d).select(
+          col("c_custkey").as("id"), col("c_name").as("name"),
+          concat_ws(":", col("c_nationkey").cast("string"),
+            col("c_mktsegment")).as("blk"))
+        Dedup.entityBlockingIndex(base, col("id"), col("name"), col("blk"),
+            Seq(substring(col("name"), 10, 3), substring(col("name"), 13, 3),
+              substring(col("name"), 16, 3)), maxKeySize = 64)
+          .write.mode("overwrite").parquet(s"$tmp/index")
+      }
+      s"$r/index"
+    }
 }

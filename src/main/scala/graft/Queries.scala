@@ -297,7 +297,8 @@ object Queries {
     * key-dependent digit position (id + 1e9), every 9th also a fixed
     * 2-edit copy (id + 2e9). Shared by `dedup_entity_match` (pairs) and
     * `dedup_entity_resolve` (pairs → components → golden record). */
-  private def dirtyCustomers(s: SparkSession, d: String): DataFrame = {
+  private def dirtyCustomerParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val base = Tables.customer(s, d).select(
       col("c_custkey").as("id"), col("c_name").as("name"),
       concat_ws(":", col("c_nationkey").cast("string"),
@@ -314,8 +315,18 @@ object Queries {
         concat(substring(col("name"), 1, 9), lit("xy"),
           col("name").substr(lit(12), length(col("name")))).as("name"),
         col("blk"))
-    base.select(col("id"), col("name"), col("blk")).unionAll(d1).unionAll(d2)
+    (base.select(col("id"), col("name"), col("blk")), d1.unionAll(d2))
   }
+
+  private def dirtyCustomers(s: SparkSession, d: String): DataFrame = {
+    val (base, arrivals) = dirtyCustomerParts(s, d)
+    base.unionAll(arrivals)
+  }
+
+  /** The entity family's shared segment scheme: thirds of the 9-digit
+    * customer-name suffix. */
+  private def entityPieces: Seq[Column] = Seq(substring(col("name"), 10, 3),
+    substring(col("name"), 13, 3), substring(col("name"), 16, 3))
 
   /** DuckDB twin of [[dirtyCustomers]] + the segment-pair blocking /
     * hot-key drop / levenshtein-verify chain of `Dedup.entityMatch` —
@@ -6748,6 +6759,70 @@ object Queries {
           |                                     ORDER BY length(d.name) DESC, d.id) = 1
           |             THEN 1 ELSE 0 END)::int AS is_canonical
           |FROM comp c JOIN dirty d ON d.id = c.id""".stripMargin)),
+
+    // CDC record-linkage admission (verdict-r13 item 7's batch gate): the
+    // typo'd duplicate feed matched against the CLEAN master through the
+    // persistable blocking index (Dedup.entityBlockingIndex +
+    // entityMatchAgainst) — hot-key hygiene lives in the index, arrivals
+    // cost O(slots) rows each, the master is never rescanned. The
+    // STREAMING twin (StatefulOps.entityMatchStream, a stateless
+    // stream-static equi-join over the Artifacts-persisted index) is
+    // parity-pinned against this operator in StreamingSpec. DuckDB-checked
+    // pair space: 1 801 candidates / 884 matches at sf0.01, 20 315 / 9 414
+    // at sf0.1.
+    ("dedup_entity_admit",
+      (s: SparkSession, d: String) => {
+        val (base, arrivals) = dirtyCustomerParts(s, d)
+        val index = Dedup.entityBlockingIndex(base, col("id"), col("name"),
+          col("blk"), entityPieces, maxKeySize = 64)
+        Dedup.entityMatchAgainst(index, arrivals, col("id"), col("name"),
+          col("blk"), entityPieces, maxDist = 2)
+      },
+      Some(
+        """WITH base AS (
+          |  SELECT c_custkey AS id, c_name AS name,
+          |         c_nationkey::varchar || ':' || c_mktsegment AS blk,
+          |         c_custkey AS k
+          |  FROM customer),
+          |d1 AS (
+          |  SELECT id + 1000000000 AS id,
+          |         substr(name, 1, (10 + k % 9) - 1) || 'x' ||
+          |           substr(name, (10 + k % 9) + 1) AS name,
+          |         blk FROM base WHERE k % 3 = 0),
+          |d2 AS (
+          |  SELECT id + 2000000000 AS id,
+          |         substr(name, 1, 9) || 'xy' || substr(name, 12) AS name,
+          |         blk FROM base WHERE k % 9 = 0),
+          |arrivals AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2),
+          |bp AS (
+          |  SELECT id, name, blk, substr(name, 10, 3) AS t0,
+          |         substr(name, 13, 3) AS t1, substr(name, 16, 3) AS t2
+          |  FROM base),
+          |bkeys AS (
+          |  SELECT id, name, blk || '|01|' || t0 || '|' || t1 AS key FROM bp
+          |  UNION ALL SELECT id, name, blk || '|02|' || t0 || '|' || t2 FROM bp
+          |  UNION ALL SELECT id, name, blk || '|12|' || t1 || '|' || t2 FROM bp),
+          |idx AS (
+          |  SELECT id, name, key FROM (
+          |    SELECT id, name, key, count(*) OVER (PARTITION BY key) AS ksize
+          |    FROM bkeys)
+          |  WHERE ksize <= 64),
+          |ap AS (
+          |  SELECT id, name, blk, substr(name, 10, 3) AS t0,
+          |         substr(name, 13, 3) AS t1, substr(name, 16, 3) AS t2
+          |  FROM arrivals),
+          |akeys AS (
+          |  SELECT id, name, blk || '|01|' || t0 || '|' || t1 AS key FROM ap
+          |  UNION ALL SELECT id, name, blk || '|02|' || t0 || '|' || t2 FROM ap
+          |  UNION ALL SELECT id, name, blk || '|12|' || t1 || '|' || t2 FROM ap),
+          |cand AS (
+          |  SELECT DISTINCT i.id AS base_id, i.name AS base_name,
+          |         a.id AS new_id, a.name AS new_name
+          |  FROM idx i JOIN akeys a ON i.key = a.key AND i.id <> a.id)
+          |SELECT base_id, new_id, levenshtein(base_name, new_name)::int AS lev,
+          |       (CASE WHEN levenshtein(base_name, new_name) <= 2
+          |             THEN 1 ELSE 0 END)::int AS is_match
+          |FROM cand""".stripMargin)),
 
     // Exact order statistics without interpolation ambiguity: the value at
     // rank ceil(p*n) per group (deterministic in any engine).

@@ -1084,26 +1084,8 @@ object Dedup {
   def entityMatch(df: DataFrame, idCol: Column, nameCol: Column,
       blockCol: Column, pieceCols: Seq[Column], maxDist: Int = 2,
       maxKeySize: Int = 64): DataFrame = {
-    require(pieceCols.size >= 2, "need at least two segments to pair")
-    import org.apache.spark.sql.expressions.Window
-    val pieces = pieceCols.zipWithIndex.map { case (c, i) => c.as(s"t$i") }
-    val base = df.select(
-      (Seq(idCol.as("id"), nameCol.as("name"), blockCol.as("blk")) ++ pieces): _*)
-    // NULL-PROPAGATING key build (concat, not concat_ws): a record with a
-    // null blocking attribute or null segment gets a null key for that pair
-    // slot and is dropped — concat_ws would silently collapse it into a
-    // shorter key that can collide across slots, and the oracle's `||`
-    // null semantics would diverge (r13 advice).
-    val keyed = (for {
-      i <- pieceCols.indices; j <- pieceCols.indices if i < j
-    } yield base.select(col("id"), col("name"),
-        concat(col("blk"), lit(s"|$i$j|"), col(s"t$i"), lit("|"), col(s"t$j"))
-          .as("key")))
-      .reduce(_.unionAll(_))
-      .filter(col("key").isNotNull)
-    val kept = keyed
-      .withColumn("ksize", count(lit(1)).over(Window.partitionBy(col("key"))))
-      .filter(col("ksize") <= maxKeySize)
+    val kept = entityBlockingIndex(df, idCol, nameCol, blockCol, pieceCols,
+      maxKeySize)
     val a = kept.select(col("key"), col("id").as("id_a"), col("name").as("name_a"))
     val b = kept.select(col("key"), col("id").as("id_b"), col("name").as("name_b"))
     a.join(b, "key")
@@ -1112,6 +1094,69 @@ object Dedup {
       .distinct()
       .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
       .select(col("id_a"), col("id_b"), col("lev"),
+        (col("lev") <= maxDist).cast("int").as("is_match"))
+  }
+
+  /** Blocking keys for the [[entityMatch]] family: one row per unordered
+    * segment-pair slot, `(id, name, key)`. NULL-PROPAGATING key build
+    * (concat, not concat_ws): a record with a null blocking attribute or
+    * null segment gets a null key for that slot and is dropped —
+    * concat_ws would silently collapse it into a shorter key that can
+    * collide across slots, and a SQL twin's `||` null semantics would
+    * diverge (r13 advice). */
+  def entityKeys(df: DataFrame, idCol: Column, nameCol: Column,
+      blockCol: Column, pieceCols: Seq[Column]): DataFrame = {
+    require(pieceCols.size >= 2, "need at least two segments to pair")
+    val pieces = pieceCols.zipWithIndex.map { case (c, i) => c.as(s"t$i") }
+    val base = df.select(
+      (Seq(idCol.as("id"), nameCol.as("name"), blockCol.as("blk")) ++ pieces): _*)
+    (for {
+      i <- pieceCols.indices; j <- pieceCols.indices if i < j
+    } yield base.select(col("id"), col("name"),
+        concat(col("blk"), lit(s"|$i$j|"), col(s"t$i"), lit("|"), col(s"t$j"))
+          .as("key")))
+      .reduce(_.unionAll(_))
+      .filter(col("key").isNotNull)
+  }
+
+  /** The persistable half of [[entityMatch]]: the base corpus's blocking
+    * keys with the hot-key hygiene applied (`key` groups larger than
+    * `maxKeySize` dropped). Write this once per master-corpus snapshot and
+    * every later match — batch [[entityMatchAgainst]] or the streaming
+    * stream-static join — is an equi-join against it, never a rescan of
+    * the master. Output: (key, id, name). */
+  def entityBlockingIndex(df: DataFrame, idCol: Column, nameCol: Column,
+      blockCol: Column, pieceCols: Seq[Column],
+      maxKeySize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    entityKeys(df, idCol, nameCol, blockCol, pieceCols)
+      .withColumn("ksize", count(lit(1)).over(Window.partitionBy(col("key"))))
+      .filter(col("ksize") <= maxKeySize)
+      .select(col("key"), col("id"), col("name"))
+  }
+
+  /** New-records-vs-master matching (the CDC record-linkage shape):
+    * arriving records' blocking keys equi-join the persisted
+    * [[entityBlockingIndex]], candidate pairs dedup across slots, exact
+    * `levenshtein` verifies. Hot-key hygiene lives in the INDEX (a slot
+    * saturated in the master stays dropped); arrivals are assumed
+    * individually narrow. Output: (base_id, new_id, lev, is_match).
+    * Scale shape: the index is the only shuffled corpus-sized object, the
+    * join is key-bounded, arrivals cost O(slots) rows each — ingest-cost
+    * matching, the entity twin of [[incrementalNearDup]]. */
+  def entityMatchAgainst(index: DataFrame, arrivals: DataFrame,
+      idCol: Column, nameCol: Column, blockCol: Column,
+      pieceCols: Seq[Column], maxDist: Int = 2): DataFrame = {
+    val akeys = entityKeys(arrivals, idCol, nameCol, blockCol, pieceCols)
+      .select(col("key"), col("id").as("new_id"), col("name").as("new_name"))
+    index
+      .select(col("key"), col("id").as("base_id"), col("name").as("base_name"))
+      .join(akeys, "key")
+      .filter(col("base_id") =!= col("new_id"))
+      .select(col("base_id"), col("base_name"), col("new_id"), col("new_name"))
+      .distinct()
+      .withColumn("lev", levenshtein(col("base_name"), col("new_name")))
+      .select(col("base_id"), col("new_id"), col("lev"),
         (col("lev") <= maxDist).cast("int").as("is_match"))
   }
 }

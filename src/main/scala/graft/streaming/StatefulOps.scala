@@ -797,6 +797,40 @@ object StatefulOps {
       }
   }
 
+  /**
+   * Streaming entity-match serving — the CDC record-linkage shape
+   * (verdict-r13 item 7): arriving records' blocking keys
+   * ([[graft.operators.Dedup.entityKeys]], one projection, no state)
+   * equi-join the PERSISTED master index
+   * ([[graft.operators.Dedup.entityBlockingIndex]], an Artifacts-backed
+   * static DataFrame), exact levenshtein verifies — a stateless
+   * stream-static inner join that runs in append mode with zero state
+   * store instances; the master corpus is never rescanned per batch
+   * beyond the static side Spark already caches.
+   *
+   * AT-LEAST-ONCE PER SLOT: a pair whose names agree on two intact
+   * segment-pair slots emits once per matching slot (the batch twin
+   * [[graft.operators.Dedup.entityMatchAgainst]] dedups across slots;
+   * a streaming distinct would need unbounded state). Downstream exact-
+   * once consumers add dropDuplicatesWithinWatermark on (base_id, new_id)
+   * or dedup at the sink — the standard streaming trade. Output:
+   * (base_id, new_id, lev, is_match).
+   */
+  def entityMatchStream(arrivals: DataFrame, index: DataFrame,
+      idCol: org.apache.spark.sql.Column, nameCol: org.apache.spark.sql.Column,
+      blockCol: org.apache.spark.sql.Column,
+      pieceCols: Seq[org.apache.spark.sql.Column],
+      maxDist: Int = 2): DataFrame =
+    graft.operators.Dedup
+      .entityKeys(arrivals, idCol, nameCol, blockCol, pieceCols)
+      .select(col("key"), col("id").as("new_id"), col("name").as("new_name"))
+      .join(index.select(col("key"), col("id").as("base_id"),
+        col("name").as("base_name")), "key")
+      .filter(col("base_id") =!= col("new_id"))
+      .withColumn("lev", levenshtein(col("base_name"), col("new_name")))
+      .select(col("base_id"), col("new_id"), col("lev"),
+        (col("lev") <= maxDist).cast("int").as("is_match"))
+
   /** Typed view of the parsed stream for the stateful operators. */
   def typed(parsed: DataFrame): Dataset[FlightEvent] = {
     import parsed.sparkSession.implicits._

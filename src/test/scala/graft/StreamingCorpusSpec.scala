@@ -815,4 +815,54 @@ class StreamingCorpusSpec extends SparkSpec {
       assert(got == batch, "streamed kNN candidates diverge from batch graph pairs")
     } finally q.stop()
   }
+
+  test("streaming entity-match serving matches batch entityMatchAgainst (Artifacts index)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val sfDir = "/root/testdata/sf0.001"
+    // the Artifacts-persisted master blocking index (clean customers)
+    val index = spark.read.parquet(Artifacts.entityIndex(spark, sfDir))
+    // arrivals: the typo'd duplicate feed (the dedup_entity_admit synthesis)
+    val cust = Tables.customer(spark, sfDir).select(
+      col("c_custkey").as("id"), col("c_name").as("name"),
+      concat_ws(":", col("c_nationkey").cast("string"),
+        col("c_mktsegment")).as("blk"),
+      col("c_custkey").as("k"))
+    val p = (lit(10) + col("k") % 9).cast("int")
+    val d1 = cust.filter(col("k") % 3 === 0)
+      .select((col("id") + 1000000000L).as("id"),
+        concat(col("name").substr(lit(1), p - 1), lit("x"),
+          col("name").substr(p + 1, length(col("name")))).as("name"),
+        col("blk"))
+    val d2 = cust.filter(col("k") % 9 === 0)
+      .select((col("id") + 2000000000L).as("id"),
+        concat(substring(col("name"), 1, 9), lit("xy"),
+          col("name").substr(lit(12), length(col("name")))).as("name"),
+        col("blk"))
+    val pieces = Seq(substring(col("name"), 10, 3),
+      substring(col("name"), 13, 3), substring(col("name"), 16, 3))
+    val batch = Dedup.entityMatchAgainst(index, d1.unionAll(d2),
+        col("id"), col("name"), col("blk"), pieces)
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(batch.nonEmpty, "the parity set must not be vacuous")
+
+    val rows = d1.unionAll(d2).as[(Long, String, String)].collect().toSeq
+    val input = MemoryStream[(Long, String, String)]
+    val served = StatefulOps.entityMatchStream(
+      input.toDF().toDF("id", "name", "blk"), index,
+      col("id"), col("name"), col("blk"), pieces)
+    val q = served.writeStream.format("memory").queryName("entity_out")
+      .option("checkpointLocation", Files.createTempDirectory("ent-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two micro-batches; at-least-once per slot, so distinct downstream
+      // per the operator contract
+      input.addData(rows.take(rows.size / 2): _*); q.processAllAvailable()
+      input.addData(rows.drop(rows.size / 2): _*); q.processAllAvailable()
+      val got = spark.table("entity_out").distinct()
+        .as[(Long, Long, Int, Int)].collect().toSet
+      assert(got == batch,
+        s"streamed entity matches diverge: ${got.size} vs batch ${batch.size}")
+    } finally q.stop()
+  }
 }
