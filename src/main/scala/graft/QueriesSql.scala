@@ -611,6 +611,113 @@ object QueriesSql {
         |       CAST(levenshtein(name_a, name_b) <= 2 AS int) AS is_match
         |FROM cand""".stripMargin),
 
+    // CDC record-linkage admission from SQL text (the dedup_entity_admit
+    // twin): master-side blocking index with hot-key drop, arrival keys,
+    // candidate equi-join, levenshtein verify — gated on the same oracle.
+    // (The entity RESOLVE twin is blocked on the engine: Spark 4.1
+    // recursive CTEs are UNION ALL-only — UNION_NOT_SUPPORTED_IN_
+    // RECURSIVE_CTE — and min-label component propagation diverges without
+    // the recursion-level dedup. The family stays SQL-reachable through
+    // this row and sql_dedup_entity_match.)
+    ("sql_dedup_entity_admit", "dedup_entity_admit", Seq("customer"),
+      """WITH base AS (
+        |  SELECT c_custkey AS id, c_name AS name,
+        |         concat(CAST(c_nationkey AS string), ':', c_mktsegment) AS blk,
+        |         c_custkey AS k
+        |  FROM customer),
+        |d1 AS (
+        |  SELECT id + 1000000000 AS id,
+        |         concat(substr(name, 1, CAST(10 + k % 9 AS int) - 1), 'x',
+        |                substr(name, CAST(10 + k % 9 AS int) + 1)) AS name,
+        |         blk FROM base WHERE k % 3 = 0),
+        |d2 AS (
+        |  SELECT id + 2000000000 AS id,
+        |         concat(substr(name, 1, 9), 'xy', substr(name, 12)) AS name,
+        |         blk FROM base WHERE k % 9 = 0),
+        |arrivals AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2),
+        |bp AS (
+        |  SELECT id, name, blk, substr(name, 10, 3) AS t0,
+        |         substr(name, 13, 3) AS t1, substr(name, 16, 3) AS t2
+        |  FROM base),
+        |bkeys AS (
+        |  SELECT id, name, concat(blk, '|01|', t0, '|', t1) AS key FROM bp
+        |  UNION ALL SELECT id, name, concat(blk, '|02|', t0, '|', t2) FROM bp
+        |  UNION ALL SELECT id, name, concat(blk, '|12|', t1, '|', t2) FROM bp),
+        |idx AS (
+        |  SELECT id, name, key FROM (
+        |    SELECT id, name, key, count(*) OVER (PARTITION BY key) AS ksize
+        |    FROM bkeys)
+        |  WHERE ksize <= 64),
+        |ap AS (
+        |  SELECT id, name, blk, substr(name, 10, 3) AS t0,
+        |         substr(name, 13, 3) AS t1, substr(name, 16, 3) AS t2
+        |  FROM arrivals),
+        |akeys AS (
+        |  SELECT id, name, concat(blk, '|01|', t0, '|', t1) AS key FROM ap
+        |  UNION ALL SELECT id, name, concat(blk, '|02|', t0, '|', t2) FROM ap
+        |  UNION ALL SELECT id, name, concat(blk, '|12|', t1, '|', t2) FROM ap),
+        |cand AS (
+        |  SELECT DISTINCT i.id AS base_id, i.name AS base_name,
+        |         a.id AS new_id, a.name AS new_name
+        |  FROM idx i JOIN akeys a ON i.key = a.key AND i.id <> a.id)
+        |SELECT base_id, new_id,
+        |       CAST(levenshtein(base_name, new_name) AS int) AS lev,
+        |       CAST(levenshtein(base_name, new_name) <= 2 AS int) AS is_match
+        |FROM cand""".stripMargin),
+
+    // SAX discords from SQL text: the same frame CTEs as the motif twin at
+    // the discord row's coarser resolution, the word-bounded
+    // nearest-neighbor min, hot-word exemption — gated on the
+    // events_sax_discords oracle.
+    ("sql_events_sax_discords", "events_sax_discords", Seq("events"), {
+      val segs = (0 until 8).map(j =>
+        s"sum(qv) OVER (PARTITION BY user_id ORDER BY rn ROWS BETWEEN ${2 * j} FOLLOWING AND ${2 * j + 1} FOLLOWING) AS s$j")
+        .mkString(",\n        |         ").stripMargin
+      val syms = (0 until 8).map(j =>
+        s"CAST((s$j - lo) * 3 div (hi - lo + 1) AS string)").mkString(", ")
+      val nsegs = (0 until 8).map(j =>
+        s"(s$j - lo) * 1000 div (hi - lo + 1) AS ns$j").mkString(", ")
+      val l1 = (0 until 8).map(j => s"abs(a.ns$j - b.ns$j)").mkString(" + ")
+      s"""WITH s AS (
+        |  SELECT user_id, CAST(floor(value * 1000) AS bigint) AS qv,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, rn AS win_start, n,
+        |         $segs
+        |  FROM s),
+        |sax AS (
+        |  SELECT user_id, win_start,
+        |         least(s0,s1,s2,s3,s4,s5,s6,s7) AS lo,
+        |         greatest(s0,s1,s2,s3,s4,s5,s6,s7) AS hi,
+        |         s0,s1,s2,s3,s4,s5,s6,s7
+        |  FROM w WHERE win_start + 15 <= n),
+        |words AS (
+        |  SELECT user_id, win_start, concat_ws(',', $syms) AS word,
+        |         $nsegs
+        |  FROM sax),
+        |frames AS (
+        |  SELECT *, count(*) OVER (PARTITION BY word) AS wsize FROM words),
+        |kept AS (SELECT * FROM frames WHERE wsize <= 256),
+        |nn AS (
+        |  SELECT a.user_id AS k, a.win_start,
+        |         CAST(min($l1) AS bigint) AS nn_l1,
+        |         CAST(count(*) AS bigint) AS n_cands
+        |  FROM kept a JOIN kept b ON a.word = b.word
+        |  WHERE (a.user_id <> b.user_id OR abs(a.win_start - b.win_start) >= 16)
+        |  GROUP BY 1, 2)
+        |SELECT f.user_id, f.win_start, f.word,
+        |       CAST(f.wsize > 256 AS int) AS is_hot_word,
+        |       CAST(CASE WHEN f.wsize > 256 THEN NULL
+        |                 ELSE coalesce(nn.n_cands, 0) END AS bigint) AS n_cands,
+        |       nn.nn_l1,
+        |       CAST(f.wsize <= 256 AND (nn.nn_l1 IS NULL OR nn.nn_l1 >= 1200)
+        |            AS int) AS is_discord
+        |FROM frames f
+        |LEFT JOIN nn ON nn.k = f.user_id AND nn.win_start = f.win_start""".stripMargin
+    }),
+
     // Integer-exact PageRank from SQL text — the graph family's first SQL
     // row: three unrolled power iterations in pure bigint arithmetic
     // (truncating div contributions, the overflow-safe ·17/20 damping

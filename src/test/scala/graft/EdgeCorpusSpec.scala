@@ -90,7 +90,8 @@ class EdgeCorpusSpec extends SparkSpec {
       "dedup_entity_match", "sql_dedup_entity_match", "events_cep_match",
       "sql_events_cep_match", "events_sax_motifs", "sql_events_sax_motifs",
       "events_cep_match4", "sql_events_cep_match4", "dedup_entity_resolve",
-      "events_sax_discords", "approx_distinct_users")
+      "events_sax_discords", "approx_distinct_users", "dedup_entity_admit",
+      "sql_dedup_entity_admit", "sql_events_sax_discords")
     val missing = mustCover.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"rows missing from the sweep universe: $missing")
   }
