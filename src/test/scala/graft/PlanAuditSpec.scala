@@ -202,6 +202,33 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus_snapshot_diff grew beyond design: ${shuffles("corpus_snapshot_diff")}")
   }
 
+  test("r14 rows keep their designed exchange counts") {
+    def shuffles(name: String): Int = {
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+      Seq("Exchange hashpartitioning", "Exchange SinglePartition", "Exchange rangepartitioning")
+        .map(p => plan.sliding(p.length).count(_ == p)).sum
+    }
+    // N-step CEP: ONE key-window exchange regardless of K (the whole point
+    // of the running-last-match encoding) + the events-scan repartition
+    assert(shuffles("events_cep_match4") <= 2,
+      s"events_cep_match4 grew beyond design: ${shuffles("events_cep_match4")}")
+    // entity admission: base-key hot-count window + key join sides +
+    // cross-slot distinct
+    assert(shuffles("dedup_entity_admit") <= 4,
+      s"dedup_entity_admit grew beyond design: ${shuffles("dedup_entity_admit")}")
+    // entity resolve: the components solve folds EAGERLY at construction
+    // (connectedComponents' checkpoint) — the returned frame is the
+    // mapping join + election windows on entity_id only
+    assert(shuffles("dedup_entity_resolve") <= 3,
+      s"dedup_entity_resolve grew beyond design: ${shuffles("dedup_entity_resolve")}")
+    // discords: the frame pipeline (key window + word window) appears in
+    // three branches (pair sides a/b + the left-join probe), plus the
+    // word join, the per-window min agg, and the (k, win_start) left join
+    // — bounded recompute, each branch windows-only over the events scan
+    assert(shuffles("events_sax_discords") <= 13,
+      s"events_sax_discords grew beyond design: ${shuffles("events_sax_discords")}")
+  }
+
   test("served rows plan pure serving shapes: artifact scans, no training subtree") {
     // The *_served rows' entire point is the CHEAP plan: scoring/encoding
     // over reloaded artifacts, never the training loop re-run in-query.
