@@ -6203,6 +6203,64 @@ object Queries {
           |  AND epoch_us(ts) - epoch_us(l0_ts) <= 604800000000
           |  AND n_upto = l0_n""".stripMargin)),
 
+    // Per-GAP negation CEP (Cep.lastSeqMatchGaps — the full MATCH_RECOGNIZE
+    // "NOT between specific steps" surface): view → click → purchase within
+    // 48 h, with no ERROR between the matched view and click and no SIGNUP
+    // between the matched click and the purchase. One running counter per
+    // gap predicate, adjacent-gap counter values recorded at each step's
+    // last match — still ONE key shuffle, one window operator, no NFA.
+    // (For a single shared predicate the per-gap form provably equals the
+    // global lastSeqMatchN — the gaps tile the match span — so this row
+    // deliberately uses DISTINCT predicates per gap.)
+    ("events_cep_gaps",
+      (s: SparkSession, d: String) =>
+        Cep.lastSeqMatchGaps(Tables.events(s, d),
+            keyCol = col("user_id"), tsCol = col("ts"), tieCol = col("event_id"),
+            steps = Seq(col("event_type") === "view",
+              col("event_type") === "click",
+              col("event_type") === "purchase"),
+            gapNegations = Seq(col("event_type") === "error",
+              col("event_type") === "signup"),
+            windowSeconds = 172800L)
+          .select(col("key").as("user_id"), col("close_id").as("purchase_id"),
+            ntz(col("ts_1")).as("view_ts"), ntz(col("ts_2")).as("click_ts"),
+            ntz(col("ts_3")).as("purchase_ts"), col("gap_seconds")),
+      Some(
+        """WITH o AS (
+          |  SELECT user_id, event_id, event_type, ts,
+          |         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+          |           OVER w_run AS n0,
+          |         sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+          |           OVER w_run AS n1
+          |  FROM events
+          |  WINDOW w_run AS (PARTITION BY user_id ORDER BY ts, event_id
+          |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          |l AS (
+          |  SELECT *,
+          |         last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+          |           OVER w AS l0_ts,
+          |         last_value(CASE WHEN event_type = 'view' THEN n0 END IGNORE NULLS)
+          |           OVER w AS l0_n0,
+          |         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+          |           OVER w AS l1_ts,
+          |         last_value(CASE WHEN event_type = 'click' THEN n0 END IGNORE NULLS)
+          |           OVER w AS l1_n0,
+          |         last_value(CASE WHEN event_type = 'click' THEN n1 END IGNORE NULLS)
+          |           OVER w AS l1_n1
+          |  FROM o
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          |SELECT user_id, event_id AS purchase_id, l0_ts AS view_ts,
+          |       l1_ts AS click_ts, ts AS purchase_ts,
+          |       (epoch_us(ts) - epoch_us(l0_ts)) // 1000000 AS gap_seconds
+          |FROM l
+          |WHERE event_type = 'purchase'
+          |  AND l0_ts IS NOT NULL AND l1_ts IS NOT NULL
+          |  AND l0_ts < l1_ts AND l1_ts < ts
+          |  AND epoch_us(ts) - epoch_us(l0_ts) <= 172800000000
+          |  AND l1_n0 = l0_n0
+          |  AND n1 = l1_n1""".stripMargin)),
+
     // Time-series motif discovery (TimeSeries.saxMotifs): SAX-shaped
     // sliding-window shape search over per-user value series — quantized
     // readings, exact-long PAA segments (8 framed sums in ONE window

@@ -567,6 +567,47 @@ object QueriesSql {
         |  AND unix_micros(ts) - unix_micros(l0_ts) <= 604800000000
         |  AND n_upto = l0_n""".stripMargin),
 
+    // Per-gap negation CEP from SQL text: one running counter per gap
+    // predicate, adjacent-gap counter values via last_value IGNORE NULLS —
+    // gated on the events_cep_gaps oracle.
+    ("sql_events_cep_gaps", "events_cep_gaps", Seq("events"),
+      """WITH o AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |           OVER w_run AS n0,
+        |         sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |           OVER w_run AS n1
+        |  FROM events
+        |  WINDOW w_run AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |l AS (
+        |  SELECT *,
+        |         last_value(CASE WHEN event_type = 'view' THEN ts END)
+        |           IGNORE NULLS OVER w AS l0_ts,
+        |         last_value(CASE WHEN event_type = 'view' THEN n0 END)
+        |           IGNORE NULLS OVER w AS l0_n0,
+        |         last_value(CASE WHEN event_type = 'click' THEN ts END)
+        |           IGNORE NULLS OVER w AS l1_ts,
+        |         last_value(CASE WHEN event_type = 'click' THEN n0 END)
+        |           IGNORE NULLS OVER w AS l1_n0,
+        |         last_value(CASE WHEN event_type = 'click' THEN n1 END)
+        |           IGNORE NULLS OVER w AS l1_n1
+        |  FROM o
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id AS purchase_id,
+        |       CAST(l0_ts AS timestamp_ntz) AS view_ts,
+        |       CAST(l1_ts AS timestamp_ntz) AS click_ts,
+        |       CAST(ts AS timestamp_ntz) AS purchase_ts,
+        |       (unix_micros(ts) - unix_micros(l0_ts)) div 1000000 AS gap_seconds
+        |FROM l
+        |WHERE event_type = 'purchase'
+        |  AND l0_ts IS NOT NULL AND l1_ts IS NOT NULL
+        |  AND l0_ts < l1_ts AND l1_ts < ts
+        |  AND unix_micros(ts) - unix_micros(l0_ts) <= 172800000000
+        |  AND l1_n0 = l0_n0
+        |  AND n1 = l1_n1""".stripMargin),
+
     // Record linkage from SQL text: the dirty-table synthesis, segment-pair
     // blocking keys, hot-key drop (window count), candidate equi-join and
     // levenshtein verify — the whole entity-resolution chain drivable from

@@ -103,4 +103,75 @@ object Cep {
         expr("(unix_micros(ts) - unix_micros(l0_ts)) div 1000000")
           .as("gap_seconds"))): _*)
   }
+
+  /**
+   * Per-GAP negation (the full MATCH_RECOGNIZE "NOT between specific
+   * steps" shape): `gapNegations(j)` must not occur between the matched
+   * step-j row and the matched step-(j+1) row (the last gap ends at the
+   * closing row). [[lastSeqMatchN]]'s global negation is the special case
+   * where every gap carries the same predicate — for ONE predicate the two
+   * forms are provably identical (the gaps tile [t_0, close], so the
+   * per-gap zero-count conjunction collapses to the global zero count);
+   * distinct per-gap predicates are what this surface adds.
+   *
+   * Encoding: one running counter per gap predicate; each tracked step
+   * records the counter values of its ADJACENT gaps at its last match
+   * (left end of gap i, right end of gap i−1) — still O(K) window columns,
+   * one key shuffle, no NFA. A gap-j negation row landing between the
+   * matched endpoints makes `right − left ≠ 0` and blocks the close.
+   * Steps must be mutually exclusive per row; gap negations may overlap
+   * anything (a row can be both a step and another gap's negation — both
+   * effects apply, deterministically).
+   *
+   * Output: (key, close_id, ts_1 … ts_K, gap_seconds).
+   */
+  def lastSeqMatchGaps(events: DataFrame, keyCol: Column, tsCol: Column,
+      tieCol: Column, steps: Seq[Column], gapNegations: Seq[Column],
+      windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0, "need a positive match window")
+    require(steps.size >= 2, "need at least two pattern steps")
+    require(gapNegations.size == steps.size - 1,
+      s"need one negation predicate per gap: ${steps.size - 1}")
+    val k = steps.size
+    val prior = 0 until (k - 1)
+    val e = events.select((Seq(keyCol.as("key"), tsCol.as("ts"),
+      tieCol.as("tie")) ++
+      steps.zipWithIndex.map { case (c, i) => c.as(s"is_$i") } ++
+      gapNegations.zipWithIndex.map { case (c, j) => c.as(s"ng_$j") }): _*)
+    val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCounters = prior.foldLeft(e) { (acc, j) =>
+      acc.withColumn(s"n$j",
+        sum(when(col(s"ng_$j"), 1L).otherwise(0L)).over(w))
+    }
+    // step i records gap-i's counter at its match (left end) and, for
+    // i >= 1, gap-(i-1)'s counter (right end)
+    val tracked = prior.foldLeft(withCounters) { (acc, i) =>
+      val withTs = acc.withColumn(s"l${i}_ts",
+        last(when(col(s"is_$i"), col("ts")), ignoreNulls = true).over(w))
+      val withLeft =
+        if (i <= k - 2) withTs.withColumn(s"l${i}_n$i",
+          last(when(col(s"is_$i"), col(s"n$i")), ignoreNulls = true).over(w))
+        else withTs
+      if (i >= 1) withLeft.withColumn(s"l${i}_n${i - 1}",
+        last(when(col(s"is_$i"), col(s"n${i - 1}")), ignoreNulls = true).over(w))
+      else withLeft
+    }
+    val tsSeq = prior.map(i => col(s"l${i}_ts")) :+ col("ts")
+    val chain = prior.map(i => col(s"l${i}_ts").isNotNull).reduce(_ && _) &&
+      tsSeq.zip(tsSeq.tail).map { case (a, b) => a < b }.reduce(_ && _)
+    val gapsClean = (0 until k - 1).map { j =>
+      val left = col(s"l${j}_n$j")
+      val right = if (j + 1 == k - 1) col(s"n$j") else col(s"l${j + 1}_n$j")
+      right === left
+    }.reduce(_ && _)
+    tracked.filter(col(s"is_${k - 1}") && chain &&
+        unix_micros(col("ts")) - unix_micros(col("l0_ts"))
+          <= windowSeconds * 1000000L && gapsClean)
+      .select((Seq(col("key"), col("tie").as("close_id")) ++
+        prior.map(i => col(s"l${i}_ts").as(s"ts_${i + 1}")) ++ Seq(
+        col("ts").as(s"ts_$k"),
+        expr("(unix_micros(ts) - unix_micros(l0_ts)) div 1000000")
+          .as("gap_seconds"))): _*)
+  }
 }

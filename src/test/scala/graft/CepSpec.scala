@@ -157,6 +157,58 @@ class CepSpec extends SparkSpec {
       (5L, "c", 30), (6L, "d", 40)), pat) == Seq((6L, 10L, 30L)))
   }
 
+  /** Per-gap run: steps a→b→c, gap negations (n between a,b; m between
+    * b,c); returns (close_id, first_second, gap_seconds). */
+  private def runGaps(events: Seq[(Long, String, Long)],
+      window: Long = 3600L): Seq[(Long, Long, Long)] = {
+    val df = events.map { case (id, t, sec) => (1L, id, t, ts(sec)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    Cep.lastSeqMatchGaps(df, col("user_id"), col("ts"), col("event_id"),
+        steps = Seq("a", "b", "c").map(p => col("event_type") === p),
+        gapNegations = Seq(col("event_type") === "n",
+          col("event_type") === "m"),
+        windowSeconds = window)
+      .select(col("close_id"),
+        expr("unix_micros(ts_1) div 1000000"), col("gap_seconds"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+  }
+
+  test("lastSeqMatchGaps: each gap is patrolled by ITS OWN predicate") {
+    // n inside gap 0 (a..b) blocks
+    assert(runGaps(Seq((1L, "a", 10), (2L, "n", 15), (3L, "b", 20),
+      (4L, "c", 30))).isEmpty)
+    // the same n inside gap 1 (b..c) is invisible — m patrols there
+    assert(runGaps(Seq((1L, "a", 10), (2L, "b", 20), (3L, "n", 25),
+      (4L, "c", 30))) == Seq((4L, 10L, 20L)))
+    // m inside gap 1 blocks
+    assert(runGaps(Seq((1L, "a", 10), (2L, "b", 20), (3L, "m", 25),
+      (4L, "c", 30))).isEmpty)
+    // m inside gap 0 is invisible
+    assert(runGaps(Seq((1L, "a", 10), (2L, "m", 15), (3L, "b", 20),
+      (4L, "c", 30))) == Seq((4L, 10L, 20L)))
+    // negation before the matched (latest) step doesn't block
+    assert(runGaps(Seq((1L, "n", 5), (2L, "a", 10), (3L, "b", 20),
+      (4L, "c", 30))) == Seq((4L, 10L, 20L)))
+  }
+
+  test("lastSeqMatchGaps: one shared predicate reproduces the global form") {
+    // gaps tile [t_0, close], so per-gap zero counts == global zero count
+    val evs = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "n", 25L),
+      (4L, "c", 30L), (5L, "c", 40L), (6L, "a", 50L), (7L, "b", 55L),
+      (8L, "c", 60L))
+    val df = evs.map { case (id, t, sec) => (1L, id, t, ts(sec)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val steps = Seq("a", "b", "c").map(p => col("event_type") === p)
+    val global = Cep.lastSeqMatchN(df, col("user_id"), col("ts"),
+        col("event_id"), steps, col("event_type") === "n", 3600L)
+      .select(col("close_id")).as[Long].collect().toSet
+    val perGap = Cep.lastSeqMatchGaps(df, col("user_id"), col("ts"),
+        col("event_id"), steps,
+        Seq(col("event_type") === "n", col("event_type") === "n"), 3600L)
+      .select(col("close_id")).as[Long].collect().toSet
+    assert(perGap == global && global.nonEmpty)
+  }
+
   test("cepStreamN: batch parity across shuffled micro-batches (4 steps)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StatefulOps

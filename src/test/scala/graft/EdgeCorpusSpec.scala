@@ -91,7 +91,8 @@ class EdgeCorpusSpec extends SparkSpec {
       "sql_events_cep_match", "events_sax_motifs", "sql_events_sax_motifs",
       "events_cep_match4", "sql_events_cep_match4", "dedup_entity_resolve",
       "events_sax_discords", "approx_distinct_users", "dedup_entity_admit",
-      "sql_dedup_entity_admit", "sql_events_sax_discords")
+      "sql_dedup_entity_admit", "sql_events_sax_discords", "events_cep_gaps",
+      "sql_events_cep_gaps")
     val missing = mustCover.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"rows missing from the sweep universe: $missing")
   }
