@@ -295,6 +295,17 @@ class PlanAuditSpec extends SparkSpec {
       s"dedup_components_served grew beyond its 1-exchange design: ${shuffles(comp)}")
     assert(count(comp, "HashAggregate") <= 4,
       s"dedup_components_served re-grew a training subtree:\n$comp")
+
+    // entity-resolution server: the label artifact scans from parquet; the
+    // returned frame is dirty-join + the two election windows on entity_id
+    // — no blocking-key window, no levenshtein, no components subtree
+    val ent = planOf("dedup_entity_resolve_served")
+    assert(count(ent, "graft-artifacts") >= 1,
+      s"dedup_entity_resolve_served must scan the persisted labels:\n$ent")
+    assert(shuffles(ent) <= 3,
+      s"dedup_entity_resolve_served grew beyond its election design: ${shuffles(ent)}")
+    assert(count(ent, "levenshtein") == 0,
+      s"dedup_entity_resolve_served re-grew the verify subtree:\n$ent")
   }
 
   test("round-13 rows keep their designed plan shapes") {
