@@ -178,4 +178,64 @@ class PropertySpec extends SparkSpec {
       assert(r.forall(_.getLong(1) >= (Graph.RankScale * 3) / 20))
     }
   }
+
+  /** Random keyed event streams for the CEP equivalence properties:
+    * (user, event_id, type, second) with duplicate timestamps possible
+    * (the tie column disambiguates, as in the catalog rows). */
+  private val cepStreamGen: Gen[Seq[(Long, Long, String, Long)]] =
+    Gen.listOfN(40, Gen.zip(Gen.chooseNum(1L, 3L),
+        Gen.oneOf("a", "b", "c", "n", "x"), Gen.chooseNum(0L, 120L)))
+      .map(_.zipWithIndex.map { case ((u, t, sec), i) => (u, i.toLong, t, sec) })
+
+  test("lastSeqMatchN at K=3 equals lastSeqMatch on random streams") {
+    import graft.operators.Cep
+    forSamples(cepStreamGen, n = 4) { evs =>
+      val df = evs.map { case (u, id, t, sec) =>
+        (u, id, t, new java.sql.Timestamp(sec * 1000L))
+      }.toDF("user_id", "event_id", "event_type", "ts")
+      val steps = Seq("a", "b", "c").map(p => col("event_type") === p)
+      val legacy = Cep.lastSeqMatch(df, col("user_id"), col("ts"),
+          col("event_id"), steps(0), steps(1), steps(2),
+          col("event_type") === "n", 60L)
+        .select(col("key"), col("close_id"), col("gap_seconds"))
+        .as[(Long, Long, Long)].collect().toSet
+      val n3 = Cep.lastSeqMatchN(df, col("user_id"), col("ts"),
+          col("event_id"), steps, col("event_type") === "n", 60L)
+        .select(col("key"), col("close_id"), col("gap_seconds"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(n3 == legacy, s"K=3 generalization diverged on $evs")
+    }
+  }
+
+  test("per-gap CEP with one shared predicate equals the global form on random streams") {
+    import graft.operators.Cep
+    forSamples(cepStreamGen, n = 4) { evs =>
+      val df = evs.map { case (u, id, t, sec) =>
+        (u, id, t, new java.sql.Timestamp(sec * 1000L))
+      }.toDF("user_id", "event_id", "event_type", "ts")
+      val steps = Seq("a", "b", "c").map(p => col("event_type") === p)
+      val neg = col("event_type") === "n"
+      val global = Cep.lastSeqMatchN(df, col("user_id"), col("ts"),
+          col("event_id"), steps, neg, 60L)
+        .select(col("key"), col("close_id")).as[(Long, Long)].collect().toSet
+      val perGap = Cep.lastSeqMatchGaps(df, col("user_id"), col("ts"),
+          col("event_id"), steps, Seq(neg, neg), 60L)
+        .select(col("key"), col("close_id")).as[(Long, Long)].collect().toSet
+      assert(perGap == global, s"gap tiling violated on $evs")
+    }
+  }
+
+  test("entityKeys: C(k,2) keys per fully-populated record, null slots drop") {
+    val df = Seq(
+      (1L, "nm", "blk", "aa", "bb", "cc"),
+      (2L, "nm", "blk", null, "bb", "cc"),
+      (3L, "nm", null, "aa", "bb", "cc")
+    ).toDF("id", "name", "blk", "p0", "p1", "p2")
+    val keys = Dedup.entityKeys(df, col("id"), col("name"), col("blk"),
+        Seq(col("p0"), col("p1"), col("p2")))
+      .groupBy(col("id")).count().as[(Long, Long)].collect().toMap
+    assert(keys.getOrElse(1L, 0L) == 3L, "all-populated record pairs 3 slots")
+    assert(keys.getOrElse(2L, 0L) == 1L, "a null piece kills its two slots")
+    assert(!keys.contains(3L), "a null blocking attribute kills every slot")
+  }
 }
