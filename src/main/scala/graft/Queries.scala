@@ -6392,6 +6392,39 @@ object Queries {
            |LEFT JOIN nn ON nn.k = f.user_id AND nn.win_start = f.win_start""".stripMargin
       }),
 
+    // Seasonal-profile anomalies (TimeSeries.seasonalAnomalies) — the
+    // LEVEL half of the time-series family (motifs/discords match shape):
+    // every event compared against its user's hour-of-day norm, entirely
+    // in exact integers (resid_scaled = qv·cnt − sum; the flag
+    // cross-multiplies instead of dividing, so no float mean exists to
+    // diverge). One map-side-combined (user, hour) aggregation + one
+    // equi-join back — the profile is |users|·24 rows, broadcastable.
+    // tau = 200.0 units (qv scale 1000) flags 2/12/160 events across the
+    // three SFs — the deliberate rare-tail regime.
+    ("events_ts_seasonal",
+      (s: SparkSession, d: String) =>
+        TimeSeries.seasonalAnomalies(Tables.events(s, d),
+            keyCol = col("user_id"), idCol = col("event_id"),
+            phaseCol = hour(col("ts")), valueCol = col("value"),
+            quantScale = 1000L, tauScaled = 200000L)
+          .select(col("key").as("user_id"), col("id").as("event_id"),
+            col("phase").as("hr"), col("qv"), col("resid_scaled"),
+            col("s_cnt"), col("is_anomaly")),
+      Some(
+        """WITH s AS (
+          |  SELECT user_id, event_id, extract(hour FROM ts)::int AS hr,
+          |         floor(value * 1000)::bigint AS qv
+          |  FROM events),
+          |seas AS (
+          |  SELECT user_id, hr, sum(qv)::bigint AS s_num, count(*)::bigint AS s_cnt
+          |  FROM s GROUP BY 1, 2)
+          |SELECT s.user_id, s.event_id, s.hr, s.qv,
+          |       (s.qv * seas.s_cnt - seas.s_num)::bigint AS resid_scaled,
+          |       seas.s_cnt,
+          |       (CASE WHEN abs(s.qv * seas.s_cnt - seas.s_num) > 200000 * seas.s_cnt
+          |             THEN 1 ELSE 0 END)::int AS is_anomaly
+          |FROM s JOIN seas ON seas.user_id = s.user_id AND seas.hr = s.hr""".stripMargin)),
+
     // Interval (range) join via bucketed equi-join: purchases landing in the
     // 6-hour window after each error by the same user, aggregated per error.
     // The bucket width matches the window span, so each interval registers

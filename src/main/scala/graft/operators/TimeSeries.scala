@@ -158,4 +158,40 @@ object TimeSeries {
           (col("nn_l1").isNull || col("nn_l1") >= minL1)).cast("int")
           .as("is_discord"))
   }
+
+  /**
+   * Seasonal-profile anomaly detection — the LEVEL half of the time-series
+   * story (motifs/discords match SHAPE): each reading is compared against
+   * its key's seasonal norm for its phase (hour-of-day, day-of-week —
+   * caller-supplied `phaseCol`), entirely in exact integer arithmetic so
+   * the flag replays bit-for-bit in any engine:
+   *
+   *  - readings quantize once (`floor(value · quantScale)`);
+   *  - the seasonal profile is (sum, count) exact longs per (key, phase) —
+   *    ONE map-side-combined aggregation, never a window;
+   *  - the residual is cross-multiplied instead of divided:
+   *    `resid_scaled = qv·cnt − sum` (exact), and the flag is
+   *    `|qv·cnt − sum| > tauScaled·cnt  ⇔  |qv − mean| > tauScaled`,
+   *    no float mean ever materialized;
+   *  - the join back is a (key, phase) equi-join against the profile —
+   *    |keys|·|phases| rows, broadcastable whenever the key domain is.
+   *
+   * Output: (key, id, phase, qv, resid_scaled, s_cnt, is_anomaly).
+   */
+  def seasonalAnomalies(events: DataFrame, keyCol: Column, idCol: Column,
+      phaseCol: Column, valueCol: Column, quantScale: Long = 1000L,
+      tauScaled: Long = 200000L): DataFrame = {
+    require(tauScaled > 0, "need a positive anomaly threshold")
+    val s = events.select(keyCol.as("k"), idCol.as("id"),
+      phaseCol.cast("int").as("phase"),
+      floor(valueCol * quantScale).cast("long").as("qv"))
+    val seas = s.groupBy(col("k"), col("phase"))
+      .agg(sum(col("qv")).as("s_num"), count(lit(1)).as("s_cnt"))
+    s.join(seas, Seq("k", "phase"))
+      .select(col("k").as("key"), col("id"), col("phase"), col("qv"),
+        (col("qv") * col("s_cnt") - col("s_num")).as("resid_scaled"),
+        col("s_cnt"),
+        (abs(col("qv") * col("s_cnt") - col("s_num"))
+          > lit(tauScaled) * col("s_cnt")).cast("int").as("is_anomaly"))
+  }
 }

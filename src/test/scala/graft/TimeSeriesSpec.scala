@@ -115,6 +115,20 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, 1L, 0, Some(1L), Some(17L), 1)), s"got: $got")
   }
 
+  test("seasonalAnomalies: exact residual vs the phase norm; flag at tau") {
+    // key 1, phase 0: values 10, 10, 40 -> qv 100,100,400; sum 600, cnt 3;
+    // resid_scaled = qv*3 - 600 = -300, -300, +600; tau 150 flags only the 400
+    val df = Seq((1L, 10L, 0, 10.0), (1L, 11L, 0, 10.0), (1L, 12L, 0, 40.0),
+        (1L, 13L, 1, 10.0))
+      .toDF("key", "id", "phase", "value")
+    val got = TimeSeries.seasonalAnomalies(df, col("key"), col("id"),
+        col("phase"), col("value"), quantScale = 10L, tauScaled = 150L)
+      .select(col("id"), col("resid_scaled"), col("s_cnt"), col("is_anomaly"))
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(got == Set((10L, -300L, 3L, 0), (11L, -300L, 3L, 0),
+      (12L, 600L, 3L, 1), (13L, 0L, 1L, 0)))
+  }
+
   test("saxDiscords: hot-word windows are non-discord without pairing") {
     val got = discords(Map(
       1L -> Seq(3.0, 3.0, 3.0, 3.0),
