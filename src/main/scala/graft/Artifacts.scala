@@ -261,4 +261,18 @@ object Artifacts {
       }
       s"$r/labels"
     }
+
+  /** Seasonal (user, hour-of-day) profile over the events table — exact
+    * (sum, count) longs per cell ([[graft.operators.TimeSeries
+    * .seasonalProfile]]), the persisted norm the streaming anomaly scorer
+    * stream-static-joins against. */
+  def seasonalProfile(s: SparkSession, d: String): String =
+    cached(s"seasonal:$d") {
+      val r = published(root(d, "seasonal", "events")) { tmp =>
+        graft.operators.TimeSeries.seasonalProfile(Tables.events(s, d),
+            col("user_id"), hour(col("ts")), col("value"), 1000L)
+          .write.mode("overwrite").parquet(s"$tmp/profile")
+      }
+      s"$r/profile"
+    }
 }

@@ -567,6 +567,24 @@ object QueriesSql {
         |  AND unix_micros(ts) - unix_micros(l0_ts) <= 604800000000
         |  AND n_upto = l0_n""".stripMargin),
 
+    // Seasonal anomalies from SQL text: the exact cross-multiplied
+    // residual — gated on the events_ts_seasonal oracle.
+    ("sql_events_ts_seasonal", "events_ts_seasonal", Seq("events"),
+      """WITH s AS (
+        |  SELECT user_id, event_id, CAST(hour(ts) AS int) AS hr,
+        |         CAST(floor(value * 1000) AS bigint) AS qv
+        |  FROM events),
+        |seas AS (
+        |  SELECT user_id, hr, CAST(sum(qv) AS bigint) AS s_num,
+        |         CAST(count(*) AS bigint) AS s_cnt
+        |  FROM s GROUP BY 1, 2)
+        |SELECT s.user_id, s.event_id, s.hr, s.qv,
+        |       CAST(s.qv * seas.s_cnt - seas.s_num AS bigint) AS resid_scaled,
+        |       seas.s_cnt,
+        |       CAST(abs(s.qv * seas.s_cnt - seas.s_num) > 200000 * seas.s_cnt
+        |            AS int) AS is_anomaly
+        |FROM s JOIN seas ON seas.user_id = s.user_id AND seas.hr = s.hr""".stripMargin),
+
     // Per-gap negation CEP from SQL text: one running counter per gap
     // predicate, adjacent-gap counter values via last_value IGNORE NULLS —
     // gated on the events_cep_gaps oracle.

@@ -180,14 +180,35 @@ object TimeSeries {
    */
   def seasonalAnomalies(events: DataFrame, keyCol: Column, idCol: Column,
       phaseCol: Column, valueCol: Column, quantScale: Long = 1000L,
-      tauScaled: Long = 200000L): DataFrame = {
+      tauScaled: Long = 200000L): DataFrame =
+    scoreAgainstProfile(events,
+      seasonalProfile(events, keyCol, phaseCol, valueCol, quantScale),
+      keyCol, idCol, phaseCol, valueCol, quantScale, tauScaled)
+
+  /** The persistable half of [[seasonalAnomalies]]: exact (sum, count)
+    * longs per (key, phase) — one map-side-combined aggregation. Write it
+    * once per base-corpus snapshot; scoring (batch or streaming) is a
+    * projection + equi-join against it. Output: (k, phase, s_num, s_cnt). */
+  def seasonalProfile(events: DataFrame, keyCol: Column, phaseCol: Column,
+      valueCol: Column, quantScale: Long = 1000L): DataFrame =
+    events.select(keyCol.as("k"), phaseCol.cast("int").as("phase"),
+        floor(valueCol * quantScale).cast("long").as("qv"))
+      .groupBy(col("k"), col("phase"))
+      .agg(sum(col("qv")).as("s_num"), count(lit(1)).as("s_cnt"))
+
+  /** Score readings against a (possibly persisted) [[seasonalProfile]].
+    * Pure projection + inner equi-join — works UNCHANGED on a streaming
+    * `events` frame (stream-static join, append mode, zero state), which
+    * is the operational serving shape: profile trained on history, live
+    * readings flagged at ingest. */
+  def scoreAgainstProfile(events: DataFrame, profile: DataFrame,
+      keyCol: Column, idCol: Column, phaseCol: Column, valueCol: Column,
+      quantScale: Long = 1000L, tauScaled: Long = 200000L): DataFrame = {
     require(tauScaled > 0, "need a positive anomaly threshold")
     val s = events.select(keyCol.as("k"), idCol.as("id"),
       phaseCol.cast("int").as("phase"),
       floor(valueCol * quantScale).cast("long").as("qv"))
-    val seas = s.groupBy(col("k"), col("phase"))
-      .agg(sum(col("qv")).as("s_num"), count(lit(1)).as("s_cnt"))
-    s.join(seas, Seq("k", "phase"))
+    s.join(profile, Seq("k", "phase"))
       .select(col("k").as("key"), col("id"), col("phase"), col("qv"),
         (col("qv") * col("s_cnt") - col("s_num")).as("resid_scaled"),
         col("s_cnt"),

@@ -93,7 +93,7 @@ class EdgeCorpusSpec extends SparkSpec {
       "events_sax_discords", "approx_distinct_users", "dedup_entity_admit",
       "sql_dedup_entity_admit", "sql_events_sax_discords", "events_cep_gaps",
       "sql_events_cep_gaps", "dedup_entity_resolve_served",
-      "events_ts_seasonal")
+      "events_ts_seasonal", "sql_events_ts_seasonal")
     val missing = mustCover.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"rows missing from the sweep universe: $missing")
   }

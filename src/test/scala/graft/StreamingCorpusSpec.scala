@@ -865,4 +865,33 @@ class StreamingCorpusSpec extends SparkSpec {
         s"streamed entity matches diverge: ${got.size} vs batch ${batch.size}")
     } finally q.stop()
   }
+
+  test("streaming seasonal anomaly scoring matches batch (Artifacts profile)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TimeSeries
+    val sfDir = "/root/testdata/sf0.001"
+    val profile = spark.read.parquet(Artifacts.seasonalProfile(spark, sfDir))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), hour(col("ts")).as("hr"),
+        col("value"))
+    def score(df: org.apache.spark.sql.DataFrame) =
+      TimeSeries.scoreAgainstProfile(df, profile, col("user_id"),
+        col("event_id"), col("hr"), col("value"), 1000L, 200000L)
+    val batch = score(ev)
+      .as[(Long, Long, Int, Long, Long, Long, Int)].collect().toSet
+    assert(batch.nonEmpty)
+    val rows = ev.as[(Long, Long, Int, Double)].collect().toSeq
+    val input = MemoryStream[(Long, Long, Int, Double)]
+    val q = score(input.toDF().toDF("user_id", "event_id", "hr", "value"))
+      .writeStream.format("memory").queryName("seasonal_out")
+      .option("checkpointLocation", Files.createTempDirectory("sea-cp").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows.take(rows.size / 2): _*); q.processAllAvailable()
+      input.addData(rows.drop(rows.size / 2): _*); q.processAllAvailable()
+      val got = spark.table("seasonal_out")
+        .as[(Long, Long, Int, Long, Long, Long, Int)].collect().toSet
+      assert(got == batch, "streamed seasonal scoring diverges from batch")
+    } finally q.stop()
+  }
 }
