@@ -230,33 +230,28 @@ object Artifacts {
           concat_ws(":", col("c_nationkey").cast("string"),
             col("c_mktsegment")).as("blk"))
         Dedup.entityBlockingIndex(base, col("id"), col("name"), col("blk"),
-            Seq(substring(col("name"), 10, 3), substring(col("name"), 13, 3),
-              substring(col("name"), 16, 3)), maxKeySize = 64)
+            Queries.entityPieces, maxKeySize = 64)
           .write.mode("overwrite").parquet(s"$tmp/index")
       }
       s"$r/index"
     }
 
   /** Entity-resolution LABEL artifact: the (id, entity_id) mapping from
-    * the dedup_entity_resolve training chain (blocking → levenshtein →
-    * transitive components over the dirty customer corpus), persisted once
-    * per sf-dir. `dirty` must be the caller's (id, name, blk) dirty
-    * corpus — the chain is deterministic, so the artifact is a pure
-    * function of the input dir. At 100 TB this is the piece worth
-    * persisting: the sf10 bench showed the components solve crossing the
-    * local union-find tier into distributed star rounds (41 s); the SERVED
-    * row's election over this artifact is a join + window. */
-  def entityLabels(s: SparkSession, d: String, dirty: DataFrame): String =
+    * the dedup_entity_resolve training chain ([[Dedup.entityResolve]] —
+    * blocking → levenshtein → transitive components) over the canonical
+    * dirty customer corpus, persisted once per sf-dir. The corpus is
+    * DERIVED here (Queries.dirtyCustomers), never passed in, so the cache
+    * key (sf-dir) and the trained corpus can't diverge (r14 self-review
+    * find). At 100 TB this is the piece worth persisting: the sf10 bench
+    * showed the components solve crossing the local union-find tier into
+    * distributed star rounds (41 s); the SERVED row's election over this
+    * artifact is a join + window. */
+  def entityLabels(s: SparkSession, d: String): String =
     cached(s"entitylabels:$d") {
       val r = published(root(d, "entitylabels", "customer")) { tmp =>
-        val pieces = Seq(substring(col("name"), 10, 3),
-          substring(col("name"), 13, 3), substring(col("name"), 16, 3))
-        val pairs = Dedup.entityMatch(dirty, col("id"), col("name"),
-            col("blk"), pieces, maxDist = 2, maxKeySize = 64)
-          .filter(col("is_match") === 1)
-          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-        Dedup.connectedComponents(dirty.select(col("id")), pairs)
-          .select(col("id"), col("component").as("entity_id"))
+        val dirty = Queries.dirtyCustomers(s, d)
+        Dedup.entityResolve(dirty, col("id"), col("name"), col("blk"),
+            Queries.entityPieces, maxDist = 2, maxKeySize = 64)
           .write.mode("overwrite").parquet(s"$tmp/labels")
       }
       s"$r/labels"

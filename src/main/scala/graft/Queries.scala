@@ -318,15 +318,57 @@ object Queries {
     (base.select(col("id"), col("name"), col("blk")), d1.unionAll(d2))
   }
 
-  private def dirtyCustomers(s: SparkSession, d: String): DataFrame = {
+  private[graft] def dirtyCustomers(s: SparkSession, d: String): DataFrame = {
     val (base, arrivals) = dirtyCustomerParts(s, d)
     base.unionAll(arrivals)
   }
 
   /** The entity family's shared segment scheme: thirds of the 9-digit
-    * customer-name suffix. */
-  private def entityPieces: Seq[Column] = Seq(substring(col("name"), 10, 3),
-    substring(col("name"), 13, 3), substring(col("name"), 16, 3))
+    * customer-name suffix. ONE definition — the catalog rows, the
+    * Artifacts index/label builders, and the streaming parity spec all
+    * interpolate it. */
+  private[graft] def entityPieces: Seq[Column] = Seq(
+    substring(col("name"), 10, 3), substring(col("name"), 13, 3),
+    substring(col("name"), 16, 3))
+
+  /** Shared oracle for BOTH dedup_entity_resolve rows (training and
+    * served): the match CTEs + recursive min-label components + the
+    * golden-record election. */
+  // lazy: entityMatchCtes initializes later in the object body
+  private lazy val entityResolveOracle = entityMatchCtes +
+    """comp AS (
+      |  SELECT id, min(lbl) AS entity_id
+      |  FROM (
+      |    WITH RECURSIVE r(id, lbl) AS (
+      |      SELECT id, id FROM dirty
+      |      UNION
+      |      SELECT e.src, r.lbl
+      |      FROM (SELECT id_a AS src, id_b AS dst FROM matches
+      |            UNION ALL SELECT id_b, id_a FROM matches) e
+      |      JOIN r ON r.id = e.dst)
+      |    SELECT id, lbl FROM r)
+      |  GROUP BY 1)
+      |SELECT c.entity_id, d.id,
+      |       (count(*) OVER (PARTITION BY c.entity_id))::bigint AS n_records,
+      |       (CASE WHEN row_number() OVER (PARTITION BY c.entity_id
+      |                                     ORDER BY length(d.name) DESC, d.id) = 1
+      |             THEN 1 ELSE 0 END)::int AS is_canonical
+      |FROM comp c JOIN dirty d ON d.id = c.id""".stripMargin
+
+  /** The golden-record election over a (id → entity_id) label mapping:
+    * longest name, then lowest id — shared by the training and served
+    * entity-resolve rows. */
+  private def entityElection(dirty: DataFrame, labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("entity_id"))
+      .orderBy(length(col("name")).desc, col("id"))
+    dirty.join(labels, "id")
+      .withColumn("n_records",
+        count(lit(1)).over(Window.partitionBy(col("entity_id"))))
+      .withColumn("is_canonical", (row_number().over(w) === 1).cast("int"))
+      .select(col("entity_id"), col("id"), col("n_records"),
+        col("is_canonical"))
+  }
 
   /** DuckDB twin of [[dirtyCustomers]] + the segment-pair blocking /
     * hot-key drop / levenshtein-verify chain of `Dedup.entityMatch` —
@@ -6752,10 +6794,8 @@ object Queries {
     // at sf0.1.
     ("dedup_entity_match",
       (s: SparkSession, d: String) =>
-        Dedup.entityMatch(dirtyCustomers(s, d), col("id"), col("name"), col("blk"),
-          pieceCols = Seq(substring(col("name"), 10, 3),
-            substring(col("name"), 13, 3), substring(col("name"), 16, 3)),
-          maxDist = 2, maxKeySize = 64),
+        Dedup.entityMatch(dirtyCustomers(s, d), col("id"), col("name"),
+          col("blk"), entityPieces, maxDist = 2, maxKeySize = 64),
       Some(
         """WITH base AS (
           |  SELECT c_custkey AS id, c_name AS name,
@@ -6812,44 +6852,11 @@ object Queries {
     // 455 entities / 2 167 records at sf0.01, 2 848 / 21 667 at sf0.1.
     ("dedup_entity_resolve",
       (s: SparkSession, d: String) => {
-        import org.apache.spark.sql.expressions.Window
         val dirty = dirtyCustomers(s, d)
-        val pairs = Dedup.entityMatch(dirty, col("id"), col("name"), col("blk"),
-            pieceCols = Seq(substring(col("name"), 10, 3),
-              substring(col("name"), 13, 3), substring(col("name"), 16, 3)),
-            maxDist = 2, maxKeySize = 64)
-          .filter(col("is_match") === 1)
-          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-        val comp = Dedup.connectedComponents(dirty.select(col("id")), pairs)
-          .select(col("id"), col("component").as("entity_id"))
-        val w = Window.partitionBy(col("entity_id"))
-          .orderBy(length(col("name")).desc, col("id"))
-        dirty.join(comp, "id")
-          .withColumn("n_records",
-            count(lit(1)).over(Window.partitionBy(col("entity_id"))))
-          .withColumn("is_canonical", (row_number().over(w) === 1).cast("int"))
-          .select(col("entity_id"), col("id"), col("n_records"),
-            col("is_canonical"))
+        entityElection(dirty, Dedup.entityResolve(dirty, col("id"),
+          col("name"), col("blk"), entityPieces, maxDist = 2, maxKeySize = 64))
       },
-      Some(entityMatchCtes +
-        """comp AS (
-          |  SELECT id, min(lbl) AS entity_id
-          |  FROM (
-          |    WITH RECURSIVE r(id, lbl) AS (
-          |      SELECT id, id FROM dirty
-          |      UNION
-          |      SELECT e.src, r.lbl
-          |      FROM (SELECT id_a AS src, id_b AS dst FROM matches
-          |            UNION ALL SELECT id_b, id_a FROM matches) e
-          |      JOIN r ON r.id = e.dst)
-          |    SELECT id, lbl FROM r)
-          |  GROUP BY 1)
-          |SELECT c.entity_id, d.id,
-          |       (count(*) OVER (PARTITION BY c.entity_id))::bigint AS n_records,
-          |       (CASE WHEN row_number() OVER (PARTITION BY c.entity_id
-          |                                     ORDER BY length(d.name) DESC, d.id) = 1
-          |             THEN 1 ELSE 0 END)::int AS is_canonical
-          |FROM comp c JOIN dirty d ON d.id = c.id""".stripMargin)),
+      Some(entityResolveOracle)),
 
     // The SERVED twin of dedup_entity_resolve: the (id, entity_id) label
     // mapping is an Artifacts-persisted parquet (built once per sf-dir from
@@ -6861,38 +6868,10 @@ object Queries {
     // rounds at 41 s): at serving time that cost is paid once, not
     // per-query.
     ("dedup_entity_resolve_served",
-      (s: SparkSession, d: String) => {
-        import org.apache.spark.sql.expressions.Window
-        val dirty = dirtyCustomers(s, d)
-        val labels = s.read.parquet(Artifacts.entityLabels(s, d, dirty))
-        val w = Window.partitionBy(col("entity_id"))
-          .orderBy(length(col("name")).desc, col("id"))
-        dirty.join(labels, "id")
-          .withColumn("n_records",
-            count(lit(1)).over(Window.partitionBy(col("entity_id"))))
-          .withColumn("is_canonical", (row_number().over(w) === 1).cast("int"))
-          .select(col("entity_id"), col("id"), col("n_records"),
-            col("is_canonical"))
-      },
-      Some(entityMatchCtes +
-        """comp AS (
-          |  SELECT id, min(lbl) AS entity_id
-          |  FROM (
-          |    WITH RECURSIVE r(id, lbl) AS (
-          |      SELECT id, id FROM dirty
-          |      UNION
-          |      SELECT e.src, r.lbl
-          |      FROM (SELECT id_a AS src, id_b AS dst FROM matches
-          |            UNION ALL SELECT id_b, id_a FROM matches) e
-          |      JOIN r ON r.id = e.dst)
-          |    SELECT id, lbl FROM r)
-          |  GROUP BY 1)
-          |SELECT c.entity_id, d.id,
-          |       (count(*) OVER (PARTITION BY c.entity_id))::bigint AS n_records,
-          |       (CASE WHEN row_number() OVER (PARTITION BY c.entity_id
-          |                                     ORDER BY length(d.name) DESC, d.id) = 1
-          |             THEN 1 ELSE 0 END)::int AS is_canonical
-          |FROM comp c JOIN dirty d ON d.id = c.id""".stripMargin)),
+      (s: SparkSession, d: String) =>
+        entityElection(dirtyCustomers(s, d),
+          s.read.parquet(Artifacts.entityLabels(s, d))),
+      Some(entityResolveOracle)),
 
     // CDC record-linkage admission (verdict-r13 item 7's batch gate): the
     // typo'd duplicate feed matched against the CLEAN master through the

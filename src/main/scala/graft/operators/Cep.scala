@@ -144,15 +144,15 @@ object Cep {
       acc.withColumn(s"n$j",
         sum(when(col(s"ng_$j"), 1L).otherwise(0L)).over(w))
     }
-    // step i records gap-i's counter at its match (left end) and, for
-    // i >= 1, gap-(i-1)'s counter (right end)
+    // step i records gap-i's counter at its match (left end; every
+    // tracked step i ≤ k-2 opens gap i) and, for i >= 1, gap-(i-1)'s
+    // counter (right end)
     val tracked = prior.foldLeft(withCounters) { (acc, i) =>
-      val withTs = acc.withColumn(s"l${i}_ts",
-        last(when(col(s"is_$i"), col("ts")), ignoreNulls = true).over(w))
-      val withLeft =
-        if (i <= k - 2) withTs.withColumn(s"l${i}_n$i",
+      val withLeft = acc
+        .withColumn(s"l${i}_ts",
+          last(when(col(s"is_$i"), col("ts")), ignoreNulls = true).over(w))
+        .withColumn(s"l${i}_n$i",
           last(when(col(s"is_$i"), col(s"n$i")), ignoreNulls = true).over(w))
-        else withTs
       if (i >= 1) withLeft.withColumn(s"l${i}_n${i - 1}",
         last(when(col(s"is_$i"), col(s"n${i - 1}")), ignoreNulls = true).over(w))
       else withLeft

@@ -1135,6 +1135,24 @@ object Dedup {
       .select(col("key"), col("id"), col("name"))
   }
 
+  /** The entity-RESOLUTION chain: [[entityMatch]] pairs at `maxDist` →
+    * transitive components over the match edges ([[connectedComponents]];
+    * matches chain, so an entity is the closure, not a pair list).
+    * Output: (id, entity_id) — the label mapping a golden-record election
+    * or the Artifacts layer consumes. ONE definition shared by the
+    * in-query training row and the persisted-artifact builder (r14
+    * self-review find: the chain had been written twice). */
+  def entityResolve(df: DataFrame, idCol: Column, nameCol: Column,
+      blockCol: Column, pieceCols: Seq[Column], maxDist: Int = 2,
+      maxKeySize: Int = 64): DataFrame = {
+    val pairs = entityMatch(df, idCol, nameCol, blockCol, pieceCols,
+        maxDist, maxKeySize)
+      .filter(col("is_match") === 1)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    connectedComponents(df.select(idCol.as("id")), pairs)
+      .select(col("id"), col("component").as("entity_id"))
+  }
+
   /** New-records-vs-master matching (the CDC record-linkage shape):
     * arriving records' blocking keys equi-join the persisted
     * [[entityBlockingIndex]], candidate pairs dedup across slots, exact

@@ -197,10 +197,17 @@ object TimeSeries {
       .agg(sum(col("qv")).as("s_num"), count(lit(1)).as("s_cnt"))
 
   /** Score readings against a (possibly persisted) [[seasonalProfile]].
-    * Pure projection + inner equi-join — works UNCHANGED on a streaming
+    * Pure projection + LEFT equi-join — works UNCHANGED on a streaming
     * `events` frame (stream-static join, append mode, zero state), which
     * is the operational serving shape: profile trained on history, live
-    * readings flagged at ingest. */
+    * readings flagged at ingest. A reading whose (key, phase) cell is
+    * absent from the profile — a novel key, arguably the most anomalous
+    * input — is NOT dropped (r14 self-review find: an inner join silently
+    * swallowed it): it survives with null resid_scaled/s_cnt/is_anomaly,
+    * the "unscoreable" verdict the caller routes to its cold-start
+    * policy. When the profile derives from the scored data itself
+    * ([[seasonalAnomalies]]) every cell exists and the left join is
+    * row-identical to the inner one. */
   def scoreAgainstProfile(events: DataFrame, profile: DataFrame,
       keyCol: Column, idCol: Column, phaseCol: Column, valueCol: Column,
       quantScale: Long = 1000L, tauScaled: Long = 200000L): DataFrame = {
@@ -208,7 +215,7 @@ object TimeSeries {
     val s = events.select(keyCol.as("k"), idCol.as("id"),
       phaseCol.cast("int").as("phase"),
       floor(valueCol * quantScale).cast("long").as("qv"))
-    s.join(profile, Seq("k", "phase"))
+    s.join(profile, Seq("k", "phase"), "left")
       .select(col("k").as("key"), col("id"), col("phase"), col("qv"),
         (col("qv") * col("s_cnt") - col("s_num")).as("resid_scaled"),
         col("s_cnt"),

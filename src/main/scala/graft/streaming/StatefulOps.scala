@@ -645,12 +645,16 @@ object StatefulOps {
     keys.foldLeft(joined)((d, k) => d.drop(i(k)))
   }
 
-  final case class CepState(la_us: Long, la_set: Boolean, lb_us: Long,
-      lb_set: Boolean, n_since_a: Long)
+  // state holds each step's (timestamp, TIE): batch skip-till-last is
+  // last-in-(ts, tie)-order, so an equal-timestamp straggler with a LOWER
+  // tie arriving in a later micro-batch must not overwrite the held step
+  // (r14 self-review find — `us >= held` alone let it)
+  final case class CepState(la_us: Long, la_tie: Long, la_set: Boolean,
+      lb_us: Long, lb_tie: Long, lb_set: Boolean, n_since_a: Long)
   final case class CepMatch(key: Long, close_id: Long, a_us: Long, b_us: Long,
       c_us: Long, gap_seconds: Long)
-  final case class CepNState(ts_us: Array[Long], set: Array[Boolean],
-      n_since_first: Long)
+  final case class CepNState(ts_us: Array[Long], ties: Array[Long],
+      set: Array[Boolean], n_since_first: Long)
   final case class CepNMatch(key: Long, close_id: Long, step_us: Seq[Long],
       gap_seconds: Long)
 
@@ -692,7 +696,8 @@ object StatefulOps {
             Iterator.empty
           } else {
             var st = state.getOption.getOrElse(
-              CepNState(Array.fill(k - 1)(0L), Array.fill(k - 1)(false), 0L))
+              CepNState(Array.fill(k - 1)(0L), Array.fill(k - 1)(0L),
+                Array.fill(k - 1)(false), 0L))
             val out = List.newBuilder[CepNMatch]
             rows.toSeq.sortBy(r => (r._3, r._2)).foreach {
               case (_, tie, us, isStep, isN) =>
@@ -705,13 +710,16 @@ object StatefulOps {
                 }
                 val hit = isStep.indexWhere(identity)
                 if (hit >= 0 && hit < k - 1) {
-                  // skip-till-last in EVENT time: >= so a same-timestamp step
-                  // processed later (higher tie) wins, the batch window's
-                  // last-in-order pick; an older straggler must not overwrite
-                  if (!st.set(hit) || us >= st.ts_us(hit)) {
-                    val ts2 = st.ts_us.clone(); val set2 = st.set.clone()
-                    ts2(hit) = us; set2(hit) = true
-                    st = CepNState(ts2, set2,
+                  // skip-till-last is last-in-(ts, tie) order, the batch
+                  // window's pick: an older straggler OR an equal-timestamp
+                  // lower-tie one must not overwrite (the tie lives in
+                  // state precisely for the cross-batch straggler case)
+                  if (!st.set(hit) || us > st.ts_us(hit) ||
+                      (us == st.ts_us(hit) && tie > st.ties(hit))) {
+                    val ts2 = st.ts_us.clone(); val tie2 = st.ties.clone()
+                    val set2 = st.set.clone()
+                    ts2(hit) = us; tie2(hit) = tie; set2(hit) = true
+                    st = CepNState(ts2, tie2, set2,
                       if (hit == 0) 0L else st.n_since_first)
                   }
                 } else if (isN) st = st.copy(n_since_first = st.n_since_first + 1L)
@@ -766,7 +774,7 @@ object StatefulOps {
             Iterator.empty
           } else {
             var st = state.getOption
-              .getOrElse(CepState(0L, false, 0L, false, 0L))
+              .getOrElse(CepState(0L, 0L, false, 0L, 0L, false, 0L))
             val out = List.newBuilder[CepMatch]
             // event-time order within the micro-batch (ties by id) — the
             // batch form's (ts, tie) window order
@@ -778,16 +786,18 @@ object StatefulOps {
                   out += CepMatch(key, tie, st.la_us, st.lb_us, us,
                     (us - st.la_us) / 1000000L)
                 }
-                // skip-till-last is EVENT-time latest: a straggler step older
-                // than the held one must not overwrite (>=: a same-timestamp
-                // step processed later — higher tie — wins, the batch form's
-                // last-in-window-order pick)
+                // skip-till-last is last-in-(ts, tie) order, exactly the
+                // batch window's pick: a straggler step older OR
+                // equal-timestamp-with-lower-tie must not overwrite
+                def newer(heldUs: Long, heldTie: Long) =
+                  us > heldUs || (us == heldUs && tie > heldTie)
                 if (isA) {
-                  if (!st.la_set || us >= st.la_us)
-                    st = CepState(us, true, st.lb_us, st.lb_set, 0L)
+                  if (!st.la_set || newer(st.la_us, st.la_tie))
+                    st = CepState(us, tie, true, st.lb_us, st.lb_tie,
+                      st.lb_set, 0L)
                 } else if (isB) {
-                  if (!st.lb_set || us >= st.lb_us)
-                    st = st.copy(lb_us = us, lb_set = true)
+                  if (!st.lb_set || newer(st.lb_us, st.lb_tie))
+                    st = st.copy(lb_us = us, lb_tie = tie, lb_set = true)
                 } else if (isN) st = st.copy(n_since_a = st.n_since_a + 1L)
             }
             state.update(st)

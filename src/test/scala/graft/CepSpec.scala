@@ -111,6 +111,46 @@ class CepSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cepStream: an equal-timestamp LOWER-tie straggler must not overwrite state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulOps
+    implicit val sqlCtx = spark.sqlContext
+    // batch semantics: last step-0 in (ts, tie) order is a@10s(tie=2);
+    // the n@20 falls AFTER it, so c@40 is blocked. The straggler
+    // a@10s(tie=1) arriving in batch 2 is OLDER in window order — if it
+    // overwrote (and reset the negation counter), the close would emit
+    // (the r14 self-review finding).
+    val evs = Seq(
+      (1L, 2L, "a", 10L), (1L, 3L, "n", 20L),            // batch 1
+      (1L, 1L, "a", 10L), (1L, 4L, "b", 30L), (1L, 5L, "c", 40L)) // batch 2
+    val batchDf = evs.map { case (u, id, t, sec) => (u, id, t, ts(sec)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val expected = Cep.lastSeqMatch(batchDf, col("user_id"), col("ts"),
+        col("event_id"), col("event_type") === "a", col("event_type") === "b",
+        col("event_type") === "c", col("event_type") === "n", 3600L)
+      .select(col("close_id")).as[Long].collect().toSet
+    assert(expected.isEmpty, "batch must block: negation after the matched a")
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val stream = StatefulOps.cepStream(
+      input.toDF().toDF("user_id", "event_id", "event_type", "sec")
+        .withColumn("ts", timestamp_seconds(col("sec"))),
+      "user_id", "ts", "event_id",
+      col("event_type") === "a", col("event_type") === "b",
+      col("event_type") === "c", col("event_type") === "n", 3600L)
+    val q = stream.writeStream.format("memory").queryName("cep_straggler_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cepstrag-cp").toString)
+      .outputMode("append").start()
+    try {
+      input.addData(evs.take(2).map { case (u, id, t, sec) => (u, id, t, sec) }: _*)
+      q.processAllAvailable()
+      input.addData(evs.drop(2).map { case (u, id, t, sec) => (u, id, t, sec) }: _*)
+      q.processAllAvailable()
+      assert(spark.table("cep_straggler_out").count() == 0L,
+        "the lower-tie straggler overwrote the held step")
+    } finally q.stop()
+  }
+
   /** (id, type, second) events for one user through the N-step form;
     * returns matched (close_id, first_step_second, gap_seconds). */
   private def runN(events: Seq[(Long, String, Long)], pattern: Seq[String],

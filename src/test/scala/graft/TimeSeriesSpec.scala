@@ -129,6 +129,23 @@ class TimeSeriesSpec extends SparkSpec {
       (12L, 600L, 3L, 1), (13L, 0L, 1L, 0)))
   }
 
+  test("scoreAgainstProfile: a reading with no profile cell survives, unscored") {
+    // profile trained without key 2: its reading must NOT be dropped
+    // (inner-join regression, r14 self-review) — it comes back with null
+    // residual/count/verdict, the explicit cold-start signal
+    val hist = Seq((1L, 10L, 0, 10.0)).toDF("key", "id", "phase", "value")
+    val live = Seq((1L, 20L, 0, 10.0), (2L, 21L, 0, 99.0))
+      .toDF("key", "id", "phase", "value")
+    val profile = TimeSeries.seasonalProfile(hist, col("key"), col("phase"),
+      col("value"), quantScale = 10L)
+    val got = TimeSeries.scoreAgainstProfile(live, profile, col("key"),
+        col("id"), col("phase"), col("value"), quantScale = 10L,
+        tauScaled = 150L)
+      .select(col("id"), col("s_cnt"), col("is_anomaly"))
+      .as[(Long, Option[Long], Option[Int])].collect().toSet
+    assert(got == Set((20L, Some(1L), Some(0)), (21L, None, None)), s"got $got")
+  }
+
   test("saxDiscords: hot-word windows are non-discord without pairing") {
     val got = discords(Map(
       1L -> Seq(3.0, 3.0, 3.0, 3.0),
