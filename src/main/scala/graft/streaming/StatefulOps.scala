@@ -734,7 +734,7 @@ object StatefulOps {
   /**
    * Streaming CEP: the [[graft.operators.Cep.lastSeqMatch]] pattern
    * (`A → B → C`, negation, time bound, skip-till-last) over an unbounded
-   * keyed stream with O(1) state per key — THREE timestamps and a counter
+   * keyed stream with O(1) state per key — two (timestamp, tie) pairs and a counter
    * (last A, last B, negations since the last A), against the O(history)
    * window scan the batch form implies and the O(partial matches) state an
    * NFA engine holds. Matches emit as the closing event is processed;
