@@ -3310,6 +3310,27 @@ object Queries {
           |            THEN (2 * tp)::double / (n_pos + pp) END AS f1_at
           |FROM cum""".stripMargin)),
 
+    // Retrieval-ranking eval (Eval.ndcgAtK — verdict-r14 item 2): NDCG@5
+    // and reciprocal rank per query, grading the engine's OWN BM25
+    // retrieval (three fixed term-bag queries, top-20 candidates each)
+    // against a deterministic graded relevance label: the count of the
+    // query's terms present in the document (term coverage, 0..3). DCG
+    // position weights are 2^30-scaled 1/log2(r+1) plan literals computed
+    // once in Scala and inlined into BOTH engines' plans (the HLL
+    // ln-table precedent) — the whole metric is exact longs plus one
+    // final IEEE division.
+    ("eval_ndcg_retrieval",
+      (s: SparkSession, d: String) => retrievalNdcgPerQuery(s, d),
+      Some(retrievalNdcgSql)),
+
+    // The corpus roll-up: mean NDCG + MRR over the query set in exact
+    // numerator/denominator form (sums of 2^20 fixed-point longs; a query
+    // with no relevant hit contributes 0, the standard convention).
+    ("eval_retrieval_mean",
+      (s: SparkSession, d: String) =>
+        Eval.retrievalEvalSummary(retrievalNdcgPerQuery(s, d)),
+      Some(retrievalMeanSql)),
+
     // ==== distributed training: full-batch perceptron =====================
     // The training loop itself as a catalog row — iterated whole-corpus
     // aggregation with O(dim) driver state (see Learn.scala's scale notes).
@@ -5749,6 +5770,91 @@ object Queries {
           |       2::bigint AS w, 2::bigint AS h, 1::bigint AS channels
           |FROM vf JOIN im USING (pix)""".stripMargin)),
 
+    // Cross-modal NEAR-dup (Multimodal.crossModalNearDup — verdict-r14
+    // item 4): standalone images that are RESIZED copies of video frames,
+    // the case the digest join above can never see. Images here are 4×4
+    // nearest-neighbor 2× upscales of a 2×2 frame block — the grid-mean
+    // fingerprint (per-channel region means, exact scaled longs) is
+    // bit-identical across the rescale, so the (channels, quantized
+    // fingerprint) bucket join finds them WITHOUT width/height in the key,
+    // and the exact-L1 verify grades near-but-not-identical seeds. Pair
+    // space DuckDB-checked before adoption: 1 230 candidates / 1 132 near
+    // (422 exact) at sf0.01; 83k / 74k (5 824 exact) at sf0.1 — Σ|bucket|²
+    // stays linear in the corpus.
+    ("multimodal_cross_near_dup",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        val seedHex = md5(concat(col("source"), lit(":"),
+          col("n_chars").cast("string")))
+        val n = (col("doc_id") % 3 + 1).cast("int")
+        def frame(i: Column) = concat(
+          lit("GIMG".getBytes("US-ASCII")),
+          unhex(lit("0002")), unhex(lit("0002")), unhex(lit("01")),
+          seedHex.substr((i.cast("int") * 4 + 1), lit(4)).cast("binary"))
+        val idxSeq = sequence(lit(0L), (n - 1).cast("long"))
+        val emptyBin = lit(Array.empty[Byte])
+        val indexBytes = aggregate(
+          transform(idxSeq, i => unhex(lpad(hex(i * 13L), 8, "0"))),
+          emptyBin, (acc, b) => concat(acc, b))
+        val framesBytes = aggregate(
+          transform(idxSeq, i => frame(i)), emptyBin, (acc, b) => concat(acc, b))
+        val vMagic = when(col("doc_id") % 13 === 0,
+          lit("XVID".getBytes("US-ASCII")))
+          .otherwise(lit("GVID".getBytes("US-ASCII")))
+        val iMagic = when(col("doc_id") % 7 === 0,
+          lit("XIMG".getBytes("US-ASCII")))
+          .otherwise(lit("GIMG".getBytes("US-ASCII")))
+        val videos = docs
+          .withColumn("payload", concat(vMagic, unhex(lpad(hex(n), 4, "0")),
+            indexBytes, framesBytes))
+          .select(col("doc_id"), col("payload")).localCheckpoint()
+        // image = NN 2× upscale of block (doc_id % 3): pixel p of the 4×4
+        // copies source char (row div 2)·2 + (col div 2) of the block
+        val blockStart = ((col("doc_id") % 3) * 4 + 1).cast("int")
+        val pix = concat_ws("", (0 until 16).map { p =>
+          val b = (p / 4 / 2) * 2 + (p % 4 / 2)
+          seedHex.substr(blockStart + b, lit(1))
+        }: _*).cast("binary")
+        val images = docs
+          .withColumn("payload", concat(iMagic,
+            unhex(lit("0004")), unhex(lit("0004")), unhex(lit("01")), pix))
+          .select(col("doc_id"), col("payload")).localCheckpoint()
+        Multimodal.crossModalNearDup(videos, col("doc_id"), col("payload"),
+          images, col("doc_id"), col("payload"), grid = 2, meanScale = 16L,
+          quant = 64L, maxL1 = 96L)
+      },
+      Some(
+        """WITH d AS (
+          |  SELECT doc_id, md5(source || ':' || n_chars::varchar) AS seed
+          |  FROM documents WHERE text IS NOT NULL),
+          |vf AS (
+          |  SELECT doc_id AS video_id, i::int AS frame_idx,
+          |         list_transform(range((i * 4 + 1)::int, (i * 4 + 5)::int),
+          |           j -> ord(substring(seed, j, 1))::bigint * 16) AS fvec
+          |  FROM d CROSS JOIN (SELECT unnest(range(0, 3)) AS i)
+          |  WHERE doc_id % 13 <> 0 AND i < doc_id % 3 + 1),
+          |im AS (
+          |  SELECT doc_id AS image_id,
+          |         list_transform(range(((doc_id % 3) * 4 + 1)::int,
+          |                              ((doc_id % 3) * 4 + 5)::int),
+          |           j -> ord(substring(seed, j, 1))::bigint * 16) AS fvec
+          |  FROM d WHERE doc_id % 7 <> 0),
+          |vb AS (
+          |  SELECT *, array_to_string(list_transform(fvec,
+          |           s -> (s // 64)::varchar), ',') AS bucket
+          |  FROM vf),
+          |ib AS (
+          |  SELECT *, array_to_string(list_transform(fvec,
+          |           s -> (s // 64)::varchar), ',') AS bucket
+          |  FROM im)
+          |SELECT v.video_id, v.frame_idx, i.image_id,
+          |       list_sum(list_transform(range(1, 5),
+          |         k -> abs(v.fvec[k] - i.fvec[k])))::bigint AS l1,
+          |       (CASE WHEN list_sum(list_transform(range(1, 5),
+          |               k -> abs(v.fvec[k] - i.fvec[k]))) <= 96
+          |             THEN 1 ELSE 0 END)::int AS near_dup
+          |FROM vb v JOIN ib i USING (bucket)""".stripMargin)),
+
     // ==========================================================================
     // Web-corpus curation: URL canonicalization, URL dedup, domain rollups
     // ==========================================================================
@@ -6303,6 +6409,59 @@ object Queries {
           |  AND l1_n0 = l0_n0
           |  AND n1 = l1_n1""".stripMargin)),
 
+    // Kleene-quantified CEP (Cep.lastSeqMatchKleene — the MATCH_RECOGNIZE
+    // quantifier surface `A B{n,m} C`, verdict-r14 item 1): the engagement
+    // funnel "view, then AT LEAST 3 clicks and NO error, then purchase
+    // within 7 days". The B+ body never becomes a pattern step — it is an
+    // occurrence BOUND on the single gap (count ∈ [3, ∞) for clicks,
+    // [0, 0] for errors), so the plan is the per-gap-negation machinery
+    // verbatim: one key shuffle, one Window operator, two running counters,
+    // shape independent of the bound. n_clicks exposes the matched count
+    // (quantifier intensity), not just pass/fail.
+    ("events_cep_kleene",
+      (s: SparkSession, d: String) =>
+        Cep.lastSeqMatchKleene(Tables.events(s, d),
+            keyCol = col("user_id"), tsCol = col("ts"), tieCol = col("event_id"),
+            steps = Seq(col("event_type") === "view",
+              col("event_type") === "purchase"),
+            gapBounds = Seq(Seq(
+              Cep.GapBound(col("event_type") === "click", 3L, None),
+              Cep.GapBound(col("event_type") === "error", 0L, Some(0L)))),
+            windowSeconds = 604800L)
+          .select(col("key").as("user_id"), col("close_id").as("purchase_id"),
+            ntz(col("ts_1")).as("view_ts"), ntz(col("ts_2")).as("purchase_ts"),
+            col("gap_seconds"), col("n_0_0").as("n_clicks")),
+      Some(
+        """WITH o AS (
+          |  SELECT user_id, event_id, event_type, ts,
+          |         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+          |           OVER w_run AS n0,
+          |         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+          |           OVER w_run AS n1
+          |  FROM events
+          |  WINDOW w_run AS (PARTITION BY user_id ORDER BY ts, event_id
+          |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          |l AS (
+          |  SELECT *,
+          |         last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+          |           OVER w AS l0_ts,
+          |         last_value(CASE WHEN event_type = 'view' THEN n0 END IGNORE NULLS)
+          |           OVER w AS l0_n0,
+          |         last_value(CASE WHEN event_type = 'view' THEN n1 END IGNORE NULLS)
+          |           OVER w AS l0_n1
+          |  FROM o
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          |SELECT user_id, event_id AS purchase_id, l0_ts AS view_ts,
+          |       ts AS purchase_ts,
+          |       (epoch_us(ts) - epoch_us(l0_ts)) // 1000000 AS gap_seconds,
+          |       CAST(n0 - l0_n0 AS bigint) AS n_clicks
+          |FROM l
+          |WHERE event_type = 'purchase'
+          |  AND l0_ts IS NOT NULL AND l0_ts < ts
+          |  AND epoch_us(ts) - epoch_us(l0_ts) <= 604800000000
+          |  AND n0 - l0_n0 >= 3 AND n1 - l0_n1 = 0""".stripMargin)),
+
     // Time-series motif discovery (TimeSeries.saxMotifs): SAX-shaped
     // sliding-window shape search over per-user value series — quantized
     // readings, exact-long PAA segments (8 framed sums in ONE window
@@ -6466,6 +6625,87 @@ object Queries {
           |       (CASE WHEN abs(s.qv * seas.s_cnt - seas.s_num) > 200000 * seas.s_cnt
           |             THEN 1 ELSE 0 END)::int AS is_anomaly
           |FROM s JOIN seas ON seas.user_id = s.user_id AND seas.hr = s.hr""".stripMargin)),
+
+    // CUSUM changepoint detection (TimeSeries.cusumChangepoints —
+    // verdict-r14 item 3, the REGIME third of the TS story): two-sided
+    // cumulative-sum test of each user's readings against their keyProfile
+    // baseline, all in cross-multiplied exact integers. The sequential
+    // CUSUM recursion max(0, S+d) is planned as its closed form
+    // P_t − min(P_0..P_t) — two window passes over ONE key shuffle, which
+    // is what makes the oracle (and a 100 TB plan) possible. Thresholds
+    // slack=20, h=200 value-units (×1000 quant): 325 flags / 10k rows at
+    // sf0.01 — sparse but present on stationary synthetic data.
+    ("events_ts_changepoints",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        TimeSeries.cusumChangepoints(ev,
+            TimeSeries.keyProfile(ev, col("user_id"), col("value"), 1000L),
+            keyCol = col("user_id"), idCol = col("event_id"),
+            tsCol = col("ts"), tieCol = col("event_id"),
+            valueCol = col("value"), quantScale = 1000L,
+            slackScaled = 20000L, hScaled = 200000L)
+          .select(col("key").as("user_id"), col("id").as("event_id"),
+            col("qv"), col("cusum_up"), col("cusum_dn"),
+            col("is_shift_up"), col("is_shift_dn"))
+      },
+      Some(
+        """WITH s AS (
+          |  SELECT user_id AS k, event_id AS id, ts,
+          |         floor(value * 1000)::bigint AS qv
+          |  FROM events),
+          |prof AS (
+          |  SELECT k, sum(qv)::bigint AS s_num, count(*)::bigint AS s_cnt
+          |  FROM s GROUP BY 1),
+          |j AS (
+          |  SELECT s.*, p.s_num, p.s_cnt,
+          |         (qv * s_cnt - s_num) - 20000 * s_cnt AS d_up,
+          |         (s_num - qv * s_cnt) - 20000 * s_cnt AS d_dn
+          |  FROM s JOIN prof p ON p.k = s.k),
+          |w AS (
+          |  SELECT *, sum(d_up) OVER win AS p_up, sum(d_dn) OVER win AS p_dn
+          |  FROM j
+          |  WINDOW win AS (PARTITION BY k ORDER BY ts, id
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          |c AS (
+          |  SELECT *,
+          |         p_up - least(0, min(p_up) OVER win) AS cusum_up,
+          |         p_dn - least(0, min(p_dn) OVER win) AS cusum_dn
+          |  FROM w
+          |  WINDOW win AS (PARTITION BY k ORDER BY ts, id
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          |SELECT k AS user_id, id AS event_id, qv,
+          |       cusum_up::bigint AS cusum_up, cusum_dn::bigint AS cusum_dn,
+          |       (CASE WHEN cusum_up > 200000 * s_cnt THEN 1 ELSE 0 END)::int
+          |         AS is_shift_up,
+          |       (CASE WHEN cusum_dn > 200000 * s_cnt THEN 1 ELSE 0 END)::int
+          |         AS is_shift_dn
+          |FROM c""".stripMargin)),
+
+    // Seasonal-profile MERGE admission (verdict-r14 item 9): the profile is
+    // (key, phase, cnt, sum) exact longs, so two epochs' profiles merge by
+    // plain addition — a persistable incremental artifact like the HLL
+    // registers and the dedup index (no base-corpus rescan to absorb an
+    // epoch). The oracle pins merge ≡ whole by computing the union profile
+    // DIRECTLY; the Spark side builds the two halves separately (even/odd
+    // event split) and merges.
+    ("events_ts_profile_merged",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        val halfA = TimeSeries.seasonalProfile(
+          ev.filter(col("event_id") % 2 === 0), col("user_id"),
+          hour(col("ts")), col("value"), 1000L)
+        val halfB = TimeSeries.seasonalProfile(
+          ev.filter(col("event_id") % 2 === 1), col("user_id"),
+          hour(col("ts")), col("value"), 1000L)
+        TimeSeries.mergeProfiles(halfA, halfB)
+          .select(col("k").as("user_id"), col("phase").as("hr"),
+            col("s_num"), col("s_cnt"))
+      },
+      Some(
+        """SELECT user_id, extract(hour FROM ts)::int AS hr,
+          |       sum(floor(value * 1000)::bigint)::bigint AS s_num,
+          |       count(*)::bigint AS s_cnt
+          |FROM events GROUP BY 1, 2""".stripMargin)),
 
     // Interval (range) join via bucketed equi-join: purchases landing in the
     // 6-hour window after each error by the same user, aggregated per error.
@@ -7670,6 +7910,150 @@ object Queries {
       |              CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END)
       |         AS registered_domain
       |FROM documents""".stripMargin
+
+  // ==== retrieval-ranking eval (eval_ndcg_retrieval / eval_retrieval_mean)
+
+  /** The fixed query set: (query id, term bag). Terms are corpus-common
+    * marker words so every query retrieves a full candidate list.
+    * defs/lazy, not vals: the catalog val initializes BEFORE later object
+    * members, and a strict val here would still be null when the catalog
+    * row forces the oracle SQL (the entityMatchCtes lesson). */
+  private[graft] def retrievalQueries: Seq[(String, Seq[String])] = Seq(
+    ("q_ops", Seq("join", "filter", "scan")),
+    ("q_data", Seq("data", "table", "vector")),
+    ("q_win", Seq("window", "group", "merge")))
+
+  private def retrievalK = 5
+  private def retrievalTopN = 20
+  private def rrScale = 1L << 20
+
+  /** Per-query NDCG@5 frame: BM25 top-20 per query, term-coverage
+    * relevance, [[Eval.ndcgAtK]]. The hits side is 3 × 20 rows — it
+    * BROADCASTS against the corpus-sized token frame for the relevance
+    * join, so the only full-corpus work is the BM25 scoring itself. */
+  private[graft] def retrievalNdcgPerQuery(s: SparkSession, d: String)
+      : DataFrame = {
+    val docs = Tables.documents(s, d)
+    val hits = retrievalQueries.map { case (qid, terms) =>
+      TextOps.bm25(docs, col("text"), col("doc_id"), terms)
+        .orderBy(col("score").desc, col("doc_id")).limit(retrievalTopN)
+        .withColumn("query", lit(qid))
+    }.reduce(_ unionByName _)
+    val docToks = docs.select(col("doc_id"),
+      TextOps.tokens(TextOps.normalize(col("text"))).as("toks"))
+    val rel = retrievalQueries.foldRight(lit(0L): Column) {
+      case ((qid, terms), acc) =>
+        when(col("query") === qid,
+          terms.map(t => when(array_contains(col("toks"), t), 1L)
+            .otherwise(0L)).reduce(_ + _)).otherwise(acc)
+    }
+    val withRel = docToks.join(broadcast(hits), "doc_id")
+      .withColumn("rel", rel)
+    Eval.ndcgAtK(withRel, col("query"), col("doc_id"), col("score"),
+      col("rel"), retrievalK, rrScale)
+  }
+
+  /** DuckDB CTE chain up to the per-query metric frame `perq` — the BM25
+    * pipeline replicated per query (same expression association order as
+    * the text_bm25_search oracle), term-coverage relevance, rank/irank
+    * windows, and the SAME [[Eval.dcgWeights]] literals Spark plans. */
+  private lazy val retrievalNdcgCtes: String = {
+    val wList = Eval.dcgWeights(retrievalK).mkString("[", ", ", "]")
+    val perQueryCtes = retrievalQueries.map { case (qid, terms) =>
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      val mix = terms.map(t =>
+        s"coalesce(max(CASE WHEN token = '$t' THEN term_score END), 0.0)")
+        .mkString("\n|         + ")
+      s"""tf_$qid AS (
+         |  SELECT doc_id, dl, token, count(*)::bigint AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM dl)
+         |  WHERE token IN ($inList) GROUP BY 1, 2, 3),
+         |df_$qid AS (SELECT token, count(*)::bigint AS df FROM tf_$qid GROUP BY 1),
+         |sc_$qid AS (
+         |  SELECT tf.doc_id, tf.token,
+         |         ((cast(s.n_docs - df.df AS double) + 0.5)
+         |            / (cast(df.df AS double) + 0.5))
+         |           * (cast(tf.tf AS double) * (1.2 + 1.0))
+         |           / (cast(tf.tf AS double) + 1.2 * ((1.0 - 0.75)
+         |                + 0.75 * (cast(tf.dl AS double)
+         |                            / (cast(s.sum_dl AS double)
+         |                                 / cast(s.n_docs AS double))))) AS term_score
+         |  FROM tf_$qid tf CROSS JOIN stats s JOIN df_$qid df ON tf.token = df.token),
+         |agg_$qid AS (
+         |  SELECT doc_id,
+         |         $mix AS score
+         |  FROM sc_$qid GROUP BY 1),
+         |top_$qid AS (
+         |  SELECT '$qid' AS query, doc_id, score FROM agg_$qid
+         |  ORDER BY score DESC, doc_id LIMIT $retrievalTopN)""".stripMargin
+    }.mkString(",\n")
+    val hitsUnion = retrievalQueries
+      .map { case (qid, _) => s"SELECT * FROM top_$qid" }
+      .mkString("\n|  UNION ALL ")
+    val relCase = retrievalQueries.map { case (qid, terms) =>
+      val cover = terms.map(t =>
+        s"(CASE WHEN list_contains(d.toks, '$t') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"WHEN h.query = '$qid' THEN $cover"
+    }.mkString("\n|              ")
+    s"""WITH lens AS (
+       |  SELECT doc_id,
+       |         string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |dl AS (SELECT doc_id, len(toks)::bigint AS dl, toks FROM lens),
+       |stats AS (SELECT count(*)::bigint AS n_docs, sum(len(toks))::bigint AS sum_dl
+       |          FROM lens),
+       |$perQueryCtes,
+       |hits AS (
+       |  $hitsUnion),
+       |hr AS (
+       |  SELECT h.query, h.doc_id, h.score,
+       |         (CASE $relCase
+       |              END)::bigint AS rel
+       |  FROM hits h JOIN dl d ON d.doc_id = h.doc_id),
+       |ranked AS (
+       |  SELECT *,
+       |         row_number() OVER (PARTITION BY query ORDER BY score DESC, doc_id) AS rank,
+       |         row_number() OVER (PARTITION BY query ORDER BY rel DESC, doc_id) AS irank
+       |  FROM hr),
+       |perq AS (
+       |  SELECT query, count(*)::bigint AS n_hits,
+       |         sum(CASE WHEN rank <= $retrievalK
+       |                  THEN rel * list_extract($wList, rank::int) ELSE 0 END)::bigint AS dcg_scaled,
+       |         sum(CASE WHEN irank <= $retrievalK
+       |                  THEN rel * list_extract($wList, irank::int) ELSE 0 END)::bigint AS idcg_scaled,
+       |         min(CASE WHEN rel > 0 THEN rank END)::int AS first_rel_rank
+       |  FROM ranked GROUP BY 1)""".stripMargin
+  }
+
+  private lazy val retrievalNdcgSql: String = retrievalNdcgCtes +
+    s"""
+       |SELECT query, n_hits, dcg_scaled, idcg_scaled,
+       |       CASE WHEN idcg_scaled > 0
+       |            THEN CAST((dcg_scaled * $rrScale) // idcg_scaled AS bigint)
+       |            END AS ndcg_scaled,
+       |       CASE WHEN idcg_scaled > 0
+       |            THEN dcg_scaled::double / idcg_scaled END AS ndcg,
+       |       first_rel_rank,
+       |       CAST($rrScale // first_rel_rank AS bigint) AS rr_scaled
+       |FROM perq""".stripMargin
+
+  private lazy val retrievalMeanSql: String = retrievalNdcgCtes +
+    s""",
+       |scaled AS (
+       |  SELECT CASE WHEN idcg_scaled > 0
+       |              THEN CAST((dcg_scaled * $rrScale) // idcg_scaled AS bigint)
+       |              END AS ndcg_scaled,
+       |         CAST($rrScale // first_rel_rank AS bigint) AS rr_scaled
+       |  FROM perq)
+       |SELECT count(*)::bigint AS n_queries,
+       |       sum(coalesce(ndcg_scaled, 0))::bigint AS sum_ndcg_scaled,
+       |       sum(coalesce(ndcg_scaled, 0))::double
+       |         / (${rrScale.toDouble} * count(*)) AS mean_ndcg,
+       |       sum(coalesce(rr_scaled, 0))::bigint AS sum_rr_scaled,
+       |       sum(coalesce(rr_scaled, 0))::double
+       |         / (${rrScale.toDouble} * count(*)) AS mrr
+       |FROM scaled""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.map { case (n, f, _) => n -> f }.toMap ++

@@ -626,6 +626,41 @@ object QueriesSql {
         |  AND l1_n0 = l0_n0
         |  AND n1 = l1_n1""".stripMargin),
 
+    // Kleene-quantified CEP from SQL text: occurrence bounds as predicates
+    // on the gap counters ("at least 3 clicks, zero errors") instead of
+    // zero-equality — gated on the events_cep_kleene oracle.
+    ("sql_events_cep_kleene", "events_cep_kleene", Seq("events"),
+      """WITH o AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |           OVER w_run AS n0,
+        |         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |           OVER w_run AS n1
+        |  FROM events
+        |  WINDOW w_run AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |l AS (
+        |  SELECT *,
+        |         last_value(CASE WHEN event_type = 'view' THEN ts END)
+        |           IGNORE NULLS OVER w AS l0_ts,
+        |         last_value(CASE WHEN event_type = 'view' THEN n0 END)
+        |           IGNORE NULLS OVER w AS l0_n0,
+        |         last_value(CASE WHEN event_type = 'view' THEN n1 END)
+        |           IGNORE NULLS OVER w AS l0_n1
+        |  FROM o
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id AS purchase_id,
+        |       CAST(l0_ts AS timestamp_ntz) AS view_ts,
+        |       CAST(ts AS timestamp_ntz) AS purchase_ts,
+        |       (unix_micros(ts) - unix_micros(l0_ts)) div 1000000 AS gap_seconds,
+        |       n0 - l0_n0 AS n_clicks
+        |FROM l
+        |WHERE event_type = 'purchase'
+        |  AND l0_ts IS NOT NULL AND l0_ts < ts
+        |  AND unix_micros(ts) - unix_micros(l0_ts) <= 604800000000
+        |  AND n0 - l0_n0 >= 3 AND n1 - l0_n1 = 0""".stripMargin),
+
     // Record linkage from SQL text: the dirty-table synthesis, segment-pair
     // blocking keys, hot-key drop (window count), candidate equi-join and
     // levenshtein verify — the whole entity-resolution chain drivable from

@@ -128,50 +128,112 @@ object Cep {
   def lastSeqMatchGaps(events: DataFrame, keyCol: Column, tsCol: Column,
       tieCol: Column, steps: Seq[Column], gapNegations: Seq[Column],
       windowSeconds: Long): DataFrame = {
-    require(windowSeconds > 0, "need a positive match window")
-    require(steps.size >= 2, "need at least two pattern steps")
     require(gapNegations.size == steps.size - 1,
       s"need one negation predicate per gap: ${steps.size - 1}")
+    // negation is the (min=0, max=0) occurrence bound — the Kleene core's
+    // degenerate case; drop the count columns to keep this surface's
+    // original output schema
+    lastSeqMatchKleene(events, keyCol, tsCol, tieCol, steps,
+        gapNegations.map(p => Seq(GapBound(p, 0L, Some(0L)))), windowSeconds)
+      .drop((0 until steps.size - 1).map(j => s"n_${j}_0"): _*)
+  }
+
+  /** One occurrence constraint on a pattern gap: rows satisfying `pred`
+    * strictly after the matched left step up to and including the matched
+    * right step (the closing row for the final gap), in (ts, tie) order,
+    * must number in [minCount, maxCount] (maxCount None = unbounded). */
+  final case class GapBound(pred: Column, minCount: Long,
+      maxCount: Option[Long] = None) {
+    require(minCount >= 0, s"minCount must be >= 0, got $minCount")
+    maxCount.foreach(m => require(m >= minCount,
+      s"maxCount $m must be >= minCount $minCount"))
+  }
+
+  /**
+   * Kleene-quantified CEP — the MATCH_RECOGNIZE `A B+ C` / `A B{n,m} C`
+   * quantifier surface: ordered step predicates as in [[lastSeqMatchN]],
+   * plus per-gap OCCURRENCE BOUNDS — `gapBounds(j)` is the (possibly
+   * empty) list of constraints on gap j, each requiring the count of its
+   * `pred` rows between the matched step-j row (exclusive) and the matched
+   * step-(j+1) row (inclusive; the closing row for the final gap) to fall
+   * in [minCount, maxCount]. "view, then ≥3 clicks and no error, then
+   * purchase" is steps (view, purchase) with gap 0 bounds
+   * [(click, 3, ∞), (error, 0, 0)] — the B+ body never becomes a step, so
+   * there is no per-repetition state. [[lastSeqMatchGaps]] is the
+   * all-(0,0) special case.
+   *
+   * Encoding: the [[lastSeqMatchGaps]] counter machinery verbatim — ONE
+   * running counter per constraint, each tracked step snapshotting its
+   * adjacent gaps' counters at its last match — so the plan stays one key
+   * shuffle and one Window operator, shape independent of both K and the
+   * constraint count, no NFA. Counter intervals are half-open
+   * (t_left, t_right] in (ts, tie) order: an endpoint row counts per its
+   * own predicate (steps and gap predicates may overlap; steps must be
+   * mutually exclusive with each other per row).
+   *
+   * Output: (key, close_id, ts_1 … ts_K, gap_seconds, n_j_c …) where
+   * n_j_c is the matched count of gap j's constraint c — exposed so
+   * callers can grade quantifier intensity (how many B's), not just
+   * pass/fail.
+   */
+  def lastSeqMatchKleene(events: DataFrame, keyCol: Column, tsCol: Column,
+      tieCol: Column, steps: Seq[Column], gapBounds: Seq[Seq[GapBound]],
+      windowSeconds: Long): DataFrame = {
+    require(windowSeconds > 0, "need a positive match window")
+    require(steps.size >= 2, "need at least two pattern steps")
+    require(gapBounds.size == steps.size - 1,
+      s"need one (possibly empty) bound list per gap: ${steps.size - 1}")
     val k = steps.size
     val prior = 0 until (k - 1)
+    // flatten (gap, constraint) to global counter ids m = 0..C-1
+    val flat: Seq[(Int, Int, GapBound)] = gapBounds.zipWithIndex.flatMap {
+      case (bs, j) => bs.zipWithIndex.map { case (b, c) => (j, c, b) }
+    }
     val e = events.select((Seq(keyCol.as("key"), tsCol.as("ts"),
       tieCol.as("tie")) ++
       steps.zipWithIndex.map { case (c, i) => c.as(s"is_$i") } ++
-      gapNegations.zipWithIndex.map { case (c, j) => c.as(s"ng_$j") }): _*)
+      flat.zipWithIndex.map { case ((_, _, b), m) => b.pred.as(s"gp_$m") }): _*)
     val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withCounters = prior.foldLeft(e) { (acc, j) =>
-      acc.withColumn(s"n$j",
-        sum(when(col(s"ng_$j"), 1L).otherwise(0L)).over(w))
+    val withCounters = flat.indices.foldLeft(e) { (acc, m) =>
+      acc.withColumn(s"n$m",
+        sum(when(col(s"gp_$m"), 1L).otherwise(0L)).over(w))
     }
-    // step i records gap-i's counter at its match (left end; every
-    // tracked step i ≤ k-2 opens gap i) and, for i >= 1, gap-(i-1)'s
-    // counter (right end)
+    // step i snapshots the counters of its ADJACENT gaps at its last
+    // match: left ends of gap i's constraints (every tracked step i ≤ k-2
+    // opens gap i), right ends of gap i-1's (for i >= 1)
     val tracked = prior.foldLeft(withCounters) { (acc, i) =>
-      val withLeft = acc
-        .withColumn(s"l${i}_ts",
-          last(when(col(s"is_$i"), col("ts")), ignoreNulls = true).over(w))
-        .withColumn(s"l${i}_n$i",
-          last(when(col(s"is_$i"), col(s"n$i")), ignoreNulls = true).over(w))
-      if (i >= 1) withLeft.withColumn(s"l${i}_n${i - 1}",
-        last(when(col(s"is_$i"), col(s"n${i - 1}")), ignoreNulls = true).over(w))
-      else withLeft
+      val withTs = acc.withColumn(s"l${i}_ts",
+        last(when(col(s"is_$i"), col("ts")), ignoreNulls = true).over(w))
+      flat.zipWithIndex.foldLeft(withTs) { case (a2, ((j, _, _), m)) =>
+        if (j == i || j == i - 1)
+          a2.withColumn(s"l${i}_n$m",
+            last(when(col(s"is_$i"), col(s"n$m")), ignoreNulls = true).over(w))
+        else a2
+      }
     }
     val tsSeq = prior.map(i => col(s"l${i}_ts")) :+ col("ts")
     val chain = prior.map(i => col(s"l${i}_ts").isNotNull).reduce(_ && _) &&
       tsSeq.zip(tsSeq.tail).map { case (a, b) => a < b }.reduce(_ && _)
-    val gapsClean = (0 until k - 1).map { j =>
-      val left = col(s"l${j}_n$j")
-      val right = if (j + 1 == k - 1) col(s"n$j") else col(s"l${j + 1}_n$j")
-      right === left
-    }.reduce(_ && _)
+    def gapCount(j: Int, m: Int): Column = {
+      val left = col(s"l${j}_n$m")
+      val right = if (j + 1 == k - 1) col(s"n$m") else col(s"l${j + 1}_n$m")
+      right - left
+    }
+    val boundsOk = flat.zipWithIndex.map { case ((j, _, b), m) =>
+      val cnt = gapCount(j, m)
+      b.maxCount.fold(cnt >= b.minCount)(mx =>
+        cnt >= b.minCount && cnt <= mx)
+    }.reduceOption(_ && _).getOrElse(lit(true))
     tracked.filter(col(s"is_${k - 1}") && chain &&
         unix_micros(col("ts")) - unix_micros(col("l0_ts"))
-          <= windowSeconds * 1000000L && gapsClean)
+          <= windowSeconds * 1000000L && boundsOk)
       .select((Seq(col("key"), col("tie").as("close_id")) ++
         prior.map(i => col(s"l${i}_ts").as(s"ts_${i + 1}")) ++ Seq(
         col("ts").as(s"ts_$k"),
         expr("(unix_micros(ts) - unix_micros(l0_ts)) div 1000000")
-          .as("gap_seconds"))): _*)
+          .as("gap_seconds")) ++
+        flat.zipWithIndex.map { case ((j, c, _), m) =>
+          gapCount(j, m).as(s"n_${j}_$c") }): _*)
   }
 }

@@ -79,6 +79,90 @@ object Eval {
       .withColumn("pos_rate", col("n_pos").cast("double") / col("n"))
   }
 
+  /** Fixed-point DCG position weights 1/log2(r+1) for ranks 1..k, scaled
+    * to `scale` and floored — computed ONCE here and inlined as plan
+    * literals in both the Spark plan and the DuckDB oracle (the HLL
+    * ln-table precedent), so the two engines never evaluate a log at
+    * query time. scale = 2^30 keeps dcg·2^20 (the ndcg fixed-point
+    * numerator) far inside long range for any realistic k and grade. */
+  def dcgWeights(k: Int, scale: Long = 1L << 30): Seq[Long] =
+    (1 to k).map(r =>
+      math.floor(scale / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  /**
+   * Retrieval-ranking evaluation — NDCG@k and reciprocal rank per query,
+   * grading a (query, doc, score) candidate list against an integer
+   * relevance label. Every intermediate is an exact long:
+   *
+   *  - rank = row_number by (score desc, doc) per query (the tie column
+   *    makes ranking deterministic whenever scores are — the catalog's
+   *    BM25 scores are bit-reproducible doubles);
+   *  - DCG@k = Σ_{r≤k} rel_r · W(r) with [[dcgWeights]] plan literals —
+   *    an exact, order-independent long sum; ideal DCG is the same sum
+   *    over the rel-desc (tie doc) ranking OF THE CANDIDATE SET (the
+   *    "ndcg of what was retrieved" convention — an unretrieved relevant
+   *    doc is the recall metric's business, not the ranking metric's);
+   *  - ndcg_scaled = (dcg·2^20) div idcg (exact fixed-point), ndcg = one
+   *    final IEEE division; rr_scaled = 2^20 div (rank of first rel>0
+   *    hit), null when the query retrieved nothing relevant.
+   *
+   * Scale shape: one key shuffle on query; both windows are bounded by
+   * the per-query candidate count (top-k lists, never the corpus).
+   * Output: (query, n_hits, dcg_scaled, idcg_scaled, ndcg_scaled, ndcg,
+   * first_rel_rank, rr_scaled).
+   */
+  def ndcgAtK(hits: DataFrame, queryCol: Column, docCol: Column,
+      scoreCol: Column, relCol: Column, k: Int,
+      rrScale: Long = 1L << 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val wq = Window.partitionBy(col("query"))
+      .orderBy(col("score").desc, col("doc"))
+    val wi = Window.partitionBy(col("query"))
+      .orderBy(col("rel").desc, col("doc"))
+    val wTable = array(dcgWeights(k).map(lit(_)): _*)
+    def dcgOf(rank: Column): Column =
+      sum(when(rank <= k, col("rel") * element_at(wTable, rank.cast("int")))
+        .otherwise(0L))
+    hits.select(queryCol.as("query"), docCol.as("doc"),
+        scoreCol.as("score"), relCol.cast("long").as("rel"))
+      .withColumn("rank", row_number().over(wq))
+      .withColumn("irank", row_number().over(wi))
+      .groupBy(col("query"))
+      .agg(count(lit(1)).as("n_hits"),
+        dcgOf(col("rank")).as("dcg_scaled"),
+        dcgOf(col("irank")).as("idcg_scaled"),
+        min(when(col("rel") > 0L, col("rank"))).as("first_rel_rank"))
+      .select(col("query"), col("n_hits"), col("dcg_scaled"),
+        col("idcg_scaled"),
+        when(col("idcg_scaled") > 0L,
+          expr(s"(dcg_scaled * ${rrScale}L) div idcg_scaled"))
+          .as("ndcg_scaled"),
+        when(col("idcg_scaled") > 0L,
+          col("dcg_scaled").cast("double") / col("idcg_scaled")).as("ndcg"),
+        col("first_rel_rank"),
+        expr(s"${rrScale}L div first_rel_rank").as("rr_scaled"))
+  }
+
+  /**
+   * Corpus roll-up of [[ndcgAtK]]: mean NDCG and MRR over queries, in
+   * exact numerator/denominator form — the sums are exact longs (each
+   * per-query value is already a 2^20 fixed-point long; a query with no
+   * relevant hit contributes 0, the standard convention), and the means
+   * are ONE final IEEE division each. Output: one row (n_queries,
+   * sum_ndcg_scaled, mean_ndcg, sum_rr_scaled, mrr).
+   */
+  def retrievalEvalSummary(perQuery: DataFrame,
+      rrScale: Long = 1L << 20): DataFrame =
+    perQuery.agg(count(lit(1)).as("n_queries"),
+        sum(coalesce(col("ndcg_scaled"), lit(0L))).as("sum_ndcg_scaled"),
+        sum(coalesce(col("rr_scaled"), lit(0L))).as("sum_rr_scaled"))
+      .select(col("n_queries"), col("sum_ndcg_scaled"),
+        (col("sum_ndcg_scaled").cast("double") /
+          (lit(rrScale.toDouble) * col("n_queries"))).as("mean_ndcg"),
+        col("sum_rr_scaled"),
+        (col("sum_rr_scaled").cast("double") /
+          (lit(rrScale.toDouble) * col("n_queries"))).as("mrr"))
+
   /**
    * Full precision/recall curve at EVERY achievable operating point: one row
    * per distinct score s, reporting the confusion counts of the classifier

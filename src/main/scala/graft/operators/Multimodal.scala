@@ -538,6 +538,132 @@ object Multimodal {
         col("w"), col("h"), col("channels"))
   }
 
+  /** Exact scaled grid-region means over a pixel region inside `bin`
+    * (1-based `pixStart`, row-major w×h×c bytes): one long per
+    * (grid row, grid col, channel), value = (regionSum · meanScale)
+    * div regionPixels — integer-exact (the floor division goes through a
+    * pmod subtraction, never a double quotient). The KEY property is
+    * RESIZE INVARIANCE: a nearest-neighbor scale by any integer factor f
+    * multiplies every region's sum and pixel count by f², leaving the
+    * scaled-mean rational — and so its floor — bit-identical. Caller
+    * guarantees grid | w and grid | h. */
+  private def gridMeans(bin: Column, pixStart: Column, fw: Column,
+      fh: Column, fc: Column, grid: Int, meanScale: Long): Column = {
+    def ediv(num: Column, den: Column): Column =
+      ((num - pmod(num, den)) / den).cast("long")
+    val rh = (fh / grid).cast("long")
+    val rw = (fw / grid).cast("long")
+    transform(sequence(lit(0L), lit(grid.toLong * grid) * fc - 1L), idx => {
+      val gy = ediv(idx, lit(grid.toLong) * fc)
+      val rem = pmod(idx, lit(grid.toLong) * fc)
+      val gx = ediv(rem, fc)
+      val k = pmod(rem, fc)
+      val regionSum = aggregate(
+        sequence(lit(0L), rh * rw - 1L), lit(0L), (acc, p) => {
+          val r = ediv(p, rw)
+          val s = pmod(p, rw)
+          acc + conv(hex(bin.substr(
+            (pixStart + ((gy * rh + r) * fw + gx * rw + s) * fc + k)
+              .cast("int"), lit(1))), 16, 10).cast("long")
+        })
+      ediv(regionSum * meanScale, rh * rw)
+    })
+  }
+
+  /**
+   * Cross-modal NEAR-duplicate matching (verdict-r14 item 4): which
+   * standalone images are perceptual copies of frames inside videos —
+   * including RESIZED copies, the case [[videoImageMatch]]'s exact digest
+   * can never see. Both sides reduce to the [[gridMeans]] fingerprint
+   * (per-channel region means on a fixed grid, scaled exact longs):
+   * nearest-neighbor rescales produce bit-identical fingerprints, and
+   * re-encodes land within a small L1 — so the match key deliberately
+   * EXCLUDES width/height and buckets on (channels, quantized
+   * fingerprint) only. Candidates come from that bucket equi-join
+   * (Σ|bucket|² pair space, the imageNearDup/LSH cost model); every
+   * candidate verifies with the exact L1 over the full scaled vectors.
+   *
+   * Reject rules are the strict ones: a bad container or ANY bad frame
+   * drops the whole video ([[videoNearDup]]); the image payload must
+   * carry its full pixel region ([[videoImageMatch]]); and both sides
+   * additionally require grid | w and grid | h (a fingerprint from ragged
+   * regions would not be resize-stable). Pixels die at the fingerprint —
+   * at 100 TB the shuffle moves (id, channels, g²·c longs) tuples only.
+   * Output: (video_id, frame_idx, image_id, l1, near_dup).
+   */
+  def crossModalNearDup(videos: DataFrame, vidId: Column, vidBin: Column,
+      images: DataFrame, imgId: Column, imgBin: Column, grid: Int = 2,
+      meanScale: Long = 16L, quant: Long = 64L, maxL1: Long = 96L)
+      : DataFrame = {
+    require(grid >= 1, "need a positive grid")
+    require(meanScale >= 1, "need a positive mean scale")
+    require(quant >= 1, "need a positive quantization cell width")
+    def beUint(b: Column, start: Column, len: Int): Column =
+      conv(hex(b.substr(start, lit(len))), 16, 10).cast("long")
+    // ---- video side: offset-indexed frames -> grid fingerprints ---------
+    val nFrames = beUint(vidBin, lit(5), 2)
+    val containerOk =
+      substring(vidBin, 1, 4) === lit("GVID".getBytes("US-ASCII")) &&
+        length(vidBin) >= 6 && nFrames > 0 &&
+        length(vidBin).cast("long") >= lit(6L) + lit(4L) * nFrames
+    val base = lit(7L) + lit(4L) * nFrames
+    def offsetAt(i: Column) = beUint(vidBin, lit(7L) + lit(4L) * i, 4)
+    val frames = transform(sequence(lit(0L), nFrames - 1L), i => {
+      val fpos = base + offsetAt(i)
+      val fw = beUint(vidBin, (fpos + 4L).cast("int"), 2)
+      val fh = beUint(vidBin, (fpos + 6L).cast("int"), 2)
+      val fc = beUint(vidBin, (fpos + 8L).cast("int"), 1)
+      val nPix = fw * fh * fc
+      val frameOk =
+        vidBin.substr(fpos.cast("int"), lit(4)) === lit("GIMG".getBytes("US-ASCII")) &&
+          fw > 0 && fh > 0 && fc > 0 &&
+          fw % grid === 0 && fh % grid === 0 &&
+          length(vidBin).cast("long") >= fpos + 8L + nPix
+      when(frameOk,
+        struct(fc.as("c"),
+          gridMeans(vidBin, fpos + 9L, fw, fh, fc, grid, meanScale)
+            .as("gvec")))
+    })
+    val vf = videos
+      .select(vidId.as("video_id"),
+        when(containerOk && !exists(frames, f => f.isNull), frames)
+          .as("frames"))
+      .filter(col("frames").isNotNull)
+      .select(col("video_id"),
+        posexplode(col("frames")).as(Seq("frame_idx", "f")))
+      .select(col("video_id"), col("frame_idx").cast("int").as("frame_idx"),
+        col("f.c").as("channels"), col("f.gvec").as("gvec"))
+    // ---- image side: strict full-length GIMG -> grid fingerprint --------
+    val iw = beUint(imgBin, lit(5), 2)
+    val ih = beUint(imgBin, lit(7), 2)
+    val ic = beUint(imgBin, lit(9), 1)
+    val nPixI = iw * ih * ic
+    val imgOk = substring(imgBin, 1, 4) === lit("GIMG".getBytes("US-ASCII")) &&
+      length(imgBin) >= 9 && iw > 0 && ih > 0 && ic > 0 &&
+      iw % grid === 0 && ih % grid === 0 &&
+      length(imgBin).cast("long") >= lit(9L) + nPixI
+    val imf = images
+      .select(imgId.as("image_id"),
+        when(imgOk, struct(ic.as("c"),
+          gridMeans(imgBin, lit(10L), iw, ih, ic, grid, meanScale)
+            .as("gvec"))).as("f"))
+      .filter(col("f").isNotNull)
+      .select(col("image_id"), col("f.c").as("channels"),
+        col("f.gvec").as("gvec"))
+    def bucketed(df: DataFrame): DataFrame = df.withColumn("bucket",
+      concat_ws(":", col("channels").cast("string"),
+        expr(s"concat_ws(',', transform(gvec, s -> CAST(s div $quant AS string)))")))
+    bucketed(vf).select(col("bucket"), col("video_id"), col("frame_idx"),
+        col("gvec").as("va"))
+      .join(bucketed(imf).select(col("bucket"), col("image_id"),
+        col("gvec").as("vb")), "bucket")
+      .withColumn("l1", aggregate(
+        zip_with(col("va"), col("vb"), (x, y) => abs(x - y)),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("video_id"), col("frame_idx"), col("image_id"), col("l1"),
+        (col("l1") <= maxL1).cast("int").as("near_dup"))
+  }
+
   def extractFeatures(df: DataFrame, idCol: Column, binCol: Column,
       codec: MediaCodec = HashStub()): DataFrame =
     df.select(

@@ -212,6 +212,14 @@ object TimeSeries {
       keyCol: Column, idCol: Column, phaseCol: Column, valueCol: Column,
       quantScale: Long = 1000L, tauScaled: Long = 200000L): DataFrame = {
     require(tauScaled > 0, "need a positive anomaly threshold")
+    // RANGE CONTRACT (r14-advice): the cross-multiplied residual needs
+    // |qv|·s_cnt (and tauScaled·s_cnt) inside long range. This is NOT a
+    // silent-wrap hazard under the engine's defaults — Spark 4 ANSI mode
+    // and DuckDB both RAISE on bigint overflow, so a violation surfaces as
+    // an error, never a corrupted flag — but callers quantizing huge
+    // values over huge cells should bound quantScale so
+    // |value|·quantScale·cnt < 2^63 (a 2^20 quant of a 2^20-bounded value
+    // leaves room for 2^22 rows per (key, phase) cell).
     val s = events.select(keyCol.as("k"), idCol.as("id"),
       phaseCol.cast("int").as("phase"),
       floor(valueCol * quantScale).cast("long").as("qv"))
@@ -221,5 +229,85 @@ object TimeSeries {
         col("s_cnt"),
         (abs(col("qv") * col("s_cnt") - col("s_num"))
           > lit(tauScaled) * col("s_cnt")).cast("int").as("is_anomaly"))
+  }
+
+  /** Merge two [[seasonalProfile]] epochs by exact addition — the
+    * incremental-artifact property (the HLL-register / dedup-index
+    * precedent): profiles are (sum, count) longs per (key, phase), so
+    * profile(A ∪ B) = profile(A) ⊎ profile(B) cell-wise, and a nightly
+    * job can absorb an epoch without rescanning the base corpus. One
+    * map-side-combined aggregation over the concatenated cells.
+    * Associative and commutative — fold any number of epochs. */
+  def mergeProfiles(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("k"), col("phase"))
+      .agg(sum(col("s_num")).as("s_num"), sum(col("s_cnt")).as("s_cnt"))
+
+  /** Key-level (phase-free) profile — the changepoint baseline: exact
+    * (sum, count) longs per key, one map-side-combined aggregation.
+    * [[seasonalProfile]] with a constant phase, kept as its own surface so
+    * the CUSUM contract ("one baseline mean per key") is explicit.
+    * Output: (k, s_num, s_cnt). */
+  def keyProfile(events: DataFrame, keyCol: Column, valueCol: Column,
+      quantScale: Long = 1000L): DataFrame =
+    events.select(keyCol.as("k"),
+        floor(valueCol * quantScale).cast("long").as("qv"))
+      .groupBy(col("k"))
+      .agg(sum(col("qv")).as("s_num"), count(lit(1)).as("s_cnt"))
+
+  /**
+   * CUSUM changepoint / level-shift detection — the REGIME half of the
+   * time-series story (motifs/discords match shape, seasonal anomalies
+   * flag single readings; this flags "the metric stepped and STAYED
+   * there"): a two-sided cumulative-sum test of each key's readings
+   * against its [[keyProfile]] baseline mean, entirely in exact integers:
+   *
+   *  - the per-reading deviation is cross-multiplied, never divided:
+   *    `d_up = (qv·cnt − sum) − slackScaled·cnt` (exactly
+   *    `(qv − mean − slack)·cnt` scaled by cnt), `d_dn` mirrored — no
+   *    float mean ever materializes;
+   *  - the classic CUSUM recursion `S_t = max(0, S_{t−1} + d_t)` is NOT a
+   *    plain window function, but its closed form is:
+   *    `S_t = P_t − min(P_0..P_t)` with `P` the running prefix sum and
+   *    `P_0 = 0` — two window columns over ONE key shuffle, the same
+   *    (ts, tie)-ordered frame every TS operator uses;
+   *  - a shift flags when `S_t > hScaled·cnt` ⇔ the accumulated
+   *    mean-excess beyond the slack exceeds h (both thresholds in the
+   *    same quant units as the readings).
+   *
+   * The slack (reference value) makes the test ignore noise below
+   * `slackScaled` per reading; `hScaled` sets how much accumulated excess
+   * declares a regime change — the standard CUSUM (k, h) tuning.
+   * The streaming twin ([[graft.streaming.StatefulOps.cusumStream]])
+   * holds exactly (P, min P) per side per key — O(1) state — against the
+   * persisted profile. Output: (key, id, qv, cusum_up, cusum_dn,
+   * is_shift_up, is_shift_dn), CUSUM columns in quant·cnt units.
+   */
+  def cusumChangepoints(events: DataFrame, profile: DataFrame,
+      keyCol: Column, idCol: Column, tsCol: Column, tieCol: Column,
+      valueCol: Column, quantScale: Long = 1000L,
+      slackScaled: Long = 100L, hScaled: Long = 2000L): DataFrame = {
+    require(slackScaled >= 0, "need a non-negative slack")
+    require(hScaled > 0, "need a positive decision threshold")
+    val s = events.select(keyCol.as("k"), idCol.as("id"), tsCol.as("ts"),
+      tieCol.as("tie"), floor(valueCol * quantScale).cast("long").as("qv"))
+    val w = Window.partitionBy(col("k")).orderBy(col("ts"), col("tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s.join(profile, Seq("k"))
+      .withColumn("d_up",
+        col("qv") * col("s_cnt") - col("s_num") - lit(slackScaled) * col("s_cnt"))
+      .withColumn("d_dn",
+        col("s_num") - col("qv") * col("s_cnt") - lit(slackScaled) * col("s_cnt"))
+      .withColumn("p_up", sum(col("d_up")).over(w))
+      .withColumn("p_dn", sum(col("d_dn")).over(w))
+      // P_0 = 0: the running min is floored at zero with least()
+      .withColumn("cusum_up", col("p_up") - least(lit(0L), min(col("p_up")).over(w)))
+      .withColumn("cusum_dn", col("p_dn") - least(lit(0L), min(col("p_dn")).over(w)))
+      .select(col("k").as("key"), col("id"), col("qv"),
+        col("cusum_up"), col("cusum_dn"),
+        (col("cusum_up") > lit(hScaled) * col("s_cnt")).cast("int")
+          .as("is_shift_up"),
+        (col("cusum_dn") > lit(hScaled) * col("s_cnt")).cast("int")
+          .as("is_shift_dn"))
   }
 }

@@ -648,13 +648,28 @@ object StatefulOps {
   // state holds each step's (timestamp, TIE): batch skip-till-last is
   // last-in-(ts, tie)-order, so an equal-timestamp straggler with a LOWER
   // tie arriving in a later micro-batch must not overwrite the held step
-  // (r14 self-review find — `us >= held` alone let it)
+  // (r14 self-review find — `us >= held` alone let it).
+  //
+  // Negation is held as the NEWEST negation's (ts, tie) — not a counter:
+  // the batch predicate only tests "zero negations after the matched
+  // step-0", i.e. "no negation NEWER than step-0 in (ts, tie) order", so
+  // holding the max suffices AND makes every negation-straggler
+  // interleaving correct (r14-advice find: the counter form wrongly
+  // counted a straggler negation that was older than the held step-0 —
+  // including the equal-timestamp lower-tie case — and blocked later
+  // closes the batch form admits). The remaining caveat is symmetric with
+  // steps: a straggler CLOSE is evaluated against state as of its arrival.
+  //
+  // STATE-SCHEMA BREAK: the (ln_us, ln_tie, ln_set) fields replace the
+  // r14 counter — restarting from a pre-r15 checkpoint needs a new
+  // checkpointLocation (as did r14's tie-field addition before it).
   final case class CepState(la_us: Long, la_tie: Long, la_set: Boolean,
-      lb_us: Long, lb_tie: Long, lb_set: Boolean, n_since_a: Long)
+      lb_us: Long, lb_tie: Long, lb_set: Boolean,
+      ln_us: Long, ln_tie: Long, ln_set: Boolean)
   final case class CepMatch(key: Long, close_id: Long, a_us: Long, b_us: Long,
       c_us: Long, gap_seconds: Long)
   final case class CepNState(ts_us: Array[Long], ties: Array[Long],
-      set: Array[Boolean], n_since_first: Long)
+      set: Array[Boolean], ln_us: Long, ln_tie: Long, ln_set: Boolean)
   final case class CepNMatch(key: Long, close_id: Long, step_us: Seq[Long],
       gap_seconds: Long)
 
@@ -697,14 +712,19 @@ object StatefulOps {
           } else {
             var st = state.getOption.getOrElse(
               CepNState(Array.fill(k - 1)(0L), Array.fill(k - 1)(0L),
-                Array.fill(k - 1)(false), 0L))
+                Array.fill(k - 1)(false), 0L, 0L, false))
             val out = List.newBuilder[CepNMatch]
             rows.toSeq.sortBy(r => (r._3, r._2)).foreach {
               case (_, tie, us, isStep, isN) =>
+                // "no negation after the matched step-0" == the newest
+                // negation seen is not newer than the held step-0 in
+                // (ts, tie) order — straggler-negation-proof (see CepState)
+                val negClean = !st.ln_set || st.ln_us < st.ts_us(0) ||
+                  (st.ln_us == st.ts_us(0) && st.ln_tie < st.ties(0))
                 if (isStep(k - 1) && st.set.forall(identity) &&
                     (0 until k - 2).forall(i => st.ts_us(i) < st.ts_us(i + 1)) &&
                     st.ts_us(k - 2) < us && us - st.ts_us(0) <= winUs &&
-                    st.n_since_first == 0L) {
+                    negClean) {
                   out += CepNMatch(key, tie, (st.ts_us :+ us).toSeq,
                     (us - st.ts_us(0)) / 1000000L)
                 }
@@ -719,10 +739,134 @@ object StatefulOps {
                     val ts2 = st.ts_us.clone(); val tie2 = st.ties.clone()
                     val set2 = st.set.clone()
                     ts2(hit) = us; tie2(hit) = tie; set2(hit) = true
-                    st = CepNState(ts2, tie2, set2,
-                      if (hit == 0) 0L else st.n_since_first)
+                    st = CepNState(ts2, tie2, set2, st.ln_us, st.ln_tie,
+                      st.ln_set)
                   }
-                } else if (isN) st = st.copy(n_since_first = st.n_since_first + 1L)
+                } else if (isN) {
+                  if (!st.ln_set || us > st.ln_us ||
+                      (us == st.ln_us && tie > st.ln_tie))
+                    st = st.copy(ln_us = us, ln_tie = tie, ln_set = true)
+                }
+            }
+            state.update(st)
+            timeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
+  final case class CepKState(ts_us: Array[Long], ties: Array[Long],
+      set: Array[Boolean], gcnt: Array[Long], snapL: Array[Long],
+      snapR: Array[Long])
+  final case class CepKMatch(key: Long, close_id: Long, step_us: Seq[Long],
+      gap_seconds: Long, gap_counts: Seq[Long])
+
+  /**
+   * Kleene-quantified streaming CEP — the
+   * [[graft.operators.Cep.lastSeqMatchKleene]] quantifier surface
+   * (`A B{n,m} C`: per-gap occurrence bounds on arbitrary predicates)
+   * with state O(steps + constraints) per key: the tracked steps'
+   * (ts, tie) pairs plus, per gap constraint, ONE running counter and its
+   * two endpoint snapshots — the batch form's window scalars held as
+   * state, no NFA, no per-repetition state for the `B+` body.
+   *
+   * Mechanics mirror the batch encoding exactly: each constraint's
+   * counter increments on every row satisfying its predicate (BEFORE the
+   * close check and step update, matching the batch inclusive running
+   * sum); a tracked step match snapshots the counters of its adjacent
+   * gaps; a closing row checks `count = right − left ∈ [min, max]` per
+   * constraint, where `right` is the live counter for the final gap.
+   * `gap_counts` reports the matched counts in gapBounds-flattened order.
+   *
+   * Ordering caveat (documented, shared with the step machinery): counter
+   * increments and snapshots follow PROCESSED (ts, tie)-sorted-per-batch
+   * order, so a gap-predicate straggler that lands in a later micro-batch
+   * than a step it event-time-precedes is attributed to the wrong side of
+   * that step's snapshot — watermark-disciplined sources keep the window
+   * small, and in-order parity with the batch form is spec-pinned.
+   * Steps must be mutually exclusive per row; gap predicates may overlap
+   * anything.
+   */
+  def cepStreamKleene(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, steps: Seq[org.apache.spark.sql.Column],
+      gapBounds: Seq[Seq[graft.operators.Cep.GapBound]], windowSeconds: Long,
+      timeout: Option[String] = None): Dataset[CepKMatch] = {
+    require(windowSeconds > 0, "need a positive match window")
+    require(steps.size >= 2, "need at least two pattern steps")
+    require(gapBounds.size == steps.size - 1,
+      s"need one (possibly empty) bound list per gap: ${steps.size - 1}")
+    import events.sparkSession.implicits._
+    val k = steps.size
+    val winUs = windowSeconds * 1000000L
+    // flatten (gap, constraint) to counter ids m = 0..C-1 — the batch
+    // form's layout, so gap_counts aligns with its n_j_c columns
+    val flat: Seq[(Int, Long, Option[Long])] =
+      gapBounds.zipWithIndex.flatMap { case (bs, j) =>
+        bs.map(b => (j, b.minCount, b.maxCount))
+      }
+    val gapPreds = gapBounds.flatMap(_.map(_.pred))
+    val c = flat.size
+    val typedEv = events.select(
+        col(keyCol).cast("long").as("key"),
+        col(tieCol).cast("long").as("tie"),
+        unix_micros(col(tsCol)).as("us"),
+        array(steps.map(_.cast("boolean")): _*).as("is_step"),
+        array(gapPreds.map(_.cast("boolean")): _*).as("is_gap"))
+      .as[(Long, Long, Long, Seq[Boolean], Seq[Boolean])]
+    val mode = if (timeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+               else GroupStateTimeout.NoTimeout
+    typedEv.groupByKey(_._1)
+      .flatMapGroupsWithState[CepKState, CepKMatch](OutputMode.Append, mode) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Seq[Boolean], Seq[Boolean])],
+         state: GroupState[CepKState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(
+              CepKState(Array.fill(k - 1)(0L), Array.fill(k - 1)(0L),
+                Array.fill(k - 1)(false), Array.fill(c)(0L),
+                Array.fill(c)(0L), Array.fill(c)(0L)))
+            val out = List.newBuilder[CepKMatch]
+            rows.toSeq.sortBy(r => (r._3, r._2)).foreach {
+              case (_, tie, us, isStep, isGap) =>
+                // 1) counters first — the batch running sum is inclusive
+                //    of the current row
+                if (isGap.exists(identity)) {
+                  val g2 = st.gcnt.clone()
+                  var m = 0
+                  while (m < c) { if (isGap(m)) g2(m) += 1L; m += 1 }
+                  st = st.copy(gcnt = g2)
+                }
+                // 2) close check against held state
+                if (isStep(k - 1) && st.set.forall(identity) &&
+                    (0 until k - 2).forall(i => st.ts_us(i) < st.ts_us(i + 1)) &&
+                    st.ts_us(k - 2) < us && us - st.ts_us(0) <= winUs) {
+                  val counts = flat.zipWithIndex.map { case ((j, _, _), m) =>
+                    (if (j + 1 == k - 1) st.gcnt(m) else st.snapR(m)) -
+                      st.snapL(m)
+                  }
+                  val ok = flat.zipWithIndex.forall { case ((_, mn, mx), m) =>
+                    counts(m) >= mn && mx.forall(counts(m) <= _)
+                  }
+                  if (ok) out += CepKMatch(key, tie, (st.ts_us :+ us).toSeq,
+                    (us - st.ts_us(0)) / 1000000L, counts)
+                }
+                // 3) step update + adjacent-gap snapshots
+                val hit = isStep.indexWhere(identity)
+                if (hit >= 0 && hit < k - 1 &&
+                    (!st.set(hit) || us > st.ts_us(hit) ||
+                      (us == st.ts_us(hit) && tie > st.ties(hit)))) {
+                  val ts2 = st.ts_us.clone(); val tie2 = st.ties.clone()
+                  val set2 = st.set.clone()
+                  val sl2 = st.snapL.clone(); val sr2 = st.snapR.clone()
+                  ts2(hit) = us; tie2(hit) = tie; set2(hit) = true
+                  flat.zipWithIndex.foreach { case ((j, _, _), m) =>
+                    if (j == hit) sl2(m) = st.gcnt(m)
+                    if (j == hit - 1) sr2(m) = st.gcnt(m)
+                  }
+                  st = CepKState(ts2, tie2, set2, st.gcnt, sl2, sr2)
+                }
             }
             state.update(st)
             timeout.foreach(state.setTimeoutDuration)
@@ -734,8 +878,8 @@ object StatefulOps {
   /**
    * Streaming CEP: the [[graft.operators.Cep.lastSeqMatch]] pattern
    * (`A → B → C`, negation, time bound, skip-till-last) over an unbounded
-   * keyed stream with O(1) state per key — two (timestamp, tie) pairs and a counter
-   * (last A, last B, negations since the last A), against the O(history)
+   * keyed stream with O(1) state per key — three (timestamp, tie) pairs
+   * (last A, last B, newest negation), against the O(history)
    * window scan the batch form implies and the O(partial matches) state an
    * NFA engine holds. Matches emit as the closing event is processed;
    * batch/stream parity on in-order input is spec-pinned (CepSpec), with
@@ -774,15 +918,21 @@ object StatefulOps {
             Iterator.empty
           } else {
             var st = state.getOption
-              .getOrElse(CepState(0L, 0L, false, 0L, 0L, false, 0L))
+              .getOrElse(CepState(0L, 0L, false, 0L, 0L, false, 0L, 0L, false))
             val out = List.newBuilder[CepMatch]
             // event-time order within the micro-batch (ties by id) — the
             // batch form's (ts, tie) window order
             rows.toSeq.sortBy(r => (r._3, r._2)).foreach {
               case (_, tie, us, isA, isB, isC, isN) =>
+                // negation-clean iff the newest negation seen is not newer
+                // than the held A in (ts, tie) order (see CepState: the
+                // max-negation form is straggler-proof where the counter
+                // was not)
+                val negClean = !st.ln_set || st.ln_us < st.la_us ||
+                  (st.ln_us == st.la_us && st.ln_tie < st.la_tie)
                 if (isC && st.la_set && st.lb_set &&
                     st.la_us < st.lb_us && st.lb_us < us &&
-                    us - st.la_us <= winUs && st.n_since_a == 0L) {
+                    us - st.la_us <= winUs && negClean) {
                   out += CepMatch(key, tie, st.la_us, st.lb_us, us,
                     (us - st.la_us) / 1000000L)
                 }
@@ -793,12 +943,86 @@ object StatefulOps {
                   us > heldUs || (us == heldUs && tie > heldTie)
                 if (isA) {
                   if (!st.la_set || newer(st.la_us, st.la_tie))
-                    st = CepState(us, tie, true, st.lb_us, st.lb_tie,
-                      st.lb_set, 0L)
+                    st = st.copy(la_us = us, la_tie = tie, la_set = true)
                 } else if (isB) {
                   if (!st.lb_set || newer(st.lb_us, st.lb_tie))
                     st = st.copy(lb_us = us, lb_tie = tie, lb_set = true)
-                } else if (isN) st = st.copy(n_since_a = st.n_since_a + 1L)
+                } else if (isN) {
+                  if (!st.ln_set || newer(st.ln_us, st.ln_tie))
+                    st = st.copy(ln_us = us, ln_tie = tie, ln_set = true)
+                }
+            }
+            state.update(st)
+            timeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
+  final case class CusumState(p_up: Long, min_up: Long, p_dn: Long,
+      min_dn: Long)
+  final case class CusumScore(key: Long, id: Long, qv: Long, cusum_up: Long,
+      cusum_dn: Long, is_shift_up: Int, is_shift_dn: Int)
+
+  /**
+   * Streaming CUSUM changepoint scoring — the
+   * [[graft.operators.TimeSeries.cusumChangepoints]] test over an
+   * unbounded keyed stream against a PERSISTED
+   * [[graft.operators.TimeSeries.keyProfile]] (the scoreAgainstProfile
+   * serving ladder: profile trained on history once, live readings scored
+   * at ingest). Where the batch form plans the CUSUM recursion as the
+   * window closed form P_t − min(P_0..P_t), the stream holds exactly that
+   * pair — (prefix sum, prefix min) per side per key, four longs of O(1)
+   * state — so the recursion never needs the history. The profile side is
+   * a stream-static equi-join (broadcastable whenever the key domain is);
+   * keys absent from the profile are dropped, matching the batch inner
+   * join. Same micro-batch ordering caveat as the other custom-state
+   * operators (rows sort by (ts, tie) within each batch).
+   * Output rows mirror the batch columns; batch/stream parity on in-order
+   * input is spec-pinned (TimeSeriesSpec).
+   */
+  def cusumStream(events: DataFrame, profile: DataFrame, keyCol: String,
+      tsCol: String, tieCol: String, valueCol: String,
+      quantScale: Long = 1000L, slackScaled: Long = 100L,
+      hScaled: Long = 2000L, timeout: Option[String] = None)
+      : Dataset[CusumScore] = {
+    require(slackScaled >= 0, "need a non-negative slack")
+    require(hScaled > 0, "need a positive decision threshold")
+    import events.sparkSession.implicits._
+    val typedEv = events
+      .select(col(keyCol).cast("long").as("key"),
+        col(tieCol).cast("long").as("tie"),
+        unix_micros(col(tsCol)).as("us"),
+        floor(col(valueCol) * quantScale).cast("long").as("qv"))
+      .join(profile.select(col("k").as("key"), col("s_num"), col("s_cnt")),
+        "key")
+      .as[(Long, Long, Long, Long, Long, Long)]
+    val mode = if (timeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+               else GroupStateTimeout.NoTimeout
+    typedEv.groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumScore](OutputMode.Append, mode) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Long, Long, Long)],
+         state: GroupState[CusumState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L, 0L))
+            val out = List.newBuilder[CusumScore]
+            rows.toSeq.sortBy(r => (r._3, r._2)).foreach {
+              case (_, tie, _, qv, sNum, sCnt) =>
+                val dUp = qv * sCnt - sNum - slackScaled * sCnt
+                val dDn = sNum - qv * sCnt - slackScaled * sCnt
+                val pUp = st.p_up + dUp
+                val pDn = st.p_dn + dDn
+                val mnUp = math.min(st.min_up, pUp)
+                val mnDn = math.min(st.min_dn, pDn)
+                val cu = pUp - mnUp
+                val cd = pDn - mnDn
+                out += CusumScore(key, tie, qv, cu, cd,
+                  if (cu > hScaled * sCnt) 1 else 0,
+                  if (cd > hScaled * sCnt) 1 else 0)
+                st = CusumState(pUp, mnUp, pDn, mnDn)
             }
             state.update(st)
             timeout.foreach(state.setTimeoutDuration)

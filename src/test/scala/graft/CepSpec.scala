@@ -249,6 +249,181 @@ class CepSpec extends SparkSpec {
     assert(perGap == global && global.nonEmpty)
   }
 
+  /** Kleene run: steps a→c, gap bounds [b in [minB, maxB], n in [0,0]];
+    * returns (close_id, first_second, n_b). */
+  private def runKleene(events: Seq[(Long, String, Long)], minB: Long,
+      maxB: Option[Long], window: Long = 3600L): Seq[(Long, Long, Long)] = {
+    val df = events.map { case (id, t, sec) => (1L, id, t, ts(sec)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    Cep.lastSeqMatchKleene(df, col("user_id"), col("ts"), col("event_id"),
+        steps = Seq(col("event_type") === "a", col("event_type") === "c"),
+        gapBounds = Seq(Seq(
+          Cep.GapBound(col("event_type") === "b", minB, maxB),
+          Cep.GapBound(col("event_type") === "n", 0L, Some(0L)))),
+        windowSeconds = window)
+      .select(col("close_id"),
+        expr("unix_micros(ts_1) div 1000000"), col("n_0_0"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+  }
+
+  test("lastSeqMatchKleene: occurrence bounds gate the close; counts are exposed") {
+    val twoBs = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "b", 25L),
+      (4L, "c", 30L))
+    // >= 2 b's: matches, count reported
+    assert(runKleene(twoBs, 2L, None) == Seq((4L, 10L, 2L)))
+    // >= 3 b's: one short, blocked
+    assert(runKleene(twoBs, 3L, None).isEmpty)
+    // at most 1 b: exceeded, blocked
+    assert(runKleene(twoBs, 0L, Some(1L)).isEmpty)
+    // the [0,0] n-bound still patrols: an n inside the gap blocks even
+    // when the b quota is met
+    assert(runKleene(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "n", 22L),
+      (4L, "b", 25L), (5L, "c", 30L)), 2L, None).isEmpty)
+    // b's BEFORE the matched (latest) a do not count toward the quota
+    assert(runKleene(Seq((1L, "b", 5L), (2L, "b", 7L), (3L, "a", 10L),
+      (4L, "b", 20L), (5L, "c", 30L)), 2L, None).isEmpty)
+    assert(runKleene(Seq((1L, "b", 5L), (2L, "a", 10L), (3L, "b", 20L),
+      (4L, "b", 25L), (5L, "c", 30L)), 2L, None) == Seq((5L, 10L, 2L)))
+  }
+
+  test("lastSeqMatchKleene: empty bounds reproduce lastSeqMatchN without negation") {
+    val evs = Seq((1L, "a", 10L), (2L, "n", 15L), (3L, "b", 20L),
+      (4L, "c", 30L), (5L, "a", 40L), (6L, "b", 45L), (7L, "c", 50L),
+      (8L, "c", 5000L))
+    val df = evs.map { case (id, t, sec) => (1L, id, t, ts(sec)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val steps = Seq("a", "b", "c").map(p => col("event_type") === p)
+    val viaN = Cep.lastSeqMatchN(df, col("user_id"), col("ts"),
+        col("event_id"), steps, lit(false), 3600L)
+      .select(col("close_id")).as[Long].collect().toSet
+    val viaK = Cep.lastSeqMatchKleene(df, col("user_id"), col("ts"),
+        col("event_id"), steps, Seq(Seq.empty, Seq.empty), 3600L)
+      .select(col("close_id")).as[Long].collect().toSet
+    assert(viaK == viaN && viaN.nonEmpty)
+  }
+
+  test("cepStreamKleene: batch parity across shuffled micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulOps
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: a with 3 b's then c (match, count 3), then another c after an
+    // n (blocked by the [0,0] bound); user 2: only 1 b (blocked by min 2)
+    val evs = Seq(
+      (1L, 1L, "a", 10L), (1L, 2L, "b", 15L), (1L, 3L, "b", 20L),
+      (1L, 4L, "b", 25L), (1L, 5L, "c", 30L), (1L, 6L, "n", 35L),
+      (1L, 7L, "c", 40L),
+      (2L, 8L, "a", 10L), (2L, 9L, "b", 20L), (2L, 10L, "c", 30L))
+    val batchDf = evs.map { case (u, id, t, sec) => (u, id, t, ts(sec)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val steps = Seq(col("event_type") === "a", col("event_type") === "c")
+    val bounds = Seq(Seq(
+      Cep.GapBound(col("event_type") === "b", 2L, None),
+      Cep.GapBound(col("event_type") === "n", 0L, Some(0L))))
+    val expected = Cep.lastSeqMatchKleene(batchDf, col("user_id"),
+        col("ts"), col("event_id"), steps, bounds, 3600L)
+      .select(col("key"), col("close_id"), col("n_0_0"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(expected == Set((1L, 5L, 3L)))
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val stream = StatefulOps.cepStreamKleene(
+      input.toDF().toDF("user_id", "event_id", "event_type", "sec")
+        .withColumn("ts", timestamp_seconds(col("sec"))),
+      "user_id", "ts", "event_id", steps, bounds, 3600L)
+    val q = stream.writeStream.format("memory").queryName("cepk_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cepk-cp").toString)
+      .outputMode("append").start()
+    try {
+      val w = evs
+      // shuffled within each batch; cut mid-gap (b's split across batches)
+      input.addData(Seq(w(2), w(0), w(7), w(1), w(8)): _*)
+      q.processAllAvailable()
+      input.addData(Seq(w(6), w(3), w(9), w(4), w(5)): _*)
+      q.processAllAvailable()
+      val got = spark.table("cepk_out")
+        .select(col("key"), col("close_id"),
+          element_at(col("gap_counts"), 1))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("cepStream: a negation straggler OLDER than the held A must not block") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulOps
+    implicit val sqlCtx = spark.sqlContext
+    // batch: n@5 precedes the matched a@10, so c@40 matches. The n arrives
+    // in a LATER micro-batch — the r14 counter form wrongly incremented
+    // and blocked; the max-(ts,tie) form must not.
+    val evs = Seq(
+      (1L, 2L, "a", 10L), (1L, 3L, "b", 30L),              // batch 1
+      (1L, 1L, "n", 5L), (1L, 4L, "c", 40L))               // batch 2
+    val batchDf = evs.map { case (u, id, t, sec) => (u, id, t, ts(sec)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val expected = Cep.lastSeqMatch(batchDf, col("user_id"), col("ts"),
+        col("event_id"), col("event_type") === "a", col("event_type") === "b",
+        col("event_type") === "c", col("event_type") === "n", 3600L)
+      .select(col("close_id")).as[Long].collect().toSet
+    assert(expected == Set(4L), "batch admits: negation precedes the matched a")
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val stream = StatefulOps.cepStream(
+      input.toDF().toDF("user_id", "event_id", "event_type", "sec")
+        .withColumn("ts", timestamp_seconds(col("sec"))),
+      "user_id", "ts", "event_id",
+      col("event_type") === "a", col("event_type") === "b",
+      col("event_type") === "c", col("event_type") === "n", 3600L)
+    val q = stream.writeStream.format("memory").queryName("cep_negstrag_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cepnegstrag-cp").toString)
+      .outputMode("append").start()
+    try {
+      input.addData(evs.take(2).map { case (u, id, t, sec) => (u, id, t, sec) }: _*)
+      q.processAllAvailable()
+      input.addData(evs.drop(2).map { case (u, id, t, sec) => (u, id, t, sec) }: _*)
+      q.processAllAvailable()
+      assert(spark.table("cep_negstrag_out").select(col("close_id"))
+        .as[Long].collect().toSet == expected,
+        "an older-than-held-A negation straggler wrongly blocked the close")
+    } finally q.stop()
+  }
+
+  test("cepStreamN: an equal-timestamp lower-tie negation straggler must not block") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulOps
+    implicit val sqlCtx = spark.sqlContext
+    // the exact r14-advice case: negation at the SAME timestamp as the
+    // held step-0 but with a LOWER tie — batch window order puts it
+    // before the step-0 match, so the close is clean
+    val evs = Seq(
+      (1L, 2L, "a", 10L), (1L, 3L, "b", 20L),              // batch 1
+      (1L, 1L, "n", 10L), (1L, 4L, "c", 30L))              // batch 2
+    val batchDf = evs.map { case (u, id, t, sec) => (u, id, t, ts(sec)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val steps = Seq("a", "b", "c").map(p => col("event_type") === p)
+    val expected = Cep.lastSeqMatchN(batchDf, col("user_id"), col("ts"),
+        col("event_id"), steps, col("event_type") === "n", 3600L)
+      .select(col("close_id")).as[Long].collect().toSet
+    assert(expected == Set(4L))
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val stream = StatefulOps.cepStreamN(
+      input.toDF().toDF("user_id", "event_id", "event_type", "sec")
+        .withColumn("ts", timestamp_seconds(col("sec"))),
+      "user_id", "ts", "event_id", steps, col("event_type") === "n", 3600L)
+    val q = stream.writeStream.format("memory").queryName("cepn_negstrag_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cepnnegstrag-cp").toString)
+      .outputMode("append").start()
+    try {
+      input.addData(evs.take(2).map { case (u, id, t, sec) => (u, id, t, sec) }: _*)
+      q.processAllAvailable()
+      input.addData(evs.drop(2).map { case (u, id, t, sec) => (u, id, t, sec) }: _*)
+      q.processAllAvailable()
+      assert(spark.table("cepn_negstrag_out").select(col("close_id"))
+        .as[Long].collect().toSet == expected,
+        "the equal-ts lower-tie negation straggler wrongly blocked")
+    } finally q.stop()
+  }
+
   test("cepStreamN: batch parity across shuffled micro-batches (4 steps)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StatefulOps

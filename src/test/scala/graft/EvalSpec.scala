@@ -131,4 +131,56 @@ class EvalSpec extends SparkSpec {
     assert(last.getLong(1) == nPos && last.getDouble(5) == 1.0)
     assert(last.getDouble(4) == nPos.toDouble / 100.0)
   }
+
+  test("ndcgAtK: hand-computed DCG/IDCG from the plan-literal weight table") {
+    val w = Eval.dcgWeights(3)
+    val hits = Seq(
+      ("q", 1L, 10.0, 0L), ("q", 2L, 9.0, 2L), ("q", 3L, 8.0, 1L),
+      ("q", 4L, 7.0, 0L), ("q", 5L, 6.0, 3L))
+      .toDF("query", "doc", "score", "rel")
+    val row = Eval.ndcgAtK(hits, col("query"), col("doc"), col("score"),
+      col("rel"), k = 3).head()
+    val dcg = 2L * w(1) + 1L * w(2)          // ranks: rel 0, 2, 1 | 0, 3
+    val idcg = 3L * w(0) + 2L * w(1) + 1L * w(2) // ideal: 3, 2, 1
+    assert(row.getAs[Long]("dcg_scaled") == dcg)
+    assert(row.getAs[Long]("idcg_scaled") == idcg)
+    assert(row.getAs[Long]("ndcg_scaled") == (dcg * (1L << 20)) / idcg)
+    assert(row.getAs[Double]("ndcg") == dcg.toDouble / idcg)
+    assert(row.getAs[Int]("first_rel_rank") == 2)
+    assert(row.getAs[Long]("rr_scaled") == (1L << 20) / 2)
+  }
+
+  test("ndcgAtK: perfect ranking scores 1; no-relevant query yields nulls") {
+    val hits = Seq(
+      ("good", 1L, 9.0, 3L), ("good", 2L, 8.0, 2L), ("good", 3L, 7.0, 1L),
+      ("dry", 4L, 9.0, 0L), ("dry", 5L, 8.0, 0L))
+      .toDF("query", "doc", "score", "rel")
+    val got = Eval.ndcgAtK(hits, col("query"), col("doc"), col("score"),
+        col("rel"), k = 3)
+      .select(col("query"), col("ndcg"), col("rr_scaled"))
+      .as[(String, Option[Double], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("good") == ((Some(1.0), Some(1L << 20))))
+    assert(got("dry") == ((None, None)))
+  }
+
+  test("retrievalEvalSummary: exact fixed-point mean, dry queries count as zero") {
+    val hits = Seq(
+      ("a", 1L, 9.0, 1L), ("a", 2L, 8.0, 0L),   // ndcg 1, rr 1
+      ("b", 3L, 9.0, 0L), ("b", 4L, 8.0, 1L),   // first rel at rank 2
+      ("c", 5L, 9.0, 0L))                        // dry: contributes 0
+      .toDF("query", "doc", "score", "rel")
+    val perQ = Eval.ndcgAtK(hits, col("query"), col("doc"), col("score"),
+      col("rel"), k = 2)
+    val s = Eval.retrievalEvalSummary(perQ).head()
+    val S = (1L << 20).toDouble
+    assert(s.getAs[Long]("n_queries") == 3L)
+    // b's ndcg: dcg = 1·W(2), idcg = 1·W(1) -> scaled (W2<<20)/W1
+    val w = Eval.dcgWeights(2)
+    val bN = (w(1) * (1L << 20)) / w(0)
+    assert(s.getAs[Long]("sum_ndcg_scaled") == (1L << 20) + bN)
+    assert(s.getAs[Double]("mean_ndcg") == ((1L << 20) + bN) / (S * 3.0))
+    assert(s.getAs[Long]("sum_rr_scaled") == (1L << 20) + (1L << 19))
+    assert(s.getAs[Double]("mrr") == ((1L << 20) + (1L << 19)) / (S * 3.0))
+  }
 }

@@ -352,4 +352,48 @@ class MultimodalCodecSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect().toSet
     assert(got == Set((3L, 0, 10L)))
   }
+
+  test("crossModalNearDup: a nearest-neighbor 2x upscale matches its frame exactly") {
+    import spark.implicits._
+    val pixA = Array[Byte](10, 20, 30, 40)           // 2×2 frame, row-major
+    // NN 2× upscale: each source pixel becomes a 2×2 constant region
+    val upA = Array[Byte](10, 10, 20, 20, 10, 10, 20, 20,
+      30, 30, 40, 40, 30, 30, 40, 40)
+    val upJitter = upA.clone(); upJitter(0) = 11      // region (0,0) mean 10.25
+    val videos = Seq((1L, gvid("GVID", Seq(gimg(2, 2, 1, pixA)))))
+      .toDF("doc_id", "payload")
+    val images = Seq(
+      (10L, gimg(4, 4, 1, upA)),          // exact rescale: l1 = 0
+      (11L, gimg(4, 4, 1, upJitter)),     // one byte off: mean +16/4 = +4
+      (12L, gimg(3, 3, 1, Array.fill[Byte](9)(10))), // 3∤grid: rejected
+      (13L, gimg(2, 2, 1, Array[Byte](100, 100, 100, 100)))) // far bucket
+      .toDF("doc_id", "payload")
+    val got = Multimodal.crossModalNearDup(videos, col("doc_id"),
+        col("payload"), images, col("doc_id"), col("payload"),
+        grid = 2, meanScale = 16L, quant = 64L, maxL1 = 96L)
+      .select("video_id", "frame_idx", "image_id", "l1", "near_dup")
+      .as[(Long, Int, Long, Long, Int)].collect().toSet
+    // jitter image: region (0,0) sum 41 -> (41·16) div 4 = 164 vs 160
+    assert(got == Set((1L, 0, 10L, 0L, 1), (1L, 0, 11L, 4L, 1)))
+  }
+
+  test("crossModalNearDup: multi-channel fingerprints keep channels separate") {
+    import spark.implicits._
+    // 2×2×2 frame: channel 0 all 10s, channel 1 all 200s (unsigned)
+    val px = Array[Byte](10, 200.toByte, 10, 200.toByte,
+      10, 200.toByte, 10, 200.toByte)
+    val videos = Seq((1L, gvid("GVID", Seq(gimg(2, 2, 2, px)))))
+      .toDF("doc_id", "payload")
+    // image A: identical; image B: channels swapped — same total energy,
+    // different per-channel fingerprint, must NOT bucket together
+    val swapped = Array[Byte](200.toByte, 10, 200.toByte, 10,
+      200.toByte, 10, 200.toByte, 10)
+    val images = Seq((20L, gimg(2, 2, 2, px)), (21L, gimg(2, 2, 2, swapped)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.crossModalNearDup(videos, col("doc_id"),
+        col("payload"), images, col("doc_id"), col("payload"),
+        grid = 2, meanScale = 16L, quant = 64L, maxL1 = 96L)
+      .select("image_id", "l1").as[(Long, Long)].collect().toSet
+    assert(got == Set((20L, 0L)))
+  }
 }

@@ -153,4 +153,104 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == Set((1L, 1L, 1, None, None, 0),
       (2L, 1L, 1, None, None, 0)))
   }
+
+  test("cusumChangepoints: a level shift accumulates past h; noise inside slack never flags") {
+    // series: 5 readings at 10, then 5 at 14 — baseline mean 12.
+    // quantScale 10: qv 100.. / mean 120, cnt 10. slack 10 (1.0 units):
+    // d_up for a 14-reading = (140·10 − 1200) − 10·10 = 100 per row; the
+    // up-side CUSUM reaches 500 by the last row and crosses h·cnt at
+    // h = 30 (300·10 = 3000 < 500·10? careful: cusum units are quant·cnt).
+    val series = df(Map(1L -> (Seq.fill(5)(10.0) ++ Seq.fill(5)(14.0))))
+    val prof = TimeSeries.keyProfile(series, col("key"), col("value"), 10L)
+    val got = TimeSeries.cusumChangepoints(series, prof, col("key"),
+        col("tie"), col("ts"), col("tie"), col("value"), quantScale = 10L,
+        slackScaled = 10L, hScaled = 30L)
+      .select(col("id"), col("cusum_up"), col("is_shift_up"),
+        col("is_shift_dn"))
+      .as[(Long, Long, Int, Int)].collect().sortBy(_._1)
+    // low-phase rows: d_up = (100·10 − 1200) − 100 = −300 each → cusum 0
+    assert(got.take(5).forall(r => r._2 == 0L && r._3 == 0))
+    // high-phase rows accumulate d_up = 100 each: 100, 200, ..., 500;
+    // h·cnt = 30·10 = 300 → rows 4 and 5 of the high phase flag
+    assert(got.drop(5).map(_._2).toSeq == Seq(100L, 200L, 300L, 400L, 500L))
+    assert(got.drop(5).map(_._3).toSeq == Seq(0, 0, 0, 1, 1))
+    // the DOWN side mirrors on the low phase (both phases sit off the
+    // global mean 12: low is −2/reading beyond the slack) and must drain
+    // to zero once the high phase pulls the prefix sum down
+    assert(got.map(_._4).toSeq == Seq(0, 0, 0, 1, 1, 0, 0, 0, 0, 0))
+  }
+
+  test("cusumChangepoints: the CUSUM resets after a dip (max(0, S+d) closed form)") {
+    // one huge low reading between normals: the down-side prefix sum dips
+    // then recovers — the min-floor must reset S to the post-dip excess,
+    // not let the dip linger as a negative credit... and vice versa: the
+    // up side must not pay the dip before accumulating
+    val series = df(Map(1L -> Seq(10.0, 10.0, 0.0, 10.0, 10.0)))
+    val prof = TimeSeries.keyProfile(series, col("key"), col("value"), 10L)
+    val got = TimeSeries.cusumChangepoints(series, prof, col("key"),
+        col("tie"), col("ts"), col("tie"), col("value"), quantScale = 10L,
+        slackScaled = 5L, hScaled = 1000L)
+      .select(col("id"), col("cusum_up"), col("cusum_dn"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // mean = 8.0 (qv mean 80, cnt 5). normal rows: d_up = (100·5−400) −25
+    // = 75; dip row: d_up = (0−400) − 25 = −425 → S_up: 75,150,0,75,150
+    assert(got.map(_._2).toSeq == Seq(75L, 150L, 0L, 75L, 150L))
+    // d_dn normal = (400−500) − 25 = −125; dip = 400 − 25 = 375 →
+    // S_dn: 0, 0, 375, 250, 125
+    assert(got.map(_._3).toSeq == Seq(0L, 0L, 375L, 250L, 125L))
+  }
+
+  test("cusumStream: batch parity against the persisted profile, split micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulOps
+    implicit val sqlCtx = spark.sqlContext
+    val series = df(Map(1L -> (Seq.fill(4)(10.0) ++ Seq.fill(4)(14.0)),
+      2L -> Seq(5.0, 5.0, 5.0, 5.0)))
+    val prof = TimeSeries.keyProfile(series, col("key"), col("value"), 10L)
+    val expected = TimeSeries.cusumChangepoints(series, prof, col("key"),
+        col("tie"), col("ts"), col("tie"), col("value"), quantScale = 10L,
+        slackScaled = 10L, hScaled = 20L)
+      .select(col("key"), col("id"), col("cusum_up"), col("is_shift_up"))
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val rows = series.select(col("key"), col("tie"),
+        expr("unix_micros(ts) div 1000000").as("sec"), col("value"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._3, r._2))
+    val input = MemoryStream[(Long, Long, Long, Double)]
+    val stream = StatefulOps.cusumStream(
+      input.toDF().toDF("key", "tie", "sec", "value")
+        .withColumn("ts", timestamp_seconds(col("sec"))),
+      prof, "key", "ts", "tie", "value", quantScale = 10L,
+      slackScaled = 10L, hScaled = 20L)
+    val q = stream.writeStream.format("memory").queryName("cusum_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cusum-cp").toString)
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = rows.splitAt(5)
+      input.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("cusum_out")
+        .select(col("key"), col("id"), col("cusum_up"), col("is_shift_up"))
+        .as[(Long, Long, Long, Int)].collect().toSet
+      assert(got == expected && expected.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("mergeProfiles: two epochs merged equal the whole-corpus profile") {
+    val series = df(Map(1L -> Seq(1.0, 2.0, 3.0, 4.0),
+      2L -> Seq(10.0, 20.0, 30.0, 40.0)))
+    val phase = (col("tie") % 2).cast("int")
+    val whole = TimeSeries.seasonalProfile(series, col("key"), phase,
+        col("value"), 10L)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val epochA = series.filter(col("tie") < 2)
+    val epochB = series.filter(col("tie") >= 2)
+    val merged = TimeSeries.mergeProfiles(
+        TimeSeries.seasonalProfile(epochA, col("key"), phase, col("value"), 10L),
+        TimeSeries.seasonalProfile(epochB, col("key"), phase, col("value"), 10L))
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(merged == whole && whole.nonEmpty)
+  }
 }
