@@ -7214,6 +7214,13 @@ object Queries {
     // input (order-independent register merge), so the row is replayable;
     // the raw estimate's value stays spec-bounded in the test suite and
     // oracle-gated for the portable sketch via sketch_hll_daily_users.
+    // GATE-MARGIN NOTE (r14 advice): within_bound pins the HLL++ estimate
+    // inside 3·rsd of exact — a ~99.7% STATISTICAL bound, not a guarantee.
+    // The bound is validated at the gate scales (sf0.001/0.01/0.1, margin
+    // comfortable: observed error ≲1·rsd); if this row ever trips at a NEW
+    // scale factor or dataset, first re-validate the margin there (the
+    // sketch may be functioning correctly at the tail of its error
+    // distribution) before treating it as a regression.
     ("approx_distinct_users",
       (s: SparkSession, d: String) =>
         Tables.events(s, d).groupBy(col("event_type"))

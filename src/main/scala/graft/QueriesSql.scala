@@ -661,6 +661,62 @@ object QueriesSql {
         |  AND unix_micros(ts) - unix_micros(l0_ts) <= 604800000000
         |  AND n0 - l0_n0 >= 3 AND n1 - l0_n1 = 0""".stripMargin),
 
+    // CUSUM changepoints from SQL text: the max(0, S+d) recursion as its
+    // P − min(prefix) window closed form, cross-multiplied integer
+    // deviations — gated on the events_ts_changepoints oracle.
+    ("sql_events_ts_changepoints", "events_ts_changepoints", Seq("events"),
+      """WITH s AS (
+        |  SELECT user_id AS k, event_id AS id, ts,
+        |         CAST(floor(value * 1000) AS bigint) AS qv
+        |  FROM events),
+        |prof AS (
+        |  SELECT k, CAST(sum(qv) AS bigint) AS s_num, count(*) AS s_cnt
+        |  FROM s GROUP BY 1),
+        |j AS (
+        |  SELECT s.*, p.s_num, p.s_cnt,
+        |         (qv * s_cnt - s_num) - 20000L * s_cnt AS d_up,
+        |         (s_num - qv * s_cnt) - 20000L * s_cnt AS d_dn
+        |  FROM s JOIN prof p ON p.k = s.k),
+        |w AS (
+        |  SELECT *, sum(d_up) OVER win AS p_up, sum(d_dn) OVER win AS p_dn
+        |  FROM j
+        |  WINDOW win AS (PARTITION BY k ORDER BY ts, id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |c AS (
+        |  SELECT *,
+        |         p_up - least(0L, min(p_up) OVER win) AS cusum_up,
+        |         p_dn - least(0L, min(p_dn) OVER win) AS cusum_dn
+        |  FROM w
+        |  WINDOW win AS (PARTITION BY k ORDER BY ts, id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT k AS user_id, id AS event_id, qv, cusum_up, cusum_dn,
+        |       CAST(cusum_up > 200000L * s_cnt AS int) AS is_shift_up,
+        |       CAST(cusum_dn > 200000L * s_cnt AS int) AS is_shift_dn
+        |FROM c""".stripMargin),
+
+    // Seasonal-profile epoch merge from SQL text: two grouped halves
+    // unioned and re-summed — the merge-by-addition artifact property
+    // drivable from a SQL cell, gated on the events_ts_profile_merged
+    // oracle.
+    ("sql_events_ts_profile_merged", "events_ts_profile_merged", Seq("events"),
+      """WITH halves AS (
+        |  SELECT user_id, CAST(hour(ts) AS int) AS hr, event_id % 2 AS epoch,
+        |         CAST(floor(value * 1000) AS bigint) AS qv
+        |  FROM events),
+        |prof AS (
+        |  SELECT epoch, user_id, hr,
+        |         CAST(sum(qv) AS bigint) AS s_num, count(*) AS s_cnt
+        |  FROM halves GROUP BY 1, 2, 3)
+        |SELECT user_id, hr, CAST(sum(s_num) AS bigint) AS s_num,
+        |       CAST(sum(s_cnt) AS bigint) AS s_cnt
+        |FROM prof GROUP BY 1, 2""".stripMargin),
+
+    // Retrieval-ranking eval from SQL text: the BM25 pipeline per query,
+    // term-coverage relevance, and NDCG@5/MRR over the same plan-literal
+    // 1/log2 weight table — gated on the eval_ndcg_retrieval oracle.
+    ("sql_eval_ndcg_retrieval", "eval_ndcg_retrieval", Seq("documents"),
+      retrievalNdcgSparkSql),
+
     // Record linkage from SQL text: the dirty-table synthesis, segment-pair
     // blocking keys, hot-key drop (window count), candidate equi-join and
     // levenshtein verify — the whole entity-resolution chain drivable from
@@ -1052,6 +1108,96 @@ object QueriesSql {
        |            ELSE e.est_raw END AS est,
        |       x.exact_nations
        |FROM est2 e JOIN x ON e.grp = x.grp""".stripMargin
+  }
+
+  /** Spark-SQL text for the retrieval-eval twin (`sql_eval_ndcg_retrieval`):
+    * the [[Queries.retrievalNdcgPerQuery]] chain — per-query BM25 scoring
+    * (same expression association order as the DataFrame operator and the
+    * DuckDB oracle), term-coverage relevance, rank/irank windows, and the
+    * SAME [[graft.operators.Eval.dcgWeights]] plan literals — so all three
+    * frontends hash against one oracle. */
+  private lazy val retrievalNdcgSparkSql: String = {
+    val wArr = graft.operators.Eval.dcgWeights(5)
+      .mkString("array(", "L, ", "L)")
+    val perQueryCtes = Queries.retrievalQueries.map { case (qid, terms) =>
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      val mix = terms.map(t =>
+        s"coalesce(max(CASE WHEN token = '$t' THEN term_score END), 0.0D)")
+        .mkString("\n|         + ")
+      s"""tf_$qid AS (
+         |  SELECT doc_id, dl, token, CAST(count(*) AS bigint) AS tf
+         |  FROM (SELECT doc_id, dl, token
+         |        FROM dl LATERAL VIEW explode(toks) t AS token)
+         |  WHERE token IN ($inList) GROUP BY 1, 2, 3),
+         |df_$qid AS (
+         |  SELECT token, CAST(count(*) AS bigint) AS df FROM tf_$qid GROUP BY 1),
+         |sc_$qid AS (
+         |  SELECT tf.doc_id, tf.token,
+         |         ((CAST(s.n_docs - df.df AS double) + 0.5D)
+         |            / (CAST(df.df AS double) + 0.5D))
+         |           * (CAST(tf.tf AS double) * (1.2D + 1.0D))
+         |           / (CAST(tf.tf AS double) + 1.2D * ((1.0D - 0.75D)
+         |                + 0.75D * (CAST(tf.dl AS double)
+         |                            / (CAST(s.sum_dl AS double)
+         |                                 / CAST(s.n_docs AS double))))) AS term_score
+         |  FROM tf_$qid tf CROSS JOIN stats s JOIN df_$qid df ON tf.token = df.token),
+         |agg_$qid AS (
+         |  SELECT doc_id,
+         |         $mix AS score
+         |  FROM sc_$qid GROUP BY 1),
+         |top_$qid AS (
+         |  SELECT '$qid' AS query, doc_id, score FROM agg_$qid
+         |  ORDER BY score DESC, doc_id LIMIT 20)""".stripMargin
+    }.mkString(",\n")
+    val hitsUnion = Queries.retrievalQueries
+      .map { case (qid, _) => s"SELECT * FROM top_$qid" }
+      .mkString("\n|  UNION ALL ")
+    val relCase = Queries.retrievalQueries.map { case (qid, terms) =>
+      val cover = terms.map(t =>
+        s"(CASE WHEN array_contains(d.toks, '$t') THEN 1L ELSE 0L END)")
+        .mkString(" + ")
+      s"WHEN h.query = '$qid' THEN $cover"
+    }.mkString("\n|              ")
+    s"""WITH lens AS (
+       |  SELECT doc_id,
+       |         split(regexp_replace(trim(lower(text)), '\\\\s+', ' '), ' ') AS toks
+       |  FROM documents),
+       |dl AS (SELECT doc_id, CAST(size(toks) AS bigint) AS dl, toks FROM lens),
+       |stats AS (
+       |  SELECT CAST(count(*) AS bigint) AS n_docs,
+       |         CAST(sum(size(toks)) AS bigint) AS sum_dl
+       |  FROM lens),
+       |$perQueryCtes,
+       |hits AS (
+       |  $hitsUnion),
+       |hr AS (
+       |  SELECT h.query, h.doc_id, h.score,
+       |         CASE $relCase
+       |              END AS rel
+       |  FROM hits h JOIN dl d ON d.doc_id = h.doc_id),
+       |ranked AS (
+       |  SELECT *,
+       |         row_number() OVER (PARTITION BY query ORDER BY score DESC, doc_id) AS rank,
+       |         row_number() OVER (PARTITION BY query ORDER BY rel DESC, doc_id) AS irank
+       |  FROM hr),
+       |perq AS (
+       |  SELECT query, count(*) AS n_hits,
+       |         CAST(sum(CASE WHEN rank <= 5
+       |                  THEN rel * element_at($wArr, CAST(rank AS int))
+       |                  ELSE 0L END) AS bigint) AS dcg_scaled,
+       |         CAST(sum(CASE WHEN irank <= 5
+       |                  THEN rel * element_at($wArr, CAST(irank AS int))
+       |                  ELSE 0L END) AS bigint) AS idcg_scaled,
+       |         min(CASE WHEN rel > 0L THEN rank END) AS first_rel_rank
+       |  FROM ranked GROUP BY 1)
+       |SELECT query, n_hits, dcg_scaled, idcg_scaled,
+       |       CASE WHEN idcg_scaled > 0L
+       |            THEN (dcg_scaled * 1048576L) div idcg_scaled END AS ndcg_scaled,
+       |       CASE WHEN idcg_scaled > 0L
+       |            THEN CAST(dcg_scaled AS double) / idcg_scaled END AS ndcg,
+       |       first_rel_rank,
+       |       1048576L div first_rel_rank AS rr_scaled
+       |FROM perq""".stripMargin
   }
 
   /** Register the views a battery entry reads, plus the native functions,

@@ -1103,7 +1103,16 @@ object Dedup {
     * null segment gets a null key for that slot and is dropped —
     * concat_ws would silently collapse it into a shorter key that can
     * collide across slots, and a SQL twin's `||` null semantics would
-    * diverge (r13 advice). */
+    * diverge (r13 advice).
+    *
+    * DELIMITER CONTRACT (r14 advice): slot fields compose with literal
+    * '|' separators, UNESCAPED. Callers whose blocking attribute or
+    * segments can themselves contain '|' must escape or strip it first —
+    * otherwise ("a|b", "c") and ("a", "b|c") collide into one key
+    * (over-blocking only: the levenshtein verify still decides matches,
+    * but a hot collided key can blow the candidate space). The catalog's
+    * inputs (nationkey:mktsegment blocks, name word-segments) are
+    * '|'-free by construction. */
   def entityKeys(df: DataFrame, idCol: Column, nameCol: Column,
       blockCol: Column, pieceCols: Seq[Column]): DataFrame = {
     require(pieceCols.size >= 2, "need at least two segments to pair")

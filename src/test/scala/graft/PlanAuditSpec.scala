@@ -39,7 +39,11 @@ class PlanAuditSpec extends SparkSpec {
     // tfidf: the n_docs corpus scalar is a provably 1-row broadcast side
     "text_tfidf_topk",
     // calibration: the (smin, smax) bounds side is one global-aggregate row
-    "eval_calibration_bins")
+    "eval_calibration_bins",
+    // retrieval-eval SQL twin: the BM25 corpus scalars (n_docs, sum_dl)
+    // ride a provably 1-row CROSS JOIN in SQL text (the DataFrame twin
+    // folds them as driver literals instead)
+    "sql_eval_ndcg_retrieval")
 
   test("no catalog query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
