@@ -270,4 +270,18 @@ object Artifacts {
       }
       s"$r/profile"
     }
+
+  /** Persisted per-key changepoint baseline — (k, s_num, s_cnt) exact
+    * longs from [[graft.operators.TimeSeries.keyProfile]]: the CUSUM
+    * scorer's static side (train the baseline once per corpus snapshot;
+    * batch re-scores and the streaming `cusumStream` both join it). */
+  def keyProfile(s: SparkSession, d: String): String =
+    cached(s"keyprofile:$d") {
+      val r = published(root(d, "keyprofile", "events")) { tmp =>
+        graft.operators.TimeSeries.keyProfile(Tables.events(s, d),
+            col("user_id"), col("value"), 1000L)
+          .write.mode("overwrite").parquet(s"$tmp/profile")
+      }
+      s"$r/profile"
+    }
 }

@@ -254,4 +254,53 @@ object PqOracle {
        |                            ORDER BY d2, neighbor_id) AS rank
        |  FROM rr) WHERE rank <= 5),
        |${recallAgainst("rtop")}""".stripMargin
+
+  /** NDCG@5 / MRR of the IVF-PQ ranking against exact-L2 relevance (the
+    * eval_ndcg_ann row): graded relevance = 6 − exact rank for the true
+    * top-5, 0 otherwise — so the metric rewards ORDER, where recall only
+    * counts membership. Same [[graft.operators.Eval.dcgWeights]] plan
+    * literals as every NDCG frontend. */
+  val ndcgAnnSql: String = {
+    val w = graft.operators.Eval.dcgWeights(5).mkString("[", ", ", "]")
+    s"""WITH $ivfPqScored,
+       |top AS (SELECT query_id, neighbor_id, adc_d2, rank FROM (
+       |  SELECT query_id, vec_id AS neighbor_id, adc_d2,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY adc_d2, vec_id) AS rank
+       |  FROM scored) WHERE rank <= 5),
+       |brute AS (SELECT query_id, neighbor_id, rnk FROM (
+       |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+       |           ${d2("qq.vq", "c.vq", 64)},
+       |           c.vec_id) AS rnk
+       |  FROM (SELECT * FROM v WHERE vec_id < 5) qq
+       |  CROSS JOIN v c WHERE c.vec_id != qq.vec_id)
+       |  WHERE rnk <= 5),
+       |hr AS (
+       |  SELECT t.query_id, t.neighbor_id, t.rank,
+       |         coalesce(6 - b.rnk, 0)::bigint AS rel
+       |  FROM top t LEFT JOIN brute b
+       |    ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY rel DESC, neighbor_id) AS irank
+       |  FROM hr),
+       |perq AS (
+       |  SELECT query_id, count(*)::bigint AS n_hits,
+       |         sum(rel * list_extract($w, rank::int))::bigint AS dcg_scaled,
+       |         sum(CASE WHEN irank <= 5
+       |                  THEN rel * list_extract($w, irank::int)
+       |                  ELSE 0 END)::bigint AS idcg_scaled,
+       |         min(CASE WHEN rel > 0 THEN rank END)::int AS first_rel_rank
+       |  FROM ranked GROUP BY 1)
+       |SELECT query_id, n_hits, dcg_scaled, idcg_scaled,
+       |       CASE WHEN idcg_scaled > 0
+       |            THEN CAST((dcg_scaled * 1048576) // idcg_scaled AS bigint)
+       |            END AS ndcg_scaled,
+       |       CASE WHEN idcg_scaled > 0
+       |            THEN dcg_scaled::double / idcg_scaled END AS ndcg,
+       |       first_rel_rank,
+       |       CAST(1048576 // first_rel_rank AS bigint) AS rr_scaled
+       |FROM perq""".stripMargin
+  }
 }

@@ -43,7 +43,10 @@ class PlanAuditSpec extends SparkSpec {
     // retrieval-eval SQL twin: the BM25 corpus scalars (n_docs, sum_dl)
     // ride a provably 1-row CROSS JOIN in SQL text (the DataFrame twin
     // folds them as driver literals instead)
-    "sql_eval_ndcg_retrieval")
+    "sql_eval_ndcg_retrieval",
+    // ANN ranking-quality row: the exact-L2 relevance baseline is the
+    // recall rows' deliberate brute tier (5-query broadcast side)
+    "eval_ndcg_ann")
 
   test("no catalog query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -270,6 +273,16 @@ class PlanAuditSpec extends SparkSpec {
     // propagated-labeling server: a PLAIN artifact scan + projection —
     // zero exchanges, zero aggregates, and specifically no graph subtree
     // (a leaked re-propagation would plan vote HashAggregates + joins)
+    // CUSUM serving: the persisted baseline joins the events scan, then
+    // two window passes — ZERO aggregates (the keyProfile groupBy re-
+    // running in-query is exactly the training row's shape)
+    val cusumServed = planOf("events_ts_changepoints_served")
+    assert(count(cusumServed, "graft-artifacts") >= 1,
+      s"events_ts_changepoints_served must scan the persisted profile:\n$cusumServed")
+    assert(count(cusumServed, "HashAggregate") == 0,
+      s"events_ts_changepoints_served must not plan aggregates " +
+        s"(profile training leaked in):\n$cusumServed")
+
     val lblServed = planOf("graph_label_spread_served")
     assert(count(lblServed, "graft-artifacts") >= 1,
       s"graph_label_spread_served must scan the persisted labeling:\n$lblServed")
