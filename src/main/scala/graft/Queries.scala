@@ -898,15 +898,21 @@ object Queries {
   /** Per-query NDCG@5 frame: BM25 top-20 per query, term-coverage
     * relevance, [[Eval.ndcgAtK]]. The hits side is 3 × 20 rows — it
     * BROADCASTS against the corpus-sized token frame for the relevance
-    * join, so the only full-corpus work is the BM25 scoring itself. */
+    * join, so the only full-corpus work is the BM25 scoring itself —
+    * which runs as ONE multi-query pass ([[TextOps.bm25Multi]]: one tf
+    * explode over the term union, one stats job, per-query top-20 via a
+    * single partitioned rank window; bit-equal to per-query bm25 at a
+    * third of the scans). */
   private[graft] def retrievalNdcgPerQuery(s: SparkSession, d: String)
       : DataFrame = {
     val docs = Tables.documents(s, d)
-    val hits = retrievalQueries.map { case (qid, terms) =>
-      TextOps.bm25(docs, col("text"), col("doc_id"), terms)
-        .orderBy(col("score").desc, col("doc_id")).limit(retrievalTopN)
-        .withColumn("query", lit(qid))
-    }.reduce(_ unionByName _)
+    val scoredAll = TextOps.bm25Multi(docs, col("text"), col("doc_id"),
+      retrievalQueries)
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query")).orderBy(col("score").desc, col("doc_id"))
+    val hits = scoredAll
+      .withColumn("__r", row_number().over(wTop))
+      .filter(col("__r") <= retrievalTopN).drop("__r")
     val docToks = docs.select(col("doc_id"),
       TextOps.tokens(TextOps.normalize(col("text"))).as("toks"))
     val rel = retrievalQueries.foldRight(lit(0L): Column) {

@@ -11,6 +11,35 @@ import Queries._
   * determinism conventions live in [[Queries]]; the one `queries` map is
   * composed there. */
 object QueriesSimMedia {
+
+  /** The warm IVF-PQ top-5 over the Artifacts-persisted quantizers —
+    * shared by `sim_ivfpq_served` and `eval_ndcg_ann`. Output is
+    * identical to the in-query-trained `ivfPqTopK` (the artifact derives
+    * from the same corpus), so both rows gate on the one ivfPqSql-chain
+    * oracle. Empty corpus falls back to the (empty-safe) batch path. */
+  private def ivfPqTop5Served(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 5)
+    val (coarsePath, codebookPath, codesPath) = Artifacts.ivfPq(s, d)
+    val coarse = Similarity.readCoarse(s, coarsePath)
+    if (coarse.isEmpty)
+      Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", m = 4,
+        ksub = 16, iters = 2, nCells = 16, nProbe = 4, k = 5)
+    else {
+      val cents = Similarity.readCodebook(s, codebookPath)
+      val packed = s.read.parquet(codesPath)
+      val cand = Similarity.ivfPqSearchStatic(q, packed, coarse, cents,
+        "vec_id", "embedding", m = 4, nProbe = math.min(4, coarse.length))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_d2"), col("vec_id"))
+      cand.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"),
+          col("vec_id").as("neighbor_id"), col("adc_d2"))
+    }
+  }
+
   private[graft] def rows
       : Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
@@ -958,31 +987,7 @@ object QueriesSimMedia {
     // training in-query. Bench's min-of-2 runs measures the warm shape;
     // run1 keeps the cold build+serve number (verdict-r11 item 2).
     ("sim_ivfpq_served",
-      (s: SparkSession, d: String) => {
-        val emb = Tables.embeddings(s, d)
-        val q = emb.filter(col("vec_id") < 5)
-        val (coarsePath, codebookPath, codesPath) = Artifacts.ivfPq(s, d)
-        val coarse = Similarity.readCoarse(s, coarsePath)
-        if (coarse.isEmpty)
-          // empty corpus trains an empty coarse quantizer; the batch path
-          // is empty-safe and yields the same (empty) shape
-          Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", m = 4,
-            ksub = 16, iters = 2, nCells = 16, nProbe = 4, k = 5)
-        else {
-          val cents = Similarity.readCodebook(s, codebookPath)
-          val packed = s.read.parquet(codesPath)
-          val cand = Similarity.ivfPqSearchStatic(q, packed, coarse, cents,
-            "vec_id", "embedding", m = 4,
-            nProbe = math.min(4, coarse.length))
-          import org.apache.spark.sql.expressions.Window
-          val w = Window.partitionBy(col("query_id"))
-            .orderBy(col("adc_d2"), col("vec_id"))
-          cand.withColumn("rank", row_number().over(w))
-            .filter(col("rank") <= 5)
-            .select(col("query_id"), col("rank"),
-              col("vec_id").as("neighbor_id"), col("adc_d2"))
-        }
-      },
+      (s: SparkSession, d: String) => ivfPqTop5Served(s, d),
       Some(PqOracle.ivfPqSql)),
 
     // Retrieval-quality grading of the ANN ladder itself (the eval ↔ sim
@@ -997,8 +1002,11 @@ object QueriesSimMedia {
       (s: SparkSession, d: String) => {
         val emb = Tables.embeddings(s, d)
         val q = emb.filter(col("vec_id") < 5)
-        val approx = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
-          m = 4, ksub = 16, iters = 2, nCells = 16, nProbe = 4, k = 5)
+        // the graded subject is the PRODUCTION serving path (warm
+        // artifact search — identical output to the in-query-trained
+        // form, so one oracle gates both); only the relevance baseline
+        // pays an exact pass
+        val approx = ivfPqTop5Served(s, d)
         val brute = Similarity.l2TopK(q, emb, "vec_id", "embedding", 5)
           .select(col("query_id"), col("neighbor_id"),
             col("rank").as("brute_rank"))

@@ -930,6 +930,67 @@ object TextOps {
   }
 
   /**
+   * Multi-query BM25 — [[bm25]] for a SET of term-bag queries in ONE
+   * corpus pass: tf explodes once filtered to the union of all query
+   * terms, df is per token (query-independent), and each query's score is
+   * its own fixed-order mix over its own terms. Per (doc, token) the
+   * term_score expression is IDENTICAL to [[bm25]]'s, and each query's
+   * mix adds the same coalesced columns in the same declaration order —
+   * so scores are bit-equal to running [[bm25]] per query, at 1/|queries|
+   * of the corpus scans (the eval_ndcg_retrieval lesson: three separate
+   * bm25 calls each paid a stats job + a full tf pass).
+   * Output: (query, doc_id, score) — docs with no query term score no row
+   * for that query, matching the per-query form.
+   */
+  def bm25Multi(docs: DataFrame, textCol: Column, idCol: Column,
+      queries: Seq[(String, Seq[String])], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    queries.foreach { case (qid, terms) =>
+      require(terms.nonEmpty && terms == terms.distinct,
+        s"query $qid: terms must be non-empty and distinct")
+    }
+    val allTerms = queries.flatMap(_._2).distinct
+    val toks = tokens(normalize(textCol))
+    val lengths = docs.select(idCol.as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+    val statsRow = lengths.agg(count(lit(1)), sum(col("dl"))).head()
+    val nDocs = statsRow.getLong(0)
+    val avgdl = if (nDocs == 0) 1.0 else statsRow.getLong(1).toDouble / nDocs
+    val tf = lengths
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+      .filter(col("token").isInCollection(allTerms))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val perTerm = tf.join(broadcast(df_), Seq("token"))
+      .withColumn("idf",
+        (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn("term_score",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / lit(avgdl)))))
+    val termCols = allTerms.map(t =>
+      max(when(col("token") === t, col("term_score"))).as(s"s_$t"))
+    val pivoted = perTerm.groupBy(col("doc_id"))
+      .agg(termCols.head, termCols.tail: _*)
+    // ONE pass over the pivot: a per-query union of filters would plan
+    // |queries| copies of the whole tf subtree (Spark does not share
+    // common subplans across union branches) — explode a (query, score)
+    // struct array instead; a null score marks "no query term in doc"
+    // and reproduces the per-query form's row set
+    val qStruct = array(queries.map { case (qid, terms) =>
+      val score = terms.map(t => coalesce(col(s"s_$t"), lit(0.0)))
+        .reduceLeft(_ + _)
+      val hasAny = terms.map(t => col(s"s_$t").isNotNull).reduce(_ || _)
+      struct(lit(qid).as("query"), when(hasAny, score).as("score"))
+    }: _*)
+    pivoted.select(col("doc_id"), explode(qStruct).as("qs"))
+      .select(col("qs.query").as("query"), col("doc_id"),
+        col("qs.score").as("score"))
+      .filter(col("score").isNotNull)
+  }
+
+  /**
    * Context-window chunking: split each document into token windows of
    * `windowTokens` with stride `strideTokens` (overlap = window − stride) —
    * the training-sequence preparation step that turns variable-length

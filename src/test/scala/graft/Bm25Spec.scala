@@ -58,4 +58,30 @@ class Bm25Spec extends SparkSpec {
       TextOps.bm25(corpus, col("text"), col("doc_id"), Seq("join", "join"))
     }
   }
+
+  test("bm25Multi is bit-identical to per-query bm25, at one corpus pass") {
+    val queries = Seq(
+      ("q1", Seq("join", "filter")),
+      ("q2", Seq("scan", "pad")),
+      ("q3", Seq("filter")))
+    val multi = TextOps.bm25Multi(corpus, col("text"), col("doc_id"), queries)
+      .as[(String, Long, Double)].collect().toSet
+    val single = queries.flatMap { case (qid, terms) =>
+      TextOps.bm25(corpus, col("text"), col("doc_id"), terms)
+        .as[(Long, Double)].collect().map { case (d, s) => (qid, d, s) }
+    }.toSet
+    // exact Double equality: the term_score expression and the per-query
+    // mix order are identical by construction
+    assert(multi == single && single.nonEmpty)
+  }
+
+  test("bm25Multi rejects empty query sets and duplicate terms") {
+    intercept[IllegalArgumentException] {
+      TextOps.bm25Multi(corpus, col("text"), col("doc_id"), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.bm25Multi(corpus, col("text"), col("doc_id"),
+        Seq(("q", Seq("join", "join"))))
+    }
+  }
 }

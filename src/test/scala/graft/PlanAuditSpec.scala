@@ -234,6 +234,17 @@ class PlanAuditSpec extends SparkSpec {
     // — bounded recompute, each branch windows-only over the events scan
     assert(shuffles("events_sax_discords") <= 13,
       s"events_sax_discords grew beyond design: ${shuffles("events_sax_discords")}")
+    // Kleene CEP: the per-gap-negation machinery verbatim — ONE key
+    // shuffle + the counter/snapshot windows, bound-independent (the B+
+    // body never becomes a step, so there is no per-repetition plan)
+    assert(shuffles("events_cep_kleene") <= 2,
+      s"events_cep_kleene grew beyond design: ${shuffles("events_cep_kleene")}")
+    // CUSUM: one profile aggregation + the key window's exchange; the two
+    // window PASSES (prefix sum, then prefix min over it) share the one
+    // (ts, tie) partitioning — a second exchange would mean the closed
+    // form regressed into per-pass repartitions
+    assert(shuffles("events_ts_changepoints") <= 3,
+      s"events_ts_changepoints grew beyond design: ${shuffles("events_ts_changepoints")}")
   }
 
   test("served rows plan pure serving shapes: artifact scans, no training subtree") {
