@@ -864,6 +864,48 @@ object QueriesRelTs {
           s.read.parquet(Artifacts.keyProfile(s, d))),
       Some(cusumOracleSql)),
 
+    // Seasonal-trend decomposition (TimeSeries.decompose — the STL idea,
+    // integer-exact): every reading splits into a centered-window trend
+    // numerator, a cross-multiplied detrended value, the per-(key, hour)
+    // seasonal mean in (sum, count) form, and the exact residual
+    // (qv − trend − seasonal)·window·cnt. Edge rows (< window neighbors)
+    // are NULL — the honest undecomposable verdict. One key shuffle, one
+    // map-side (key, phase) aggregation, one broadcastable join.
+    ("events_ts_decompose",
+      (s: SparkSession, d: String) =>
+        TimeSeries.decompose(Tables.events(s, d),
+            keyCol = col("user_id"), idCol = col("event_id"),
+            tsCol = col("ts"), tieCol = col("event_id"),
+            phaseCol = hour(col("ts")), valueCol = col("value"),
+            window = 25, quantScale = 1000L)
+          .select(col("key").as("user_id"), col("id").as("event_id"),
+            col("phase").as("hr"), col("qv"), col("trend_num"),
+            col("d_scaled"), col("s_cnt"), col("resid_scaled")),
+      Some(
+        """WITH s AS (
+          |  SELECT user_id AS k, event_id AS id, ts,
+          |         extract(hour FROM ts)::int AS hr,
+          |         floor(value * 1000)::bigint AS qv
+          |  FROM events),
+          |t AS (
+          |  SELECT *, sum(qv) OVER w AS t_num, count(*) OVER w AS t_cnt
+          |  FROM s
+          |  WINDOW w AS (PARTITION BY k ORDER BY ts, id
+          |               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+          |dt AS (
+          |  SELECT *, CASE WHEN t_cnt = 25 THEN qv * 25 - t_num END AS d_scaled
+          |  FROM t),
+          |seas AS (
+          |  SELECT k, hr, sum(d_scaled)::bigint AS s_num,
+          |         count(*)::bigint AS s_cnt
+          |  FROM dt WHERE d_scaled IS NOT NULL GROUP BY 1, 2)
+          |SELECT dt.k AS user_id, dt.id AS event_id, dt.hr, dt.qv,
+          |       (CASE WHEN dt.t_cnt = 25 THEN dt.t_num END)::bigint AS trend_num,
+          |       dt.d_scaled::bigint AS d_scaled,
+          |       seas.s_cnt,
+          |       (dt.d_scaled * seas.s_cnt - seas.s_num)::bigint AS resid_scaled
+          |FROM dt LEFT JOIN seas ON seas.k = dt.k AND seas.hr = dt.hr""".stripMargin)),
+
     // Seasonal-profile MERGE admission (verdict-r14 item 9): the profile is
     // (key, phase, cnt, sum) exact longs, so two epochs' profiles merge by
     // plain addition — a persistable incremental artifact like the HLL

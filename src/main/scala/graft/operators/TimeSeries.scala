@@ -231,6 +231,60 @@ object TimeSeries {
           > lit(tauScaled) * col("s_cnt")).cast("int").as("is_anomaly"))
   }
 
+  /**
+   * Seasonal-trend DECOMPOSITION — the STL idea in the catalog's
+   * integer-exact discipline (the fourth quarter of the TS story:
+   * motifs/discords match SHAPE, seasonal anomalies flag LEVEL,
+   * changepoints find REGIME; this splits every reading into
+   * trend + seasonal + residual so each can be consumed separately):
+   *
+   *  - TREND is a centered moving window: `trend_num = Σ qv` over the
+   *    `window` (odd) rows around the reading — kept as the exact
+   *    numerator with the literal denominator `window`, never divided;
+   *    edge rows (fewer than `window` neighbors) are NULL — the honest
+   *    "undecomposable edge" verdict, not a shrunken-window estimate that
+   *    would make edge values incomparable to interior ones;
+   *  - the DETRENDED value is cross-multiplied: `d_scaled = qv·window −
+   *    trend_num` (exactly `(qv − trend)·window`);
+   *  - SEASONAL is the per-(key, phase) mean of the detrended values,
+   *    held as exact (Σ d_scaled, count) — one map-side-combined
+   *    aggregation over interior rows;
+   *  - the RESIDUAL is cross-multiplied once more:
+   *    `resid_scaled = d_scaled·s_cnt − s_num`, exactly
+   *    `(qv − trend − seasonal)·window·s_cnt` in quant units.
+   *
+   * Plan shape: ONE key shuffle (the trend window), one (key, phase)
+   * map-side aggregation, one broadcastable join back — no sequential
+   * pass, every step a window or an aggregate. Output: (key, id, phase,
+   * qv, trend_num, d_scaled, s_cnt, resid_scaled); nulls propagate from
+   * edge rows through the residual.
+   */
+  def decompose(events: DataFrame, keyCol: Column, idCol: Column,
+      tsCol: Column, tieCol: Column, phaseCol: Column, valueCol: Column,
+      window: Int = 25, quantScale: Long = 1000L): DataFrame = {
+    require(window >= 3 && window % 2 == 1,
+      s"need an odd centered window >= 3, got $window")
+    val half = window / 2
+    val s = events.select(keyCol.as("k"), idCol.as("id"), tsCol.as("ts"),
+      tieCol.as("tie"), phaseCol.cast("int").as("phase"),
+      floor(valueCol * quantScale).cast("long").as("qv"))
+    val w = Window.partitionBy(col("k")).orderBy(col("ts"), col("tie"))
+      .rowsBetween(-half, half)
+    val dt = s
+      .withColumn("t_num", sum(col("qv")).over(w))
+      .withColumn("t_cnt", count(lit(1)).over(w))
+      .withColumn("d_scaled",
+        when(col("t_cnt") === window, col("qv") * window - col("t_num")))
+    val seas = dt.filter(col("d_scaled").isNotNull)
+      .groupBy(col("k"), col("phase"))
+      .agg(sum(col("d_scaled")).as("s_num"), count(lit(1)).as("s_cnt"))
+    dt.join(seas, Seq("k", "phase"), "left")
+      .select(col("k").as("key"), col("id"), col("phase"), col("qv"),
+        when(col("t_cnt") === window, col("t_num")).as("trend_num"),
+        col("d_scaled"), col("s_cnt"),
+        (col("d_scaled") * col("s_cnt") - col("s_num")).as("resid_scaled"))
+  }
+
   /** Merge two [[seasonalProfile]] epochs by exact addition — the
     * incremental-artifact property (the HLL-register / dedup-index
     * precedent): profiles are (sum, count) longs per (key, phase), so

@@ -238,6 +238,36 @@ class TimeSeriesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decompose: exact trend/seasonal/residual identities; edges stay null") {
+    // spike series 10,10,40,10,10 (quant 1): a centered window-3 trend is
+    // flat 20 on the interior, so d = (qv − 20)·3; phase = tie % 2 gives
+    // the spike its own seasonal cell and every residual collapses to 0
+    val series = df(Map(1L -> Seq(10.0, 10.0, 40.0, 10.0, 10.0)))
+    val got = TimeSeries.decompose(series, col("key"), col("tie"),
+        col("ts"), col("tie"), (col("tie") % 2).cast("int"), col("value"),
+        window = 3, quantScale = 1L)
+      .select(col("id"), col("trend_num"), col("d_scaled"), col("s_cnt"),
+        col("resid_scaled"))
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().sortBy(_._1)
+    // edge rows: no full window -> null trend, null detrended, null resid
+    assert(got(0) == ((0L, None, None, Some(1L), None)))
+    assert(got(4) == ((4L, None, None, Some(1L), None)))
+    // interior: t_num = 60 everywhere; d = qv·3 − 60
+    assert(got(1) == ((1L, Some(60L), Some(-30L), Some(2L), Some(0L))))
+    assert(got(2) == ((2L, Some(60L), Some(60L), Some(1L), Some(0L))))
+    assert(got(3) == ((3L, Some(60L), Some(-30L), Some(2L), Some(0L))))
+    // a key too short for ANY full window: everything null but the rows
+    // SURVIVE (undecomposable, not dropped) — with no interior rows the
+    // seasonal cell is absent too
+    val tiny = df(Map(2L -> Seq(7.0, 7.0)))
+    val t2 = TimeSeries.decompose(tiny, col("key"), col("tie"), col("ts"),
+        col("tie"), lit(0), col("value"), window = 3, quantScale = 1L)
+      .select(col("trend_num"), col("s_cnt"))
+      .as[(Option[Long], Option[Long])].collect()
+    assert(t2.length == 2 && t2.forall(_ == ((None, None))))
+  }
+
   test("mergeProfiles: two epochs merged equal the whole-corpus profile") {
     val series = df(Map(1L -> Seq(1.0, 2.0, 3.0, 4.0),
       2L -> Seq(10.0, 20.0, 30.0, 40.0)))
