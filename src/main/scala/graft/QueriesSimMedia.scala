@@ -1593,8 +1593,12 @@ object QueriesSimMedia {
     // fingerprint) bucket join finds them WITHOUT width/height in the key,
     // and the exact-L1 verify grades near-but-not-identical seeds. Pair
     // space DuckDB-checked before adoption: 1 230 candidates / 1 132 near
-    // (422 exact) at sf0.01; 83k / 74k (5 824 exact) at sf0.1 — Σ|bucket|²
-    // stays linear in the corpus.
+    // (422 exact) at sf0.01; 83k / 74k (5 824 exact) at sf0.1. The default
+    // hot-bucket cap (64/side) never engages at the gate scales (max cell
+    // 50 frames / 23 images at sf0.1 — oracle identical with or without),
+    // and is what bounds the pair space at 10×/100× where the synthetic
+    // seed families replicate across copies (measured: 812M uncapped
+    // pairs at 100×, hottest cell 4 300×1 947).
     ("multimodal_cross_near_dup",
       (s: SparkSession, d: String) => {
         val docs = Tables.documents(s, d).filter(col("text").isNotNull)

@@ -589,15 +589,27 @@ object Multimodal {
    * additionally require grid | w and grid | h (a fingerprint from ragged
    * regions would not be resize-stable). Pixels die at the fingerprint —
    * at 100 TB the shuffle moves (id, channels, g²·c longs) tuples only.
+   *
+   * HOT-BUCKET CAP (`maxBucket`, per side): a bucket holding more than
+   * `maxBucket` frames or more than `maxBucket` images is a SATURATED
+   * fingerprint cell — solid-color frames, boilerplate intros — whose
+   * members are by construction common, not near-duplicate discoveries;
+   * the whole bucket is dropped (the saxMotifs maxWordSize / LSH blocking
+   * hygiene). Without it the pair space is Σ v_b·i_b, which a single hot
+   * cell turns quadratic — measured on the 100× synthetic corpus: 812M
+   * candidate pairs (hottest cell 4 300 frames × 1 947 images) vs a
+   * bounded ≤ cap² per cell with it. Tune the cap up with grid/channel
+   * richness, exactly like SAX segments/alphabet.
    * Output: (video_id, frame_idx, image_id, l1, near_dup).
    */
   def crossModalNearDup(videos: DataFrame, vidId: Column, vidBin: Column,
       images: DataFrame, imgId: Column, imgBin: Column, grid: Int = 2,
-      meanScale: Long = 16L, quant: Long = 64L, maxL1: Long = 96L)
-      : DataFrame = {
+      meanScale: Long = 16L, quant: Long = 64L, maxL1: Long = 96L,
+      maxBucket: Int = 64): DataFrame = {
     require(grid >= 1, "need a positive grid")
     require(meanScale >= 1, "need a positive mean scale")
     require(quant >= 1, "need a positive quantization cell width")
+    require(maxBucket >= 1, "need a positive per-side bucket cap")
     def beUint(b: Column, start: Column, len: Int): Column =
       conv(hex(b.substr(start, lit(len))), 16, 10).cast("long")
     // ---- video side: offset-indexed frames -> grid fingerprints ---------
@@ -650,9 +662,13 @@ object Multimodal {
       .filter(col("f").isNotNull)
       .select(col("image_id"), col("f.c").as("channels"),
         col("f.gvec").as("gvec"))
-    def bucketed(df: DataFrame): DataFrame = df.withColumn("bucket",
-      concat_ws(":", col("channels").cast("string"),
-        expr(s"concat_ws(',', transform(gvec, s -> CAST(s div $quant AS string)))")))
+    def bucketed(df: DataFrame): DataFrame = df
+      .withColumn("bucket",
+        concat_ws(":", col("channels").cast("string"),
+          expr(s"concat_ws(',', transform(gvec, s -> CAST(s div $quant AS string)))")))
+      .withColumn("__bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))))
+      .filter(col("__bn") <= maxBucket).drop("__bn")
     bucketed(vf).select(col("bucket"), col("video_id"), col("frame_idx"),
         col("gvec").as("va"))
       .join(bucketed(imf).select(col("bucket"), col("image_id"),

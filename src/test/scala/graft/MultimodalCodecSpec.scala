@@ -377,6 +377,26 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(got == Set((1L, 0, 10L, 0L, 1), (1L, 0, 11L, 4L, 1)))
   }
 
+  test("crossModalNearDup: a saturated fingerprint bucket drops whole (hot-bucket cap)") {
+    import spark.implicits._
+    val pixA = Array[Byte](10, 20, 30, 40)
+    val pixB = Array[Byte](100, 110, 120, 127)
+    // two identical frames land one bucket with 2 members; cap=1 drops it,
+    // while the singleton pixB bucket still matches its image
+    val videos = Seq(
+      (1L, gvid("GVID", Seq(gimg(2, 2, 1, pixA), gimg(2, 2, 1, pixA),
+        gimg(2, 2, 1, pixB)))))
+      .toDF("doc_id", "payload")
+    val images = Seq((10L, gimg(2, 2, 1, pixA)), (11L, gimg(2, 2, 1, pixB)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.crossModalNearDup(videos, col("doc_id"),
+        col("payload"), images, col("doc_id"), col("payload"),
+        grid = 2, meanScale = 16L, quant = 64L, maxL1 = 96L, maxBucket = 1)
+      .select("image_id", "frame_idx").as[(Long, Int)].collect().toSet
+    assert(got == Set((11L, 2)),
+      "the 2-frame hot bucket must drop; the singleton must survive")
+  }
+
   test("crossModalNearDup: multi-channel fingerprints keep channels separate") {
     import spark.implicits._
     // 2×2×2 frame: channel 0 all 10s, channel 1 all 200s (unsigned)
