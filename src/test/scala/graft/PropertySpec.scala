@@ -225,6 +225,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Kleene bounds are monotone and count-consistent on random streams") {
+    import graft.operators.Cep
+    forSamples(cepStreamGen, n = 4) { evs =>
+      val df = evs.map { case (u, id, t, sec) =>
+        (u, id, t, new java.sql.Timestamp(sec * 1000L))
+      }.toDF("user_id", "event_id", "event_type", "ts")
+      val steps = Seq(col("event_type") === "a", col("event_type") === "c")
+      def matches(minB: Long): Map[(Long, Long), Long] =
+        Cep.lastSeqMatchKleene(df, col("user_id"), col("ts"),
+            col("event_id"), steps,
+            Seq(Seq(Cep.GapBound(col("event_type") === "b", minB, None))), 60L)
+          .select(col("key"), col("close_id"), col("n_0_0"))
+          .as[(Long, Long, Long)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+      val m0 = matches(0L); val m1 = matches(1L); val m2 = matches(2L)
+      // raising the min bound can only SHRINK the match set, never change
+      // a surviving match's reported count
+      assert(m1.keySet.subsetOf(m0.keySet) && m2.keySet.subsetOf(m1.keySet),
+        s"bound monotonicity violated on $evs")
+      assert(m1.forall { case (k, c) => m0(k) == c },
+        s"count changed under a tighter bound on $evs")
+      // every reported count satisfies its own bound, and the bound-0
+      // matches are exactly the unconstrained two-step closes
+      assert(m1.values.forall(_ >= 1L) && m2.values.forall(_ >= 2L))
+      val unconstrained = Cep.lastSeqMatchN(df, col("user_id"), col("ts"),
+          col("event_id"), steps, lit(false), 60L)
+        .select(col("key"), col("close_id")).as[(Long, Long)].collect().toSet
+      assert(m0.keySet == unconstrained, s"min=0 must be unconstrained on $evs")
+    }
+  }
+
   test("entityKeys: C(k,2) keys per fully-populated record, null slots drop") {
     val df = Seq(
       (1L, "nm", "blk", "aa", "bb", "cc"),
