@@ -27,7 +27,19 @@ object QueriesRelTs {
 
   /** One oracle for both CUSUM rows — the served twin's artifact derives
     * from the same corpus, so the scored frame is bit-identical. */
-  private lazy val cusumOracleSql: String =
+  private lazy val cusumOracleSql: String = cusumOracleCtes +
+    """
+      |SELECT k AS user_id, id AS event_id, qv,
+      |       cusum_up::bigint AS cusum_up, cusum_dn::bigint AS cusum_dn,
+      |       (CASE WHEN cusum_up > 200000 * s_cnt THEN 1 ELSE 0 END)::int
+      |         AS is_shift_up,
+      |       (CASE WHEN cusum_dn > 200000 * s_cnt THEN 1 ELSE 0 END)::int
+      |         AS is_shift_dn
+      |FROM c""".stripMargin
+
+  /** The CUSUM CTE chain through the per-reading frame `c` — shared by
+    * the scored rows and the peak-localization row. */
+  private lazy val cusumOracleCtes: String =
     """WITH s AS (
       |  SELECT user_id AS k, event_id AS id, ts,
       |         floor(value * 1000)::bigint AS qv
@@ -51,14 +63,7 @@ object QueriesRelTs {
       |         p_dn - least(0, min(p_dn) OVER win) AS cusum_dn
       |  FROM w
       |  WINDOW win AS (PARTITION BY k ORDER BY ts, id
-      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-      |SELECT k AS user_id, id AS event_id, qv,
-      |       cusum_up::bigint AS cusum_up, cusum_dn::bigint AS cusum_dn,
-      |       (CASE WHEN cusum_up > 200000 * s_cnt THEN 1 ELSE 0 END)::int
-      |         AS is_shift_up,
-      |       (CASE WHEN cusum_dn > 200000 * s_cnt THEN 1 ELSE 0 END)::int
-      |         AS is_shift_dn
-      |FROM c""".stripMargin
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""".stripMargin
 
   private[graft] def rows
       : Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
@@ -863,6 +868,49 @@ object QueriesRelTs {
         cusumScored(Tables.events(s, d),
           s.read.parquet(Artifacts.keyProfile(s, d))),
       Some(cusumOracleSql)),
+
+    // Changepoint LOCALIZATION: per (key, side), WHERE the regime change
+    // most likely sits — the flagged reading with the maximal CUSUM
+    // excursion (ties to the earliest event id). The per-key answer a
+    // dashboard wants ("this metric stepped HERE"), one rank window over
+    // the already-flagged subset per side.
+    ("events_ts_changepoint_peaks",
+      (s: SparkSession, d: String) => {
+        val ev = Tables.events(s, d)
+        val scored = cusumScored(ev,
+          TimeSeries.keyProfile(ev, col("user_id"), col("value"), 1000L))
+        import org.apache.spark.sql.expressions.Window
+        def peak(flag: String, cusum: String, side: String): DataFrame = {
+          val w = Window.partitionBy(col("user_id"))
+            .orderBy(col(cusum).desc, col("event_id"))
+          scored.filter(col(flag) === 1)
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)
+            .select(col("user_id"), lit(side).as("side"), col("event_id"),
+              col(cusum).as("cusum"))
+        }
+        peak("is_shift_up", "cusum_up", "up")
+          .unionByName(peak("is_shift_dn", "cusum_dn", "dn"))
+      },
+      Some(cusumOracleCtes +
+        """,
+          |up AS (
+          |  SELECT k, id, cusum_up,
+          |         row_number() OVER (PARTITION BY k
+          |                            ORDER BY cusum_up DESC, id) AS rn
+          |  FROM c WHERE cusum_up > 200000 * s_cnt),
+          |dn AS (
+          |  SELECT k, id, cusum_dn,
+          |         row_number() OVER (PARTITION BY k
+          |                            ORDER BY cusum_dn DESC, id) AS rn
+          |  FROM c WHERE cusum_dn > 200000 * s_cnt)
+          |SELECT k AS user_id, 'up' AS side, id AS event_id,
+          |       cusum_up::bigint AS cusum
+          |FROM up WHERE rn = 1
+          |UNION ALL
+          |SELECT k AS user_id, 'dn' AS side, id AS event_id,
+          |       cusum_dn::bigint AS cusum
+          |FROM dn WHERE rn = 1""".stripMargin)),
 
     // Seasonal-trend decomposition (TimeSeries.decompose — the STL idea,
     // integer-exact): every reading splits into a centered-window trend
