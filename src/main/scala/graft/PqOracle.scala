@@ -255,6 +255,181 @@ object PqOracle {
        |  FROM rr) WHERE rank <= 5),
        |${recallAgainst("rtop")}""".stripMargin
 
+  /**
+   * Recall@5 + MAP of EVERY pruning/compression tier (LSH / IVF / PQ /
+   * IVF-PQ) against the ONE exact-L2 baseline, in one result frame — the
+   * eval_recall_map_ann row: a tier regression surfaces as its row moving.
+   * Each tier's chain is the same machinery its own recall row pins
+   * (LSH planes + cosine rank, double-space Lloyd IVF, integer-quantized
+   * PQ/IVF-PQ); queries vec_id < 5 everywhere; metrics in the 2^20
+   * fixed-point discipline of `Eval.recallApAtK` (floor `//` ≡ Spark
+   * `div` on these non-negative values). Queries a tier returns nothing
+   * for still count, with zero hits.
+   */
+  val recallMapAnnSql: String = {
+    val s20 = 1L << 20
+    // double-space cosine helpers (the sim_recall_lsh / sim_recall_ivf
+    // oracle idiom, verbatim)
+    val cos = (a: String, b: String) =>
+      s"""list_dot_product($a, $b)
+         |               / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))""".stripMargin
+    def assignD(cents: String, out: String) =
+      s"""$out AS (SELECT vec_id, ve, cell_id FROM (
+         |  SELECT vd.vec_id, vd.ve, c.cell_id,
+         |         row_number() OVER (PARTITION BY vd.vec_id ORDER BY
+         |           ${cos("vd.ve", "c.cellv")} DESC,
+         |           c.cell_id) AS rn
+         |  FROM vd CROSS JOIN $cents c) WHERE rn = 1)"""
+    def updateD(from: String, out: String) =
+      s"""$out AS (
+         |  SELECT cell_id, list(cx ORDER BY dim) AS cellv FROM (
+         |    SELECT cell_id, d AS dim,
+         |           cast(sum(cast(ve[d + 1] AS decimal(30,15))) AS double) / count(*) AS cx
+         |    FROM $from CROSS JOIN (SELECT unnest(range(0, 64)) AS d)
+         |    GROUP BY 1, 2)
+         |  GROUP BY 1)"""
+    s"""WITH $trained,
+       |qp AS (SELECT vec_id AS query_id, sub_id, subv FROM sv WHERE vec_id < 5),
+       |lutp AS (SELECT q.query_id, c.sub_id, c.cell_id AS code,
+       |               ${d2("q.subv", "c.cellv", 16)} AS pd2
+       |        FROM qp q JOIN c2 c ON c.sub_id = q.sub_id),
+       |scoredp AS (SELECT l.query_id, k.vec_id, sum(l.pd2)::bigint AS adc_d2
+       |           FROM (SELECT vec_id, sub_id, cell_id AS code FROM a2) k
+       |           JOIN lutp l ON l.sub_id = k.sub_id AND l.code = k.code
+       |           WHERE k.vec_id != l.query_id
+       |           GROUP BY 1, 2),
+       |pqap AS (SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY adc_d2, vec_id) AS rank
+       |  FROM scoredp) WHERE rank <= 5),
+       |sv1 AS (SELECT vec_id, 0 AS sub_id, vq AS subv FROM v),
+       |${lloyd2("sv1", "cc", 16, 64)},
+       |resid AS (SELECT a.vec_id, a.cell_id AS cell0,
+       |                 list_transform(range(1, 65),
+       |                   i -> a.subv[i] - c.cellv[i]) AS rq
+       |          FROM a2cc a JOIN c2cc c ON c.cell_id = a.cell_id),
+       |rsv AS (SELECT vec_id, cell0, s AS sub_id,
+       |               rq[s * 16 + 1 : s * 16 + 16] AS subv
+       |        FROM resid CROSS JOIN (SELECT unnest(range(0, 4)) AS s)),
+       |${lloyd2("rsv", "rc", 16, 16, extra = Seq("cell0"))},
+       |codes AS (SELECT vec_id, sub_id, cell_id AS code, cell0 FROM a2rc),
+       |q2 AS (SELECT vec_id AS query_id, vq FROM v WHERE vec_id < 5),
+       |probes AS (SELECT query_id, cell0, rq FROM (
+       |  SELECT q.query_id, c.cell_id AS cell0,
+       |         list_transform(range(1, 65), i -> q.vq[i] - c.cellv[i]) AS rq,
+       |         row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |           ${d2("q.vq", "c.cellv", 64)},
+       |           c.cell_id) AS pr
+       |  FROM q2 q CROSS JOIN c2cc c) WHERE pr <= 4),
+       |qsub AS (SELECT query_id, cell0, s AS sub_id,
+       |                rq[s * 16 + 1 : s * 16 + 16] AS subv
+       |         FROM probes CROSS JOIN (SELECT unnest(range(0, 4)) AS s)),
+       |lut2 AS (SELECT qs.query_id, qs.cell0, r.sub_id, r.cell_id AS code,
+       |               ${d2("qs.subv", "r.cellv", 16)} AS pd2
+       |        FROM qsub qs JOIN c2rc r ON r.sub_id = qs.sub_id),
+       |scored2 AS (SELECT l.query_id, k.vec_id, sum(l.pd2)::bigint AS adc_d2
+       |           FROM codes k
+       |           JOIN lut2 l ON l.cell0 = k.cell0 AND l.sub_id = k.sub_id
+       |                     AND l.code = k.code
+       |           WHERE k.vec_id != l.query_id
+       |           GROUP BY 1, 2),
+       |ivfpqap AS (SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY adc_d2, vec_id) AS rank
+       |  FROM scored2) WHERE rank <= 5),
+       |vd AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS ve
+       |       FROM embeddings),
+       |bk AS (
+       |  SELECT vec_id,
+       |         list_sum(list_transform(generate_series(0, 7), p ->
+       |           CASE WHEN list_sum(list_transform(generate_series(0, len(ve) - 1), d ->
+       |                  ve[d + 1] * ((('0x' || substr(md5(p || ':' || d), 1, 15))::bigint
+       |                                / 1.152921504606846976e18) * 2 - 1))) >= 0
+       |                THEN cast(pow(2.0, p) AS bigint) ELSE 0 END))::bigint AS bucket
+       |  FROM vd),
+       |qd AS (SELECT * FROM vd WHERE vec_id < 5),
+       |lshap AS (
+       |  SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             ${cos("q.ve", "c.ve")} DESC,
+       |             c.vec_id) AS rank
+       |    FROM qd q
+       |    JOIN bk qb ON qb.vec_id = q.vec_id
+       |    JOIN bk cb ON cb.bucket = qb.bucket AND cb.vec_id != q.vec_id
+       |    JOIN vd c ON c.vec_id = cb.vec_id)
+       |  WHERE rank <= 5),
+       |c0f AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::int AS cell_id, ve AS cellv
+       |        FROM (SELECT * FROM vd ORDER BY vec_id LIMIT 16)),
+       |${assignD("c0f", "a0f")},
+       |${updateD("a0f", "c1f")},
+       |${assignD("c1f", "a1f")},
+       |${updateD("a1f", "c2f")},
+       |rankedf AS (
+       |  SELECT vd.vec_id, vd.ve, c.cell_id,
+       |         row_number() OVER (PARTITION BY vd.vec_id ORDER BY
+       |           ${cos("vd.ve", "c.cellv")} DESC,
+       |           c.cell_id) AS cell_rank
+       |  FROM vd CROSS JOIN c2f c),
+       |assignedf AS (SELECT vec_id, ve, cell_id FROM rankedf WHERE cell_rank = 1),
+       |probesf AS (SELECT vec_id, ve, cell_id FROM rankedf
+       |            WHERE cell_rank <= 4 AND vec_id < 5),
+       |ivfap AS (
+       |  SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |             ${cos("p.ve", "a.ve")} DESC,
+       |             a.vec_id) AS rank
+       |    FROM probesf p JOIN assignedf a
+       |      ON a.cell_id = p.cell_id AND a.vec_id != p.vec_id)
+       |  WHERE rank <= 5),
+       |allap AS (
+       |  SELECT 'lsh' AS tier, * FROM lshap
+       |  UNION ALL SELECT 'ivf' AS tier, * FROM ivfap
+       |  UNION ALL SELECT 'pq' AS tier, * FROM pqap
+       |  UNION ALL SELECT 'ivfpq' AS tier, * FROM ivfpqap),
+       |tru AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+       |           ${d2("qq.vq", "c.vq", 64)},
+       |           c.vec_id) AS rnk
+       |  FROM (SELECT * FROM v WHERE vec_id < 5) qq
+       |  CROSS JOIN v c WHERE c.vec_id != qq.vec_id)
+       |  WHERE rnk <= 5),
+       |hits AS (
+       |  SELECT a.tier, a.query_id, a.rank,
+       |         CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM allap a LEFT JOIN tru t
+       |    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id),
+       |rh AS (
+       |  SELECT *, sum(hit) OVER (PARTITION BY tier, query_id ORDER BY rank
+       |                           ROWS BETWEEN UNBOUNDED PRECEDING
+       |                           AND CURRENT ROW) AS hits_upto
+       |  FROM hits),
+       |perq0 AS (
+       |  SELECT tier, query_id, sum(hit)::bigint AS n_hits,
+       |         sum(CASE WHEN hit = 1 THEN (hits_upto * $s20) // rank
+       |                  ELSE 0 END)::bigint AS ap_sum
+       |  FROM rh GROUP BY 1, 2),
+       |ntrue AS (SELECT query_id, count(*)::bigint AS n_true FROM tru GROUP BY 1),
+       |tq AS (
+       |  SELECT t.tier, n.query_id, n.n_true,
+       |         coalesce(p.n_hits, 0) AS n_hits,
+       |         (coalesce(p.n_hits, 0) * $s20) // n.n_true AS recall_scaled,
+       |         coalesce(p.ap_sum, 0) // n.n_true AS ap_scaled
+       |  FROM (VALUES ('lsh'), ('ivf'), ('pq'), ('ivfpq')) t(tier)
+       |  CROSS JOIN ntrue n
+       |  LEFT JOIN perq0 p ON p.tier = t.tier AND p.query_id = n.query_id)
+       |SELECT tier, count(*)::bigint AS n_queries,
+       |       sum(recall_scaled)::bigint AS sum_recall_scaled,
+       |       sum(recall_scaled)::double / (${s20}.0 * count(*)) AS mean_recall,
+       |       sum(ap_scaled)::bigint AS sum_ap_scaled,
+       |       sum(ap_scaled)::double / (${s20}.0 * count(*)) AS map
+       |FROM tq GROUP BY 1""".stripMargin
+  }
+
   /** NDCG@5 / MRR of the IVF-PQ ranking against exact-L2 relevance (the
     * eval_ndcg_ann row): graded relevance = 6 − exact rank for the true
     * top-5, 0 otherwise — so the metric rewards ORDER, where recall only

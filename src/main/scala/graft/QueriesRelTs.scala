@@ -65,6 +65,34 @@ object QueriesRelTs {
       |  WINDOW win AS (PARTITION BY k ORDER BY ts, id
       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))""".stripMargin
 
+  /** The rolling-forecast CTE chain through the per-reading frame `f`
+    * (W = 8 ⇒ SI = 36, SII = 204, D = 336 — the plan literals both
+    * engines share) — shared by the forecast row and its MASE backtest.
+    * siy re-bases the sliding position-weighted sum exactly:
+    * Σ i·y = s2 − (rn − 9)·sy. */
+  private lazy val forecastOracleCtes: String =
+    """WITH s AS (
+      |  SELECT user_id AS k, event_id AS id, ts,
+      |         floor(value * 1000)::bigint AS qv,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |w AS (
+      |  SELECT *,
+      |         sum(qv) OVER win AS sy,
+      |         sum(rn * qv) OVER win AS s2,
+      |         count(*) OVER win AS c,
+      |         qv - lag(qv) OVER (PARTITION BY k ORDER BY rn) AS nd
+      |  FROM s
+      |  WINDOW win AS (PARTITION BY k ORDER BY rn
+      |                 ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
+      |f AS (
+      |  SELECT *,
+      |         CASE WHEN c = 8 THEN
+      |           (204 * sy - 36 * (s2 - (rn - 9) * sy))
+      |           + (8 * (s2 - (rn - 9) * sy) - 36 * sy) * 9 END AS fc_num
+      |  FROM w)""".stripMargin
+
   private[graft] def rows
       : Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
@@ -979,6 +1007,193 @@ object QueriesRelTs {
           |       sum(floor(value * 1000)::bigint)::bigint AS s_num,
           |       count(*)::bigint AS s_cnt
           |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // Rolling-origin one-step FORECAST (TimeSeries.forecastRolling —
+    // verdict-r15 item 3, the fifth TS quarter: the family covers shape/
+    // level/regime/decomposition; this projects FORWARD): at every
+    // reading, an exact OLS line (the Holt-linear level+trend shape) over
+    // the trailing 8 STRICTLY PRIOR readings predicts the next step, all
+    // in exact numerators — the normal-equation sums over positions 1..8
+    // are plan literals (SI=36, SII=204, D=336), the data sums are two
+    // sliding-window longs over ONE key shuffle, fc_num = forecast·336,
+    // err_scaled = (actual − forecast)·336. Short-history rows are NULL
+    // (the decompose edge discipline).
+    ("events_ts_forecast",
+      (s: SparkSession, d: String) =>
+        TimeSeries.forecastRolling(Tables.events(s, d),
+            keyCol = col("user_id"), idCol = col("event_id"),
+            tsCol = col("ts"), tieCol = col("event_id"),
+            valueCol = col("value"), window = 8, quantScale = 1000L)
+          .select(col("key").as("user_id"), col("id").as("event_id"),
+            col("qv"), col("fc_num"), col("err_scaled")),
+      Some(forecastOracleCtes +
+        """
+          |SELECT k AS user_id, id AS event_id, qv,
+          |       fc_num::bigint AS fc_num,
+          |       (CASE WHEN fc_num IS NOT NULL THEN qv * 336 - fc_num END)::bigint
+          |         AS err_scaled
+          |FROM f""".stripMargin)),
+
+    // Rolling-origin BACKTEST of the forecaster: per-key MASE in exact
+    // numerator/denominator form — Σ|forecast error| against Σ|naive
+    // one-step error| over the SAME evaluable rows (the row count
+    // cancels, so MASE = sae_fc_scaled / (336·sae_naive), ONE final IEEE
+    // division). The metric that says whether the trend line beats the
+    // random walk ("MASE < 1") — per key, so regressing keys surface
+    // individually. One aggregation over the forecast frame.
+    ("events_ts_forecast_eval",
+      (s: SparkSession, d: String) =>
+        TimeSeries.forecastBacktest(Tables.events(s, d),
+            keyCol = col("user_id"), idCol = col("event_id"),
+            tsCol = col("ts"), tieCol = col("event_id"),
+            valueCol = col("value"), window = 8, quantScale = 1000L)
+          .select(col("key").as("user_id"), col("n_eval"),
+            col("sae_fc_scaled"), col("sae_naive"), col("mase")),
+      Some(forecastOracleCtes +
+        """
+          |SELECT k AS user_id, count(*)::bigint AS n_eval,
+          |       sum(abs(qv * 336 - fc_num))::bigint AS sae_fc_scaled,
+          |       sum(abs(nd))::bigint AS sae_naive,
+          |       CASE WHEN sum(abs(nd)) > 0
+          |            THEN sum(abs(qv * 336 - fc_num))::double
+          |                 / (sum(abs(nd)) * 336) END AS mase
+          |FROM f WHERE fc_num IS NOT NULL GROUP BY 1""".stripMargin)),
+
+    // Forecast SERVING against the persistable level/trend artifact
+    // (TimeSeries.trendProfile → forecastAgainstProfile): train on each
+    // key's first 80% (the artifact keeps the OLS sufficient statistics
+    // of the last 64 training readings — bounding the tail is both the
+    // long-range guarantee, the global normal equations grow like n⁴·qv,
+    // AND the right serving semantics: extrapolate the RECENT trend),
+    // then score the held-out 20% h steps past the training end, exact
+    // cross-multiplied integers throughout; |err| > tau·den flags the
+    // surprises. The streaming twin (StatefulOps.forecastScoreStream)
+    // holds ONE long of state per key — the arrival counter — against the
+    // same artifact; parity is spec-pinned. Keys too short to train
+    // (cut = 0) drop at the profile join; artifacts with n < 2 score NULL
+    // (no line through one point).
+    ("events_ts_forecast_served",
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id"))))
+          .withColumn("cut", expr(
+            "(4 * count(*) OVER (PARTITION BY user_id)) div 5"))
+        val profile = TimeSeries.trendProfile(
+          base.filter(col("rn") <= col("cut")), col("user_id"), col("ts"),
+          col("event_id"), col("value"), lastN = 64, quantScale = 1000L)
+        TimeSeries.forecastAgainstProfile(
+            base.filter(col("rn") > col("cut"))
+              .withColumn("h", col("rn") - col("cut")),
+            profile, keyCol = col("user_id"), idCol = col("event_id"),
+            hCol = col("h"), valueCol = col("value"), quantScale = 1000L,
+            tauScaled = 200000L)
+          .select(col("key").as("user_id"), col("id").as("event_id"),
+            col("h"), col("qv"), col("n"), col("den"), col("fc_num"),
+            col("err_scaled"), col("is_surprise"))
+      },
+      Some(
+        """WITH s AS (
+          |  SELECT user_id AS k, event_id AS id, ts,
+          |         floor(value * 1000)::bigint AS qv,
+          |         row_number() OVER (PARTITION BY user_id
+          |                            ORDER BY ts, event_id) AS rn,
+          |         (4 * count(*) OVER (PARTITION BY user_id)) // 5 AS cut
+          |  FROM events),
+          |tl AS (
+          |  SELECT k, qv,
+          |         row_number() OVER (PARTITION BY k
+          |                            ORDER BY ts DESC, id DESC) AS rd
+          |  FROM s WHERE rn <= cut),
+          |ti AS (
+          |  SELECT k, qv,
+          |         row_number() OVER (PARTITION BY k ORDER BY rd DESC) AS i
+          |  FROM tl WHERE rd <= 64),
+          |prof AS (
+          |  SELECT k, count(*)::bigint AS n, sum(qv)::bigint AS s_y,
+          |         sum(i * qv)::bigint AS s_iy
+          |  FROM ti GROUP BY 1),
+          |t AS (SELECT k, id, qv, rn - cut AS h FROM s WHERE rn > cut),
+          |j AS (
+          |  SELECT t.*, p.n, p.s_y, p.s_iy,
+          |         n * (n + 1) // 2 AS si,
+          |         n * (n + 1) * (2 * n + 1) // 6 AS sii
+          |  FROM t JOIN prof p ON p.k = t.k),
+          |g AS (
+          |  SELECT *,
+          |         CASE WHEN n >= 2 THEN n * sii - si * si END AS den,
+          |         CASE WHEN n >= 2 THEN (sii * s_y - si * s_iy)
+          |              + (n * s_iy - si * s_y) * (n + h) END AS fc_num
+          |  FROM j)
+          |SELECT k AS user_id, id AS event_id, h::bigint AS h, qv,
+          |       n, den::bigint AS den, fc_num::bigint AS fc_num,
+          |       (qv * den - fc_num)::bigint AS err_scaled,
+          |       (CASE WHEN den IS NULL THEN NULL
+          |             WHEN abs(qv * den - fc_num) > 200000 * den THEN 1
+          |             ELSE 0 END)::int AS is_surprise
+          |FROM g""".stripMargin)),
+
+    // ALL-MATCHES CEP (Cep.allSeqMatches — verdict-r15 item 2, the
+    // AFTER MATCH SKIP TO NEXT ROW policy; lastSeqMatchN pins
+    // skip-till-last): every purchase reports EVERY view anchor (up to
+    // the 8 most recent within the 7-day window, capped by recency
+    // BEFORE validity — deterministic) that chains through the latest
+    // click with no error after the anchor. The anchor state is a
+    // range-frame collect bounded by the match window (retention-horizon
+    // state, not key history); still one key shuffle, no NFA, no
+    // self-join. span_rank numbers anchors by recency within the capped
+    // set; skip-till-last ⊆ all-matches is property-pinned (CepSpec).
+    ("events_cep_all_matches",
+      (s: SparkSession, d: String) =>
+        Cep.allSeqMatches(Tables.events(s, d),
+            keyCol = col("user_id"), tsCol = col("ts"), tieCol = col("event_id"),
+            steps = Seq(col("event_type") === "view",
+              col("event_type") === "click",
+              col("event_type") === "purchase"),
+            negation = col("event_type") === "error",
+            windowSeconds = 604800L, maxSpans = 8)
+          .select(col("key").as("user_id"), col("close_id").as("purchase_id"),
+            ntz(col("ts_1")).as("view_ts"), ntz(col("ts_2")).as("click_ts"),
+            ntz(col("ts_3")).as("purchase_ts"), col("gap_seconds"),
+            col("span_rank")),
+      Some(
+        """WITH o AS (
+          |  SELECT user_id, event_id, event_type, ts,
+          |         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+          |           OVER w_run AS n_upto
+          |  FROM events
+          |  WINDOW w_run AS (PARTITION BY user_id ORDER BY ts, event_id
+          |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          |l AS (
+          |  SELECT *,
+          |         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+          |           OVER w AS l1_ts
+          |  FROM o
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          |cl AS (
+          |  SELECT user_id, event_id AS purchase_id, ts AS c_ts,
+          |         n_upto AS c_n, l1_ts
+          |  FROM l
+          |  WHERE event_type = 'purchase' AND l1_ts IS NOT NULL AND l1_ts < ts),
+          |an AS (
+          |  SELECT user_id, event_id AS a_id, ts AS a_ts, n_upto AS a_n
+          |  FROM o WHERE event_type = 'view'),
+          |cand AS (
+          |  SELECT cl.*, an.a_ts, an.a_id, an.a_n,
+          |         row_number() OVER (PARTITION BY cl.user_id, cl.purchase_id
+          |                            ORDER BY an.a_ts DESC, an.a_id DESC) AS rk
+          |  FROM cl JOIN an ON an.user_id = cl.user_id
+          |   AND an.a_ts <= cl.c_ts
+          |   AND epoch_us(cl.c_ts) - epoch_us(an.a_ts) <= 604800000000)
+          |SELECT user_id, purchase_id, a_ts AS view_ts, l1_ts AS click_ts,
+          |       c_ts AS purchase_ts,
+          |       (epoch_us(c_ts) - epoch_us(a_ts)) // 1000000 AS gap_seconds,
+          |       rk::int AS span_rank
+          |FROM cand
+          |WHERE rk <= 8 AND a_ts < l1_ts AND c_n = a_n""".stripMargin)),
 
     // Interval (range) join via bucketed equi-join: purchases landing in the
     // 6-hour window after each error by the same user, aggregated per error.

@@ -1019,6 +1019,41 @@ object QueriesSimMedia {
       },
       Some(PqOracle.ndcgAnnSql)),
 
+    // Recall@5 + MAP of the WHOLE pruning/compression ladder against ONE
+    // exact-L2 baseline (Eval.recallApAtK / recallMapSummary —
+    // verdict-r15 item 4): four tiers (LSH planes, IVF probe, PQ-ADC,
+    // IVF-PQ composite — the served path), each graded per query against
+    // the same brute truth and rolled up per tier, so a tier regression
+    // surfaces as ONE row moving in one frame instead of four separate
+    // recall rows drifting independently. MAP grades ORDER within the
+    // hit set (AP in 2^20 fixed point, floor-div exact cross-engine);
+    // recall grades membership. The truth pass is the only brute scan;
+    // every tier reuses its own row's machinery unchanged.
+    ("eval_recall_map_ann",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") < 5)
+        val truth = Similarity.l2TopK(q, emb, "vec_id", "embedding", 5)
+        def grade(name: String, approx: DataFrame): DataFrame =
+          Eval.recallMapSummary(
+            Eval.recallApAtK(approx, truth, col("query_id"),
+                col("neighbor_id"), col("rank"), col("query_id"),
+                col("neighbor_id"))
+              .withColumn("tier", lit(name)),
+            Seq("tier"))
+        val cents = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4,
+          ksub = 16, iters = 2)
+        val codes = Similarity.pqEncode(emb, cents, "vec_id", "embedding", m = 4)
+        grade("lsh", Similarity.bucketedTopK(q, emb, "vec_id", "embedding", 5,
+            nPlanes = 8))
+          .unionByName(grade("ivf", Similarity.ivfTopK(q, emb, "vec_id",
+            "embedding", 5, nCells = 16, nProbe = 4)))
+          .unionByName(grade("pq", Similarity.pqAdcTopK(q, codes, cents,
+            "vec_id", "embedding", m = 4, k = 5)))
+          .unionByName(grade("ivfpq", ivfPqTop5Served(s, d)))
+      },
+      Some(PqOracle.recallMapAnnSql)),
+
     // The complete production ANN query path: IVF-PQ probe → ADC shortlist
     // (50) → exact re-rank → recall vs brute. Re-ranking recovers ADC's
     // ordering noise; the residue is the probe's own membership ceiling
@@ -1658,11 +1693,11 @@ object QueriesSimMedia {
           |           j -> ord(substring(seed, j, 1))::bigint * 16) AS fvec
           |  FROM d WHERE doc_id % 7 <> 0),
           |vb AS (
-          |  SELECT *, array_to_string(list_transform(fvec,
+          |  SELECT *, '1:' || array_to_string(list_transform(fvec,
           |           s -> (s // 64)::varchar), ',') AS bucket
           |  FROM vf),
           |ib AS (
-          |  SELECT *, array_to_string(list_transform(fvec,
+          |  SELECT *, '1:' || array_to_string(list_transform(fvec,
           |           s -> (s // 64)::varchar), ',') AS bucket
           |  FROM im)
           |SELECT v.video_id, v.frame_idx, i.image_id,
@@ -1670,6 +1705,140 @@ object QueriesSimMedia {
           |         k -> abs(v.fvec[k] - i.fvec[k])))::bigint AS l1,
           |       (CASE WHEN list_sum(list_transform(range(1, 5),
           |               k -> abs(v.fvec[k] - i.fvec[k]))) <= 96
+          |             THEN 1 ELSE 0 END)::int AS near_dup
+          |FROM vb v JOIN ib i USING (bucket)""".stripMargin)),
+
+    // Shift-tolerant PERCEPTUAL near-dup (Multimodal.phashNearDup —
+    // verdict-r15 item 5): the pHash idea with the DCT basis replaced by
+    // the Walsh–Hadamard matrix, whose ±1 entries keep the whole chain
+    // integer-exact AND make the shift-invariance provable (every v ≥ 1
+    // basis row sums to zero EXACTLY — floored-cosine DCT tables only
+    // approximately). Content here is per-grid-row LINEAR ramps
+    // (pixel = b_j + s_j·x, params from the seed), and images are either
+    // a +1-px x-TRANSLATE or a BRIGHTNESS shift of a video frame — both
+    // perturb every raw grid mean (the crossModalNearDup bucket misses
+    // whenever a quant cell is crossed; spec-pinned), but both leave the
+    // x-frequency ≥ 1 Walsh coefficients bit-identical, so the phash
+    // bucket join finds every copy with exact L1 = 0. The oracle derives
+    // the coefficient closed form from the same seed arithmetic
+    // (F[u][1] = −128·W_u, F[u][2] = 0, F[u][3] = −64·W_u with W the
+    // Walsh transform of the slope vector — the webUrlCanonCte
+    // independent-derivation precedent). Pair space DuckDB-checked
+    // before adoption; per-side hot-bucket cap 64 (never engages at gate
+    // scales — the slope keyspace is 13⁴).
+    ("multimodal_phash_near_dup",
+      (s: SparkSession, d: String) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        val seedHex = md5(concat(col("source"), lit(":"),
+          col("n_chars").cast("string")))
+        // stage the seed-derived ramp parameters behind a checkpoint:
+        // inlining md5(seed) into all 64 byte slots per frame builds a
+        // ~70 KB expression janino refuses to compile — the payload
+        // builders below reference these SMALL param columns instead
+        val params = docs
+          .select(col("doc_id"), seedHex.as("seed"))
+          .select((Seq(col("doc_id")) ++
+            (for (i <- 0 to 2; j <- 0 to 3) yield Seq(
+              (lit(100) + pmod(ascii(substring(col("seed"),
+                i * 8 + 2 * j + 1, 1)), lit(37))).as(s"b_${i}_$j"),
+              (pmod(ascii(substring(col("seed"),
+                i * 8 + 2 * j + 2, 1)), lit(13)) - 6).as(s"s_${i}_$j")
+            )).flatten ++ Seq(
+            (pmod(ascii(substring(col("seed"), 25, 1)), lit(21)) - 10)
+              .as("delta0"))): _*)
+          .localCheckpoint()
+        // 8×8×1 pixel region: row-linear ramps, one (b, s) per grid row
+        def framePix(i: Int, shift: Int, delta: Column): Column =
+          concat((0 until 64).map { p =>
+            val x = p % 8
+            val j = (p / 8) / 2
+            unhex(lpad(hex(col(s"b_${i}_$j") + delta +
+              col(s"s_${i}_$j") * (x + shift)), 2, "0"))
+          }: _*)
+        def frame(i: Int) = concat(
+          lit("GIMG".getBytes("US-ASCII")),
+          unhex(lit("0008")), unhex(lit("0008")), unhex(lit("01")),
+          framePix(i, 0, lit(0)))
+        val n = (col("doc_id") % 3 + 1).cast("int")
+        val emptyBin = lit(Array.empty[Byte])
+        val indexBytes = concat((0 until 3).map { i =>
+          when(n > i, unhex(lpad(hex(lit(i * 73L)), 8, "0")))
+            .otherwise(emptyBin)
+        }: _*)
+        val framesBytes = concat((0 until 3).map { i =>
+          when(n > i, frame(i)).otherwise(emptyBin)
+        }: _*)
+        val vMagic = when(col("doc_id") % 13 === 0,
+          lit("XVID".getBytes("US-ASCII")))
+          .otherwise(lit("GVID".getBytes("US-ASCII")))
+        val iMagic = when(col("doc_id") % 7 === 0,
+          lit("XIMG".getBytes("US-ASCII")))
+          .otherwise(lit("GIMG".getBytes("US-ASCII")))
+        val videos = params
+          .withColumn("payload", concat(vMagic, unhex(lpad(hex(n), 4, "0")),
+            indexBytes, framesBytes))
+          .select(col("doc_id"), col("payload")).localCheckpoint()
+        // image = frame (doc_id % 3) under a +1-px x-shift (odd docs) or
+        // a seed-derived brightness delta (even docs)
+        val delta = when(col("doc_id") % 2 === 0, col("delta0"))
+          .otherwise(lit(0))
+        def imgPix(i: Int): Column =
+          when(col("doc_id") % 2 === 0, framePix(i, 0, delta))
+            .otherwise(framePix(i, 1, lit(0)))
+        val pixImg = when(col("doc_id") % 3 === 0, imgPix(0))
+          .when(col("doc_id") % 3 === 1, imgPix(1))
+          .otherwise(imgPix(2))
+        val images = params
+          .withColumn("payload", concat(iMagic,
+            unhex(lit("0008")), unhex(lit("0008")), unhex(lit("01")),
+            pixImg))
+          .select(col("doc_id"), col("payload")).localCheckpoint()
+        Multimodal.phashNearDup(videos, col("doc_id"), col("payload"),
+          images, col("doc_id"), col("payload"), grid = 4, meanScale = 16L,
+          quant = 256L, maxL1 = 256L)
+      },
+      Some(
+        """WITH d AS (
+          |  SELECT doc_id, md5(source || ':' || n_chars::varchar) AS seed
+          |  FROM documents WHERE text IS NOT NULL),
+          |vs AS (
+          |  SELECT doc_id AS video_id, i::int AS frame_idx,
+          |         list_transform(range(0, 4), j ->
+          |           (ord(substring(seed, (i * 8 + 2 * j + 2)::int, 1)) % 13) - 6)
+          |           AS sv
+          |  FROM d CROSS JOIN (SELECT unnest(range(0, 3)) AS i)
+          |  WHERE doc_id % 13 <> 0 AND i < doc_id % 3 + 1),
+          |im AS (
+          |  SELECT doc_id AS image_id,
+          |         list_transform(range(0, 4), j ->
+          |           (ord(substring(seed, ((doc_id % 3) * 8 + 2 * j + 2)::int, 1))
+          |              % 13) - 6) AS sv
+          |  FROM d WHERE doc_id % 7 <> 0),
+          |vw AS (
+          |  SELECT video_id, frame_idx,
+          |         [sv[1]+sv[2]+sv[3]+sv[4], sv[1]+sv[2]-sv[3]-sv[4],
+          |          sv[1]-sv[2]-sv[3]+sv[4], sv[1]-sv[2]+sv[3]-sv[4]] AS wv
+          |  FROM vs),
+          |iw AS (
+          |  SELECT image_id,
+          |         [sv[1]+sv[2]+sv[3]+sv[4], sv[1]+sv[2]-sv[3]-sv[4],
+          |          sv[1]-sv[2]-sv[3]+sv[4], sv[1]-sv[2]+sv[3]-sv[4]] AS wv
+          |  FROM im),
+          |vb AS (
+          |  SELECT *, '1:' || array_to_string(flatten(list_transform(wv,
+          |           w -> [(-128 * w) // 256, 0, (-64 * w) // 256])), ',')
+          |           AS bucket
+          |  FROM vw),
+          |ib AS (
+          |  SELECT *, '1:' || array_to_string(flatten(list_transform(wv,
+          |           w -> [(-128 * w) // 256, 0, (-64 * w) // 256])), ',')
+          |           AS bucket
+          |  FROM iw)
+          |SELECT v.video_id, v.frame_idx, i.image_id,
+          |       list_sum(list_transform(range(1, 5),
+          |         u -> 192 * abs(v.wv[u] - i.wv[u])))::bigint AS l1,
+          |       (CASE WHEN list_sum(list_transform(range(1, 5),
+          |               u -> 192 * abs(v.wv[u] - i.wv[u]))) <= 256
           |             THEN 1 ELSE 0 END)::int AS near_dup
           |FROM vb v JOIN ib i USING (bucket)""".stripMargin)),
   )

@@ -717,6 +717,81 @@ object QueriesSql {
     ("sql_eval_ndcg_retrieval", "eval_ndcg_retrieval", Seq("documents"),
       retrievalNdcgSparkSql),
 
+    // Rolling-origin OLS forecast from SQL text: the trailing-window
+    // normal equations with their literal position sums (SI=36, SII=204,
+    // D=336), the position-weighted sum re-based from sum(rn·qv) — gated
+    // on the events_ts_forecast oracle.
+    ("sql_events_ts_forecast", "events_ts_forecast", Seq("events"),
+      """WITH s AS (
+        |  SELECT user_id AS k, event_id AS id, ts,
+        |         CAST(floor(value * 1000) AS bigint) AS qv,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |w AS (
+        |  SELECT *,
+        |         sum(qv) OVER win AS sy,
+        |         sum(rn * qv) OVER win AS s2,
+        |         count(*) OVER win AS c
+        |  FROM s
+        |  WINDOW win AS (PARTITION BY k ORDER BY rn
+        |                 ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
+        |f AS (
+        |  SELECT *,
+        |         CASE WHEN c = 8 THEN
+        |           (204L * sy - 36L * (s2 - (rn - 9) * sy))
+        |           + (8L * (s2 - (rn - 9) * sy) - 36L * sy) * 9L END AS fc_num
+        |  FROM w)
+        |SELECT k AS user_id, id AS event_id, qv, fc_num,
+        |       CASE WHEN fc_num IS NOT NULL
+        |            THEN qv * 336L - fc_num END AS err_scaled
+        |FROM f""".stripMargin),
+
+    // All-matches CEP from SQL text: the bounded anchor enumeration as an
+    // explicit anchors×closes join + recency rank (the oracle's own shape
+    // — a SQL cell has no bounded-collect idiom, so the join IS the
+    // frontend form; the DataFrame operator keeps the one-shuffle
+    // collect). Gated on the events_cep_all_matches oracle.
+    ("sql_events_cep_all_matches", "events_cep_all_matches", Seq("events"),
+      """WITH o AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |           OVER w_run AS n_upto
+        |  FROM events
+        |  WINDOW w_run AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |l AS (
+        |  SELECT *,
+        |         last_value(CASE WHEN event_type = 'click' THEN ts END)
+        |           IGNORE NULLS OVER w AS l1_ts
+        |  FROM o
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |cl AS (
+        |  SELECT user_id, event_id AS purchase_id, ts AS c_ts,
+        |         n_upto AS c_n, l1_ts
+        |  FROM l
+        |  WHERE event_type = 'purchase' AND l1_ts IS NOT NULL AND l1_ts < ts),
+        |an AS (
+        |  SELECT user_id, event_id AS a_id, ts AS a_ts, n_upto AS a_n
+        |  FROM o WHERE event_type = 'view'),
+        |cand AS (
+        |  SELECT cl.user_id, cl.purchase_id, cl.c_ts, cl.c_n, cl.l1_ts,
+        |         an.a_ts, an.a_id, an.a_n,
+        |         row_number() OVER (PARTITION BY cl.user_id, cl.purchase_id
+        |                            ORDER BY an.a_ts DESC, an.a_id DESC) AS rk
+        |  FROM cl JOIN an ON an.user_id = cl.user_id
+        |   AND an.a_ts <= cl.c_ts
+        |   AND unix_micros(cl.c_ts) - unix_micros(an.a_ts) <= 604800000000L)
+        |SELECT user_id, purchase_id,
+        |       CAST(a_ts AS timestamp_ntz) AS view_ts,
+        |       CAST(l1_ts AS timestamp_ntz) AS click_ts,
+        |       CAST(c_ts AS timestamp_ntz) AS purchase_ts,
+        |       (unix_micros(c_ts) - unix_micros(a_ts)) div 1000000 AS gap_seconds,
+        |       CAST(rk AS int) AS span_rank
+        |FROM cand
+        |WHERE rk <= 8 AND a_ts < l1_ts AND c_n = a_n""".stripMargin),
+
     // Record linkage from SQL text: the dirty-table synthesis, segment-pair
     // blocking keys, hot-key drop (window count), candidate equi-join and
     // levenshtein verify — the whole entity-resolution chain drivable from

@@ -85,8 +85,15 @@ object ScaleAll {
             s"slice(embedding, 1, $rot))"))
       },
       "documents" -> { (d, i) =>
+        // `source` is rewritten injectively too (r15 sf10 audit finding:
+        // md5(source:n_chars)-seeded keyspaces — multimodal fingerprints,
+        // web URL hosts — replicated across copies, turning their bucket
+        // joins quadratic in the copy count; text's `_cN` suffix alone
+        // doesn't help because it adds the same length to every copy,
+        // leaving n_chars equal across copies 0-9)
         d.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1_c$i"))
           .withColumn("n_chars", length(col("text")).cast("long"))
+          .withColumn("source", concat(col("source"), lit(s"_c$i")))
       })
     tables.foreach { case (name, tweak) =>
       scaled(name, tweak).coalesce(cpus.toInt)

@@ -138,6 +138,103 @@ object Cep {
       .drop((0 until steps.size - 1).map(j => s"n_${j}_0"): _*)
   }
 
+  /**
+   * ALL-MATCHES sequence detection — the `AFTER MATCH SKIP TO NEXT ROW`
+   * after-match policy ([[lastSeqMatchN]] pins skip-till-last): a closing
+   * row reports EVERY step-0 anchor that completes a match, not just the
+   * latest — up to `maxSpans` most-recent anchors per close, the bounded
+   * enumeration a production engine ships (MATCH_RECOGNIZE row-pattern
+   * engines bound overlapping-match fan-out the same way).
+   *
+   * Semantics per closing row (a row satisfying the FINAL step): the
+   * INTERMEDIATE steps 1..K-2 stay skip-till-last — their latest matches
+   * must chain strictly ascending below the close, shared by every
+   * reported span (varying them too would be the exponential all-
+   * combinations policy no engine enumerates unbounded). The anchor set
+   * is the `maxSpans` most-recent step-0 rows within `windowSeconds` of
+   * the close — capped by RECENCY BEFORE validity filtering, so the cap
+   * is a deterministic function of the input, oracle-replayable — and an
+   * anchor reports a span iff it precedes the first intermediate match
+   * (strict ts), lies within the window, and no `negation` row falls
+   * after it up to the close (the global-negation contract, per anchor).
+   *
+   * Encoding: the [[lastSeqMatchN]] counter/last-match machinery, plus
+   * ONE running `collect_list` of anchor snapshots (ts, tie, negation
+   * count) over a RANGE frame bounded by `windowSeconds` — anchors older
+   * than the window can never match, so the collected state is bounded
+   * by (arrival rate × window), the standard streaming-retention bound,
+   * NOT the key's history; `maxSpans` caps what survives into the
+   * explode. Still ONE key shuffle, no NFA, no self-join; the close
+   * explodes its capped anchor array (≤ maxSpans rows out per close).
+   *
+   * `span_rank` numbers the emitted spans by anchor recency within the
+   * CAPPED anchor set (1 = most recent capped anchor, valid or not —
+   * computed from the slice position, no second shuffle); gaps in the
+   * sequence mean nearer anchors failed validity. Every [[lastSeqMatchN]]
+   * match appears here with its same chain (skip-till-last ⊆
+   * all-matches — property-pinned); the converse fails exactly when the
+   * latest anchor is negation-poisoned but an earlier one is clean.
+   *
+   * Output: (key, close_id, ts_1 … ts_K, gap_seconds, span_rank).
+   */
+  def allSeqMatches(events: DataFrame, keyCol: Column, tsCol: Column,
+      tieCol: Column, steps: Seq[Column], negation: Column,
+      windowSeconds: Long, maxSpans: Int = 16): DataFrame = {
+    require(windowSeconds > 0, "need a positive match window")
+    require(steps.size >= 2, "need at least two pattern steps")
+    require(maxSpans >= 1, "need a positive span cap")
+    val k = steps.size
+    val mids = 1 until (k - 1)        // intermediate steps, skip-till-last
+    val e = events.select((Seq(keyCol.as("key"), tsCol.as("ts"),
+      tieCol.as("tie")) ++
+      steps.zipWithIndex.map { case (c, i) => c.as(s"is_$i") } :+
+      negation.as("is_n")): _*)
+      .withColumn("us", unix_micros(col("ts")))
+    val w = Window.partitionBy(col("key")).orderBy(col("ts"), col("tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // anchors collect over a TIME-bounded range frame: out-of-window
+    // anchors are invalid by construction, so the running array carries
+    // only the retention horizon
+    val wr = Window.partitionBy(col("key")).orderBy(col("us"))
+      .rangeBetween(-windowSeconds * 1000000L, 0L)
+    val withAnchors = mids.foldLeft(
+        e.withColumn("n_upto", sum(when(col("is_n"), 1L).otherwise(0L)).over(w))
+          .withColumn("aws_all", collect_list(when(col("is_0"),
+            struct(col("ts").as("a_ts"), col("us").as("a_us"),
+              col("tie").as("a_tie"), col("n_upto").as("a_n")))).over(wr))) {
+      (acc, i) =>
+        acc.withColumn(s"l${i}_ts",
+          last(when(col(s"is_$i"), col("ts")), ignoreNulls = true).over(w))
+    }
+    val midTs = mids.map(i => col(s"l${i}_ts")) :+ col("ts")
+    val midChain =
+      if (mids.isEmpty) lit(true)
+      else mids.map(i => col(s"l${i}_ts").isNotNull).reduce(_ && _) &&
+        midTs.zip(midTs.tail).map { case (a, b) => a < b }.reduce(_ && _)
+    val firstAfterAnchor = if (mids.isEmpty) col("ts") else col("l1_ts")
+    // the range frame orders by `us` alone, so same-microsecond anchors
+    // collect in nondeterministic relative order — array_sort (struct
+    // lexicographic: a_ts, a_us, a_tie) restores the (ts, tie) total
+    // order BEFORE the recency cap; sort + slice run on CLOSE rows only
+    withAnchors.filter(col(s"is_${k - 1}") && midChain)
+      .withColumn("aws", slice(array_sort(col("aws_all")),
+        greatest(size(col("aws_all")) - maxSpans + 1, lit(1)),
+        lit(maxSpans)))
+      .select((Seq(col("key"), col("ts"), col("us"), col("tie"),
+        col("n_upto"), col("aws"), size(col("aws")).as("n_aws")) ++
+        mids.map(i => col(s"l${i}_ts"))): _*)
+      .select(col("*"), posexplode(col("aws")).as(Seq("a_pos", "a")))
+      .filter(col("a.a_ts") < firstAfterAnchor &&
+        col("us") - col("a.a_us") <= windowSeconds * 1000000L &&
+        col("n_upto") === col("a.a_n"))
+      .select((Seq(col("key"), col("tie").as("close_id"),
+        col("a.a_ts").as("ts_1")) ++
+        mids.map(i => col(s"l${i}_ts").as(s"ts_${i + 1}")) ++ Seq(
+        col("ts").as(s"ts_$k"),
+        expr("(us - a.a_us) div 1000000").as("gap_seconds"),
+        (col("n_aws") - col("a_pos")).cast("int").as("span_rank"))): _*)
+  }
+
   /** One occurrence constraint on a pattern gap: rows satisfying `pred`
     * strictly after the matched left step up to and including the matched
     * right step (the closing row for the final gap), in (ts, tie) order,

@@ -164,6 +164,75 @@ object Eval {
           (lit(rrScale.toDouble) * col("n_queries"))).as("mrr"))
 
   /**
+   * Recall@K + average precision (the MAP numerator) per query — the
+   * retrieval-eval breadth beyond [[ndcgAtK]]'s graded ranking: grade an
+   * approximate top-K list (`approx`: query, doc, rank) against the exact
+   * ground-truth set (`truth`: query, doc — e.g. the brute-force L2 top-K),
+   * every intermediate an exact long:
+   *
+   *  - a HIT is an approx row whose doc is in the query's truth set
+   *    (equi-join, broadcastable whenever the query panel is);
+   *  - recall_scaled = n_hits·scale div n_true (exact fixed point; n_true
+   *    is the query's truth-set size, so ties in the truth frontier that
+   *    enlarge it are graded against what the truth actually holds);
+   *  - AP in the [[dcgWeights]] fixed-point discipline: at each hit rank r,
+   *    precision@r = hits_upto_r / r contributes (hits_upto_r·scale) div r
+   *    — floor division, bit-identical in any engine — and
+   *    ap_scaled = Σ contributions div n_true (the standard AP@K with the
+   *    min(|rel|, K) = n_true denominator for K-sized truth).
+   *
+   * One key shuffle on query; the running hit count is a window bounded by
+   * the per-query list length. Queries present in `truth` but absent from
+   * `approx` (a tier that returned nothing) still report, with zero hits —
+   * a silent drop would inflate the tier's mean. Output: (query, n_true,
+   * n_hits, recall_scaled, ap_scaled).
+   */
+  def recallApAtK(approx: DataFrame, truth: DataFrame, queryCol: Column,
+      docCol: Column, rankCol: Column, truthQueryCol: Column,
+      truthDocCol: Column, scale: Long = 1L << 20): DataFrame = {
+    val a = approx.select(queryCol.as("query"), docCol.as("doc"),
+      rankCol.cast("long").as("rank"))
+    val t = truth.select(truthQueryCol.as("query"), truthDocCol.as("doc"),
+      lit(1L).as("hit"))
+    val w = Window.partitionBy(col("query")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = a.join(t, Seq("query", "doc"), "left")
+      .withColumn("hits_upto", sum(coalesce(col("hit"), lit(0L))).over(w))
+      .withColumn("ap_part",
+        when(col("hit").isNotNull,
+          expr(s"(hits_upto * ${scale}L) div rank")).otherwise(lit(0L)))
+      .groupBy(col("query"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+        sum(col("ap_part")).as("ap_sum"))
+    val nTrue = t.groupBy(col("query")).agg(count(lit(1)).as("n_true"))
+    nTrue.join(scored, Seq("query"), "left")
+      .select(col("query"), col("n_true"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr(s"(coalesce(n_hits, 0L) * ${scale}L) div n_true")
+          .as("recall_scaled"),
+        expr("coalesce(ap_sum, 0L) div n_true").as("ap_scaled"))
+  }
+
+  /** Corpus roll-up of [[recallApAtK]] — mean recall@K and MAP over
+    * queries in exact numerator form + ONE final IEEE division each
+    * (the [[retrievalEvalSummary]] shape). Group by any tier/label
+    * columns the caller carried through. Output: one row per group
+    * (n_queries, sum_recall_scaled, mean_recall, sum_ap_scaled, map). */
+  def recallMapSummary(perQuery: DataFrame, groupCols: Seq[String],
+      scale: Long = 1L << 20): DataFrame =
+    perQuery.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("recall_scaled")).as("sum_recall_scaled"),
+        sum(col("ap_scaled")).as("sum_ap_scaled"))
+      .select((groupCols.map(col) ++ Seq(col("n_queries"),
+        col("sum_recall_scaled"),
+        (col("sum_recall_scaled").cast("double") /
+          (lit(scale.toDouble) * col("n_queries"))).as("mean_recall"),
+        col("sum_ap_scaled"),
+        (col("sum_ap_scaled").cast("double") /
+          (lit(scale.toDouble) * col("n_queries"))).as("map"))): _*)
+
+  /**
    * Full precision/recall curve at EVERY achievable operating point: one row
    * per distinct score s, reporting the confusion counts of the classifier
    * "predict positive iff score ≥ s" — exact long tp/fp/fn (the threshold-

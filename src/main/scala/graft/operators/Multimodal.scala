@@ -602,17 +602,14 @@ object Multimodal {
    * richness, exactly like SAX segments/alphabet.
    * Output: (video_id, frame_idx, image_id, l1, near_dup).
    */
-  def crossModalNearDup(videos: DataFrame, vidId: Column, vidBin: Column,
-      images: DataFrame, imgId: Column, imgBin: Column, grid: Int = 2,
-      meanScale: Long = 16L, quant: Long = 64L, maxL1: Long = 96L,
-      maxBucket: Int = 64): DataFrame = {
-    require(grid >= 1, "need a positive grid")
-    require(meanScale >= 1, "need a positive mean scale")
-    require(quant >= 1, "need a positive quantization cell width")
-    require(maxBucket >= 1, "need a positive per-side bucket cap")
+  /** The video half of the cross-modal decode: offset-indexed GVID frames
+    * to per-frame [[gridMeans]] fingerprints, strict reject rules (a bad
+    * container or ANY bad frame drops the whole video; frames must have
+    * grid-divisible dims). Output: (video_id, frame_idx, channels, gvec). */
+  private def videoGridFrames(videos: DataFrame, vidId: Column,
+      vidBin: Column, grid: Int, meanScale: Long): DataFrame = {
     def beUint(b: Column, start: Column, len: Int): Column =
       conv(hex(b.substr(start, lit(len))), 16, 10).cast("long")
-    // ---- video side: offset-indexed frames -> grid fingerprints ---------
     val nFrames = beUint(vidBin, lit(5), 2)
     val containerOk =
       substring(vidBin, 1, 4) === lit("GVID".getBytes("US-ASCII")) &&
@@ -636,7 +633,7 @@ object Multimodal {
           gridMeans(vidBin, fpos + 9L, fw, fh, fc, grid, meanScale)
             .as("gvec")))
     })
-    val vf = videos
+    videos
       .select(vidId.as("video_id"),
         when(containerOk && !exists(frames, f => f.isNull), frames)
           .as("frames"))
@@ -645,7 +642,14 @@ object Multimodal {
         posexplode(col("frames")).as(Seq("frame_idx", "f")))
       .select(col("video_id"), col("frame_idx").cast("int").as("frame_idx"),
         col("f.c").as("channels"), col("f.gvec").as("gvec"))
-    // ---- image side: strict full-length GIMG -> grid fingerprint --------
+  }
+
+  /** The image half: strict full-length grid-divisible GIMG to its
+    * [[gridMeans]] fingerprint. Output: (image_id, channels, gvec). */
+  private def imageGridFingerprint(images: DataFrame, imgId: Column,
+      imgBin: Column, grid: Int, meanScale: Long): DataFrame = {
+    def beUint(b: Column, start: Column, len: Int): Column =
+      conv(hex(b.substr(start, lit(len))), 16, 10).cast("long")
     val iw = beUint(imgBin, lit(5), 2)
     val ih = beUint(imgBin, lit(7), 2)
     val ic = beUint(imgBin, lit(9), 1)
@@ -654,7 +658,7 @@ object Multimodal {
       length(imgBin) >= 9 && iw > 0 && ih > 0 && ic > 0 &&
       iw % grid === 0 && ih % grid === 0 &&
       length(imgBin).cast("long") >= lit(9L) + nPixI
-    val imf = images
+    images
       .select(imgId.as("image_id"),
         when(imgOk, struct(ic.as("c"),
           gridMeans(imgBin, lit(10L), iw, ih, ic, grid, meanScale)
@@ -662,6 +666,18 @@ object Multimodal {
       .filter(col("f").isNotNull)
       .select(col("image_id"), col("f.c").as("channels"),
         col("f.gvec").as("gvec"))
+  }
+
+  def crossModalNearDup(videos: DataFrame, vidId: Column, vidBin: Column,
+      images: DataFrame, imgId: Column, imgBin: Column, grid: Int = 2,
+      meanScale: Long = 16L, quant: Long = 64L, maxL1: Long = 96L,
+      maxBucket: Int = 64): DataFrame = {
+    require(grid >= 1, "need a positive grid")
+    require(meanScale >= 1, "need a positive mean scale")
+    require(quant >= 1, "need a positive quantization cell width")
+    require(maxBucket >= 1, "need a positive per-side bucket cap")
+    val vf = videoGridFrames(videos, vidId, vidBin, grid, meanScale)
+    val imf = imageGridFingerprint(images, imgId, imgBin, grid, meanScale)
     def bucketed(df: DataFrame): DataFrame = df
       .withColumn("bucket",
         concat_ws(":", col("channels").cast("string"),
@@ -673,6 +689,109 @@ object Multimodal {
         col("gvec").as("va"))
       .join(bucketed(imf).select(col("bucket"), col("image_id"),
         col("gvec").as("vb")), "bucket")
+      .withColumn("l1", aggregate(
+        zip_with(col("va"), col("vb"), (x, y) => abs(x - y)),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("video_id"), col("frame_idx"), col("image_id"), col("l1"),
+        (col("l1") <= maxL1).cast("int").as("near_dup"))
+  }
+
+  /** Sequency-ordered Walsh–Hadamard matrix for `g` ∈ {2, 4, 8, …} (powers
+    * of two): the natural Sylvester construction with rows sorted by sign-
+    * change count, entries ±1 — the integer-EXACT stand-in for the DCT
+    * basis (floored-cosine DCT tables would break the orthogonality the
+    * shift-invariance proof needs: Σ_x H[v][x] = 0 holds EXACTLY for every
+    * v ≥ 1 here, only approximately for rounded cosines). */
+  private[graft] def walshMatrix(g: Int): Seq[Seq[Long]] = {
+    require(g >= 2 && (g & (g - 1)) == 0, s"grid must be a power of two, got $g")
+    var h = Seq(Seq(1L))
+    while (h.head.size < g)
+      h = h.map(r => r ++ r) ++ h.map(r => r ++ r.map(-_))
+    h.sortBy(r => r.zip(r.tail).count { case (a, b) => a != b })
+  }
+
+  /**
+   * Shift/crop-tolerant perceptual near-dup matching — the pHash idea
+   * (transform-domain signs/magnitudes of coarse image structure) in the
+   * catalog's integer-exact discipline, covering the case [[crossModalNearDup]]'s
+   * raw grid means cannot: a 1-px TRANSLATE perturbs every grid cell, so
+   * the quantized-mean bucket misses, but the translate of locally-smooth
+   * content perturbs each grid ROW by a near-constant amount — which the
+   * x-frequency ≥ 1 Walsh–Hadamard coefficients cancel (exactly, for
+   * row-linear content: the perturbation is x-independent and every
+   * v ≥ 1 Walsh row sums to zero; to first order for anything smooth).
+   *
+   * Pipeline: the SAME container decode and [[gridMeans]] reduction as
+   * [[crossModalNearDup]] (pixels die at the means; resize invariance is
+   * inherited — the transform is a fixed linear function of the means),
+   * then the 2-D Walsh transform F[u][v][ch] = Σ H[u][y]·H[v][x]·m[y][x][ch]
+   * with ±1 plan literals, exact longs end to end. The match key is the
+   * x-SHIFT-TOLERANT coefficient subset {F[u][v] : v ≥ 1} — DC and the
+   * whole v = 0 column (pure row-profile energy, where a translate's
+   * perturbation lands) are EXCLUDED from both bucket and verify — as
+   * (channels, quantized coefficients); quantization TRUNCATES toward
+   * zero (`cast(s / quant as long)` — the engine convention: Spark `div`
+   * ≡ DuckDB `//`, both truncate, so the cross-engine cells agree; the
+   * zero-straddling cell is double-width, a documented cell-shape quirk,
+   * not a correctness issue). Candidates bucket-equi-join with
+   * the same per-side hot-cell cap; the exact L1 over the v ≥ 1
+   * coefficients verifies. The y-shift-tolerant dual is {u ≥ 1} — one
+   * transpose away; this surface pins the x case.
+   *
+   * Output: (video_id, frame_idx, image_id, l1, near_dup).
+   */
+  def phashNearDup(videos: DataFrame, vidId: Column, vidBin: Column,
+      images: DataFrame, imgId: Column, imgBin: Column, grid: Int = 4,
+      meanScale: Long = 16L, quant: Long = 256L, maxL1: Long = 512L,
+      maxBucket: Int = 64): DataFrame = {
+    require(meanScale >= 1, "need a positive mean scale")
+    require(quant >= 1, "need a positive quantization cell width")
+    require(maxBucket >= 1, "need a positive per-side bucket cap")
+    val h = walshMatrix(grid)
+    val hLit = array(h.flatten.map(lit(_)): _*)   // H[a][b] at a·g + b
+    def ediv(num: Column, den: Column): Column =
+      ((num - pmod(num, den)) / den).cast("long")
+    // 2-D Walsh of the grid means, output idx = (u·g + v)·c + ch —
+    // the gridMeans layout with (row, col) reread as (u, v)
+    def walsh(gvec: Column, fc: Column): Column =
+      transform(sequence(lit(0L), lit(grid.toLong * grid) * fc - 1L), idx => {
+        val u = ediv(idx, lit(grid.toLong) * fc)
+        val rem = pmod(idx, lit(grid.toLong) * fc)
+        val v = ediv(rem, fc)
+        val ch = pmod(rem, fc)
+        (for (y <- 0 until grid; x <- 0 until grid) yield {
+          val sgn = element_at(hLit, (u * grid + y + 1).cast("int")) *
+            element_at(hLit, (v * grid + x + 1).cast("int"))
+          sgn * element_at(gvec, (lit((y * grid + x).toLong) * fc + ch + 1).cast("int"))
+        }).reduce(_ + _)
+      })
+    // keep only the x-shift-tolerant v >= 1 coefficients, in idx order
+    def pvec(coeffs: Column, fc: Column): Column =
+      transform(
+        filter(zip_with(coeffs,
+            sequence(lit(0L), lit(grid.toLong * grid) * fc - 1L),
+            (s, i) => struct(s.as("s"), i.as("i"))),
+          p => pmod(ediv(p("i"), fc), lit(grid.toLong)) >= 1L),
+        p => p("s"))
+    def side(df: DataFrame, idCols: Seq[String]): DataFrame = {
+      val withP = df.withColumn("pvec",
+        pvec(walsh(col("gvec"), col("channels")), col("channels")))
+      withP.withColumn("bucket",
+          concat_ws(":", col("channels").cast("string"),
+            concat_ws(",", transform(col("pvec"),
+              // truncating division (Spark div ≡ DuckDB //), NOT ediv's
+              // floor — the cross-engine quantization convention
+              s => (s / quant).cast("long").cast("string")))))
+        .withColumn("__bn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))))
+        .filter(col("__bn") <= maxBucket)
+        .select((idCols.map(col) ++ Seq(col("bucket"), col("pvec"))): _*)
+    }
+    val vf = side(videoGridFrames(videos, vidId, vidBin, grid, meanScale),
+      Seq("video_id", "frame_idx")).withColumnRenamed("pvec", "va")
+    val imf = side(imageGridFingerprint(images, imgId, imgBin, grid, meanScale),
+      Seq("image_id")).withColumnRenamed("pvec", "vb")
+    vf.join(imf, "bucket")
       .withColumn("l1", aggregate(
         zip_with(col("va"), col("vb"), (x, y) => abs(x - y)),
         lit(0L), (acc, x) => acc + x))

@@ -337,6 +337,173 @@ object TimeSeries {
    * persisted profile. Output: (key, id, qv, cusum_up, cusum_dn,
    * is_shift_up, is_shift_dn), CUSUM columns in quant·cnt units.
    */
+  /** Shared quantized + (ts, tie)-ranked frame: (k, id, ts, tie, qv, rn)
+    * with rn the 1-based per-key rank — the positions every forecasting
+    * surface regresses against. */
+  private def ranked(events: DataFrame, keyCol: Column, idCol: Column,
+      tsCol: Column, tieCol: Column, valueCol: Column,
+      quantScale: Long): DataFrame =
+    events.select(keyCol.as("k"), idCol.as("id"), tsCol.as("ts"),
+        tieCol.as("tie"), floor(valueCol * quantScale).cast("long").as("qv"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("ts"), col("tie"))))
+
+  /**
+   * Rolling-origin one-step-ahead FORECAST — the fifth quarter of the
+   * time-series story (shape, level, regime, decomposition; this projects
+   * FORWARD): at every reading, fit an exact least-squares line (level +
+   * trend, the Holt-linear shape) to the trailing `window` readings —
+   * STRICTLY PRIOR rows, so every forecast is honest out-of-sample — and
+   * report the next-step prediction in exact numerator form:
+   *
+   *  - positions are 1..W inside the window; the OLS normal equations
+   *    over them have CONSTANT integer sums SI = ΣI = W(W+1)/2,
+   *    SII = Σi² = W(W+1)(2W+1)/6, D = W·SII − SI² — plan literals;
+   *  - the data sums are two sliding-window longs over ONE key shuffle:
+   *    Sy = Σ qv, S2 = Σ rn·qv over rows [t−W, t−1]; the position-weighted
+   *    sum re-bases exactly: Σ i·y = S2 − (rn_t − W − 1)·Sy;
+   *  - slope_num = W·Σiy − SI·Sy, int_num = SII·Sy − SI·Σiy, and the
+   *    one-step forecast is fc_num = int_num + slope_num·(W+1) — exactly
+   *    forecast·D, never divided;
+   *  - err_scaled = qv·D − fc_num is exactly (actual − forecast)·D.
+   *
+   * Rows with fewer than `window` prior readings report NULL forecast
+   * (the decompose edge-null discipline — no shrunken-window estimate).
+   * The naive one-step error (qv − previous qv, the MASE denominator) is
+   * emitted alongside so the backtest roll-up is a pure aggregation.
+   * One key shuffle; rank + sums are two Window passes over the same
+   * (ts, tie) partitioning (the CUSUM plan shape).
+   * Output: (key, id, qv, fc_num, err_scaled, naive_diff).
+   */
+  def forecastRolling(events: DataFrame, keyCol: Column, idCol: Column,
+      tsCol: Column, tieCol: Column, valueCol: Column, window: Int = 8,
+      quantScale: Long = 1000L): DataFrame = {
+    require(window >= 2, s"need at least two trailing rows, got $window")
+    val w = window.toLong
+    val si = w * (w + 1) / 2
+    val sii = w * (w + 1) * (2 * w + 1) / 6
+    val s = ranked(events, keyCol, idCol, tsCol, tieCol, valueCol, quantScale)
+    val trail = Window.partitionBy(col("k")).orderBy(col("rn"))
+      .rowsBetween(-window.toLong, -1L)
+    val siy = col("s2") - (col("rn") - (w + 1)) * col("sy")
+    val slopeNum = lit(w) * siy - lit(si) * col("sy")
+    val intNum = lit(sii) * col("sy") - lit(si) * siy
+    s.withColumn("sy", sum(col("qv")).over(trail))
+      .withColumn("s2", sum(col("rn") * col("qv")).over(trail))
+      .withColumn("c", count(lit(1)).over(trail))
+      .withColumn("nd", col("qv") - lag(col("qv"), 1).over(
+        Window.partitionBy(col("k")).orderBy(col("rn"))))
+      .withColumn("fc_num",
+        when(col("c") === window, intNum + slopeNum * (w + 1)))
+      .select(col("k").as("key"), col("id"), col("qv"), col("fc_num"),
+        (col("qv") * (w * sii - si * si) - col("fc_num")).as("err_scaled"),
+        when(col("fc_num").isNotNull, col("nd")).as("naive_diff"))
+  }
+
+  /**
+   * Rolling-origin BACKTEST of [[forecastRolling]] — per-key MASE in exact
+   * numerator/denominator form: over the evaluable rows (full trailing
+   * window), sae_fc_scaled = Σ|err_scaled| (= D·Σ|forecast error|) and
+   * sae_naive = Σ|qv_t − qv_{t−1}| (the naive one-step error over the SAME
+   * rows — the same row count, so it cancels and MASE reduces to
+   * sae_fc_scaled / (D·sae_naive), ONE final IEEE division; null when the
+   * naive walk is flat). Keys with no evaluable rows emit no row. One
+   * map-side-combined aggregation over the forecast frame.
+   * Output: (key, n_eval, sae_fc_scaled, sae_naive, mase).
+   */
+  def forecastBacktest(events: DataFrame, keyCol: Column, idCol: Column,
+      tsCol: Column, tieCol: Column, valueCol: Column, window: Int = 8,
+      quantScale: Long = 1000L): DataFrame = {
+    val w = window.toLong
+    val d = w * (w * (w + 1) * (2 * w + 1) / 6) - (w * (w + 1) / 2) * (w * (w + 1) / 2)
+    forecastRolling(events, keyCol, idCol, tsCol, tieCol, valueCol, window,
+        quantScale)
+      .filter(col("fc_num").isNotNull)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("err_scaled"))).as("sae_fc_scaled"),
+        sum(abs(col("naive_diff"))).as("sae_naive"))
+      .withColumn("mase",
+        when(col("sae_naive") > 0L,
+          col("sae_fc_scaled").cast("double") / (col("sae_naive") * d)))
+  }
+
+  /**
+   * The persistable level/trend artifact (the keyProfile of the forecast
+   * family): per key, the exact OLS sufficient statistics of the LAST
+   * `lastN` readings — (n, Σ qv, Σ i·qv) with i = 1..n the position within
+   * the retained tail. Bounding the tail is what keeps every downstream
+   * product inside long range (the global-history normal equations grow
+   * like n⁴·qv) AND is the right serving semantics — the projection
+   * extrapolates the RECENT trend, not a decade-old regression. Two
+   * window passes (rank desc to keep the tail, rank asc to position it)
+   * over one key shuffle, then a map-side aggregation.
+   * Output: (k, n, s_y, s_iy).
+   */
+  def trendProfile(events: DataFrame, keyCol: Column, tsCol: Column,
+      tieCol: Column, valueCol: Column, lastN: Int = 64,
+      quantScale: Long = 1000L): DataFrame = {
+    require(lastN >= 2, s"need at least two retained readings, got $lastN")
+    events.select(keyCol.as("k"), tsCol.as("ts"), tieCol.as("tie"),
+        floor(valueCol * quantScale).cast("long").as("qv"))
+      .withColumn("rd", row_number().over(Window.partitionBy(col("k"))
+        .orderBy(col("ts").desc, col("tie").desc)))
+      .filter(col("rd") <= lastN)
+      .withColumn("i", row_number().over(Window.partitionBy(col("k"))
+        .orderBy(col("ts"), col("tie"))))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("qv")).as("s_y"),
+        sum(col("i") * col("qv")).as("s_iy"))
+  }
+
+  /**
+   * Score readings against a (possibly persisted) [[trendProfile]] — the
+   * forecast serving shape: the artifact's line, extrapolated `h` steps
+   * past its training end, in exact cross-multiplied integers:
+   *
+   *  - SI = n(n+1)/2, SII = n(n+1)(2n+1)/6, den = n·SII − SI² — exact
+   *    long expressions of the artifact's n (bounded by trendProfile's
+   *    lastN, so every product stays far inside long range);
+   *  - slope_num = n·s_iy − SI·s_y, int_num = SII·s_y − SI·s_iy,
+   *    fc_num = int_num + slope_num·(n + h) = forecast·den;
+   *  - err_scaled = qv·den − fc_num; is_surprise cross-multiplies the
+   *    threshold: |err_scaled| > tauScaled·den ⇔ |actual − forecast| >
+   *    tau — no division anywhere.
+   *
+   * Keys whose artifact holds fewer than 2 readings score NULL (a line
+   * needs two points — the honest unscoreable verdict, scoreAgainstProfile
+   * precedent). Pure projection + equi-join; works UNCHANGED on a
+   * streaming frame (stream-static join), and the O(1)-state twin
+   * ([[graft.streaming.StatefulOps.forecastScoreStream]]) holds one
+   * arrival counter per key. Output: (key, id, h, qv, n, den, fc_num,
+   * err_scaled, is_surprise).
+   */
+  def forecastAgainstProfile(events: DataFrame, profile: DataFrame,
+      keyCol: Column, idCol: Column, hCol: Column, valueCol: Column,
+      quantScale: Long = 1000L, tauScaled: Long = 200000L): DataFrame = {
+    require(tauScaled > 0, "need a positive surprise threshold")
+    // `div`, not `/`: Column./ is double division. n(n+1) and
+    // n(n+1)(2n+1) are exactly divisible by 2 and 6, so integer div is
+    // the identity itself, not a floor approximation.
+    val si = expr("n * (n + 1) div 2")
+    val sii = expr("n * (n + 1) * (2 * n + 1) div 6")
+    val den = col("n") * sii - si * si
+    val slopeNum = col("n") * col("s_iy") - si * col("s_y")
+    val intNum = sii * col("s_y") - si * col("s_iy")
+    events.select(keyCol.as("k"), idCol.as("id"), hCol.cast("long").as("h"),
+        floor(valueCol * quantScale).cast("long").as("qv"))
+      .join(profile, Seq("k"))
+      .withColumn("den", when(col("n") >= 2L, den))
+      .withColumn("fc_num",
+        when(col("n") >= 2L, intNum + slopeNum * (col("n") + col("h"))))
+      .select(col("k").as("key"), col("id"), col("h"), col("qv"), col("n"),
+        col("den"), col("fc_num"),
+        (col("qv") * col("den") - col("fc_num")).as("err_scaled"),
+        when(col("den").isNotNull,
+          (abs(col("qv") * col("den") - col("fc_num"))
+            > lit(tauScaled) * col("den")).cast("int")).as("is_surprise"))
+  }
+
   def cusumChangepoints(events: DataFrame, profile: DataFrame,
       keyCol: Column, idCol: Column, tsCol: Column, tieCol: Column,
       valueCol: Column, quantScale: Long = 1000L,

@@ -978,6 +978,10 @@ object StatefulOps {
    * keys absent from the profile are dropped, matching the batch inner
    * join. Same micro-batch ordering caveat as the other custom-state
    * operators (rows sort by (ts, tie) within each batch).
+   * ID CONTRACT (r15 advice): the tie column DOUBLES as the emitted id —
+   * batch `cusumChangepoints` takes a separate idCol, so batch/stream
+   * parity requires id == tie (the catalog passes event_id as both).
+   * Callers needing a distinct display id project it on after the fact.
    * Output rows mirror the batch columns; batch/stream parity on in-order
    * input is spec-pinned (TimeSeriesSpec).
    */
@@ -1025,6 +1029,152 @@ object StatefulOps {
                 st = CusumState(pUp, mnUp, pDn, mnDn)
             }
             state.update(st)
+            timeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
+  final case class CusumPeakState(p_up: Long, min_up: Long, p_dn: Long,
+      min_dn: Long, best_up: Long, best_up_id: Long, best_dn: Long,
+      best_dn_id: Long)
+  final case class CusumPeak(key: Long, side: String, event_id: Long,
+      cusum: Long)
+
+  /**
+   * Streaming changepoint LOCALIZATION — the
+   * `events_ts_changepoint_peaks` argmax as a stream: on top of
+   * [[cusumStream]]'s four-long closed-form state (prefix sum + prefix
+   * min per side), each side holds its RUNNING PEAK — the maximal
+   * flagged CUSUM value and its earliest event id (ties to the earlier
+   * id, the batch rule: strictly-greater excursions replace, equal ones
+   * don't) — two more longs per side, still O(1). A row is EMITTED only
+   * when a side's peak IMPROVES (the changed-peak delta stream, append
+   * mode); the LATEST emission per (key, side) equals the batch peak
+   * row, which is the spec-pinned parity contract (TimeSeriesSpec).
+   * Profile join, ordering, and timeout semantics are [[cusumStream]]'s.
+   */
+  def cusumPeakStream(events: DataFrame, profile: DataFrame, keyCol: String,
+      tsCol: String, tieCol: String, valueCol: String,
+      quantScale: Long = 1000L, slackScaled: Long = 100L,
+      hScaled: Long = 2000L, timeout: Option[String] = None)
+      : Dataset[CusumPeak] = {
+    require(slackScaled >= 0, "need a non-negative slack")
+    require(hScaled > 0, "need a positive decision threshold")
+    import events.sparkSession.implicits._
+    val typedEv = events
+      .select(col(keyCol).cast("long").as("key"),
+        col(tieCol).cast("long").as("tie"),
+        unix_micros(col(tsCol)).as("us"),
+        floor(col(valueCol) * quantScale).cast("long").as("qv"))
+      .join(profile.select(col("k").as("key"), col("s_num"), col("s_cnt")),
+        "key")
+      .as[(Long, Long, Long, Long, Long, Long)]
+    val mode = if (timeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+               else GroupStateTimeout.NoTimeout
+    typedEv.groupByKey(_._1)
+      .flatMapGroupsWithState[CusumPeakState, CusumPeak](OutputMode.Append, mode) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Long, Long, Long)],
+         state: GroupState[CusumPeakState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(
+              CusumPeakState(0L, 0L, 0L, 0L, Long.MinValue, -1L,
+                Long.MinValue, -1L))
+            val out = List.newBuilder[CusumPeak]
+            rows.toSeq.sortBy(r => (r._3, r._2)).foreach {
+              case (_, tie, _, qv, sNum, sCnt) =>
+                val dUp = qv * sCnt - sNum - slackScaled * sCnt
+                val dDn = sNum - qv * sCnt - slackScaled * sCnt
+                val pUp = st.p_up + dUp
+                val pDn = st.p_dn + dDn
+                val mnUp = math.min(st.min_up, pUp)
+                val mnDn = math.min(st.min_dn, pDn)
+                val cu = pUp - mnUp
+                val cd = pDn - mnDn
+                var bu = st.best_up; var buId = st.best_up_id
+                var bd = st.best_dn; var bdId = st.best_dn_id
+                if (cu > hScaled * sCnt && cu > bu) {
+                  bu = cu; buId = tie
+                  out += CusumPeak(key, "up", buId, bu)
+                }
+                if (cd > hScaled * sCnt && cd > bd) {
+                  bd = cd; bdId = tie
+                  out += CusumPeak(key, "dn", bdId, bd)
+                }
+                st = CusumPeakState(pUp, mnUp, pDn, mnDn, bu, buId, bd, bdId)
+            }
+            state.update(st)
+            timeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
+  final case class ForecastState(h: Long)
+  final case class ForecastScore(key: Long, id: Long, h: Long, qv: Long,
+      fc_num: Long, err_scaled: Long, is_surprise: Int)
+
+  /**
+   * Streaming forecast-surprise scoring — the
+   * [[graft.operators.TimeSeries.forecastAgainstProfile]] serving twin
+   * over an unbounded keyed stream against a PERSISTED
+   * [[graft.operators.TimeSeries.trendProfile]]: the artifact's level +
+   * trend line, extrapolated one more step per arrival. State is ONE
+   * long per key — the arrival counter h (the batch hCol) — because the
+   * line itself lives in the static artifact; everything else is the
+   * batch formula verbatim (SI/SII/den from the artifact's n,
+   * cross-multiplied err_scaled, threshold at tauScaled·den). Keys
+   * absent from the profile — or whose artifact holds fewer than 2
+   * readings (no line through one point) — are dropped, matching the
+   * batch inner join + null-verdict filter the parity spec applies.
+   * Same micro-batch (ts, tie) ordering caveat as the other
+   * custom-state operators. Output rows mirror the batch columns;
+   * batch/stream parity is spec-pinned (TimeSeriesSpec).
+   */
+  def forecastScoreStream(events: DataFrame, profile: DataFrame,
+      keyCol: String, tsCol: String, tieCol: String, valueCol: String,
+      quantScale: Long = 1000L, tauScaled: Long = 200000L,
+      timeout: Option[String] = None): Dataset[ForecastScore] = {
+    require(tauScaled > 0, "need a positive surprise threshold")
+    import events.sparkSession.implicits._
+    val typedEv = events
+      .select(col(keyCol).cast("long").as("key"),
+        col(tieCol).cast("long").as("tie"),
+        unix_micros(col(tsCol)).as("us"),
+        floor(col(valueCol) * quantScale).cast("long").as("qv"))
+      .join(profile.filter(col("n") >= 2L)
+        .select(col("k").as("key"), col("n"), col("s_y"), col("s_iy")),
+        "key")
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+    val mode = if (timeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+               else GroupStateTimeout.NoTimeout
+    typedEv.groupByKey(_._1)
+      .flatMapGroupsWithState[ForecastState, ForecastScore](OutputMode.Append, mode) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Long, Long, Long, Long)],
+         state: GroupState[ForecastState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var h = state.getOption.map(_.h).getOrElse(0L)
+            val out = List.newBuilder[ForecastScore]
+            rows.toSeq.sortBy(r => (r._3, r._2)).foreach {
+              case (_, tie, _, qv, n, sy, siy) =>
+                h += 1L
+                val si = n * (n + 1) / 2
+                val sii = n * (n + 1) * (2 * n + 1) / 6
+                val den = n * sii - si * si
+                val slopeNum = n * siy - si * sy
+                val intNum = sii * sy - si * siy
+                val fcNum = intNum + slopeNum * (n + h)
+                val err = qv * den - fcNum
+                out += ForecastScore(key, tie, h, qv, fcNum, err,
+                  if (math.abs(err) > tauScaled * den) 1 else 0)
+            }
+            state.update(ForecastState(h))
             timeout.foreach(state.setTimeoutDuration)
             out.result().iterator
           }

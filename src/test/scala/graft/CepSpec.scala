@@ -62,6 +62,99 @@ class CepSpec extends SparkSpec {
       .isEmpty, "equal timestamps do not chain (strict order)")
   }
 
+  /** allSeqMatches over one user's (id, type, second) events; 2-step
+    * (a → c) with negation n. Returns (close_id, a_second, span_rank). */
+  private def runAll(events: Seq[(Long, String, Long)], window: Long = 3600L,
+      maxSpans: Int = 16): Set[(Long, Long, Int)] = {
+    val df = events.map { case (id, t, sec) => (1L, id, t, ts(sec)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    Cep.allSeqMatches(df, col("user_id"), col("ts"), col("event_id"),
+        steps = Seq(col("event_type") === "a", col("event_type") === "c"),
+        negation = col("event_type") === "n", windowSeconds = window,
+        maxSpans = maxSpans)
+      .select(col("close_id"), expr("unix_micros(ts_1) div 1000000"),
+        col("span_rank"))
+      .as[(Long, Long, Int)].collect().toSet
+  }
+
+  test("allSeqMatches: every clean anchor reports, ranked by recency") {
+    // two anchors, one close: both spans emit; the later anchor is rank 1
+    assert(runAll(Seq((1L, "a", 10), (2L, "a", 20), (3L, "c", 30)))
+      == Set((3L, 20L, 1), (3L, 10L, 2)))
+  }
+
+  test("allSeqMatches: negation blocks per ANCHOR — anything between anchor and close") {
+    // n sits between the two anchors: the LATER anchor is clean, the
+    // earlier one is poisoned — only the clean one reports
+    assert(runAll(Seq((1L, "a", 10), (2L, "n", 15), (3L, "a", 20), (4L, "c", 30)))
+      == Set((4L, 20L, 1)))
+    // n after BOTH anchors poisons both (the global-negation contract,
+    // applied per anchor: each span counts negations from ITS anchor)
+    assert(runAll(Seq((1L, "a", 10), (2L, "a", 20), (3L, "n", 25),
+      (4L, "c", 30))).isEmpty)
+  }
+
+  test("allSeqMatches: the recency cap keeps the most-recent spans, window expires old anchors") {
+    // three anchors, cap 2: only the two most recent report (rank 1, 2)
+    assert(runAll(Seq((1L, "a", 10), (2L, "a", 20), (3L, "a", 25),
+      (4L, "c", 30)), maxSpans = 2)
+      == Set((4L, 25L, 1), (4L, 20L, 2)))
+    // an anchor older than the window never reports — and never occupies
+    // a cap slot (the range frame already dropped it)
+    assert(runAll(Seq((1L, "a", 10), (2L, "a", 4000), (3L, "c", 4010),
+      (4L, "c", 7700)), window = 100L, maxSpans = 1)
+      == Set((3L, 4000L, 1)))
+  }
+
+  test("allSeqMatches: 3-step — anchors must precede the fixed intermediate chain") {
+    val df = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 25L),
+        (4L, "c", 30L))
+      .map { case (id, t, sec) => (1L, id, t, ts(sec)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val got = Cep.allSeqMatches(df, col("user_id"), col("ts"),
+        col("event_id"),
+        steps = Seq(col("event_type") === "a", col("event_type") === "b",
+          col("event_type") === "c"),
+        negation = col("event_type") === "n", windowSeconds = 3600L)
+      .select(col("close_id"), expr("unix_micros(ts_1) div 1000000"),
+        expr("unix_micros(ts_2) div 1000000"), col("span_rank"))
+      .as[(Long, Long, Long, Int)].collect().toSet
+    // the t=25 anchor is AFTER the matched b (t=20): only t=10 chains;
+    // its recency rank is 2 (the invalid t=25 anchor still holds slot 1
+    // of the capped set — rank gaps are the validity filter's signature)
+    assert(got == Set((4L, 10L, 20L, 2)))
+    // and THIS is the strict-superset case: skip-till-last pins the
+    // LATEST anchor, which breaks the chain here — no match at all
+    assert(Cep.lastSeqMatchN(df, col("user_id"), col("ts"), col("event_id"),
+      Seq(col("event_type") === "a", col("event_type") === "b",
+        col("event_type") === "c"),
+      col("event_type") === "n", 3600L).count() == 0L)
+  }
+
+  test("allSeqMatches: skip-till-last is a subset of all-matches (same chain columns)") {
+    // a randomized-shape but deterministic stream: every lastSeqMatchN
+    // match must appear among allSeqMatches' spans with the same chain
+    val types = Seq("a", "b", "c", "n", "x")
+    val evs = (0 until 120).map { i =>
+      (i.toLong, types(((i * 7919) ^ (i >> 2)) % types.size), i.toLong * 7)
+    }
+    val df = evs.map { case (id, t, sec) => ((id % 3) + 1, id, t, ts(sec)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val steps = Seq(col("event_type") === "a", col("event_type") === "b",
+      col("event_type") === "c")
+    val last = Cep.lastSeqMatchN(df, col("user_id"), col("ts"),
+        col("event_id"), steps, col("event_type") === "n", 600L)
+      .select(col("key"), col("close_id"), col("ts_1"), col("ts_2"), col("ts_3"))
+      .as[(Long, Long, Timestamp, Timestamp, Timestamp)].collect().toSet
+    val all = Cep.allSeqMatches(df, col("user_id"), col("ts"),
+        col("event_id"), steps, col("event_type") === "n", 600L,
+        maxSpans = 120)
+      .select(col("key"), col("close_id"), col("ts_1"), col("ts_2"), col("ts_3"))
+      .as[(Long, Long, Timestamp, Timestamp, Timestamp)].collect().toSet
+    assert(last.subsetOf(all), s"missing: ${last -- all}")
+    assert(all.nonEmpty)
+  }
+
   test("cepStream: batch parity across micro-batch boundaries, shuffled arrival") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StatefulOps

@@ -183,4 +183,34 @@ class EvalSpec extends SparkSpec {
     assert(s.getAs[Long]("sum_rr_scaled") == (1L << 20) + (1L << 19))
     assert(s.getAs[Double]("mrr") == ((1L << 20) + (1L << 19)) / (S * 3.0))
   }
+
+  test("recallApAtK: exact fixed-point recall and AP; empty tiers still report") {
+    val S = 1L << 20
+    val truth = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 7L))
+      .toDF("query", "doc")
+    // query a: hits at ranks 1 and 3 of a 3-long list; query b: no rows
+    // from this tier at all — must come back with zero hits, not vanish
+    val approx = Seq(("a", 1L, 1), ("a", 9L, 2), ("a", 3L, 3))
+      .toDF("query", "doc", "rank")
+    val got = Eval.recallApAtK(approx, truth, col("query"), col("doc"),
+        col("rank"), col("query"), col("doc"))
+      .select(col("query"), col("n_true"), col("n_hits"),
+        col("recall_scaled"), col("ap_scaled"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // a: recall 2/3 -> (2S) div 3; AP = (S/1 + 2S div 3) div 3
+    val apA = (1L * S / 1L + 2L * S / 3L) / 3L
+    assert(got("a") == (("a", 3L, 2L, 2L * S / 3L, apA)))
+    assert(got("b") == (("b", 1L, 0L, 0L, 0L)))
+    // roll-up: means in exact numerator form + one final division
+    val sum = Eval.recallMapSummary(
+      Eval.recallApAtK(approx, truth, col("query"), col("doc"), col("rank"),
+          col("query"), col("doc"))
+        .withColumn("tier", lit("t")), Seq("tier")).head()
+    assert(sum.getAs[Long]("n_queries") == 2L)
+    assert(sum.getAs[Long]("sum_recall_scaled") == 2L * S / 3L)
+    assert(sum.getAs[Double]("mean_recall") == (2L * S / 3L) / (S.toDouble * 2))
+    assert(sum.getAs[Long]("sum_ap_scaled") == apA)
+    assert(sum.getAs[Double]("map") == apA / (S.toDouble * 2))
+  }
 }

@@ -397,6 +397,88 @@ class MultimodalCodecSpec extends SparkSpec {
       "the 2-frame hot bucket must drop; the singleton must survive")
   }
 
+  test("walshMatrix: ±1 entries, orthogonal rows, v >= 1 rows sum to zero, sequency order") {
+    for (g <- Seq(2, 4, 8)) {
+      val h = Multimodal.walshMatrix(g)
+      assert(h.size == g && h.forall(_.size == g))
+      assert(h.flatten.forall(v => v == 1L || v == -1L))
+      // orthogonality: H·Hᵀ = g·I
+      for (a <- 0 until g; b <- 0 until g) {
+        val dot = (0 until g).map(i => h(a)(i) * h(b)(i)).sum
+        assert(dot == (if (a == b) g.toLong else 0L), s"g=$g rows $a,$b")
+      }
+      // the shift-invariance lemma: every non-DC row sums to zero EXACTLY
+      (1 until g).foreach(u => assert(h(u).sum == 0L, s"g=$g row $u"))
+      // sequency order: sign-change counts are 0, 1, ..., g-1
+      val sc = h.map(r => r.zip(r.tail).count { case (x, y) => x != y })
+      assert(sc == (0 until g), s"g=$g sequency $sc")
+    }
+  }
+
+  /** Row-linear 8×8×1 ramp content: pixel(y, x) = b(y/2) + δ + s(y/2)·(x+shift). */
+  private def rampPix(b: Array[Int], s: Array[Int], shift: Int, delta: Int): Array[Byte] =
+    (for (y <- 0 until 8; x <- 0 until 8)
+      yield (b(y / 2) + delta + s(y / 2) * (x + shift)).toByte).toArray
+
+  /** Nearest-neighbor 2× upscale of single-channel w×h content. */
+  private def up2(pix: Array[Byte], w: Int, h: Int): Array[Byte] =
+    (for (y <- 0 until 2 * h; x <- 0 until 2 * w)
+      yield pix((y / 2) * w + x / 2)).toArray
+
+  test("phashNearDup: 1-px shift, brightness, and rescale all match where raw grid means miss") {
+    import spark.implicits._
+    val b = Array(100, 110, 120, 130)
+    val s = Array(6, -6, 4, -4)
+    val base = rampPix(b, s, 0, 0)
+    val videos = Seq((1L, gvid("GVID", Seq(gimg(8, 8, 1, base)))))
+      .toDF("doc_id", "payload")
+    val images = Seq(
+      (10L, gimg(8, 8, 1, rampPix(b, s, 1, 0))),     // 1-px x-translate
+      (11L, gimg(8, 8, 1, rampPix(b, s, 0, 5))),     // brightness shift
+      (12L, gimg(16, 16, 1, up2(base, 8, 8))),        // NN 2× rescale
+      (13L, gimg(8, 8, 1, rampPix(b, Array(1, -1, 1, -1), 0, 0))))
+      .toDF("doc_id", "payload")
+    val ph = Multimodal.phashNearDup(videos, col("doc_id"), col("payload"),
+        images, col("doc_id"), col("payload"), grid = 4, meanScale = 16L,
+        quant = 256L, maxL1 = 256L)
+      .select("image_id", "l1", "near_dup").as[(Long, Long, Int)]
+      .collect().toSet
+    // shift and brightness perturb the means row-constantly — the v >= 1
+    // Walsh coefficients are EXACTLY unchanged (l1 = 0); the rescale is
+    // invariant through the grid means; the different-slope image never
+    // shares the bucket
+    assert(ph == Set((10L, 0L, 1), (11L, 0L, 1), (12L, 0L, 1)), s"got $ph")
+    // the CONTRAST lane: raw grid-mean bucketing (crossModalNearDup)
+    // misses the shifted and brightened copies — every cell mean moves by
+    // 16·s_j (|·| >= 64) or 16·δ = 80, always crossing the quant-64 cell —
+    // while the rescale still matches
+    val gm = Multimodal.crossModalNearDup(videos, col("doc_id"),
+        col("payload"), images, col("doc_id"), col("payload"),
+        grid = 4, meanScale = 16L, quant = 64L, maxL1 = 96L)
+      .select("image_id").as[Long].collect().toSet
+    assert(gm == Set(12L), s"got $gm")
+  }
+
+  test("phashNearDup: the hot-bucket cap drops saturated cells per side") {
+    import spark.implicits._
+    val b = Array(100, 110, 120, 130)
+    val s = Array(6, -6, 4, -4)
+    val base = rampPix(b, s, 0, 0)
+    val other = rampPix(b, Array(2, -2, 2, -2), 0, 0)
+    val videos = Seq(
+      (1L, gvid("GVID", Seq(gimg(8, 8, 1, base), gimg(8, 8, 1, base),
+        gimg(8, 8, 1, other)))))
+      .toDF("doc_id", "payload")
+    val images = Seq((10L, gimg(8, 8, 1, base)), (11L, gimg(8, 8, 1, other)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.phashNearDup(videos, col("doc_id"), col("payload"),
+        images, col("doc_id"), col("payload"), grid = 4, meanScale = 16L,
+        quant = 256L, maxL1 = 256L, maxBucket = 1)
+      .select("image_id", "frame_idx").as[(Long, Int)].collect().toSet
+    assert(got == Set((11L, 2)),
+      "the 2-frame saturated cell must drop; the singleton survives")
+  }
+
   test("crossModalNearDup: multi-channel fingerprints keep channels separate") {
     import spark.implicits._
     // 2×2×2 frame: channel 0 all 10s, channel 1 all 200s (unsigned)

@@ -268,6 +268,162 @@ class TimeSeriesSpec extends SparkSpec {
     assert(t2.length == 2 && t2.forall(_ == ((None, None))))
   }
 
+  test("forecastRolling: a perfectly linear series forecasts itself exactly") {
+    // values 1..12 (quant 1): every trailing-8 window is the line y = i,
+    // so OLS reproduces it and the one-step forecast IS the next value —
+    // fc_num = qv·336, err 0; rows with < 8 prior readings stay null
+    val series = df(Map(1L -> (1 to 12).map(_.toDouble)))
+    val got = TimeSeries.forecastRolling(series, col("key"), col("tie"),
+        col("ts"), col("tie"), col("value"), window = 8, quantScale = 1L)
+      .select(col("id"), col("qv"), col("fc_num"), col("err_scaled"))
+      .as[(Long, Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+    assert(got.take(8).forall(r => r._3.isEmpty && r._4.isEmpty))
+    got.drop(8).foreach { case (_, qv, fc, err) =>
+      assert(fc.contains(qv * 336L) && err.contains(0L))
+    }
+  }
+
+  test("forecastBacktest: linear series MASE 0; flat series mase null") {
+    val series = df(Map(
+      1L -> (1 to 12).map(_.toDouble),      // linear: forecast exact
+      2L -> Seq.fill(12)(7.0)))             // flat: naive walk is flat too
+    val got = TimeSeries.forecastBacktest(series, col("key"), col("tie"),
+        col("ts"), col("tie"), col("value"), window = 8, quantScale = 1L)
+      .select(col("key"), col("n_eval"), col("sae_fc_scaled"),
+        col("sae_naive"), col("mase"))
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 0L, 4L, Some(0.0))))
+    assert(got(2L) == ((2L, 4L, 0L, 0L, None)))
+  }
+
+  test("trendProfile + forecastAgainstProfile: exact line, extrapolation, n<2 verdict") {
+    // history 1..10, lastN 4 retains (7,8,9,10) at i = 1..4:
+    // n=4, s_y=34, s_iy=90 → den 20, slope_num 20 (slope 1),
+    // int_num 120 (intercept 6) — the line y = 6 + i
+    val hist = df(Map(1L -> (1 to 10).map(_.toDouble)))
+    val prof = TimeSeries.trendProfile(hist, col("key"), col("ts"),
+      col("tie"), col("value"), lastN = 4, quantScale = 1L)
+    assert(prof.as[(Long, Long, Long, Long)].collect().toSet ==
+      Set((1L, 4L, 34L, 90L)))
+    // arrivals h=1 (value 11: on the line), h=2 (value 14: off by 2)
+    val live = Seq((1L, 100L, 1L, 11.0), (1L, 101L, 2L, 14.0))
+      .toDF("key", "id", "h", "value")
+    val got = TimeSeries.forecastAgainstProfile(live, prof, col("key"),
+        col("id"), col("h"), col("value"), quantScale = 1L, tauScaled = 1L)
+      .select(col("id"), col("den"), col("fc_num"), col("err_scaled"),
+        col("is_surprise"))
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Int])]
+      .collect().sortBy(_._1)
+    assert(got(0) == ((100L, Some(20L), Some(220L), Some(0L), Some(0))))
+    // fc at h=2: 120 + 20·6 = 240 (value 12); actual 14 → err 40 > 1·20
+    assert(got(1) == ((101L, Some(20L), Some(240L), Some(40L), Some(1))))
+    // a one-reading artifact can't hold a line: null verdicts, row kept
+    val tinyProf = TimeSeries.trendProfile(df(Map(2L -> Seq(5.0))),
+      col("key"), col("ts"), col("tie"), col("value"), lastN = 4, 1L)
+    val t2 = TimeSeries.forecastAgainstProfile(
+        Seq((2L, 200L, 1L, 5.0)).toDF("key", "id", "h", "value"),
+        tinyProf, col("key"), col("id"), col("h"), col("value"), 1L, 1L)
+      .select(col("den"), col("fc_num"), col("is_surprise"))
+      .as[(Option[Long], Option[Long], Option[Int])].collect()
+    assert(t2.toSeq == Seq((None, None, None)))
+  }
+
+  test("forecastScoreStream: batch parity against the persisted artifact, split micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulOps
+    implicit val sqlCtx = spark.sqlContext
+    val hist = df(Map(1L -> (1 to 10).map(_.toDouble),
+      2L -> Seq(4.0, 4.0, 4.0, 4.0)))
+    val prof = TimeSeries.trendProfile(hist, col("key"), col("ts"),
+      col("tie"), col("value"), lastN = 4, quantScale = 10L)
+    // live arrivals, h by per-key arrival order
+    val live = Seq((1L, 100L, 1L, 11.0), (1L, 101L, 2L, 14.0),
+      (2L, 102L, 1L, 4.0), (1L, 103L, 3L, 12.6), (2L, 104L, 2L, 9.9))
+    val expected = TimeSeries.forecastAgainstProfile(
+        live.toDF("key", "id", "h", "value"), prof, col("key"), col("id"),
+        col("h"), col("value"), quantScale = 10L, tauScaled = 5L)
+      .select(col("key"), col("id"), col("h"), col("fc_num"),
+        col("err_scaled"), col("is_surprise"))
+      .as[(Long, Long, Long, Long, Long, Int)].collect().toSet
+    val input = MemoryStream[(Long, Long, Long, Double)]
+    val stream = StatefulOps.forecastScoreStream(
+      input.toDF().toDF("key", "tie", "sec", "value")
+        .withColumn("ts", timestamp_seconds(col("sec"))),
+      prof, "key", "ts", "tie", "value", quantScale = 10L, tauScaled = 5L)
+    val q = stream.writeStream.format("memory").queryName("fc_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("fc-cp").toString)
+      .outputMode("append").start()
+    try {
+      // arrival order encodes h: feed in (id) order with ts = id
+      val rows = live.map { case (k, id, _, v) => (k, id, id, v) }
+      val (b1, b2) = rows.splitAt(3)
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("fc_out")
+        .select(col("key"), col("id"), col("h"), col("fc_num"),
+          col("err_scaled"), col("is_surprise"))
+        .as[(Long, Long, Long, Long, Long, Int)].collect().toSet
+      assert(got == expected && expected.nonEmpty, s"got $got\nexp $expected")
+    } finally q.stop()
+  }
+
+  test("cusumPeakStream: the last emission per (key, side) is the batch argmax peak") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulOps
+    implicit val sqlCtx = spark.sqlContext
+    val series = df(Map(1L -> (Seq.fill(4)(10.0) ++ Seq.fill(4)(14.0)),
+      2L -> Seq(5.0, 5.0, 5.0, 5.0)))
+    val prof = TimeSeries.keyProfile(series, col("key"), col("value"), 10L)
+    // batch peaks: flagged rows' max cusum per (key, side), earliest tie
+    val scored = TimeSeries.cusumChangepoints(series, prof, col("key"),
+        col("tie"), col("ts"), col("tie"), col("value"), quantScale = 10L,
+        slackScaled = 10L, hScaled = 20L)
+      .select(col("key"), col("id"), col("cusum_up"), col("cusum_dn"),
+        col("is_shift_up"), col("is_shift_dn"))
+      .as[(Long, Long, Long, Long, Int, Int)].collect()
+    def batchPeak(side: String) = scored
+      .filter(r => (if (side == "up") r._5 else r._6) == 1)
+      .groupBy(_._1).map { case (k, rs) =>
+        val best = rs.map(r => (if (side == "up") r._3 else r._4, r._2))
+          .sortBy { case (c, id) => (-c, id) }.head
+        (k, side, best._2, best._1)
+      }.toSet
+    val expected = batchPeak("up") ++ batchPeak("dn")
+    val rows = series.select(col("key"), col("tie"),
+        expr("unix_micros(ts) div 1000000").as("sec"), col("value"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._3, r._2))
+    val input = MemoryStream[(Long, Long, Long, Double)]
+    val stream = StatefulOps.cusumPeakStream(
+      input.toDF().toDF("key", "tie", "sec", "value")
+        .withColumn("ts", timestamp_seconds(col("sec"))),
+      prof, "key", "ts", "tie", "value", quantScale = 10L,
+      slackScaled = 10L, hScaled = 20L)
+    val q = stream.writeStream.format("memory").queryName("peak_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("peak-cp").toString)
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = rows.splitAt(5)
+      input.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      // emissions only ever improve, so the max-cusum emission per
+      // (key, side) IS the final state — compare that against batch
+      val got = spark.table("peak_out")
+        .select(col("key"), col("side"), col("event_id"), col("cusum"))
+        .as[(Long, String, Long, Long)].collect()
+        .groupBy(r => (r._1, r._2)).map { case (_, rs) =>
+          rs.maxBy(_._4)
+        }.toSet
+      assert(got == expected && expected.nonEmpty, s"got $got\nexp $expected")
+    } finally q.stop()
+  }
+
   test("mergeProfiles: two epochs merged equal the whole-corpus profile") {
     val series = df(Map(1L -> Seq(1.0, 2.0, 3.0, 4.0),
       2L -> Seq(10.0, 20.0, 30.0, 40.0)))
