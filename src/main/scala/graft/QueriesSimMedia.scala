@@ -1041,8 +1041,11 @@ object QueriesSimMedia {
                 col("neighbor_id"))
               .withColumn("tier", lit(name)),
             Seq("tier"))
+        // the PQ codebook is 64 tiny rows consumed by two branches (encode
+        // + ADC LUT) — checkpoint it so the two-iteration Lloyd subtree
+        // runs once, not once per consumer
         val cents = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4,
-          ksub = 16, iters = 2)
+          ksub = 16, iters = 2).localCheckpoint()
         val codes = Similarity.pqEncode(emb, cents, "vec_id", "embedding", m = 4)
         grade("lsh", Similarity.bucketedTopK(q, emb, "vec_id", "embedding", 5,
             nPlanes = 8))
@@ -1627,23 +1630,31 @@ object QueriesSimMedia {
     // bit-identical across the rescale, so the (channels, quantized
     // fingerprint) bucket join finds them WITHOUT width/height in the key,
     // and the exact-L1 verify grades near-but-not-identical seeds. Pair
-    // space DuckDB-checked before adoption: 1 230 candidates / 1 132 near
-    // (422 exact) at sf0.01; 83k / 74k (5 824 exact) at sf0.1. The default
-    // hot-bucket cap (64/side) never engages at the gate scales (max cell
-    // 50 frames / 23 images at sf0.1 — oracle identical with or without),
-    // and is what bounds the pair space at 10×/100× where the synthetic
-    // seed families replicate across copies (measured: 812M uncapped
-    // pairs at 100×, hottest cell 4 300×1 947).
+    // space DuckDB-counted before adoption (r16 raw-byte content — see the
+    // in-row comment): 410 → 5 262 → 48 215 candidates across
+    // sf0.01/0.1/1, hottest cell 5 — linear in the corpus. The default
+    // hot-bucket cap (64/side) never engages at any measured scale now;
+    // it remains the at-scale defense for real corpora whose common
+    // assets (solid frames, boilerplate intros) saturate a cell.
     ("multimodal_cross_near_dup",
       (s: SparkSession, d: String) => {
         val docs = Tables.documents(s, d).filter(col("text").isNotNull)
         val seedHex = md5(concat(col("source"), lit(":"),
           col("n_chars").cast("string")))
         val n = (col("doc_id") % 3 + 1).cast("int")
+        // pixel blocks are RAW seed bytes (unhex of hex pairs), not the
+        // hex string's ASCII characters: a 16-value character alphabet
+        // collapses to ~5 quant cells per dimension, so the bucket domain
+        // saturates and the pair space goes quadratic at ANY corpus scale
+        // (the r15 sf10 finding's second, deeper cause — the cross-copy
+        // seed replication ScaleAll now fixes was only the first). Raw
+        // bytes give 64 cells/dim (64⁴ ≈ 16.7M buckets): DuckDB-counted
+        // 410 → 5 262 → 48 215 candidates across sf0.01/0.1/1 — linear,
+        // hottest cell 5.
         def frame(i: Column) = concat(
           lit("GIMG".getBytes("US-ASCII")),
           unhex(lit("0002")), unhex(lit("0002")), unhex(lit("01")),
-          seedHex.substr((i.cast("int") * 4 + 1), lit(4)).cast("binary"))
+          unhex(seedHex.substr((i.cast("int") * 8 + 1), lit(8))))
         val idxSeq = sequence(lit(0L), (n - 1).cast("long"))
         val emptyBin = lit(Array.empty[Byte])
         val indexBytes = aggregate(
@@ -1662,12 +1673,12 @@ object QueriesSimMedia {
             indexBytes, framesBytes))
           .select(col("doc_id"), col("payload")).localCheckpoint()
         // image = NN 2× upscale of block (doc_id % 3): pixel p of the 4×4
-        // copies source char (row div 2)·2 + (col div 2) of the block
-        val blockStart = ((col("doc_id") % 3) * 4 + 1).cast("int")
-        val pix = concat_ws("", (0 until 16).map { p =>
+        // copies raw seed byte (row div 2)·2 + (col div 2) of the block
+        val blockStart = ((col("doc_id") % 3) * 8 + 1).cast("int")
+        val pix = concat((0 until 16).map { p =>
           val b = (p / 4 / 2) * 2 + (p % 4 / 2)
-          seedHex.substr(blockStart + b, lit(1))
-        }: _*).cast("binary")
+          unhex(seedHex.substr(blockStart + 2 * b, lit(2)))
+        }: _*)
         val images = docs
           .withColumn("payload", concat(iMagic,
             unhex(lit("0004")), unhex(lit("0004")), unhex(lit("01")), pix))
@@ -1682,15 +1693,17 @@ object QueriesSimMedia {
           |  FROM documents WHERE text IS NOT NULL),
           |vf AS (
           |  SELECT doc_id AS video_id, i::int AS frame_idx,
-          |         list_transform(range((i * 4 + 1)::int, (i * 4 + 5)::int),
-          |           j -> ord(substring(seed, j, 1))::bigint * 16) AS fvec
+          |         list_transform(range(0, 4),
+          |           j -> ('0x' || substring(seed, (i * 8 + 2 * j + 1)::int, 2))::bigint
+          |                  * 16) AS fvec
           |  FROM d CROSS JOIN (SELECT unnest(range(0, 3)) AS i)
           |  WHERE doc_id % 13 <> 0 AND i < doc_id % 3 + 1),
           |im AS (
           |  SELECT doc_id AS image_id,
-          |         list_transform(range(((doc_id % 3) * 4 + 1)::int,
-          |                              ((doc_id % 3) * 4 + 5)::int),
-          |           j -> ord(substring(seed, j, 1))::bigint * 16) AS fvec
+          |         list_transform(range(0, 4),
+          |           j -> ('0x' || substring(seed,
+          |                    ((doc_id % 3) * 8 + 2 * j + 1)::int, 2))::bigint
+          |                  * 16) AS fvec
           |  FROM d WHERE doc_id % 7 <> 0),
           |vb AS (
           |  SELECT *, '1:' || array_to_string(list_transform(fvec,
@@ -1721,11 +1734,11 @@ object QueriesSimMedia {
     // x-frequency ≥ 1 Walsh coefficients bit-identical, so the phash
     // bucket join finds every copy with exact L1 = 0. The oracle derives
     // the coefficient closed form from the same seed arithmetic
-    // (F[u][1] = −128·W_u, F[u][2] = 0, F[u][3] = −64·W_u with W the
+    // (F[u][1] = −64·W_u, F[u][2] = 0, F[u][3] = −32·W_u with W the
     // Walsh transform of the slope vector — the webUrlCanonCte
     // independent-derivation precedent). Pair space DuckDB-checked
     // before adoption; per-side hot-bucket cap 64 (never engages at gate
-    // scales — the slope keyspace is 13⁴).
+    // scales — the slope keyspace is 25⁴).
     ("multimodal_phash_near_dup",
       (s: SparkSession, d: String) => {
         val docs = Tables.documents(s, d).filter(col("text").isNotNull)
@@ -1735,34 +1748,45 @@ object QueriesSimMedia {
         // inlining md5(seed) into all 64 byte slots per frame builds a
         // ~70 KB expression janino refuses to compile — the payload
         // builders below reference these SMALL param columns instead
+        // params from RAW seed bytes (hex pairs), not hex-char ords: the
+        // slope vector IS the match key, so its alphabet sets the bucket
+        // domain — 25 near-uniform values per grid row (25^4 ~ 390k cells)
+        // keeps the pair space near-linear through sf10 (DuckDB-counted
+        // 410 / 5 396 / 61 652 / 1.85M across the four decades, hottest
+        // cell 22 — the cap never engages), where the old 13-value
+        // hex-char alphabet saturated
+        def byteAt(pos: Int) =
+          conv(substring(col("seed"), pos, 2), 16, 10).cast("int")
         val params = docs
           .select(col("doc_id"), seedHex.as("seed"))
           .select((Seq(col("doc_id")) ++
             (for (i <- 0 to 2; j <- 0 to 3) yield Seq(
-              (lit(100) + pmod(ascii(substring(col("seed"),
-                i * 8 + 2 * j + 1, 1)), lit(37))).as(s"b_${i}_$j"),
-              (pmod(ascii(substring(col("seed"),
-                i * 8 + 2 * j + 2, 1)), lit(13)) - 6).as(s"s_${i}_$j")
+              (lit(100) + (byteAt(i * 8 + 2 * j + 1) / 25).cast("int"))
+                .as(s"b_${i}_$j"),
+              (pmod(byteAt(i * 8 + 2 * j + 1), lit(25)) - 12)
+                .as(s"s_${i}_$j")
             )).flatten ++ Seq(
-            (pmod(ascii(substring(col("seed"), 25, 1)), lit(21)) - 10)
-              .as("delta0"))): _*)
+            (pmod(byteAt(25), lit(21)) - 10).as("delta0"))): _*)
           .localCheckpoint()
-        // 8×8×1 pixel region: row-linear ramps, one (b, s) per grid row
+        // 4×4×1 pixel region: row-linear ramps, one (b, s) per grid row
+        // (grid 4 makes each region ONE pixel — the decode stays inside
+        // whole-stage codegen's 64 KB method budget, which the 8×8 form's
+        // 64-term byte synthesis blew, falling back to interpreted)
         def framePix(i: Int, shift: Int, delta: Column): Column =
-          concat((0 until 64).map { p =>
-            val x = p % 8
-            val j = (p / 8) / 2
+          concat((0 until 16).map { p =>
+            val x = p % 4
+            val j = p / 4
             unhex(lpad(hex(col(s"b_${i}_$j") + delta +
               col(s"s_${i}_$j") * (x + shift)), 2, "0"))
           }: _*)
         def frame(i: Int) = concat(
           lit("GIMG".getBytes("US-ASCII")),
-          unhex(lit("0008")), unhex(lit("0008")), unhex(lit("01")),
+          unhex(lit("0004")), unhex(lit("0004")), unhex(lit("01")),
           framePix(i, 0, lit(0)))
         val n = (col("doc_id") % 3 + 1).cast("int")
         val emptyBin = lit(Array.empty[Byte])
         val indexBytes = concat((0 until 3).map { i =>
-          when(n > i, unhex(lpad(hex(lit(i * 73L)), 8, "0")))
+          when(n > i, unhex(lpad(hex(lit(i * 25L)), 8, "0")))
             .otherwise(emptyBin)
         }: _*)
         val framesBytes = concat((0 until 3).map { i =>
@@ -1790,12 +1814,12 @@ object QueriesSimMedia {
           .otherwise(imgPix(2))
         val images = params
           .withColumn("payload", concat(iMagic,
-            unhex(lit("0008")), unhex(lit("0008")), unhex(lit("01")),
+            unhex(lit("0004")), unhex(lit("0004")), unhex(lit("01")),
             pixImg))
           .select(col("doc_id"), col("payload")).localCheckpoint()
         Multimodal.phashNearDup(videos, col("doc_id"), col("payload"),
           images, col("doc_id"), col("payload"), grid = 4, meanScale = 16L,
-          quant = 256L, maxL1 = 256L)
+          quant = 128L, maxL1 = 96L)
       },
       Some(
         """WITH d AS (
@@ -1804,15 +1828,16 @@ object QueriesSimMedia {
           |vs AS (
           |  SELECT doc_id AS video_id, i::int AS frame_idx,
           |         list_transform(range(0, 4), j ->
-          |           (ord(substring(seed, (i * 8 + 2 * j + 2)::int, 1)) % 13) - 6)
-          |           AS sv
+          |           (('0x' || substring(seed, (i * 8 + 2 * j + 1)::int, 2))::bigint
+          |              % 25) - 12) AS sv
           |  FROM d CROSS JOIN (SELECT unnest(range(0, 3)) AS i)
           |  WHERE doc_id % 13 <> 0 AND i < doc_id % 3 + 1),
           |im AS (
           |  SELECT doc_id AS image_id,
           |         list_transform(range(0, 4), j ->
-          |           (ord(substring(seed, ((doc_id % 3) * 8 + 2 * j + 2)::int, 1))
-          |              % 13) - 6) AS sv
+          |           (('0x' || substring(seed,
+          |                ((doc_id % 3) * 8 + 2 * j + 1)::int, 2))::bigint
+          |              % 25) - 12) AS sv
           |  FROM d WHERE doc_id % 7 <> 0),
           |vw AS (
           |  SELECT video_id, frame_idx,
@@ -1826,19 +1851,19 @@ object QueriesSimMedia {
           |  FROM im),
           |vb AS (
           |  SELECT *, '1:' || array_to_string(flatten(list_transform(wv,
-          |           w -> [(-128 * w) // 256, 0, (-64 * w) // 256])), ',')
+          |           w -> [(-64 * w) // 128, 0, (-32 * w) // 128])), ',')
           |           AS bucket
           |  FROM vw),
           |ib AS (
           |  SELECT *, '1:' || array_to_string(flatten(list_transform(wv,
-          |           w -> [(-128 * w) // 256, 0, (-64 * w) // 256])), ',')
+          |           w -> [(-64 * w) // 128, 0, (-32 * w) // 128])), ',')
           |           AS bucket
           |  FROM iw)
           |SELECT v.video_id, v.frame_idx, i.image_id,
           |       list_sum(list_transform(range(1, 5),
-          |         u -> 192 * abs(v.wv[u] - i.wv[u])))::bigint AS l1,
+          |         u -> 96 * abs(v.wv[u] - i.wv[u])))::bigint AS l1,
           |       (CASE WHEN list_sum(list_transform(range(1, 5),
-          |               u -> 192 * abs(v.wv[u] - i.wv[u]))) <= 256
+          |               u -> 96 * abs(v.wv[u] - i.wv[u]))) <= 96
           |             THEN 1 ELSE 0 END)::int AS near_dup
           |FROM vb v JOIN ib i USING (bucket)""".stripMargin)),
   )

@@ -552,8 +552,14 @@ object Dedup {
     * conservative ~128 B/edge worst case (pow2-unlucky hash table + all
     * arrays), floored at the old 2M (small heaps never regress below the
     * long-validated default) and hard-clamped at 2^29 (the Int-overflow
-    * ceiling the distributed path guards anyway). An 8 GB driver admits
-    * ~8M edges; 48 GB admits the 2^29 clamp's worth. A genuinely 100 TB
+    * ceiling the distributed path guards anyway). heap/8/128 = heap/1024:
+    * an 8 GB driver admits ~8M edges, 48 GB ~47M; the 2^29 clamp only
+    * engages past a ~550 GB heap (r15-advice correction of an earlier
+    * ~10× doc error). NOTE the tier choice is heap-DEPENDENT, so the
+    * star-round-count telemetry BASELINE.md tracks is only comparable
+    * across runs at a fixed driver heap — benchmarked paths wanting
+    * machine-independent routing pass maxLocalEdges explicitly.
+    * A genuinely 100 TB
     * edge set still routes to the Kiveris star rounds — there the rounds
     * are data-dominated, not overhead-dominated, which is why the
     * alternative lever (fusing large/small star into one shuffle) was

@@ -748,34 +748,24 @@ object Multimodal {
     require(quant >= 1, "need a positive quantization cell width")
     require(maxBucket >= 1, "need a positive per-side bucket cap")
     val h = walshMatrix(grid)
-    val hLit = array(h.flatten.map(lit(_)): _*)   // H[a][b] at a·g + b
-    def ediv(num: Column, den: Column): Column =
-      ((num - pmod(num, den)) / den).cast("long")
-    // 2-D Walsh of the grid means, output idx = (u·g + v)·c + ch —
-    // the gridMeans layout with (row, col) reread as (u, v)
-    def walsh(gvec: Column, fc: Column): Column =
-      transform(sequence(lit(0L), lit(grid.toLong * grid) * fc - 1L), idx => {
-        val u = ediv(idx, lit(grid.toLong) * fc)
-        val rem = pmod(idx, lit(grid.toLong) * fc)
-        val v = ediv(rem, fc)
-        val ch = pmod(rem, fc)
-        (for (y <- 0 until grid; x <- 0 until grid) yield {
-          val sgn = element_at(hLit, (u * grid + y + 1).cast("int")) *
-            element_at(hLit, (v * grid + x + 1).cast("int"))
-          sgn * element_at(gvec, (lit((y * grid + x).toLong) * fc + ch + 1).cast("int"))
-        }).reduce(_ + _)
-      })
-    // keep only the x-shift-tolerant v >= 1 coefficients, in idx order
-    def pvec(coeffs: Column, fc: Column): Column =
-      transform(
-        filter(zip_with(coeffs,
-            sequence(lit(0L), lit(grid.toLong * grid) * fc - 1L),
-            (s, i) => struct(s.as("s"), i.as("i"))),
-          p => pmod(ediv(p("i"), fc), lit(grid.toLong)) >= 1L),
-        p => p("s"))
+    // the x-shift-tolerant v >= 1 coefficients, built DIRECTLY with
+    // compile-time ±1 signs — (u, v) are plan literals, so each
+    // coefficient is a flat signed sum of g² element_at reads (no basis
+    // table lookups, no v = 0 work, no post-filter): the sf10 heavy-spot
+    // attribution showed the lookup-and-filter form's interpreted-HOF
+    // cost dominating the row. Order matches the gridMeans layout reread
+    // as (u, v): u outer, v inner, channel innermost.
+    def pvec(gvec: Column, fc: Column): Column =
+      flatten(array((for (u <- 0 until grid; v <- 1 until grid) yield
+        transform(sequence(lit(0L), fc - 1L), ch =>
+          (for (y <- 0 until grid; x <- 0 until grid) yield {
+            val term = element_at(gvec,
+              (lit((y * grid + x).toLong) * fc + ch + 1L).cast("int"))
+            if (h(u)(y) * h(v)(x) > 0) term else -term
+          }).reduce(_ + _))): _*))
     def side(df: DataFrame, idCols: Seq[String]): DataFrame = {
       val withP = df.withColumn("pvec",
-        pvec(walsh(col("gvec"), col("channels")), col("channels")))
+        pvec(col("gvec"), col("channels")))
       withP.withColumn("bucket",
           concat_ws(":", col("channels").cast("string"),
             concat_ws(",", transform(col("pvec"),

@@ -897,6 +897,9 @@ object TextOps {
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty && queryTerms == queryTerms.distinct,
       "queryTerms must be non-empty and distinct")
+    // same pivot-column contract as bm25Multi (r15 advice)
+    queryTerms.foreach(t => require(t.matches("[A-Za-z0-9_-]+"),
+      s"term '$t' must match [A-Za-z0-9_-]+ (the pivot names a column after it)"))
     val toks = tokens(normalize(textCol))
     val lengths = docs.select(idCol.as("doc_id"), toks.as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
@@ -949,6 +952,14 @@ object TextOps {
     queries.foreach { case (qid, terms) =>
       require(terms.nonEmpty && terms == terms.distinct,
         s"query $qid: terms must be non-empty and distinct")
+      // the per-term pivot resolves columns named s_<term>: a term
+      // carrying '.', backticks, or other column-name metacharacters
+      // would mis-resolve at runtime with an opaque analysis error
+      // (r15 advice) — and [[normalize]]d tokens never contain them,
+      // so such a term could only ever score zero anyway
+      terms.foreach(t => require(t.matches("[A-Za-z0-9_-]+"),
+        s"query $qid: term '$t' must match [A-Za-z0-9_-]+ (the pivot " +
+          "names a column after it)"))
     }
     val allTerms = queries.flatMap(_._2).distinct
     val toks = tokens(normalize(textCol))

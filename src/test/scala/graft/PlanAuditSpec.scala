@@ -29,6 +29,10 @@ class PlanAuditSpec extends SparkSpec {
     // centroids (broadcast both-tiny); member scoring is equi-join only
     "sim_recall_pq", "sim_recall_pq_rerank", "sim_ivfpq_topk",
     "sim_recall_ivfpq_rerank",
+    // ladder-wide recall/MAP grading: the exact-L2 truth pass and the
+    // lsh/ivf/pq/ivfpq tiers are exactly the exempted rows' shapes above,
+    // composed into one frame (5-row query side broadcast throughout)
+    "eval_recall_map_ann",
     // SQ8: both the integer-dot search and its exact-MIPS recall baseline
     // broadcast the O(10) query side against the corpus (brute-force tier
     // by design; the amax scale is a folded literal, not a plan node)
@@ -245,6 +249,36 @@ class PlanAuditSpec extends SparkSpec {
     // form regressed into per-pass repartitions
     assert(shuffles("events_ts_changepoints") <= 3,
       s"events_ts_changepoints grew beyond design: ${shuffles("events_ts_changepoints")}")
+  }
+
+  test("r16 rows keep their designed exchange counts") {
+    def shuffles(name: String): Int = {
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+      Seq("Exchange hashpartitioning", "Exchange SinglePartition", "Exchange rangepartitioning")
+        .map(p => plan.sliding(p.length).count(_ == p)).sum
+    }
+    // rolling forecast: rank + trailing-sum windows share ONE (ts, tie)
+    // key partitioning — a second key exchange would mean the re-based
+    // position sum regressed into a per-pass repartition
+    assert(shuffles("events_ts_forecast") <= 2,
+      s"events_ts_forecast grew beyond design: ${shuffles("events_ts_forecast")}")
+    // backtest adds the per-key map-side-combined aggregation
+    assert(shuffles("events_ts_forecast_eval") <= 3,
+      s"events_ts_forecast_eval grew beyond design: ${shuffles("events_ts_forecast_eval")}")
+    // holdout serving: base rank/cut windows + the trailing-64 profile's
+    // two rank windows + its aggregation + the score join
+    assert(shuffles("events_ts_forecast_served") <= 6,
+      s"events_ts_forecast_served grew beyond design: ${shuffles("events_ts_forecast_served")}")
+    // all-matches CEP: the lastSeqMatchN window machinery + the
+    // range-frame anchor collect share the one key partitioning; the
+    // explode is a projection — NO self-join, NO per-span exchange
+    assert(shuffles("events_cep_all_matches") <= 2,
+      s"events_cep_all_matches grew beyond design: ${shuffles("events_cep_all_matches")}")
+    val allMatchesPlan = SparkEntry.queries("events_cep_all_matches")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!allMatchesPlan.contains("SortMergeJoin") &&
+      !allMatchesPlan.contains("BroadcastHashJoin"),
+      s"events_cep_all_matches must not plan a join:\n$allMatchesPlan")
   }
 
   test("served rows plan pure serving shapes: artifact scans, no training subtree") {
