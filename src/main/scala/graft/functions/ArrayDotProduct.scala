@@ -139,6 +139,13 @@ object GraftFunctions {
   def array_dot_long(a: Column, b: Column): Column =
     bridge.column(ArrayDotLong(bridge.expression(a), bridge.expression(b)))
 
+  /** Unsigned byte of a binary column at a 1-based long position, as a
+    * long in [0, 255]; null out of range — the codegen'd kernel under the
+    * media decode paths (replaces conv(hex(substring(...))) per pixel). */
+  def byte_at(bin: Column, pos: Column): Column =
+    bridge.column(ByteAt(bridge.expression(bin),
+      bridge.expression(pos.cast("long"))))
+
   /** Distinct winnowing fingerprints (md5-derived 60-bit k-gram hashes →
     * sliding w-window minima) of a pre-normalized string, as array<long> —
     * the codegen'd single-pass kernel behind

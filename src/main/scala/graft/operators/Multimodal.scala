@@ -151,7 +151,7 @@ object Multimodal {
       transform(sequence(lit(0), nWin - 1), i => {
         val win = samples.substr(i * windowBytes + 1, lit(windowBytes))
         val bytes = transform(sequence(lit(1), length(win)),
-          j => conv(hex(substring(win, j, lit(1))), 16, 10).cast("long"))
+          j => graft.functions.GraftFunctions.byte_at(win, j))
         struct(length(win).as("n_bytes"),
           aggregate(bytes, lit(0L), (acc, b) => acc + b).as("byte_sum"),
           array_min(bytes).as("byte_min"),
@@ -201,7 +201,7 @@ object Multimodal {
       val sx = ((lit(ox) * w) / lit(outW.toLong)).cast("long")
       val base = lit(10L) + (sy * w + sx) * c
       transform(sequence(lit(0), (c - 1).cast("int")), j =>
-        conv(hex(binCol.substr((base + j).cast("int"), lit(1))), 16, 10).cast("long"))
+        graft.functions.GraftFunctions.byte_at(binCol, base + j))
     }
     val vals = flatten(array(pixelArrays: _*))
     val posw = aggregate(
@@ -250,8 +250,7 @@ object Multimodal {
     val perChannel = when(valid && nPix > 0,
       transform(sequence(lit(0), (c - 1).cast("int")), k => {
         val bytes = transform(sequence(lit(0L), nPix - 1L), i =>
-          conv(hex(binCol.substr((lit(10L) + i * c + k).cast("int"), lit(1))), 16, 10)
-            .cast("long"))
+          graft.functions.GraftFunctions.byte_at(binCol, lit(10L) + i * c + k))
         struct(nPix.as("n_pix"),
           aggregate(bytes, lit(0L), (acc, b) => acc + b).as("byte_sum"),
           array_min(bytes).as("byte_min"), array_max(bytes).as("byte_max"))
@@ -286,8 +285,7 @@ object Multimodal {
     val fvec = transform(sequence(lit(0), (c - 1).cast("int")), k =>
       aggregate(
         transform(sequence(lit(0L), nPix - 1L), i =>
-          conv(hex(binCol.substr((lit(10L) + i * c + k).cast("int"), lit(1))), 16, 10)
-            .cast("long")),
+          graft.functions.GraftFunctions.byte_at(binCol, lit(10L) + i * c + k)),
         lit(0L), (acc, b) => acc + b))
     df.select(idCol.as("media_id"),
         when(valid && nPix > 0,
@@ -562,9 +560,13 @@ object Multimodal {
         sequence(lit(0L), rh * rw - 1L), lit(0L), (acc, p) => {
           val r = ediv(p, rw)
           val s = pmod(p, rw)
-          acc + conv(hex(bin.substr(
-            (pixStart + ((gy * rh + r) * fw + gx * rw + s) * fc + k)
-              .cast("int"), lit(1))), 16, 10).cast("long")
+          // byte_at: one bounds check + mask per pixel — the
+          // conv(hex(substring)) chain it replaces allocated a byte
+          // copy, a hex UTF8String, and a radix parse PER PIXEL inside
+          // this interpreted lambda (the dominant media-decode cost at
+          // sf10; values bit-identical)
+          acc + graft.functions.GraftFunctions.byte_at(bin,
+            pixStart + ((gy * rh + r) * fw + gx * rw + s) * fc + k)
         })
       ediv(regionSum * meanScale, rh * rw)
     })

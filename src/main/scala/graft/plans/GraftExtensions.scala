@@ -61,6 +61,17 @@ object GraftExtensions {
         "array_dot_long"),
       (children: Seq[Expression]) =>
         graft.functions.ArrayDotLong(children.head, children(1))),
+    // byte_at(bin, pos): unsigned byte as bigint, 1-based, null past the
+    // end — the media-decode kernel, SQL-reachable like its Column form
+    (FunctionIdentifier("byte_at"),
+      new ExpressionInfo(classOf[graft.functions.ByteAt].getName, "byte_at"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "byte_at(bin, pos) takes exactly two arguments")
+        graft.functions.ByteAt(children.head,
+          org.apache.spark.sql.catalyst.expressions.Cast(children(1),
+            org.apache.spark.sql.types.LongType))
+      }),
     (FunctionIdentifier("topk_by"),
       new ExpressionInfo(classOf[graft.functions.BoundedTopK].getName, "topk_by"),
       (children: Seq[Expression]) => {

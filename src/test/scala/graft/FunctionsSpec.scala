@@ -53,6 +53,27 @@ class FunctionsSpec extends SparkSpec {
     assert(native == builtin)
   }
 
+  test("byte_at: unsigned values, null past the end, matches the conv(hex(substring)) chain") {
+    val df = Seq(
+      (1L, Array[Byte](0, 1, 127, -128, -1)),   // unsigned: 0,1,127,128,255
+      (2L, Array[Byte]()))
+      .toDF("id", "bin")
+    val probe = df.select(col("id"), explode(sequence(lit(1L), lit(6L))).as("p"),
+      col("bin"))
+    val native = probe.select(col("id"), col("p"),
+        GraftFunctions.byte_at(col("bin"), col("p")).as("v"))
+      .as[(Long, Long, Option[Long])].collect().toSet
+    val chain = probe.select(col("id"), col("p"),
+        conv(hex(col("bin").substr(col("p").cast("int"), lit(1))), 16, 10)
+          .cast("long").as("v"))
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(native == chain, s"native $native\nchain $chain")
+    assert(native.contains((1L, 5L, Some(255L))) &&
+      native.contains((1L, 4L, Some(128L))))
+    // past the end and on the empty payload: null, never an error
+    assert(native.contains((1L, 6L, None)) && native.contains((2L, 1L, None)))
+  }
+
   test("topk_by keeps the k largest with struct ordering, across partitions") {
     val df = (1L to 1000L).map(i => (i % 7, (i * 37 % 1000).toDouble, i))
       .toDF("key", "value", "id").repartition(8) // force partial/final + serde
@@ -131,6 +152,11 @@ class FunctionsSpec extends SparkSpec {
           org.apache.spark.sql.functions.lit("abcdefgabcdefg"), 3, 4).as("fp"))
         .collect()(0).getSeq[Long](0).toSet
       assert(sql == api && sql.nonEmpty)
+      // byte_at: SQL form, int position auto-cast, unsigned + null lanes
+      val ba = extSpark.sql(
+        "SELECT byte_at(X'00FF7F', 2) AS b1, byte_at(X'00FF7F', 9) AS b2")
+        .collect()(0)
+      assert(ba.getLong(0) == 255L && ba.isNullAt(1))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
