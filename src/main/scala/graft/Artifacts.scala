@@ -257,6 +257,80 @@ object Artifacts {
       s"$r/labels"
     }
 
+  /** Per-sf-dir synthesized MEDIA PAYLOAD fixture (verdict-r16 item 1):
+    * the GVID/GIMG content schedules of the four container-decoding media
+    * rows ([[MediaFixtures]]) materialized ONCE as parquet — (doc_id,
+    * payload binary) per table — so every phash/cross/video bench run
+    * measures decode + bucket-join instead of re-paying the three
+    * checkpointed synthesis stages (~1.85M frames at sf10) and their GC.
+    * A real deployment reads payloads from storage; this fixture IS that
+    * storage. Binary columns round-trip parquet byte-exactly and the
+    * schedules are deterministic functions of `documents`, so the
+    * cross-process publication contract holds unchanged. Returns the
+    * fixture root; tables: vnd_videos, vimatch_videos/images,
+    * cross_videos/images, phash_videos/images, phashy_videos/images. */
+  def mediaPayloads(s: SparkSession, d: String): String =
+    cached(s"media:$d") {
+      published(root(d, "media", "documents")) { tmp =>
+        def write(df: DataFrame, name: String): Unit =
+          df.write.mode("overwrite").parquet(s"$tmp/$name")
+        write(MediaFixtures.vndVideos(s, d), "vnd_videos")
+        val (vmv, vmi) = MediaFixtures.vimatchPair(s, d)
+        write(vmv, "vimatch_videos"); write(vmi, "vimatch_images")
+        val (cv, ci) = MediaFixtures.crossPair(s, d)
+        write(cv, "cross_videos"); write(ci, "cross_images")
+        val (pv, pi) = MediaFixtures.phashPair(s, d)
+        write(pv, "phash_videos"); write(pi, "phash_images")
+        val (pyv, pyi) = MediaFixtures.phashYPair(s, d)
+        write(pyv, "phashy_videos"); write(pyi, "phashy_images")
+      }
+    }
+
+  /** ANN-eval serving artifacts (verdict-r16 item 4): the trained/derived
+    * corpus-side state of the `eval_recall_map_ann` ladder's three
+    * retrain-per-run tiers, persisted once per sf-dir so the `_served`
+    * twin greets each query batch with pure lookups:
+    *
+    *  - `lsh_corpus` — (vec_id, bucket) hyperplane-LSH assignments
+    *    (nPlanes = 8, the `sim_recall_lsh` parameters). The planes
+    *    themselves are md5-derived plan constants; what costs at corpus
+    *    scale is the per-vector 8×dim projection pass — that is what the
+    *    artifact caches;
+    *  - `ivf_centroids` — (cell_id, cellv) spherical k-means cells
+    *    (nCells = 16, 2 Lloyd iterations — `sim_recall_ivf`'s defaults);
+    *  - `ivf_corpus` — (cell_id, corpus_id) nearest-cell assignments
+    *    against those centroids (the inverted lists);
+    *  - `pq_codebook` / `pq_codes` — the raw-vector PQ coder (m = 4,
+    *    ksub = 16, 2 iters — distinct from [[ivfPq]]'s RESIDUAL codebook)
+    *    and each vector's codes.
+    *
+    * Everything integer/md5-deterministic or decimal-routed, so parquet
+    * round-trips are lossless and the served tiers are bit-identical to
+    * their training twins (one oracle gates both). */
+  def annEval(s: SparkSession, d: String): String =
+    cached(s"anneval:$d") {
+      published(root(d, "anneval", "embeddings")) { tmp =>
+        val emb = Tables.embeddings(s, d)
+        emb.select(col("vec_id"),
+            Similarity.lshBucket(Similarity.asDouble(col("embedding")), 8)
+              .as("bucket"))
+          .write.mode("overwrite").parquet(s"$tmp/lsh_corpus")
+        val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+          16, 2).localCheckpoint()
+        cents.select(col("cell_id").cast("int").as("cell_id"), col("cellv"))
+          .repartition(1).sortWithinPartitions("cell_id")
+          .write.mode("overwrite").parquet(s"$tmp/ivf_centroids")
+        Similarity.assignCells(emb, cents, "vec_id", "embedding")
+          .select(col("cell_id"), col("vec_id").as("corpus_id"))
+          .write.mode("overwrite").parquet(s"$tmp/ivf_corpus")
+        val pqc = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4,
+          ksub = 16, iters = 2).localCheckpoint()
+        Similarity.writeCodebook(pqc, s"$tmp/pq_codebook")
+        Similarity.pqEncode(emb, pqc, "vec_id", "embedding", m = 4)
+          .write.mode("overwrite").parquet(s"$tmp/pq_codes")
+      }
+    }
+
   /** Seasonal (user, hour-of-day) profile over the events table — exact
     * (sum, count) longs per cell ([[graft.operators.TimeSeries
     * .seasonalProfile]]), the persisted norm the streaming anomaly scorer

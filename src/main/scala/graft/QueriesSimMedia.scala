@@ -736,6 +736,85 @@ object QueriesSimMedia {
           |LEFT JOIN approx a ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
           |GROUP BY 1""".stripMargin)),
 
+    // MULTI-PROBE LSH recall (Similarity.bucketedTopKMultiProbe —
+    // verdict-r16 item 6, Lv et al.'s standard production lever): each
+    // query also scores the single-bit-flip neighbor buckets of its 5
+    // closest hyperplanes (smallest |projection|, deterministic order),
+    // lifting recall at ZERO index cost — the corpus keeps one bucket
+    // per vector; only the query fans out 4×. The probe sequence is a
+    // deterministic function of md5-derived projections, so measured
+    // recall itself is the oracle-gated value (the sim_recall_lsh
+    // precedent) — compare the two rows for the uplift.
+    ("sim_recall_lsh_multiprobe",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") < 10)
+        val brute = Similarity.cosineTopK(q, emb, "vec_id", "embedding", 5)
+        val approx = Similarity.bucketedTopKMultiProbe(q, emb, "vec_id",
+            "embedding", 5, nPlanes = 8, nProbes = 6)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        brute.select(col("query_id"), col("neighbor_id"))
+          .join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_true"),
+            sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+          .withColumn("recall", col("n_hit").cast("double") / col("n_true"))
+      },
+      Some(
+        s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS ve
+          |           FROM embeddings),
+          |bkp AS (
+          |  SELECT vec_id, p,
+          |         list_sum(list_transform(generate_series(0, len(ve) - 1), d ->
+          |           ve[d + 1] * ((('0x' || substr(md5(p || ':' || d), 1, 15))::bigint
+          |                         / 1.152921504606846976e18) * 2 - 1))) AS proj
+          |  FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS p)),
+          |bk AS (
+          |  SELECT vec_id,
+          |         sum(CASE WHEN proj >= 0 THEN cast(pow(2.0, p) AS bigint)
+          |                  ELSE 0 END)::bigint AS bucket
+          |  FROM bkp GROUP BY 1),
+          |q AS (SELECT * FROM v WHERE vec_id < 10),
+          |flips AS (
+          |  SELECT vec_id, p,
+          |         row_number() OVER (PARTITION BY vec_id
+          |                            ORDER BY abs(proj), p) AS rk
+          |  FROM bkp WHERE vec_id < 10),
+          |probes AS (
+          |  SELECT vec_id, bucket AS pb FROM bk WHERE vec_id < 10
+          |  UNION ALL
+          |  SELECT f.vec_id, xor(b.bucket, cast(pow(2.0, f.p) AS bigint)) AS pb
+          |  FROM flips f JOIN bk b USING (vec_id) WHERE f.rk <= 5),
+          |brute AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+          |             list_dot_product(q.ve, c.ve)
+          |               / (sqrt(list_dot_product(q.ve, q.ve)) * sqrt(list_dot_product(c.ve, c.ve))) DESC,
+          |             c.vec_id) AS rnk
+          |    FROM q CROSS JOIN v c WHERE q.vec_id != c.vec_id)
+          |  WHERE rnk <= 5),
+          |approx AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+          |             list_dot_product(q.ve, c.ve)
+          |               / (sqrt(list_dot_product(q.ve, q.ve)) * sqrt(list_dot_product(c.ve, c.ve))) DESC,
+          |             c.vec_id) AS rnk
+          |    FROM q
+          |    JOIN probes pr ON pr.vec_id = q.vec_id
+          |    JOIN bk cb ON cb.bucket = pr.pb AND cb.vec_id != q.vec_id
+          |    JOIN v c ON c.vec_id = cb.vec_id)
+          |  WHERE rnk <= 5)
+          |SELECT b.query_id,
+          |       count(*) AS n_true,
+          |       cast(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_hit,
+          |       cast(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS double)
+          |         / count(*) AS recall
+          |FROM brute b
+          |LEFT JOIN approx a ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+          |GROUP BY 1""".stripMargin)),
+
     ("sim_recall_ivf",
       (s: SparkSession, d: String) => {
         val emb = Tables.embeddings(s, d)
@@ -1053,6 +1132,43 @@ object QueriesSimMedia {
             "embedding", 5, nCells = 16, nProbe = 4)))
           .unionByName(grade("pq", Similarity.pqAdcTopK(q, codes, cents,
             "vec_id", "embedding", m = 4, k = 5)))
+          .unionByName(grade("ivfpq", ivfPqTop5Served(s, d)))
+      },
+      Some(PqOracle.recallMapAnnSql)),
+
+    // The WARM twin of eval_recall_map_ann (verdict-r16 item 4): the
+    // three retrain-per-run tiers serve from Artifacts.annEval — LSH
+    // corpus buckets, IVF centroids + inverted lists, the raw-vector PQ
+    // codebook + codes — and the ivfpq tier was already the served path,
+    // so the only non-lookup work left is the truth pass (the exact-L2
+    // baseline is the EVAL's own honest cost, same as eval_ndcg_ann).
+    // Served tiers are bit-identical to their training twins (persisted
+    // longs/doubles round-trip losslessly; same expressions, same
+    // tie-breaks), so the SAME oracle gates both rows.
+    ("eval_recall_map_ann_served",
+      (s: SparkSession, d: String) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") < 5)
+        val truth = Similarity.l2TopK(q, emb, "vec_id", "embedding", 5)
+        def grade(name: String, approx: DataFrame): DataFrame =
+          Eval.recallMapSummary(
+            Eval.recallApAtK(approx, truth, col("query_id"),
+                col("neighbor_id"), col("rank"), col("query_id"),
+                col("neighbor_id"))
+              .withColumn("tier", lit(name)),
+            Seq("tier"))
+        val r = Artifacts.annEval(s, d)
+        grade("lsh", Similarity.bucketedTopKServed(q, emb,
+            s.read.parquet(s"$r/lsh_corpus"), "vec_id", "embedding", 5,
+            nPlanes = 8))
+          .unionByName(grade("ivf", Similarity.ivfTopKServed(q, emb,
+            s.read.parquet(s"$r/ivf_corpus"),
+            s.read.parquet(s"$r/ivf_centroids"), "vec_id", "embedding", 5,
+            nProbe = 4)))
+          .unionByName(grade("pq", Similarity.pqAdcTopK(q,
+            s.read.parquet(s"$r/pq_codes"),
+            s.read.parquet(s"$r/pq_codebook"), "vec_id", "embedding",
+            m = 4, k = 5)))
           .unionByName(grade("ivfpq", ivfPqTop5Served(s, d)))
       },
       Some(PqOracle.recallMapAnnSql)),
@@ -1495,37 +1611,19 @@ object QueriesSimMedia {
     // emit no features and so no pairs.
     ("multimodal_video_near_dup",
       (s: SparkSession, d: String) => {
-        val docs = Tables.documents(s, d)
-        val n = (col("doc_id") % 3 + 1).cast("int")
-        def frame(i: Column) = concat(
-          lit("GIMG".getBytes("US-ASCII")),
-          unhex(lit("0002")),
-          unhex(lit("0002")),
-          unhex(lit("01")),
-          rpad(col("text"), 16, "x").cast("binary")
-            .substr(i.cast("int") * 4 + (col("doc_id") % 4 + 1).cast("int"), lit(4)))
-        val idxSeq = sequence(lit(0L), (n - 1).cast("long"))
-        val emptyBin = lit(Array.empty[Byte])
-        val indexBytes = aggregate(
-          transform(idxSeq, i => unhex(lpad(hex(i * 13L), 8, "0"))),
-          emptyBin, (acc, b) => concat(acc, b))
-        val framesBytes = aggregate(
-          transform(idxSeq, i => frame(i)), emptyBin, (acc, b) => concat(acc, b))
-        val magic = when(col("doc_id") % 13 === 0,
-          lit("XVID".getBytes("US-ASCII")))
-          .otherwise(lit("GVID".getBytes("US-ASCII")))
-        val payload = concat(magic, unhex(lpad(hex(n), 4, "0")),
-          indexBytes, framesBytes)
-        // materialize the SYNTHETIC container bytes before decoding: the
-        // index/frames construction is an aggregate-HOF expression, and the
-        // operator's ~30 payload references would each re-evaluate it
-        // (measured 18 s vs 3 s at sf0.1). A real deployment reads payloads
-        // from storage — a materialized binary column — which is exactly
-        // what the checkpoint restores here; the operator itself stays a
-        // pure plan.
-        Multimodal.videoNearDup(
-          docs.withColumn("payload", payload)
-            .select(col("doc_id"), col("payload")).localCheckpoint(),
+        // payloads come from the per-sf-dir parquet fixture
+        // (Artifacts.mediaPayloads / MediaFixtures.vndVideos — verdict-r16
+        // item 1): a real deployment reads payloads from storage, and the
+        // fixture IS that storage, so the row measures decode + bucket
+        // join instead of re-paying the aggregate-HOF container synthesis
+        // (measured 18 s vs 3 s at sf0.1 back when it was inlined; the
+        // r16 localCheckpoint staging paid it once per RUN — this pays it
+        // once per sf-dir, which also kills the sf10 synthesis-GC
+        // variance band). The content schedule is unchanged; the oracle
+        // recomputes it from the text, never the bytes.
+        val videos = s.read.parquet(
+          s"${Artifacts.mediaPayloads(s, d)}/vnd_videos")
+        Multimodal.videoNearDup(videos,
           col("doc_id"), col("payload"), quant = 8L)
       },
       Some(
@@ -1569,39 +1667,13 @@ object QueriesSimMedia {
     // null texts contribute no keys and so no matches.
     ("multimodal_video_image_match",
       (s: SparkSession, d: String) => {
-        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
-        val seedHex = md5(concat(col("source"), lit(":"),
-          col("n_chars").cast("string")))
-        val n = (col("doc_id") % 3 + 1).cast("int")
-        def frame(i: Column) = concat(
-          lit("GIMG".getBytes("US-ASCII")),
-          unhex(lit("0002")), unhex(lit("0002")), unhex(lit("01")),
-          seedHex.substr((i.cast("int") * 4 + 1), lit(4)).cast("binary"))
-        val idxSeq = sequence(lit(0L), (n - 1).cast("long"))
-        val emptyBin = lit(Array.empty[Byte])
-        val indexBytes = aggregate(
-          transform(idxSeq, i => unhex(lpad(hex(i * 13L), 8, "0"))),
-          emptyBin, (acc, b) => concat(acc, b))
-        val framesBytes = aggregate(
-          transform(idxSeq, i => frame(i)), emptyBin, (acc, b) => concat(acc, b))
-        val vMagic = when(col("doc_id") % 13 === 0,
-          lit("XVID".getBytes("US-ASCII")))
-          .otherwise(lit("GVID".getBytes("US-ASCII")))
-        val iMagic = when(col("doc_id") % 7 === 0,
-          lit("XIMG".getBytes("US-ASCII")))
-          .otherwise(lit("GIMG".getBytes("US-ASCII")))
-        // materialize both synthesized payload tables before decoding (the
-        // aggregate-HOF re-evaluation lesson pinned on video_near_dup)
-        val videos = docs
-          .withColumn("payload", concat(vMagic, unhex(lpad(hex(n), 4, "0")),
-            indexBytes, framesBytes))
-          .select(col("doc_id"), col("payload")).localCheckpoint()
-        val images = docs
-          .withColumn("payload", concat(iMagic,
-            unhex(lit("0002")), unhex(lit("0002")), unhex(lit("01")),
-            seedHex.substr(((col("doc_id") % 3) * 4 + 1).cast("int"), lit(4))
-              .cast("binary")))
-          .select(col("doc_id"), col("payload")).localCheckpoint()
+        // both payload tables come from the per-sf-dir parquet fixture
+        // (Artifacts.mediaPayloads / MediaFixtures.vimatchPair — the
+        // storage a real CAS-join deployment reads); schedule unchanged,
+        // oracle recomputes it from source/n_chars arithmetic
+        val r = Artifacts.mediaPayloads(s, d)
+        val videos = s.read.parquet(s"$r/vimatch_videos")
+        val images = s.read.parquet(s"$r/vimatch_images")
         Multimodal.videoImageMatch(videos, col("doc_id"), col("payload"),
           images, col("doc_id"), col("payload"))
       },
@@ -1638,51 +1710,16 @@ object QueriesSimMedia {
     // assets (solid frames, boilerplate intros) saturate a cell.
     ("multimodal_cross_near_dup",
       (s: SparkSession, d: String) => {
-        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
-        val seedHex = md5(concat(col("source"), lit(":"),
-          col("n_chars").cast("string")))
-        val n = (col("doc_id") % 3 + 1).cast("int")
-        // pixel blocks are RAW seed bytes (unhex of hex pairs), not the
-        // hex string's ASCII characters: a 16-value character alphabet
-        // collapses to ~5 quant cells per dimension, so the bucket domain
-        // saturates and the pair space goes quadratic at ANY corpus scale
-        // (the r15 sf10 finding's second, deeper cause — the cross-copy
-        // seed replication ScaleAll now fixes was only the first). Raw
-        // bytes give 64 cells/dim (64⁴ ≈ 16.7M buckets): DuckDB-counted
-        // 410 → 5 262 → 48 215 candidates across sf0.01/0.1/1 — linear,
-        // hottest cell 5.
-        def frame(i: Column) = concat(
-          lit("GIMG".getBytes("US-ASCII")),
-          unhex(lit("0002")), unhex(lit("0002")), unhex(lit("01")),
-          unhex(seedHex.substr((i.cast("int") * 8 + 1), lit(8))))
-        val idxSeq = sequence(lit(0L), (n - 1).cast("long"))
-        val emptyBin = lit(Array.empty[Byte])
-        val indexBytes = aggregate(
-          transform(idxSeq, i => unhex(lpad(hex(i * 13L), 8, "0"))),
-          emptyBin, (acc, b) => concat(acc, b))
-        val framesBytes = aggregate(
-          transform(idxSeq, i => frame(i)), emptyBin, (acc, b) => concat(acc, b))
-        val vMagic = when(col("doc_id") % 13 === 0,
-          lit("XVID".getBytes("US-ASCII")))
-          .otherwise(lit("GVID".getBytes("US-ASCII")))
-        val iMagic = when(col("doc_id") % 7 === 0,
-          lit("XIMG".getBytes("US-ASCII")))
-          .otherwise(lit("GIMG".getBytes("US-ASCII")))
-        val videos = docs
-          .withColumn("payload", concat(vMagic, unhex(lpad(hex(n), 4, "0")),
-            indexBytes, framesBytes))
-          .select(col("doc_id"), col("payload")).localCheckpoint()
-        // image = NN 2× upscale of block (doc_id % 3): pixel p of the 4×4
-        // copies raw seed byte (row div 2)·2 + (col div 2) of the block
-        val blockStart = ((col("doc_id") % 3) * 8 + 1).cast("int")
-        val pix = concat((0 until 16).map { p =>
-          val b = (p / 4 / 2) * 2 + (p % 4 / 2)
-          unhex(seedHex.substr(blockStart + 2 * b, lit(2)))
-        }: _*)
-        val images = docs
-          .withColumn("payload", concat(iMagic,
-            unhex(lit("0004")), unhex(lit("0004")), unhex(lit("01")), pix))
-          .select(col("doc_id"), col("payload")).localCheckpoint()
+        // payload tables from the per-sf-dir parquet fixture
+        // (Artifacts.mediaPayloads / MediaFixtures.crossPair). The content
+        // schedule — RAW seed bytes, 64 quant cells/dim, the r16 alphabet
+        // fix that keeps the pair space linear (DuckDB-counted 410 → 5 262
+        // → 48 215 across sf0.01/0.1/1, hottest cell 5) — is unchanged;
+        // only the materialization moved from per-run localCheckpoints to
+        // the build-once fixture (verdict-r16 item 1).
+        val r = Artifacts.mediaPayloads(s, d)
+        val videos = s.read.parquet(s"$r/cross_videos")
+        val images = s.read.parquet(s"$r/cross_images")
         Multimodal.crossModalNearDup(videos, col("doc_id"), col("payload"),
           images, col("doc_id"), col("payload"), grid = 2, meanScale = 16L,
           quant = 64L, maxL1 = 96L)
@@ -1741,85 +1778,20 @@ object QueriesSimMedia {
     // scales — the slope keyspace is 25⁴).
     ("multimodal_phash_near_dup",
       (s: SparkSession, d: String) => {
-        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
-        val seedHex = md5(concat(col("source"), lit(":"),
-          col("n_chars").cast("string")))
-        // stage the seed-derived ramp parameters behind a checkpoint:
-        // inlining md5(seed) into all 64 byte slots per frame builds a
-        // ~70 KB expression janino refuses to compile — the payload
-        // builders below reference these SMALL param columns instead
-        // params from RAW seed bytes (hex pairs), not hex-char ords: the
-        // slope vector IS the match key, so its alphabet sets the bucket
-        // domain — 25 near-uniform values per grid row (25^4 ~ 390k cells)
-        // keeps the pair space near-linear through sf10 (DuckDB-counted
-        // 410 / 5 396 / 61 652 / 1.85M across the four decades, hottest
-        // cell 22 — the cap never engages), where the old 13-value
-        // hex-char alphabet saturated
-        def byteAt(pos: Int) =
-          conv(substring(col("seed"), pos, 2), 16, 10).cast("int")
-        val params = docs
-          .select(col("doc_id"), seedHex.as("seed"))
-          .select((Seq(col("doc_id")) ++
-            (for (i <- 0 to 2; j <- 0 to 3) yield Seq(
-              (lit(100) + (byteAt(i * 8 + 2 * j + 1) / 25).cast("int"))
-                .as(s"b_${i}_$j"),
-              (pmod(byteAt(i * 8 + 2 * j + 1), lit(25)) - 12)
-                .as(s"s_${i}_$j")
-            )).flatten ++ Seq(
-            (pmod(byteAt(25), lit(21)) - 10).as("delta0"))): _*)
-          .localCheckpoint()
-        // 4×4×1 pixel region: row-linear ramps, one (b, s) per grid row
-        // (grid 4 makes each region ONE pixel — the decode stays inside
-        // whole-stage codegen's 64 KB method budget, which the 8×8 form's
-        // 64-term byte synthesis blew, falling back to interpreted)
-        def framePix(i: Int, shift: Int, delta: Column): Column =
-          concat((0 until 16).map { p =>
-            val x = p % 4
-            val j = p / 4
-            unhex(lpad(hex(col(s"b_${i}_$j") + delta +
-              col(s"s_${i}_$j") * (x + shift)), 2, "0"))
-          }: _*)
-        def frame(i: Int) = concat(
-          lit("GIMG".getBytes("US-ASCII")),
-          unhex(lit("0004")), unhex(lit("0004")), unhex(lit("01")),
-          framePix(i, 0, lit(0)))
-        val n = (col("doc_id") % 3 + 1).cast("int")
-        val emptyBin = lit(Array.empty[Byte])
-        val indexBytes = concat((0 until 3).map { i =>
-          when(n > i, unhex(lpad(hex(lit(i * 25L)), 8, "0")))
-            .otherwise(emptyBin)
-        }: _*)
-        val framesBytes = concat((0 until 3).map { i =>
-          when(n > i, frame(i)).otherwise(emptyBin)
-        }: _*)
-        val vMagic = when(col("doc_id") % 13 === 0,
-          lit("XVID".getBytes("US-ASCII")))
-          .otherwise(lit("GVID".getBytes("US-ASCII")))
-        val iMagic = when(col("doc_id") % 7 === 0,
-          lit("XIMG".getBytes("US-ASCII")))
-          .otherwise(lit("GIMG".getBytes("US-ASCII")))
-        val videos = params
-          .withColumn("payload", concat(vMagic, unhex(lpad(hex(n), 4, "0")),
-            indexBytes, framesBytes))
-          .select(col("doc_id"), col("payload")).localCheckpoint()
-        // image = frame (doc_id % 3) under a +1-px x-shift (odd docs) or
-        // a seed-derived brightness delta (even docs)
-        val delta = when(col("doc_id") % 2 === 0, col("delta0"))
-          .otherwise(lit(0))
-        def imgPix(i: Int): Column =
-          when(col("doc_id") % 2 === 0, framePix(i, 0, delta))
-            .otherwise(framePix(i, 1, lit(0)))
-        val pixImg = when(col("doc_id") % 3 === 0, imgPix(0))
-          .when(col("doc_id") % 3 === 1, imgPix(1))
-          .otherwise(imgPix(2))
-        val images = params
-          .withColumn("payload", concat(iMagic,
-            unhex(lit("0004")), unhex(lit("0004")), unhex(lit("01")),
-            pixImg))
-          .select(col("doc_id"), col("payload")).localCheckpoint()
-        Multimodal.phashNearDup(videos, col("doc_id"), col("payload"),
-          images, col("doc_id"), col("payload"), grid = 4, meanScale = 16L,
-          quant = 128L, maxL1 = 96L)
+        // payload tables from the per-sf-dir parquet fixture
+        // (Artifacts.mediaPayloads / MediaFixtures.phashPair — the r16
+        // x-lane schedule verbatim: per-grid-ROW linear ramps with params
+        // from RAW seed bytes, 25 slope values per row ≈ 390k bucket
+        // cells, pair space DuckDB-counted 410 / 5 396 / 61 652 / 1.85M
+        // across the four decades, hottest cell 22). The r16 form's three
+        // per-run localCheckpoint synthesis stages were the sf10 variance
+        // band (160–324 s, GC-dominated); the fixture pays synthesis once
+        // per sf-dir so the row measures Walsh decode + bucket join.
+        val r = Artifacts.mediaPayloads(s, d)
+        Multimodal.phashNearDup(
+          s.read.parquet(s"$r/phash_videos"), col("doc_id"), col("payload"),
+          s.read.parquet(s"$r/phash_images"), col("doc_id"), col("payload"),
+          grid = 4, meanScale = 16L, quant = 128L, maxL1 = 96L)
       },
       Some(
         """WITH d AS (
@@ -1858,6 +1830,76 @@ object QueriesSimMedia {
           |  SELECT *, '1:' || array_to_string(flatten(list_transform(wv,
           |           w -> [(-64 * w) // 128, 0, (-32 * w) // 128])), ',')
           |           AS bucket
+          |  FROM iw)
+          |SELECT v.video_id, v.frame_idx, i.image_id,
+          |       list_sum(list_transform(range(1, 5),
+          |         u -> 96 * abs(v.wv[u] - i.wv[u])))::bigint AS l1,
+          |       (CASE WHEN list_sum(list_transform(range(1, 5),
+          |               u -> 96 * abs(v.wv[u] - i.wv[u]))) <= 96
+          |             THEN 1 ELSE 0 END)::int AS near_dup
+          |FROM vb v JOIN ib i USING (bucket)""".stripMargin)),
+
+    // The Y-SHIFT Walsh dual (verdict-r16 item 5): phashNearDup with the
+    // {u ≥ 1} coefficient subset — DC and the whole u = 0 ROW (pure
+    // column-profile energy, where a VERTICAL translate's perturbation
+    // lands) excluded from bucket and verify — over the transposed
+    // fixture lane (MediaFixtures.phashYPair: per-grid-COLUMN linear
+    // ramps, images a +1-px Y-translate or brightness shift of frame
+    // doc_id % 3). Same closed-form oracle as the x row with the roles
+    // of u and v swapped: F[1][v] = −64·W_v, F[2][v] = 0,
+    // F[3][v] = −32·W_v with W the Walsh transform of the per-column
+    // slope vector, so the bucket flattens in (u outer, v inner) order
+    // as [−64·W // 128]×4 ++ [0]×4 ++ [−32·W // 128]×4. A spec pins the
+    // asymmetry: the y-translate copy matches at l1 = 0 here and misses
+    // under the x subset (MultimodalSpec).
+    ("multimodal_phash_near_dup_y",
+      (s: SparkSession, d: String) => {
+        val r = Artifacts.mediaPayloads(s, d)
+        Multimodal.phashNearDup(
+          s.read.parquet(s"$r/phashy_videos"), col("doc_id"), col("payload"),
+          s.read.parquet(s"$r/phashy_images"), col("doc_id"), col("payload"),
+          grid = 4, meanScale = 16L, quant = 128L, maxL1 = 96L,
+          yShiftTolerant = true)
+      },
+      Some(
+        """WITH d AS (
+          |  SELECT doc_id, md5(source || ':' || n_chars::varchar) AS seed
+          |  FROM documents WHERE text IS NOT NULL),
+          |vs AS (
+          |  SELECT doc_id AS video_id, i::int AS frame_idx,
+          |         list_transform(range(0, 4), j ->
+          |           (('0x' || substring(seed, (i * 8 + 2 * j + 1)::int, 2))::bigint
+          |              % 25) - 12) AS sv
+          |  FROM d CROSS JOIN (SELECT unnest(range(0, 3)) AS i)
+          |  WHERE doc_id % 13 <> 0 AND i < doc_id % 3 + 1),
+          |im AS (
+          |  SELECT doc_id AS image_id,
+          |         list_transform(range(0, 4), j ->
+          |           (('0x' || substring(seed,
+          |                ((doc_id % 3) * 8 + 2 * j + 1)::int, 2))::bigint
+          |              % 25) - 12) AS sv
+          |  FROM d WHERE doc_id % 7 <> 0),
+          |vw AS (
+          |  SELECT video_id, frame_idx,
+          |         [sv[1]+sv[2]+sv[3]+sv[4], sv[1]+sv[2]-sv[3]-sv[4],
+          |          sv[1]-sv[2]-sv[3]+sv[4], sv[1]-sv[2]+sv[3]-sv[4]] AS wv
+          |  FROM vs),
+          |iw AS (
+          |  SELECT image_id,
+          |         [sv[1]+sv[2]+sv[3]+sv[4], sv[1]+sv[2]-sv[3]-sv[4],
+          |          sv[1]-sv[2]-sv[3]+sv[4], sv[1]-sv[2]+sv[3]-sv[4]] AS wv
+          |  FROM im),
+          |vb AS (
+          |  SELECT *, '1:' || array_to_string(
+          |           list_transform(wv, w -> (-64 * w) // 128) ||
+          |           [0, 0, 0, 0] ||
+          |           list_transform(wv, w -> (-32 * w) // 128), ',') AS bucket
+          |  FROM vw),
+          |ib AS (
+          |  SELECT *, '1:' || array_to_string(
+          |           list_transform(wv, w -> (-64 * w) // 128) ||
+          |           [0, 0, 0, 0] ||
+          |           list_transform(wv, w -> (-32 * w) // 128), ',') AS bucket
           |  FROM iw)
           |SELECT v.video_id, v.frame_idx, i.image_id,
           |       list_sum(list_transform(range(1, 5),

@@ -747,6 +747,41 @@ object QueriesSql {
         |            THEN qv * 336L - fc_num END AS err_scaled
         |FROM f""".stripMargin),
 
+    // The MASE backtest from SQL text (verdict-r16 item 9): the same
+    // forecast CTE chain extended with the naive one-step error and
+    // rolled up per key — Σ|forecast error| vs Σ|naive error| in exact
+    // longs, MASE as one final double division. Gated on the
+    // events_ts_forecast_eval oracle.
+    ("sql_events_ts_forecast_eval", "events_ts_forecast_eval", Seq("events"),
+      """WITH s AS (
+        |  SELECT user_id AS k, event_id AS id, ts,
+        |         CAST(floor(value * 1000) AS bigint) AS qv,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |w AS (
+        |  SELECT *,
+        |         sum(qv) OVER win AS sy,
+        |         sum(rn * qv) OVER win AS s2,
+        |         count(*) OVER win AS c,
+        |         qv - lag(qv) OVER (PARTITION BY k ORDER BY rn) AS nd
+        |  FROM s
+        |  WINDOW win AS (PARTITION BY k ORDER BY rn
+        |                 ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
+        |f AS (
+        |  SELECT *,
+        |         CASE WHEN c = 8 THEN
+        |           (204L * sy - 36L * (s2 - (rn - 9) * sy))
+        |           + (8L * (s2 - (rn - 9) * sy) - 36L * sy) * 9L END AS fc_num
+        |  FROM w)
+        |SELECT k AS user_id, count(*) AS n_eval,
+        |       sum(abs(qv * 336L - fc_num)) AS sae_fc_scaled,
+        |       sum(abs(nd)) AS sae_naive,
+        |       CASE WHEN sum(abs(nd)) > 0
+        |            THEN CAST(sum(abs(qv * 336L - fc_num)) AS double)
+        |                 / (sum(abs(nd)) * 336L) END AS mase
+        |FROM f WHERE fc_num IS NOT NULL GROUP BY k""".stripMargin),
+
     // All-matches CEP from SQL text: the bounded anchor enumeration as an
     // explicit anchors×closes join + recency rank (the oracle's own shape
     // — a SQL cell has no bounded-collect idiom, so the join IS the

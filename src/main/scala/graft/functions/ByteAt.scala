@@ -11,7 +11,13 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
  * [0, 255], NULL when `pos` is out of range (the decode-what's-there
  * convention — reads past a truncated payload surface as null, exactly
  * like the `conv(hex(substring(bin, pos, 1)), 16, 10)` chain it
- * replaces).
+ * replaces FOR pos ≥ 1). Equivalence scope (r16 advice): for pos ≤ 0
+ * this DELIBERATELY returns NULL, where Spark's substring would treat
+ * pos 0 as 1 and a negative pos as from-the-end — a 1-based byte reader
+ * has no meaningful negative index, and a silent tail read is exactly
+ * the decode bug the null surfaces. All internal call sites use
+ * pos ≥ 1; SQL callers of the registered function get the documented
+ * null-for-nonpositive convention.
  *
  * Why a custom Expression (SURVEY §7.5 preference order): the built-in
  * chain allocates a 1-byte array copy, hex-encodes it into a UTF8String,

@@ -167,6 +167,15 @@ object Cep {
    * explode. Still ONE key shuffle, no NFA, no self-join; the close
    * explodes its capped anchor array (≤ maxSpans rows out per close).
    *
+   * SHARP EDGE (r16 verdict note): the range frame BUILDS the anchor
+   * array on EVERY row of a key inside the window — the `maxSpans` cap
+   * applies at the close-row slice, not at the collect — so the per-row
+   * transient is the full retention-horizon anchor count (arrival rate ×
+   * `windowSeconds`). Acceptable for batch replay over bounded windows;
+   * production unbounded streams with adversarial arrival rates should
+   * use the streaming twin ([[graft.streaming.StatefulOps.cepStreamAll]]),
+   * which holds only the capped ≤ `maxSpans` anchor snapshots in state.
+   *
    * `span_rank` numbers the emitted spans by anchor recency within the
    * CAPPED anchor set (1 = most recent capped anchor, valid or not —
    * computed from the slice position, no second shuffle); gaps in the

@@ -186,14 +186,22 @@ object Eval {
    * `approx` (a tier that returned nothing) still report, with zero hits —
    * a silent drop would inflate the tier's mean. Output: (query, n_true,
    * n_hits, recall_scaled, ap_scaled).
+   *
+   * Input contract (r16 advice): the truth projection is DEDUPLICATED
+   * here (duplicate (query, doc) truth rows would otherwise fan out the
+   * hit join — n_hits could exceed n_true); `approx` must carry unique
+   * (query, doc) pairs (a top-k list by construction — duplicates would
+   * double-count hits) and 1-BASED ranks — a rank of 0 makes the AP
+   * contribution's floor division NULL, which sum() would silently drop.
    */
   def recallApAtK(approx: DataFrame, truth: DataFrame, queryCol: Column,
       docCol: Column, rankCol: Column, truthQueryCol: Column,
       truthDocCol: Column, scale: Long = 1L << 20): DataFrame = {
     val a = approx.select(queryCol.as("query"), docCol.as("doc"),
       rankCol.cast("long").as("rank"))
-    val t = truth.select(truthQueryCol.as("query"), truthDocCol.as("doc"),
-      lit(1L).as("hit"))
+    val t = truth.select(truthQueryCol.as("query"), truthDocCol.as("doc"))
+      .distinct()
+      .withColumn("hit", lit(1L))
     val w = Window.partitionBy(col("query")).orderBy(col("rank"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val scored = a.join(t, Seq("query", "doc"), "left")

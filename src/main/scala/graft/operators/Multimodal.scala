@@ -737,28 +737,34 @@ object Multimodal {
    * zero-straddling cell is double-width, a documented cell-shape quirk,
    * not a correctness issue). Candidates bucket-equi-join with
    * the same per-side hot-cell cap; the exact L1 over the v ≥ 1
-   * coefficients verifies. The y-shift-tolerant dual is {u ≥ 1} — one
-   * transpose away; this surface pins the x case.
+   * coefficients verifies. The y-shift-tolerant DUAL is the {u ≥ 1}
+   * subset — `yShiftTolerant = true` selects it (drop DC and the whole
+   * u = 0 row, where a vertical translate's column-profile perturbation
+   * lands); the default pins the x case.
    *
    * Output: (video_id, frame_idx, image_id, l1, near_dup).
    */
   def phashNearDup(videos: DataFrame, vidId: Column, vidBin: Column,
       images: DataFrame, imgId: Column, imgBin: Column, grid: Int = 4,
       meanScale: Long = 16L, quant: Long = 256L, maxL1: Long = 512L,
-      maxBucket: Int = 64): DataFrame = {
+      maxBucket: Int = 64, yShiftTolerant: Boolean = false): DataFrame = {
     require(meanScale >= 1, "need a positive mean scale")
     require(quant >= 1, "need a positive quantization cell width")
     require(maxBucket >= 1, "need a positive per-side bucket cap")
     val h = walshMatrix(grid)
-    // the x-shift-tolerant v >= 1 coefficients, built DIRECTLY with
-    // compile-time ±1 signs — (u, v) are plan literals, so each
-    // coefficient is a flat signed sum of g² element_at reads (no basis
-    // table lookups, no v = 0 work, no post-filter): the sf10 heavy-spot
+    // the shift-tolerant coefficient subset ({v >= 1} for x tolerance,
+    // {u >= 1} for the y dual), built DIRECTLY with compile-time ±1
+    // signs — (u, v) are plan literals, so each coefficient is a flat
+    // signed sum of g² element_at reads (no basis table lookups, no
+    // excluded-axis work, no post-filter): the sf10 heavy-spot
     // attribution showed the lookup-and-filter form's interpreted-HOF
     // cost dominating the row. Order matches the gridMeans layout reread
     // as (u, v): u outer, v inner, channel innermost.
+    val uvPairs =
+      if (yShiftTolerant) for (u <- 1 until grid; v <- 0 until grid) yield (u, v)
+      else for (u <- 0 until grid; v <- 1 until grid) yield (u, v)
     def pvec(gvec: Column, fc: Column): Column =
-      flatten(array((for (u <- 0 until grid; v <- 1 until grid) yield
+      flatten(array((for ((u, v) <- uvPairs) yield
         transform(sequence(lit(0L), fc - 1L), ch =>
           (for (y <- 0 until grid; x <- 0 until grid) yield {
             val term = element_at(gvec,
@@ -772,7 +778,13 @@ object Multimodal {
           concat_ws(":", col("channels").cast("string"),
             concat_ws(",", transform(col("pvec"),
               // truncating division (Spark div ≡ DuckDB //), NOT ediv's
-              // floor — the cross-engine quantization convention
+              // floor — the cross-engine quantization convention.
+              // MAGNITUDE BOUND (r16 advice): this is IEEE double division
+              // then truncation — exact only while |s| stays below ~2^52
+              // (a double holds the quotient's integer part exactly
+              // there). |s| ≤ g²·meanScale·255 ≈ 2^16 at the defaults;
+              // a caller pushing grid/meanScale/pixel depth past 2^52
+              // must switch to an integer truncating form first
               s => (s / quant).cast("long").cast("string")))))
         .withColumn("__bn", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))))

@@ -875,6 +875,141 @@ object StatefulOps {
       }
   }
 
+  final case class CepAllState(ts_us: Array[Long], ties: Array[Long],
+      set: Array[Boolean], a_us: Array[Long], a_tie: Array[Long],
+      ln_us: Long, ln_tie: Long, ln_set: Boolean)
+  final case class CepAllMatch(key: Long, close_id: Long, step_us: Seq[Long],
+      gap_seconds: Long, span_rank: Int)
+
+  /**
+   * ALL-MATCHES streaming CEP — the
+   * [[graft.operators.Cep.allSeqMatches]] `AFTER MATCH SKIP TO NEXT ROW`
+   * policy (every close reports every valid step-0 anchor among the
+   * `maxSpans` most-recent in-window ones; intermediates stay
+   * skip-till-last) with state O(steps + maxSpans) per key: the tracked
+   * intermediate (ts, tie) pairs, the newest negation, and the CAPPED
+   * anchor list — ≤ `maxSpans` (us, tie) snapshots, each O(1). That is
+   * STRICTLY SMALLER than the batch form's transient, which builds the
+   * full retention-horizon anchor array on every row of the range frame
+   * and only caps at the close-row slice (the r16 sharp-edge note on the
+   * batch operator) — here the cap applies at INSERT, so an adversarial
+   * arrival rate costs list maintenance, never growth.
+   *
+   * Cap semantics match the batch form exactly: the state list holds the
+   * `maxSpans` most-recent anchors seen in (ts, tie) order (a straggler
+   * older than the oldest kept entry of a full list is dropped — the
+   * batch slice would drop it too), and a close filters to the window,
+   * takes the most-recent `maxSpans`, THEN tests validity — recency
+   * before validity, so `span_rank` (1 = most recent capped anchor,
+   * valid or not) reproduces the batch numbering. One batch subtlety is
+   * handled explicitly: the batch anchor frame is a RANGE frame over
+   * `us`, so an anchor sharing the close's exact microsecond with a
+   * HIGHER tie occupies a cap slot (never valid — validity needs strict
+   * precedence); within a micro-batch those are merged from the sorted
+   * batch itself, across micro-batches they fall under the standard
+   * straggler caveat shared by every custom-state operator here
+   * (watermark-disciplined sources keep that window small; in-order
+   * parity with the batch form is spec-pinned, CepSpec).
+   */
+  def cepStreamAll(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, steps: Seq[org.apache.spark.sql.Column],
+      negation: org.apache.spark.sql.Column, windowSeconds: Long,
+      maxSpans: Int = 16,
+      timeout: Option[String] = None): Dataset[CepAllMatch] = {
+    require(windowSeconds > 0, "need a positive match window")
+    require(steps.size >= 2, "need at least two pattern steps")
+    require(maxSpans >= 1, "need a positive span cap")
+    import events.sparkSession.implicits._
+    val k = steps.size
+    val nMids = k - 2
+    val winUs = windowSeconds * 1000000L
+    val typedEv = events.select(
+        col(keyCol).cast("long").as("key"),
+        col(tieCol).cast("long").as("tie"),
+        unix_micros(col(tsCol)).as("us"),
+        array(steps.map(_.cast("boolean")): _*).as("is_step"),
+        negation.as("is_n"))
+      .as[(Long, Long, Long, Seq[Boolean], Boolean)]
+    val mode = if (timeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+               else GroupStateTimeout.NoTimeout
+    typedEv.groupByKey(_._1)
+      .flatMapGroupsWithState[CepAllState, CepAllMatch](OutputMode.Append, mode) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Seq[Boolean], Boolean)],
+         state: GroupState[CepAllState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(
+              CepAllState(Array.fill(nMids)(0L), Array.fill(nMids)(0L),
+                Array.fill(nMids)(false), Array.empty[Long],
+                Array.empty[Long], 0L, 0L, false))
+            val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+            // the batch range frame's same-microsecond-higher-tie anchors,
+            // visible within this micro-batch (see scaladoc)
+            val batchAnchors = sorted.collect {
+              case (_, tie, us, isStep, _) if isStep(0) => (us, tie)
+            }
+            val out = List.newBuilder[CepAllMatch]
+            sorted.foreach { case (_, tie, us, isStep, isN) =>
+              if (isStep(k - 1) && st.set.forall(identity) &&
+                  (0 until nMids - 1).forall(i => st.ts_us(i) < st.ts_us(i + 1)) &&
+                  (nMids == 0 || st.ts_us(nMids - 1) < us)) {
+                val extras = batchAnchors.filter(a => a._1 == us && a._2 > tie)
+                val capped = (st.a_us.zip(st.a_tie).toSeq ++ extras)
+                  .filter(a => us - a._1 <= winUs)
+                  .takeRight(maxSpans)
+                val n = capped.size
+                val firstAfter = if (nMids > 0) st.ts_us(0) else us
+                capped.zipWithIndex.foreach { case ((aus, atie), idx) =>
+                  // "no negation after the anchor" == the newest negation
+                  // seen is not newer than the anchor in (ts, tie) order
+                  val negClean = !st.ln_set || st.ln_us < aus ||
+                    (st.ln_us == aus && st.ln_tie < atie)
+                  if (aus < firstAfter && negClean)
+                    out += CepAllMatch(key, tie,
+                      (aus +: st.ts_us.toSeq) :+ us,
+                      (us - aus) / 1000000L, n - idx)
+                }
+              }
+              val hit = isStep.indexWhere(identity)
+              if (hit == 0) {
+                // ordered insert into the capped anchor list: a straggler
+                // lands at its (us, tie) position; the oldest entry of an
+                // overfull list drops — "the maxSpans most-recent anchors
+                // seen", exactly what the batch slice retains
+                var p = st.a_us.length
+                while (p > 0 && (st.a_us(p - 1) > us ||
+                    (st.a_us(p - 1) == us && st.a_tie(p - 1) > tie))) p -= 1
+                val nus = (st.a_us.take(p) :+ us) ++ st.a_us.drop(p)
+                val nti = (st.a_tie.take(p) :+ tie) ++ st.a_tie.drop(p)
+                val over = nus.length - maxSpans
+                st = st.copy(
+                  a_us = if (over > 0) nus.drop(over) else nus,
+                  a_tie = if (over > 0) nti.drop(over) else nti)
+              } else if (hit >= 1 && hit < k - 1) {
+                val i = hit - 1
+                // intermediates stay skip-till-last in (ts, tie) order
+                if (!st.set(i) || us > st.ts_us(i) ||
+                    (us == st.ts_us(i) && tie > st.ties(i))) {
+                  val ts2 = st.ts_us.clone(); val tie2 = st.ties.clone()
+                  val set2 = st.set.clone()
+                  ts2(i) = us; tie2(i) = tie; set2(i) = true
+                  st = st.copy(ts_us = ts2, ties = tie2, set = set2)
+                }
+              } else if (isN) {
+                if (!st.ln_set || us > st.ln_us ||
+                    (us == st.ln_us && tie > st.ln_tie))
+                  st = st.copy(ln_us = us, ln_tie = tie, ln_set = true)
+              }
+            }
+            state.update(st)
+            timeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
   /**
    * Streaming CEP: the [[graft.operators.Cep.lastSeqMatch]] pattern
    * (`A → B → C`, negation, time bound, skip-till-last) over an unbounded
@@ -1133,6 +1268,20 @@ object StatefulOps {
    * Same micro-batch (ts, tie) ordering caveat as the other
    * custom-state operators. Output rows mirror the batch columns;
    * batch/stream parity is spec-pinned (TimeSeriesSpec).
+   *
+   * COLD-START / REPLAY CONTRACT (r16 advice): the counter h is purely
+   * arrival-based, so batch parity additionally requires that (a) the
+   * stream starts at the TRUE post-training arrival index — a key's
+   * first streamed reading must be its first reading after the
+   * artifact's training cut (h starts at 0 from a fresh checkpoint), and
+   * (b) no post-training events are missed or replayed — a restart from
+   * a checkpoint that skips or re-delivers events silently scores every
+   * later reading at the wrong horizon, with no detectable error in the
+   * output. Deployments resuming mid-history must replay from the
+   * training cut (the checkpointed state then carries the correct h) —
+   * there is no per-event horizon recovery, by design: deriving h from
+   * event time would bind the artifact to a fixed cadence the batch
+   * hCol contract deliberately avoids.
    */
   def forecastScoreStream(events: DataFrame, profile: DataFrame,
       keyCol: String, tsCol: String, tieCol: String, valueCol: String,

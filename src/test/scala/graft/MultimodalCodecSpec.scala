@@ -479,6 +479,39 @@ class MultimodalCodecSpec extends SparkSpec {
       "the 2-frame saturated cell must drop; the singleton survives")
   }
 
+  /** Column-linear 8×8×1 ramp content: pixel(y, x) = b(x/2) + δ + s(x/2)·(y+shift)
+    * — the transpose of [[rampPix]], the y-shift dual's natural content. */
+  private def rampPixCol(b: Array[Int], s: Array[Int], shift: Int, delta: Int): Array[Byte] =
+    (for (y <- 0 until 8; x <- 0 until 8)
+      yield (b(x / 2) + delta + s(x / 2) * (y + shift)).toByte).toArray
+
+  test("phashNearDup: the y-shift dual matches 1-px vertical translates the x subset misses") {
+    import spark.implicits._
+    val b = Array(100, 110, 120, 130)
+    val s = Array(6, -6, 4, -4)
+    val videos = Seq((1L, gvid("GVID", Seq(gimg(8, 8, 1, rampPixCol(b, s, 0, 0))))))
+      .toDF("doc_id", "payload")
+    val images = Seq(
+      (10L, gimg(8, 8, 1, rampPixCol(b, s, 1, 0))),   // 1-px y-translate
+      (11L, gimg(8, 8, 1, rampPixCol(b, s, 0, 5))))   // brightness shift
+      .toDF("doc_id", "payload")
+    // a vertical translate of column-linear content perturbs every grid
+    // ROW by the same amount — the {u >= 1} coefficients cancel it EXACTLY
+    val y = Multimodal.phashNearDup(videos, col("doc_id"), col("payload"),
+        images, col("doc_id"), col("payload"), grid = 4, meanScale = 16L,
+        quant = 256L, maxL1 = 256L, yShiftTolerant = true)
+      .select("image_id", "l1", "near_dup").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(y == Set((10L, 0L, 1), (11L, 0L, 1)), s"got $y")
+    // the x subset keeps the u = 0 coefficients, which move by 64·W_v
+    // under the translate (a full quant cell at these slopes) — bucket miss
+    val x = Multimodal.phashNearDup(videos, col("doc_id"), col("payload"),
+        images.filter(col("doc_id") === 10L), col("doc_id"), col("payload"),
+        grid = 4, meanScale = 16L, quant = 256L, maxL1 = 256L)
+      .select("image_id").as[Long].collect().toSet
+    assert(x.isEmpty, s"x subset must miss the y-translate, got $x")
+  }
+
   test("crossModalNearDup: multi-channel fingerprints keep channels separate") {
     import spark.implicits._
     // 2×2×2 frame: channel 0 all 10s, channel 1 all 200s (unsigned)

@@ -20,7 +20,10 @@ class PlanAuditSpec extends SparkSpec {
   private val nestedLoopExempt = Set(
     // the SQL-frontend twin of sim_topk plans the identical brute tier
     "sim_topk", "sql_sim_topk",
-    "sim_recall_lsh", "sim_recall_ivf", "sim_ivf_kmeans_cells",
+    // multiprobe: same brute cosine baseline broadcast as sim_recall_lsh;
+    // the probed search itself is an equi-join on the bucket
+    "sim_recall_lsh", "sim_recall_lsh_multiprobe", "sim_recall_ivf",
+    "sim_ivf_kmeans_cells",
     "multimodal_frames", "tpch_q22_idle_customers", "tpch_q11_important_parts",
     // PQ recall rows: the exact-L2 brute-force BASELINE deliberately
     // broadcasts the 5-row query side against the corpus (l2TopK), same as
@@ -31,8 +34,11 @@ class PlanAuditSpec extends SparkSpec {
     "sim_recall_ivfpq_rerank",
     // ladder-wide recall/MAP grading: the exact-L2 truth pass and the
     // lsh/ivf/pq/ivfpq tiers are exactly the exempted rows' shapes above,
-    // composed into one frame (5-row query side broadcast throughout)
-    "eval_recall_map_ann",
+    // composed into one frame (5-row query side broadcast throughout);
+    // the served twin keeps the truth pass and the 5-query × 16-centroid
+    // probe (both-tiny broadcast) — the corpus-side tiers are artifact
+    // equi-joins
+    "eval_recall_map_ann", "eval_recall_map_ann_served",
     // SQ8: both the integer-dot search and its exact-MIPS recall baseline
     // broadcast the O(10) query side against the corpus (brute-force tier
     // by design; the amax scale is a folded literal, not a plan node)
@@ -368,6 +374,37 @@ class PlanAuditSpec extends SparkSpec {
       s"dedup_entity_resolve_served grew beyond its election design: ${shuffles(ent)}")
     assert(count(ent, "levenshtein") == 0,
       s"dedup_entity_resolve_served re-grew the verify subtree:\n$ent")
+  }
+
+  test("round-17 rows plan fixture/artifact scans, no in-query synthesis or training") {
+    def planOf(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+    def count(plan: String, p: String): Int = plan.sliding(p.length).count(_ == p)
+
+    // media rows serve payloads from the per-sf-dir parquet fixture
+    // (verdict-r16 item 1): both sides scan graft-artifacts parquet, and
+    // the plan holds NO localCheckpoint RDD scan — the in-query synthesis
+    // stages (the sf10 variance band) are gone by plan shape, not just by
+    // timing
+    Seq("multimodal_phash_near_dup", "multimodal_phash_near_dup_y",
+        "multimodal_cross_near_dup", "multimodal_video_image_match").foreach { q =>
+      val plan = planOf(q)
+      assert(count(plan, "graft-artifacts") >= 2,
+        s"$q must scan both fixture payload tables:\n$plan")
+      assert(!plan.contains("ExistingRDD"),
+        s"$q re-grew an in-query checkpointed synthesis stage:\n$plan")
+    }
+    val vnd = planOf("multimodal_video_near_dup")
+    assert(count(vnd, "graft-artifacts") >= 1 && !vnd.contains("ExistingRDD"),
+      s"multimodal_video_near_dup must scan the fixture:\n$vnd")
+
+    // the served eval ladder: all five tier artifacts (lsh buckets, ivf
+    // centroids + lists, pq codebook + codes) plus the ivfpq serving
+    // index scan from graft-artifacts; the k-means/PQ Lloyd subtrees and
+    // the corpus-wide LSH projection pass must NOT re-run in-query
+    val served = planOf("eval_recall_map_ann_served")
+    assert(count(served, "graft-artifacts") >= 5,
+      s"eval_recall_map_ann_served must scan the tier artifacts:\n$served")
   }
 
   test("round-13 rows keep their designed plan shapes") {

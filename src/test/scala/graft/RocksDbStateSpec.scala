@@ -203,4 +203,42 @@ class RocksDbStateSpec extends org.scalatest.funsuite.AnyFunSuite {
       } finally q.stop()
     }
   }
+
+  test("cepStreamAll anchor-list state survives RocksDB round-trips across batches") {
+    withRocksSession { spark =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val input = MemoryStream[(Long, Long, String, Long)]
+      val out = StatefulOps.cepStreamAll(
+        input.toDF().toDF("user_id", "event_id", "event_type", "sec")
+          .withColumn("ts", timestamp_seconds(col("sec"))),
+        "user_id", "ts", "event_id",
+        Seq(col("event_type") === "a", col("event_type") === "c"),
+        col("event_type") === "n", 3600L, maxSpans = 4)
+      val q = out.writeStream.format("memory").queryName("rocks_cepall")
+        .option("checkpointLocation", Files.createTempDirectory("rcepall-cp").toString)
+        .outputMode(OutputMode.Append).start()
+      try {
+        // the anchor ARRAY state (Array[Long] pairs) must deserialize from
+        // RocksDB bytes on every batch: anchors accumulate across three
+        // batches before the close fans out over all of them
+        input.addData((1L, 1L, "a", 10L)); q.processAllAvailable()
+        input.addData((1L, 2L, "a", 20L)); q.processAllAvailable()
+        input.addData((1L, 3L, "a", 30L), (1L, 4L, "c", 40L))
+        q.processAllAvailable()
+        val got = spark.table("rocks_cepall")
+          .select(col("close_id"), expr("element_at(step_us, 1) div 1000000"),
+            col("span_rank"))
+          .as[(Long, Long, Int)].collect().toSet
+        assert(got == Set((4L, 30L, 1), (4L, 20L, 2), (4L, 10L, 3)),
+          s"anchor list lost through RocksDB: $got")
+        val metrics = q.lastProgress.stateOperators.flatMap(
+          _.customMetrics.keySet.toArray.map(_.toString))
+        assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+          s"state operator reports no rocksdb metrics: ${metrics.mkString(",")}")
+      } finally q.stop()
+    }
+  }
 }

@@ -39,6 +39,69 @@ class SimilaritySpec extends SparkSpec {
     assert(neighbors.contains(1L)) // same bucket guaranteed for identical vectors
   }
 
+  test("bucketedTopKMultiProbe: recall is per-query monotone over single-probe, probes stay bounded") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.cosineTopK(q, emb, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"))
+    def hitsByQuery(approx: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      brute.join(approx.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").count()
+        .as[(Long, Long)].collect().toMap.withDefaultValue(0L)
+    val single = hitsByQuery(Similarity.bucketedTopK(q, emb,
+      "vec_id", "embedding", 5, nPlanes = 8))
+    val multi = hitsByQuery(Similarity.bucketedTopKMultiProbe(q, emb,
+      "vec_id", "embedding", 5, nPlanes = 8, nProbes = 6))
+    // candidates are a superset (the own bucket is always probed) and both
+    // rank by the same (cosine desc, id) key, so per-query hits can only
+    // rise — the displacement argument: anything pushing a true neighbor
+    // out of the top-5 has higher cosine, hence is itself a true neighbor
+    (0L until 10L).foreach { qid =>
+      assert(multi(qid) >= single(qid),
+        s"query $qid: multi ${multi(qid)} < single ${single(qid)}")
+    }
+    info(s"recall@5 uplift: single=${single.values.sum} multi=${multi.values.sum} / 50")
+    assert(multi.values.sum > single.values.sum,
+      "multi-probe must lift recall on the real fixtures")
+    // nProbes = 1 degenerates to exactly the single-probe operator
+    val p1 = Similarity.bucketedTopKMultiProbe(q, emb, "vec_id", "embedding",
+        5, nPlanes = 8, nProbes = 1)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val base = Similarity.bucketedTopK(q, emb, "vec_id", "embedding", 5,
+        nPlanes = 8)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(p1 == base, "nProbes=1 must reproduce bucketedTopK exactly")
+  }
+
+  test("served ANN tiers (lsh buckets, ivf lists) are bit-identical to the training forms") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long, Double)] =
+      df.select("query_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    // lsh: the persisted-assignment path must reproduce the in-query one
+    // (same lshBucket expression, materialized)
+    val buckets = emb.select(col("vec_id"),
+      Similarity.lshBucket(Similarity.asDouble(col("embedding")), 8).as("bucket"))
+    assert(rows(Similarity.bucketedTopKServed(q, emb, buckets,
+        "vec_id", "embedding", 5, nPlanes = 8))
+      == rows(Similarity.bucketedTopK(q, emb, "vec_id", "embedding", 5,
+        nPlanes = 8)))
+    // ivf: persisted centroids + inverted lists vs the in-query default
+    // training path (same kmeansCentroids parameters)
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 16, 2)
+      .localCheckpoint()
+    val assigned = Similarity.assignCells(emb, cents, "vec_id", "embedding")
+      .select(col("cell_id"), col("vec_id").as("corpus_id"))
+    assert(rows(Similarity.ivfTopKServed(q, emb, assigned, cents,
+        "vec_id", "embedding", 5, nProbe = 4))
+      == rows(Similarity.ivfTopK(q, emb, "vec_id", "embedding", 5,
+        nCells = 16, nProbe = 4)))
+  }
+
   test("ivfTopK finds exact duplicates and prunes the scored pair space") {
     val n = 60
     val rng = new scala.util.Random(3)
