@@ -1159,14 +1159,14 @@ object QueriesSimMedia {
             Seq("tier"))
         val r = Artifacts.annEval(s, d)
         grade("lsh", Similarity.bucketedTopKServed(q, emb,
-            s.read.parquet(s"$r/lsh_corpus"), "vec_id", "embedding", 5,
+            Tables.artifact(s, s"$r/lsh_corpus"), "vec_id", "embedding", 5,
             nPlanes = 8))
           .unionByName(grade("ivf", Similarity.ivfTopKServed(q, emb,
-            s.read.parquet(s"$r/ivf_corpus"),
+            Tables.artifact(s, s"$r/ivf_corpus"),
             s.read.parquet(s"$r/ivf_centroids"), "vec_id", "embedding", 5,
             nProbe = 4)))
           .unionByName(grade("pq", Similarity.pqAdcTopK(q,
-            s.read.parquet(s"$r/pq_codes"),
+            Tables.artifact(s, s"$r/pq_codes"),
             s.read.parquet(s"$r/pq_codebook"), "vec_id", "embedding",
             m = 4, k = 5)))
           .unionByName(grade("ivfpq", ivfPqTop5Served(s, d)))
@@ -1621,7 +1621,7 @@ object QueriesSimMedia {
         // once per sf-dir, which also kills the sf10 synthesis-GC
         // variance band). The content schedule is unchanged; the oracle
         // recomputes it from the text, never the bytes.
-        val videos = s.read.parquet(
+        val videos = Tables.artifact(s,
           s"${Artifacts.mediaPayloads(s, d)}/vnd_videos")
         Multimodal.videoNearDup(videos,
           col("doc_id"), col("payload"), quant = 8L)
@@ -1672,8 +1672,8 @@ object QueriesSimMedia {
         // storage a real CAS-join deployment reads); schedule unchanged,
         // oracle recomputes it from source/n_chars arithmetic
         val r = Artifacts.mediaPayloads(s, d)
-        val videos = s.read.parquet(s"$r/vimatch_videos")
-        val images = s.read.parquet(s"$r/vimatch_images")
+        val videos = Tables.artifact(s, s"$r/vimatch_videos")
+        val images = Tables.artifact(s, s"$r/vimatch_images")
         Multimodal.videoImageMatch(videos, col("doc_id"), col("payload"),
           images, col("doc_id"), col("payload"))
       },
@@ -1718,8 +1718,8 @@ object QueriesSimMedia {
         // only the materialization moved from per-run localCheckpoints to
         // the build-once fixture (verdict-r16 item 1).
         val r = Artifacts.mediaPayloads(s, d)
-        val videos = s.read.parquet(s"$r/cross_videos")
-        val images = s.read.parquet(s"$r/cross_images")
+        val videos = Tables.artifact(s, s"$r/cross_videos")
+        val images = Tables.artifact(s, s"$r/cross_images")
         Multimodal.crossModalNearDup(videos, col("doc_id"), col("payload"),
           images, col("doc_id"), col("payload"), grid = 2, meanScale = 16L,
           quant = 64L, maxL1 = 96L)
@@ -1789,8 +1789,8 @@ object QueriesSimMedia {
         // per sf-dir so the row measures Walsh decode + bucket join.
         val r = Artifacts.mediaPayloads(s, d)
         Multimodal.phashNearDup(
-          s.read.parquet(s"$r/phash_videos"), col("doc_id"), col("payload"),
-          s.read.parquet(s"$r/phash_images"), col("doc_id"), col("payload"),
+          Tables.artifact(s, s"$r/phash_videos"), col("doc_id"), col("payload"),
+          Tables.artifact(s, s"$r/phash_images"), col("doc_id"), col("payload"),
           grid = 4, meanScale = 16L, quant = 128L, maxL1 = 96L)
       },
       Some(
@@ -1856,8 +1856,8 @@ object QueriesSimMedia {
       (s: SparkSession, d: String) => {
         val r = Artifacts.mediaPayloads(s, d)
         Multimodal.phashNearDup(
-          s.read.parquet(s"$r/phashy_videos"), col("doc_id"), col("payload"),
-          s.read.parquet(s"$r/phashy_images"), col("doc_id"), col("payload"),
+          Tables.artifact(s, s"$r/phashy_videos"), col("doc_id"), col("payload"),
+          Tables.artifact(s, s"$r/phashy_images"), col("doc_id"), col("payload"),
           grid = 4, meanScale = 16L, quant = 128L, maxL1 = 96L,
           yShiftTolerant = true)
       },

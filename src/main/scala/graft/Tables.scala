@@ -77,4 +77,15 @@ object Tables {
     fanOutSmallScan(table(spark, dir, "documents"))
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     fanOutSmallScan(table(spark, dir, "embeddings"))
+
+  /** Artifact/fixture parquet read with the same small-scan fan-out as the
+    * source-table loaders: the media payload fixtures are physically tiny
+    * (a few MB) but carry the HEAVIEST per-row decode in the catalog, so a
+    * single-split read would run the whole Walsh/byte_at chain on one task
+    * — the exact local-fixture artifact [[fanOutSmallScan]] exists for
+    * (measured on the r17 sf10 spot: phash 312 s single-split vs 169 s
+    * distributed). On a real cluster the fixture is real storage with
+    * >= parallelism splits and the fan-out never fires. */
+  def artifact(spark: SparkSession, path: String): DataFrame =
+    fanOutSmallScan(spark.read.parquet(path))
 }

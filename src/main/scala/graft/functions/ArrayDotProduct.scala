@@ -146,6 +146,17 @@ object GraftFunctions {
     bridge.column(ByteAt(bridge.expression(bin),
       bridge.expression(pos.cast("long"))))
 
+  /** Exact scaled grid-region means over a w×h×c pixel region inside a
+    * binary payload, as array<long> — the single-eval kernel under the
+    * media fingerprint paths (replaces the nested transform/aggregate
+    * HOF chain; see [[GridMeans]]). */
+  def grid_means(bin: Column, pixStart: Column, fw: Column, fh: Column,
+      fc: Column, grid: Int, meanScale: Long): Column =
+    bridge.column(GridMeans(bridge.expression(bin),
+      bridge.expression(pixStart.cast("long")),
+      bridge.expression(fw.cast("long")), bridge.expression(fh.cast("long")),
+      bridge.expression(fc.cast("long")), grid, meanScale))
+
   /** Distinct winnowing fingerprints (md5-derived 60-bit k-gram hashes →
     * sliding w-window minima) of a pre-normalized string, as array<long> —
     * the codegen'd single-pass kernel behind

@@ -366,7 +366,7 @@ object Multimodal {
     val fvec = transform(sequence(lit(0), nWin - 1), i => {
       val win = samples.substr(i * windowBytes + 1, lit(windowBytes))
       val bytes = transform(sequence(lit(1), length(win)),
-        j => conv(hex(substring(win, j, lit(1))), 16, 10).cast("long"))
+        j => graft.functions.GraftFunctions.byte_at(win, j))
       aggregate(bytes, lit(0L), (acc, b) => acc + b)
     })
     val f = df.select(idCol.as("media_id"),
@@ -431,8 +431,9 @@ object Multimodal {
       when(frameOk,
         aggregate(
           transform(sequence(lit(0L), nPix - 1L), p =>
-            conv(hex(binCol.substr((fpos + 9L + p).cast("int"), lit(1))), 16, 10)
-              .cast("long")),
+            // byte_at: one bounds check + mask per pixel (bit-identical to
+            // the conv(hex(substring)) chain it replaced — r16 precedent)
+            graft.functions.GraftFunctions.byte_at(binCol, fpos + 9L + p)),
           lit(0L), (acc, b) => acc + b))
         .otherwise(lit(-1L))
     })
@@ -546,6 +547,19 @@ object Multimodal {
     * scaled-mean rational — and so its floor — bit-identical. Caller
     * guarantees grid | w and grid | h. */
   private def gridMeans(bin: Column, pixStart: Column, fw: Column,
+      fh: Column, fc: Column, grid: Int, meanScale: Long): Column =
+    // the native single-eval kernel (graft.functions.GridMeans): one tight
+    // JVM loop per payload/frame against the HOF form's ~200 interpreted
+    // node evals per frame — the measured wall of the sf10 media rows.
+    // Bit-identical on the guarded domain incl. null lanes; parity with
+    // the HOF reference form spec-pinned (MultimodalCodecSpec)
+    graft.functions.GraftFunctions.grid_means(bin, pixStart, fw, fh, fc,
+      grid, meanScale)
+
+  /** The pre-r17 HigherOrderFunction formulation of [[gridMeans]], kept as
+    * the executable REFERENCE SEMANTICS the native kernel is spec-pinned
+    * against (the winnowFingerprints HOF-reference precedent). */
+  private[graft] def gridMeansHof(bin: Column, pixStart: Column, fw: Column,
       fh: Column, fc: Column, grid: Int, meanScale: Long): Column = {
     def ediv(num: Column, den: Column): Column =
       ((num - pmod(num, den)) / den).cast("long")
@@ -560,11 +574,6 @@ object Multimodal {
         sequence(lit(0L), rh * rw - 1L), lit(0L), (acc, p) => {
           val r = ediv(p, rw)
           val s = pmod(p, rw)
-          // byte_at: one bounds check + mask per pixel — the
-          // conv(hex(substring)) chain it replaces allocated a byte
-          // copy, a hex UTF8String, and a radix parse PER PIXEL inside
-          // this interpreted lambda (the dominant media-decode cost at
-          // sf10; values bit-identical)
           acc + graft.functions.GraftFunctions.byte_at(bin,
             pixStart + ((gy * rh + r) * fw + gx * rw + s) * fc + k)
         })

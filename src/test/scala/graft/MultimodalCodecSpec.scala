@@ -397,6 +397,57 @@ class MultimodalCodecSpec extends SparkSpec {
       "the 2-frame hot bucket must drop; the singleton must survive")
   }
 
+  test("grid_means native kernel is bit-identical to the HOF reference form, null lanes included") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    def img(w: Int, h: Int, c: Int, nBytes: Int): Array[Byte] =
+      Array.fill(nBytes)(rng.nextInt(256).toByte)
+    // (payload, pixStart, w, h, c) lanes on the callers' GUARDED domain
+    // (w, h > 0 and grid-divisible, c > 0 — the frameOk/imgOk rejects):
+    // full images across grids/channels, a payload truncated MID-REGION
+    // (some elements null, some not), an offset start. Zero-pixel regions
+    // are NOT comparable: under ANSI the HOF reference throws
+    // REMAINDER_BY_ZERO there (callers guard it away); the native kernel's
+    // strictly-more-defined null behavior is asserted separately below.
+    val rows = Seq(
+      (img(8, 8, 1, 64), 1L, 8L, 8L, 1L),
+      (img(8, 8, 3, 192), 1L, 8L, 8L, 3L),
+      (img(4, 4, 2, 32), 1L, 4L, 4L, 2L),
+      (img(8, 8, 1, 37), 1L, 8L, 8L, 1L),      // truncated mid-region
+      (img(8, 8, 2, 100), 10L, 8L, 8L, 2L))    // offset start + truncation
+      .zipWithIndex.map { case ((b, st, w, h, c), i) => (i.toLong, b, st, w, h, c) }
+      .toDF("id", "bin", "st", "w", "h", "c")
+    for (grid <- Seq(2, 4); scale <- Seq(1L, 16L)) {
+      val got = rows.select(col("id"),
+          graft.functions.GraftFunctions.grid_means(col("bin"), col("st"),
+            col("w"), col("h"), col("c"), grid, scale).as("native"),
+          Multimodal.gridMeansHof(col("bin"), col("st"),
+            col("w"), col("h"), col("c").cast("long"), grid, scale).as("hof"))
+        .collect()
+      got.foreach { r =>
+        val n = if (r.isNullAt(1)) null else r.getSeq[Any](1)
+        val hof = if (r.isNullAt(2)) null else r.getSeq[Any](2)
+        assert(n == hof, s"grid=$grid scale=$scale id=${r.getLong(0)}: $n != $hof")
+      }
+    }
+    // null payload lane, and the out-of-domain lanes the HOF form cannot
+    // express under ANSI (zero-pixel region → per-element null; degenerate
+    // dims → all-null elements) — the kernel is strictly more defined
+    val extra = Seq((1L, img(8, 2, 1, 16), 1L, 8L, 2L, 1L),
+        (2L, img(0, 0, 1, 0), 1L, 0L, 0L, 1L))
+      .toDF("id", "bin", "st", "w", "h", "c")
+      .select(col("id"), graft.functions.GraftFunctions.grid_means(col("bin"),
+        col("st"), col("w"), col("h"), col("c"), 4, 16L).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    assert(extra(1L).size == 16 && extra(1L).forall(_ == null))
+    assert(extra(2L).size == 16 && extra(2L).forall(_ == null))
+    val nullRow = Seq((1L)).toDF("id")
+      .select(graft.functions.GraftFunctions.grid_means(
+        lit(null).cast("binary"), lit(1L), lit(8L), lit(8L), lit(1L), 4, 16L))
+      .collect()(0)
+    assert(nullRow.isNullAt(0))
+  }
+
   test("walshMatrix: ±1 entries, orthogonal rows, v >= 1 rows sum to zero, sequency order") {
     for (g <- Seq(2, 4, 8)) {
       val h = Multimodal.walshMatrix(g)
