@@ -72,6 +72,24 @@ object GraftExtensions {
           org.apache.spark.sql.catalyst.expressions.Cast(children(1),
             org.apache.spark.sql.types.LongType))
       }),
+    // grid_means(bin, pixStart, w, h, c, grid, meanScale): the media
+    // fingerprint kernel — exact scaled grid-region means as array<bigint>
+    // (grid/meanScale must be int literals, like the k-parameterized
+    // registrations) — SQL-reachable like its Column form
+    (FunctionIdentifier("grid_means"),
+      new ExpressionInfo(classOf[graft.functions.GridMeans].getName,
+        "grid_means"),
+      (children: Seq[Expression]) => {
+        require(children.length == 7,
+          "grid_means(bin, pixStart, w, h, c, grid, meanScale) takes exactly seven arguments")
+        def asLong(e: Expression) =
+          org.apache.spark.sql.catalyst.expressions.Cast(e,
+            org.apache.spark.sql.types.LongType)
+        graft.functions.GridMeans(children.head, asLong(children(1)),
+          asLong(children(2)), asLong(children(3)), asLong(children(4)),
+          litInt(children(5), "grid_means grid"),
+          litInt(children(6), "grid_means meanScale").toLong)
+      }),
     (FunctionIdentifier("topk_by"),
       new ExpressionInfo(classOf[graft.functions.BoundedTopK].getName, "topk_by"),
       (children: Seq[Expression]) => {

@@ -157,6 +157,24 @@ class FunctionsSpec extends SparkSpec {
         "SELECT byte_at(X'00FF7F', 2) AS b1, byte_at(X'00FF7F', 9) AS b2")
         .collect()(0)
       assert(ba.getLong(0) == 255L && ba.isNullAt(1))
+      // grid_means: SQL form matches the Column API form on a 2×2×1 region
+      // (bytes 1,2,3,4 at grid 2 → per-pixel regions, scale 16) + the
+      // truncated-payload null lane
+      val gmSql = extSpark.sql(
+        "SELECT grid_means(X'01020304', 1, 2, 2, 1, 2, 16) AS g, " +
+        "grid_means(X'0102', 1, 2, 2, 1, 2, 16) AS t")
+        .collect()(0)
+      assert(gmSql.getSeq[Any](0) == Seq(16L, 32L, 48L, 64L))
+      assert(gmSql.getSeq[Any](1) == Seq(16L, 32L, null, null))
+      val gmApi = extSpark.range(1)
+        .select(graft.functions.GraftFunctions.grid_means(
+          org.apache.spark.sql.functions.lit(Array[Byte](1, 2, 3, 4)),
+          org.apache.spark.sql.functions.lit(1L),
+          org.apache.spark.sql.functions.lit(2L),
+          org.apache.spark.sql.functions.lit(2L),
+          org.apache.spark.sql.functions.lit(1L), 2, 16L).as("g"))
+        .collect()(0).getSeq[Any](0)
+      assert(gmApi == Seq(16L, 32L, 48L, 64L))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
